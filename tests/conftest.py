@@ -1,0 +1,41 @@
+"""Shared fixtures: one SparkSession per test run, DuckDB oracle
+connection with the fixture parquet registered as views (mirroring the
+driver's harness)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from kafka_clickhouse_pipeline_spark.catalog import table_path
+from kafka_clickhouse_pipeline_spark.schemas import FIXTURE_TABLES
+from kafka_clickhouse_pipeline_spark.session import get_spark
+
+SMOKE_SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SMOKE_SF
+
+
+@pytest.fixture(scope="session")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for name in FIXTURE_TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
