@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_clickhouse_pipeline_spark.operators import serving
+from kafka_clickhouse_pipeline_spark.operators import pipeline_queries, serving
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stock_top5": serving.stock_top5,
         "recent_sales": serving.recent_sales,
         "status_counts": serving.status_counts,
+        "mv_parse_typed": pipeline_queries.mv_parse_typed,
     }
     return q
 
@@ -38,4 +39,5 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query."""
     o: dict[str, str] = {}
     o.update(serving.SERVING_ORACLES)
+    o.update(pipeline_queries.PIPELINE_ORACLES)
     return o

@@ -1,0 +1,82 @@
+"""Kafka JSON sources -- Spark re-expression of the reference's
+Kafka-engine tables (S1/S2, generate_data.py:96-139) and JSON producer
+sink (S4, generate_data.py:348-363).
+
+Broken-message tolerance (S3, ``kafka_skip_broken_messages = 1``,
+generate_data.py:67) maps to PERMISSIVE ``from_json``: malformed
+payloads parse to null structs and are dropped, never raised.
+
+Offset management: the reference uses named consumer groups
+(``clickhouse_sales_consumer`` generate_data.py:115); Spark owns
+offsets in the checkpoint directory, which is strictly stronger
+(exactly-once into a file sink vs at-least-once).
+
+At scale: one Kafka partition maps to one Spark input partition; the
+transform is stateless so throughput scales with
+``minPartitions``/topic partition count, no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_kafka_json_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    schema: StructType,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """readStream(kafka) -> parsed, typed columns.
+
+    Returns one column per schema field (the parsed payload), matching
+    the Kafka-engine table's schema-on-read contract
+    (generate_data.py:97-110). Malformed JSON rows are dropped (S3).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+    return parse_json_payload(raw.select(F.col("value").cast("string")), schema)
+
+
+def parse_json_payload(df: DataFrame, schema: StructType) -> DataFrame:
+    """``value: string`` -> typed columns via PERMISSIVE from_json;
+    rows whose JSON is unparseable become all-null structs and are
+    dropped (kafka_skip_broken_messages analog)."""
+    parsed = df.select(F.from_json(F.col("value"), schema, {"mode": "PERMISSIVE"}).alias("data"))
+    return parsed.filter(F.col("data").isNotNull()).select("data.*")
+
+
+def read_json_lines_stream(
+    spark: SparkSession, path: str, schema: StructType, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stand-in for Kafka in offline tests: each line is one
+    'message'. Reading as ``text`` then from_json keeps the exact same
+    PERMISSIVE parse path as the Kafka source."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(path)
+    return parse_json_payload(raw.select(F.col("value")), schema)
+
+
+def to_kafka_json_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """Producer sink (S4): serialize all columns to one JSON value and
+    write to a topic -- the reference's ``json.dumps(...).encode()``
+    producer (generate_data.py:353)."""
+    return (
+        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
