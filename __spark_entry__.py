@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_clickhouse_pipeline_spark.operators import pipeline_queries, serving
+from kafka_clickhouse_pipeline_spark.operators import analytics, pipeline_queries, serving
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_counts": serving.status_counts,
         "mv_parse_typed": pipeline_queries.mv_parse_typed,
     }
+    q.update(analytics.ANALYTICS_QUERIES)
     return q
 
 
@@ -40,4 +41,5 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o.update(serving.SERVING_ORACLES)
     o.update(pipeline_queries.PIPELINE_ORACLES)
+    o.update(analytics.ANALYTICS_ORACLES)
     return o

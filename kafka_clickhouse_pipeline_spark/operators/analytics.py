@@ -1,0 +1,400 @@
+"""Analytical extension queries over the TPC-H-ish fixture tables --
+joins, semi-joins, windows, HAVING, DISTINCT, set operations, CTE-style
+subqueries. The reference has none of these (SURVEY.md section 2.10);
+they prove the engine generalizes beyond its parity surface and they are
+the scale-sensitive part of the query mix.
+
+Scale design notes (100 TB):
+- Dimension tables (region 5 rows, nation 25, supplier, part, customer)
+  are broadcast explicitly -- no shuffle of the fact table for those
+  joins; only fact-fact joins (orders><lineitem) shuffle, on their join
+  key, where AQE handles skew.
+- Money aggregates are decimal -- exact, order-insensitive, and
+  deterministic across engines; averages are exact-decimal sums divided
+  as IEEE doubles, so both engines produce bit-identical results.
+- Top-K forms compile to TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation over lineitem.
+    Single scan -> partial agg -> 4-group final agg; the canonical
+    map-side-combine workload."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    agged = filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+        F.sum(
+            (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(
+                "decimal(28,4)"
+            )
+        ).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, revenue per nation in one region.
+    Dims (region/nation/customer/supplier) broadcast; the only shuffle
+    joins are orders><lineitem on orderkey."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    revenue = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filter both sides, join, group, top-10 by
+    revenue. Broadcast customer-filtered keys; TakeOrderedAndProject."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    revenue = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join (orders having at least one late
+    lineitem), grouped count. left_semi avoids materializing the match
+    side -- at scale this is a shuffle-on-orderkey semi-join, no row
+    explosion."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp")
+    )
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q10_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Fact-fact shuffle join + broadcast dims + TakeOrderedAndProject."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_distinct_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation: distinct ordering customers per market
+    segment. Two-phase distinct-agg (partial dedup before shuffle)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: orders whose total line quantity exceeds a
+    threshold (TPC-H Q18 core)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+        .orderBy(F.col("total_qty").desc(), F.col("l_orderkey"))
+    )
+
+
+def q_union_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: UNION ALL of two disjoint order classes with a
+    label column, then grouped counts -- union is metadata-only in
+    Spark (no shuffle until the agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("klass"), "o_totalprice"
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.lit("low").alias("klass"), "o_totalprice"
+    )
+    return (
+        urgent.unionAll(low)
+        .groupBy("klass")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("klass")
+    )
+
+
+def q_window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window/analytic function: rank within partition, keep top 3 per
+    brand by retail price. One shuffle on the partition key; rank is
+    computed within sorted partitions, no global sort."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", _dec("p_retailprice").alias("p_retailprice"), "rnk")
+        .orderBy("p_brand", "rnk")
+    )
+
+
+def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window over a time-ordered stream: running purchase
+    revenue per user (events table). Partition by user -> sort by ts
+    within partition; scales by user cardinality."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum(_dec("value")).over(w).alias("running_revenue"),
+        )
+    )
+
+
+def q_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: customers with balance above the global
+    average. The scalar agg broadcasts as a literal-like single-row
+    cross join -- no full shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    avg_bal = customer.agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(broadcast(avg_bal))
+        .filter(_dec("c_acctbal").cast("double") > F.col("avg_bal"))
+        .select("c_custkey", "c_name", _dec("c_acctbal").alias("c_acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+ANALYTICS_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        WITH agged AS (
+          SELECT l_returnflag, l_linestatus,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(28,4))) AS sum_disc_price,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+               CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+               CAST(sum_base_price AS DOUBLE) / count_order AS avg_price,
+               count_order
+        FROM agged ORDER BY l_returnflag, l_linestatus
+    """,
+    "q5_revenue_by_nation": """
+        SELECT n_name,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(28,4))) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(28,4))) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1996-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > TIMESTAMP '1996-07-01')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q10_top_returning_customers": """
+        SELECT c_custkey, c_name, n_name,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(28,4))) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q_distinct_customers_per_segment": """
+        SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "q_having_big_orders": """
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        ORDER BY total_qty DESC, l_orderkey
+    """,
+    "q_union_priority_classes": """
+        SELECT klass, count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        FROM (
+          SELECT 'urgent' AS klass, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT 'low' AS klass, o_totalprice FROM orders WHERE o_orderpriority = '5-LOW'
+        )
+        GROUP BY klass ORDER BY klass
+    """,
+    "q_window_top3_parts_per_brand": """
+        SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice, rnk
+        FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rnk
+          FROM part)
+        WHERE rnk <= 3
+        ORDER BY p_brand, rnk
+    """,
+    "q_window_running_revenue": """
+        SELECT user_id, event_id, ts,
+               sum(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    "q_subquery_above_avg_balance": """
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        FROM customer
+        WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) >
+              (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               FROM customer)
+        ORDER BY c_custkey
+    """,
+}
+
+ANALYTICS_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q4_order_priority": q4_order_priority,
+    "q10_top_returning_customers": q10_top_returning_customers,
+    "q_distinct_customers_per_segment": q_distinct_customers_per_segment,
+    "q_having_big_orders": q_having_big_orders,
+    "q_union_priority_classes": q_union_priority_classes,
+    "q_window_top3_parts_per_brand": q_window_top3_parts_per_brand,
+    "q_window_running_revenue": q_window_running_revenue,
+    "q_subquery_above_avg_balance": q_subquery_above_avg_balance,
+}
