@@ -15,7 +15,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kafka_clickhouse_pipeline_spark.operators import analytics, pipeline_queries, serving
+from kafka_clickhouse_pipeline_spark.operators import (
+    analytics,
+    dedup,
+    pipeline_queries,
+    serving,
+    similarity,
+    text,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,6 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_parse_typed": pipeline_queries.mv_parse_typed,
     }
     q.update(analytics.ANALYTICS_QUERIES)
+    q.update(text.TEXT_QUERIES)
+    q.update(dedup.DEDUP_QUERIES)
+    q.update(similarity.SIMILARITY_QUERIES)
     return q
 
 
@@ -42,4 +52,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(serving.SERVING_ORACLES)
     o.update(pipeline_queries.PIPELINE_ORACLES)
     o.update(analytics.ANALYTICS_ORACLES)
+    o.update(text.TEXT_ORACLES)
+    o.update(dedup.DEDUP_ORACLES)
+    o.update(similarity.SIMILARITY_ORACLES)
     return o

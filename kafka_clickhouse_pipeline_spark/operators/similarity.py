@@ -1,0 +1,166 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Two paths:
+- ``q_ann_bruteforce_topk``: exact cosine top-k for a query set.
+  Queries are broadcast (small side), the corpus streams through one
+  scan; per-query top-k via a rank window partitioned by query id.
+  All arithmetic float64 + sequential accumulation -> deterministic and
+  bit-identical to the DuckDB oracle.
+- ``q_ann_ivf_topk``: IVF-style bucketed ANN -- the 100 TB path.
+  A deterministic subset of vectors acts as centroids (broadcast);
+  every vector is assigned to its nearest centroid (one scan x
+  n_centroids dot products, no shuffle); a query probes only the
+  ``NPROBE`` nearest centroid buckets, so the search join touches
+  ~nprobe/n_centroids of the corpus instead of all of it. Recall < 1
+  by construction -> no SQL oracle (rows-only check); the test suite
+  measures recall against the brute-force baseline instead.
+
+Everything is built-in higher-order array functions (``zip_with`` /
+``aggregate``) -- JVM-side, no UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+N_CENTROIDS = 32
+NPROBE = 8
+
+
+def _dot(u: Column, v: Column) -> Column:
+    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def _cosine(u: Column, v: Column) -> Column:
+    return _dot(u, v) / (F.sqrt(_dot(u, u)) * F.sqrt(_dot(v, v)))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+
+
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: for each query vector (vec_id < N_QUERIES),
+    the TOP_K nearest other vectors. Broadcast the queries; rank with a
+    per-query window (vec_id tiebreak for determinism)."""
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        corpus.join(broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k.
+
+    Centroids: vectors with vec_id % (corpus/N_CENTROIDS-ish stride) --
+    deterministic, no training step (a production build would k-means
+    them; assignment/probing mechanics are identical). Assignment and
+    probing both broadcast the centroid set.
+    """
+    vecs = _vectors(spark, sf_dir)
+    # deterministic stride-sampled centroids (~1/16 of the corpus);
+    # a production build k-means these -- the bucketed search mechanics
+    # are identical either way
+    centroids = vecs.filter(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+
+    # assign every vector to its nearest centroid
+    aw = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    assigned = (
+        vecs.crossJoin(broadcast(centroids))
+        .select(
+            "vec_id",
+            "v",
+            "centroid_id",
+            _cosine(F.col("v"), F.col("cv")).alias("sim"),
+        )
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+
+    # queries probe their NPROBE nearest centroid buckets
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+    probed = (
+        queries.crossJoin(broadcast(centroids))
+        .select("query_id", "qv", "centroid_id", _cosine(F.col("qv"), F.col("cv")).alias("qsim"))
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= NPROBE)
+        .select("query_id", "qv", "centroid_id")
+    )
+
+    # search only within probed buckets
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        probed.join(assigned, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_COS_SQL = """
+ list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])) /
+ (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
+  sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i]))))
+"""
+
+SIMILARITY_ORACLES: dict[str, str] = {
+    "q_ann_bruteforce_topk": f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({_COS_SQL}, 6) AS cosine
+          FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+}
+
+SIMILARITY_QUERIES = {
+    "q_ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "q_ann_ivf_topk": q_ann_ivf_topk,  # rows-only: approximate by design
+}

@@ -1,0 +1,167 @@
+"""Text-analysis operators over the ``documents`` table -- the
+training-data-pipeline extensions (language-ID, quality scoring, token
+counting, document fingerprinting).
+
+All computation is JVM-side: ``split`` / higher-order array functions /
+``regexp_replace`` / ``md5`` -- no Python UDFs, so these run inside
+whole-stage codegen and scale linearly with document count (one scan,
+no shuffle except final aggregations).
+
+Tokenization contract shared with the DuckDB oracles: tokens are
+``split(trim(text), '\\s+')``; fingerprints are md5 of
+lowercased, whitespace-collapsed text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+#: Tiny deterministic stopword list used by quality scoring and the
+#: language-ID heuristic (must stay in sync with the oracle SQL).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish sub-token count
+    (alternating letter/digit boundaries), per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpeish = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"([a-z])([A-Z0-9])", r"$1 $2")), r"\s+"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(bpeish).alias("n_subtokens"),
+        F.length("text").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword signals combined
+    into one [0,1] score (heuristics in the C4/Gopher-rules family).
+
+    Components (all deterministic doubles):
+      - len_score: min(1, n_tokens / 50)
+      - stopword_ratio: stopword tokens / tokens
+      - punct_ratio: punctuation chars / chars
+    score = 0.5*len_score + 0.4*stopword_ratio_capped + 0.1*(1-punct_ratio)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = _tokens()
+    n_tokens = F.size(tokens)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda x: F.array_contains(stop_arr, x)))
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[\p{Punct}]", ""))
+    len_score = F.least(F.lit(1.0), n_tokens.cast("double") / F.lit(50.0))
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    score = (
+        F.lit(0.5) * len_score
+        + F.lit(0.4) * F.least(F.lit(1.0), stop_ratio * 3)
+        + F.lit(0.1) * (F.lit(1.0) - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker hit count -> 'en' if any
+    marker token present, else 'und'. (The fixture text is synthetic
+    English-ish regardless of its ``lang`` label; the operator's value
+    is the deterministic n-gram-marker shape, which generalizes to real
+    marker tables per language.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_markers = F.size(F.filter(_tokens(), lambda x: F.array_contains(stop_arr, x)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_markers.alias("n_markers"),
+        F.when(n_markers > 0, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (lowercase,
+    collapsed whitespace) plus a coarse 16-bucket shard id -- the exact
+    content-hash used by exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = F.md5(normalized)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        (F.ascii(F.substring(fp, 1, 1)) % 16).alias("shard"),
+    ).orderBy("doc_id")
+
+
+def _stop_in_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+TEXT_ORACLES: dict[str, str] = {
+    "q_token_stats": """
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(string_split_regex(trim(regexp_replace(text, '([a-z])([A-Z0-9])', '\\1 \\2', 'g')), '\\s+')) AS n_subtokens,
+               length(text) AS text_len
+        FROM documents ORDER BY doc_id
+    """,
+    "q_quality_score": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '\\s+') AS toks,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+          FROM documents),
+        s AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> x IN ({_stop_in_list_sql()}))) AS n_stop,
+                 n_chars, n_punct
+          FROM t)
+        SELECT doc_id, n_tokens,
+               round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+               round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+               round(0.5 * least(1.0, n_tokens / 50.0)
+                   + 0.4 * least(1.0, (n_stop * 1.0 / n_tokens) * 3)
+                   + 0.1 * (1.0 - n_punct * 1.0 / n_chars), 6) AS quality_score
+        FROM s ORDER BY doc_id
+    """,
+    "q_lang_id": f"""
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x IN ({_stop_in_list_sql()}))) AS n_markers,
+               CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                         x -> x IN ({_stop_in_list_sql()}))) > 0
+                    THEN 'en' ELSE 'und' END AS pred_lang
+        FROM documents ORDER BY doc_id
+    """,
+    "q_fingerprint": """
+        WITH f AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+          FROM documents)
+        SELECT doc_id, fingerprint,
+               ascii(substr(fingerprint, 1, 1)) % 16 AS shard
+        FROM f ORDER BY doc_id
+    """,
+}
+
+TEXT_QUERIES = {
+    "q_token_stats": q_token_stats,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+}
