@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_clickhouse_pipeline_spark.operators import (
     analytics,
     dedup,
+    multimodal,
     pipeline_queries,
     serving,
     similarity,
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(text.TEXT_QUERIES)
     q.update(dedup.DEDUP_QUERIES)
     q.update(similarity.SIMILARITY_QUERIES)
+    q.update(multimodal.MULTIMODAL_QUERIES)
     return q
 
 
@@ -55,4 +57,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(text.TEXT_ORACLES)
     o.update(dedup.DEDUP_ORACLES)
     o.update(similarity.SIMILARITY_ORACLES)
+    o.update(multimodal.MULTIMODAL_ORACLES)
     return o

@@ -45,17 +45,28 @@ MINHASH_ROWS = 2
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id -> exploded distinct n-token shingles (0 rows for docs
-    shorter than n tokens)."""
+    shorter than n tokens).
+
+    Built from aligned array slices zipped together rather than
+    per-index ``element_at`` lambdas: inside higher-order functions
+    Catalyst re-evaluates the child expression per element, which would
+    re-run the regex split O(shingles) times per row. Slices keep it to
+    O(n) splits per row. The input is rebalanced to the session's
+    parallelism when the source file yields fewer partitions than cores
+    (one small parquet = one task otherwise; at real scale inputs
+    already arrive in many partitions and the repartition is a no-op
+    branch)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(n)]
-            ),
-        )
-    )
-    return df.select("doc_id", F.explode(sh).alias("shingle"))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    slices = [F.slice(toks, k + 1, m) for k in range(n)]
+    zipped = slices[0]
+    for s in slices[1:]:
+        zipped = F.zip_with(zipped, s, lambda x, y: F.concat_ws(" ", x, y))
+    return df.select("doc_id", F.explode(F.array_distinct(zipped)).alias("shingle"))
 
 
 def _jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
@@ -158,33 +169,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Verify candidates with exact Jaccard: restrict the shingle
-    # relation to candidate docs, intersect per pair.
+    # Verify candidates with exact Jaccard via per-doc shingle arrays:
+    # candidate pairs are few, so joining each side to its shingle set
+    # and intersecting arrays beats re-exploding shingles into a
+    # pair-level join (no quadratic shingle self-join here).
     cand_docs = (
         candidates.select(F.col("d1").alias("doc_id"))
         .union(candidates.select("d2"))
         .distinct()
     )
-    sh = shingles.join(cand_docs, "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
-        .groupBy(F.col("sa.doc_id").alias("d1"), F.col("sb.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(candidates, ["d1", "d2"], "left_semi")
+    shingle_sets = (
+        shingles.join(cand_docs, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
+        candidates.join(
+            shingle_sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1")), "d1"
+        )
+        .join(
+            shingle_sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2")), "d2"
+        )
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
             F.round(
                 F.col("inter").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double"),
+                / (F.size("sh1") + F.size("sh2") - F.col("inter")).cast("double"),
                 6,
             ),
         )
@@ -194,19 +206,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + banded hamming near-dup pairs.
-
-    64-bit signature: per distinct token, xxhash64; each bit votes
-    +1/-1; sign of the vote sum is the signature bit. Near-dup pairs:
-    signatures agreeing on >= 1 of 4 16-bit chunks (necessary condition
-    for hamming distance <= 3) and verified hamming <= 3.
-
-    Output: (d1, d2, hamming). Spark-only (no SQL oracle -- the 64-bit
-    signature arithmetic isn't portably expressible in DuckDB); the
-    driver records a rows-only check.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document: each distinct token's xxhash64
+    votes +1/-1 per bit; the sign of each bit's vote sum is the
+    signature bit. Returns (doc_id, simhash)."""
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("tok"),
@@ -228,7 +231,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(64),
         F.lit(0).cast("long"),
     )
-    sigs = votes.select("doc_id", sig.alias("simhash"))
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: signatures agreeing on >= 1 of 4 16-bit
+    chunks (a necessary condition for hamming distance <= 3, so banding
+    loses nothing) and verified hamming <= 3.
+
+    Output: (d1, d2, hamming). Spark-only (no SQL oracle -- the 64-bit
+    signature arithmetic isn't portably expressible in DuckDB); the
+    driver records a rows-only check. Note simhash measures *token-set*
+    similarity: on a corpus with a tiny shared vocabulary it both finds
+    pairs shingle-Jaccard misses and vice versa.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
 
     chunks = reduce(
         DataFrame.unionAll,

@@ -1,0 +1,190 @@
+"""Multimodal-column operators: image/audio/video as opaque ``binary``
+columns with typed metadata, processed with Arrow-batched
+``mapInPandas`` (the one place Python is justified: byte-level decode
+that SQL expressions can't express).
+
+The container has no image/audio libraries, so the *decode* step is
+stubbed (``NotImplementedError`` behind an import-try) and replaced by
+a deterministic fake feature extractor; the Spark-side plumbing --
+binary column, schema contract, Arrow batch shape, multi-row frame
+explosion, partition independence -- is real and oracle-tested.
+
+Scale notes: mapInPandas streams Arrow batches per partition (no
+collect, no per-row Python calls); payload bytes never hit the driver.
+Frames explode rows inside the executor, so a 100 TB video corpus fans
+out without shuffling the source bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+
+#: Pseudo-frame size for the frame-sampling operator (bytes per frame).
+FRAME_BYTES = 256
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("content_type", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_id", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+
+def real_decode(payload: bytes):  # pragma: no cover - stub by design
+    """Real image decode -- STUB. The container ships no PIL/ffmpeg;
+    a production build swaps this for the actual decoder."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this "
+            "environment; the deterministic fake extractor stands in"
+        ) from exc
+    raise NotImplementedError("wire the real decoder here")
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """documents -> media table: text bytes stand in for an opaque blob
+    (binary column + typed metadata), the schema contract any real
+    media ingest would produce."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The fake decode derives deterministic 'image dimensions' from byte
+    length and an md5 checksum from the payload -- exactly the call
+    shape of a real decoder (bytes in, fixed-schema features out)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "checksum": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "fake_width": (n_bytes % 512).astype("int32"),
+                    "fake_height": ((n_bytes * 7) % 512).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Frame sampling: explode each payload into fixed-size pseudo-frames
+    (multi-row-per-input mapInPandas, the shape of real video frame
+    extraction)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_id": [], "frame_bytes": [], "frame_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, max(len(data), 1), frame_bytes):
+                    chunk = data[i : i + frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(i // frame_bytes)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_checksum"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_id": pd.Series(out["frame_id"], dtype="int32"),
+                    "frame_bytes": pd.Series(out["frame_bytes"], dtype="int64"),
+                    "frame_checksum": pd.Series(out["frame_checksum"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> binary payload -> Arrow-batched feature extraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(docs)).orderBy("doc_id")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> binary payload -> pseudo-frame explosion."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs)).orderBy("doc_id", "frame_id")
+
+
+MULTIMODAL_ORACLES: dict[str, str] = {
+    # ASCII fixture text => byte slices == char slices, so the oracle
+    # reproduces the pandas byte math in SQL.
+    "q_multimodal_features": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               CAST(octet_length(encode(text)) % 512 AS INTEGER) AS fake_width,
+               CAST((octet_length(encode(text)) * 7) % 512 AS INTEGER) AS fake_height
+        FROM documents ORDER BY doc_id
+    """,
+    "q_multimodal_frames": f"""
+        WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+                   FROM documents),
+        frames AS (
+          SELECT doc_id,
+                 CAST(i AS INTEGER) AS frame_id,
+                 substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS chunk
+          FROM d, (SELECT unnest(generate_series(0, 10000)) AS i) idx
+          WHERE i * {FRAME_BYTES} < greatest(n, 1))
+        SELECT doc_id, frame_id,
+               CAST(length(chunk) AS BIGINT) AS frame_bytes,
+               md5(chunk) AS frame_checksum
+        FROM frames ORDER BY doc_id, frame_id
+    """,
+}
+
+MULTIMODAL_QUERIES = {
+    "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_frames": q_multimodal_frames,
+}
