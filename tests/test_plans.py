@@ -1,0 +1,93 @@
+"""Physical-plan assertions: every headline query must compile to the
+plan shape we'd want on a 1000-executor cluster -- pushdown at the
+scan, pruned columns, broadcast dims, top-K without global sort, no
+Python in relational hot paths."""
+
+from __future__ import annotations
+
+from kafka_clickhouse_pipeline_spark import plans
+from kafka_clickhouse_pipeline_spark.operators import (
+    analytics,
+    dedup,
+    serving,
+    similarity,
+    text,
+)
+
+
+def test_serving_filters_pushed_to_scan(spark, sf_dir):
+    df = serving.sales_by_hour(spark, sf_dir)
+    assert plans.has_pushed_filters(df)
+    assert plans.python_free(df)
+
+
+def test_serving_column_pruning(spark, sf_dir):
+    """sales_by_hour touches ts/value/event_type only -- the scan must
+    not read event_id/user_id/props."""
+    df = serving.sales_by_hour(spark, sf_dir)
+    cols = plans.scan_read_schema(df, "events")
+    assert cols, "no ReadSchema found for events scan"
+    assert set(cols) <= {"ts", "value", "event_type"}, cols
+
+
+def test_recent_sales_uses_top_k(spark, sf_dir):
+    assert plans.uses_top_k(serving.recent_sales(spark, sf_dir))
+    assert plans.uses_top_k(serving.stock_top5(spark, sf_dir))
+
+
+def test_q3_top10_uses_top_k(spark, sf_dir):
+    assert plans.uses_top_k(analytics.q3_shipping_priority(spark, sf_dir))
+
+
+def test_join_queries_broadcast_dimensions(spark, sf_dir):
+    """Q5 joins 4 dims -- all four must be broadcast, leaving only the
+    lineitem><orders shuffle join."""
+    df = analytics.q5_revenue_by_nation(spark, sf_dir)
+    assert plans.count_broadcast_joins(df) >= 4
+    df10 = analytics.q10_top_returning_customers(spark, sf_dir)
+    assert plans.count_broadcast_joins(df10) >= 2
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = analytics.q1_pricing_summary(spark, sf_dir)
+    assert plans.has_pushed_filters(df)
+    cols = plans.scan_read_schema(df, "lineitem")
+    assert cols
+    # 11-column table, 6-column query: pruning must drop the rest
+    assert set(cols) <= {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }, cols
+
+
+def test_text_queries_python_free(spark, sf_dir):
+    for fn in (text.q_token_stats, text.q_quality_score, text.q_lang_id, text.q_fingerprint):
+        assert plans.python_free(fn(spark, sf_dir)), fn.__name__
+
+
+def test_dedup_python_free(spark, sf_dir):
+    for fn in (
+        dedup.q_dedup_exact,
+        dedup.q_dedup_ngram_jaccard,
+        dedup.q_dedup_minhash_lsh,
+        dedup.q_dedup_embedding_cosine,
+    ):
+        assert plans.python_free(fn(spark, sf_dir)), fn.__name__
+
+
+def test_ann_broadcasts_queries(spark, sf_dir):
+    df = similarity.q_ann_bruteforce_topk(spark, sf_dir)
+    assert plans.count_broadcast_joins(df) >= 1 or "BroadcastNestedLoopJoin" in plans.formatted_plan(df)
+    assert plans.python_free(df)
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    """Hash-groupBy dedup must be exactly one exchange (plus none for
+    the scan)."""
+    df = dedup.q_dedup_exact(spark, sf_dir)
+    # one shuffle for the groupBy; the orderBy adds a range exchange
+    assert plans.count_shuffles(df) <= 2
