@@ -1,0 +1,65 @@
+"""Stateful streaming extensions beyond the reference's stateless MV
+pipeline: watermarked windowed aggregation and streaming deduplication.
+
+The reference computes its hourly buckets at query time over the
+materialized table (app.py:57-66) and has no dedup at all (SURVEY.md
+section 2.8). These operators move both into the stream, the way a
+100 TB/day pipeline would:
+
+- ``hourly_rollup_stream``: tumbling 1-hour windows over event_time
+  with a late-data watermark -- the continuously-maintained version of
+  ``sales_by_hour``. State is bounded by (watermark / window) windows
+  per key.
+- ``dedup_stream``: drop duplicate event_ids within the watermark
+  horizon (at-least-once Kafka delivery -> effectively-once in the
+  table). State is one entry per event id inside the horizon, evicted
+  by watermark -- bounded memory at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_rollup_stream(
+    parsed: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Streaming hourly rollup of the parsed sales stream: tumbling
+    window sums of quantity and total (the streaming twin of
+    sales_by_hour, SURVEY.md section 2.7.1).
+
+    Late rows beyond the watermark are dropped; each window finalizes
+    (append mode) once the watermark passes its end.
+    """
+    return (
+        parsed.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"))
+        .agg(
+            F.sum("quantity").alias("total_quantity"),
+            F.sum("total").alias("revenue"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "total_quantity",
+            "revenue",
+        )
+    )
+
+
+def dedup_stream(
+    parsed: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on event id within the watermark horizon.
+
+    ``dropDuplicates`` on a watermarked stream keeps one state entry
+    per key until the watermark evicts it -- the standard pattern for
+    de-duplicating at-least-once Kafka delivery with bounded state.
+    """
+    return parsed.withWatermark("event_time", watermark).dropDuplicates(
+        (keys or ["event_id"]) + ["event_time"]
+    )

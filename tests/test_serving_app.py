@@ -1,0 +1,60 @@
+"""End-to-end HTTP tests for the serving layer: start the server, hit
+all four endpoints like the dashboard does, check payload shapes."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from kafka_clickhouse_pipeline_spark import serving_app
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    httpd = serving_app.serve(spark, sf_dir, port=0)  # ephemeral port
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_api_sales(server):
+    status, payload = _get(server, "/api/sales")
+    assert status == 200
+    assert set(payload) == {"labels", "quantity", "revenue"}
+    assert len(payload["labels"]) == len(payload["quantity"]) == len(payload["revenue"])
+
+
+def test_api_stock(server):
+    status, payload = _get(server, "/api/stock")
+    assert status == 200
+    assert set(payload) == {"labels", "incoming", "outgoing"}
+    assert len(payload["labels"]) <= 5
+
+
+def test_api_recent(server):
+    status, payload = _get(server, "/api/recent")
+    assert status == 200
+    assert len(payload["sales"]) <= 10
+    if payload["sales"]:
+        assert set(payload["sales"][0]) == {"time", "product", "quantity", "total"}
+
+
+def test_api_status(server):
+    status, payload = _get(server, "/api/status")
+    assert status == 200
+    assert payload["status"] == "ok"
+    assert sum(payload["counts"].values()) > 0
+
+
+def test_unknown_route_404(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/nope")
+    assert e.value.code == 404
