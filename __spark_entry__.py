@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_clickhouse_pipeline_spark.operators import (
+    advanced,
     analytics,
     dedup,
     multimodal,
@@ -45,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dedup.DEDUP_QUERIES)
     q.update(similarity.SIMILARITY_QUERIES)
     q.update(multimodal.MULTIMODAL_QUERIES)
+    q.update(advanced.ADVANCED_QUERIES)
     return q
 
 
@@ -58,4 +60,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(dedup.DEDUP_ORACLES)
     o.update(similarity.SIMILARITY_ORACLES)
     o.update(multimodal.MULTIMODAL_ORACLES)
+    o.update(advanced.ADVANCED_ORACLES)
     return o

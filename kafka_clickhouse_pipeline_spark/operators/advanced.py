@@ -1,0 +1,122 @@
+"""Advanced relational operators beyond the reference's surface:
+multi-level aggregation (ROLLUP), as-of joins (the canonical
+time-series operator Spark lacks as a primitive), and approximate
+distinct counting.
+
+Scale notes:
+- ROLLUP is one pass: Spark expands grouping sets map-side, so the
+  fact table is scanned once regardless of the number of levels.
+- The as-of join is expressed as union + running ``last`` window
+  instead of a join: one shuffle on the partition key, no range-join
+  explosion, no per-row probing -- the standard distributed as-of
+  pattern (an actual range join would shuffle both sides AND risk
+  skew on hot keys).
+- approx_count_distinct is HyperLogLog++: mergeable sketches, so the
+  distributed plan is partial-sketch -> merge, constant memory per
+  group at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+DEC = "decimal(18,2)"
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (mktsegment, orderpriority): per-pair totals,
+    per-segment subtotals, and a grand total in one scan."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total_price"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the timestamp of the same
+    user's most recent signup at-or-before the purchase.
+
+    Implemented without a join: union both event kinds, then a running
+    ``max(signup ts)`` window per user ordered by time. One shuffle on
+    user_id; each partition is a single ordered pass. (DuckDB's native
+    ASOF JOIN is the oracle.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    relevant = events.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    # signup sorts before purchase at identical ts so an equal-time
+    # signup is visible to the purchase (ASOF's >= semantics)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("event_type").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        relevant.withColumn("last_signup_ts", last_signup)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+        .orderBy("event_id")
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++,
+    rsd=0.01). Sketches merge associatively -> partial aggregation
+    works; the exact variant is q_distinct_customers_per_segment.
+    No SQL oracle: DuckDB's approx_count_distinct uses a different
+    sketch; the test suite bounds the error against exact instead."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+ADVANCED_ORACLES: dict[str, str] = {
+    "q_rollup_revenue": """
+        SELECT c_mktsegment, o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+        ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "q_asof_last_signup": """
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        signups AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'signup')
+        SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
+        FROM purchases p
+        ASOF LEFT JOIN signups s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id
+    """,
+}
+
+ADVANCED_QUERIES = {
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_asof_last_signup": q_asof_last_signup,
+    "q_approx_distinct_users": q_approx_distinct_users,  # rows-only
+}
