@@ -21,6 +21,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     dedup,
     multimodal,
     pipeline_queries,
+    semistructured,
     serving,
     similarity,
     text,
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(similarity.SIMILARITY_QUERIES)
     q.update(multimodal.MULTIMODAL_QUERIES)
     q.update(advanced.ADVANCED_QUERIES)
+    q.update(semistructured.SEMISTRUCTURED_QUERIES)
     return q
 
 
@@ -61,4 +63,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(similarity.SIMILARITY_ORACLES)
     o.update(multimodal.MULTIMODAL_ORACLES)
     o.update(advanced.ADVANCED_ORACLES)
+    o.update(semistructured.SEMISTRUCTURED_ORACLES)
     return o
