@@ -19,6 +19,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     advanced,
     analytics,
     dedup,
+    graph,
     multimodal,
     pipeline_queries,
     semistructured,
@@ -49,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(multimodal.MULTIMODAL_QUERIES)
     q.update(advanced.ADVANCED_QUERIES)
     q.update(semistructured.SEMISTRUCTURED_QUERIES)
+    q.update(graph.GRAPH_QUERIES)
     return q
 
 
@@ -64,4 +66,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(multimodal.MULTIMODAL_ORACLES)
     o.update(advanced.ADVANCED_ORACLES)
     o.update(semistructured.SEMISTRUCTURED_ORACLES)
+    o.update(graph.GRAPH_ORACLES)
     return o

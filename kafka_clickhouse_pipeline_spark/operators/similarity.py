@@ -74,6 +74,50 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_centroids(vecs: DataFrame, stride: int = 16, iters: int = 3) -> DataFrame:
+    """Lloyd's k-means over the embedding column, all DataFrame ops.
+
+    Init: deterministic stride sample. Each iteration: assign every
+    vector to its nearest centroid (broadcast centroids, one corpus
+    scan), then recompute centroids as element-wise means (64 column
+    aggregates -> one shuffle keyed by centroid). The driver only runs
+    the loop; vectors never leave the executors. Fixed iteration count
+    keeps runtime deterministic (classic k-means converges most of the
+    way in 2-3 rounds).
+    """
+    dim = len(vecs.select("v").first()["v"])
+    centroids = vecs.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        aw = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+        assigned = (
+            vecs.crossJoin(broadcast(centroids))
+            .select(
+                "vec_id", "v", "centroid_id", _cosine(F.col("v"), F.col("cv")).alias("sim")
+            )
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+        )
+        centroids = (
+            assigned.groupBy("centroid_id")
+            .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv"))
+        )
+        centroids = centroids.localCheckpoint(eager=True)  # cut lineage per round
+    return centroids
+
+
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with k-means-trained centroids: the production variant of
+    q_ann_ivf_topk (same bucketed search mechanics, better-placed
+    centroids -> higher recall at the same nprobe). Rows-only check:
+    approximate by design; recall measured against brute force in
+    tests."""
+    vecs = _vectors(spark, sf_dir)
+    centroids = kmeans_centroids(vecs)
+    return _ivf_search(vecs, centroids)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -84,12 +128,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vecs = _vectors(spark, sf_dir)
     # deterministic stride-sampled centroids (~1/16 of the corpus);
-    # a production build k-means these -- the bucketed search mechanics
-    # are identical either way
+    # q_ann_ivf_kmeans_topk trains them instead -- identical search path
     centroids = vecs.filter(F.col("vec_id") % 16 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
+    return _ivf_search(vecs, centroids)
 
+
+def _ivf_search(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     # assign every vector to its nearest centroid
     aw = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
     assigned = (
@@ -163,4 +209,5 @@ SIMILARITY_ORACLES: dict[str, str] = {
 SIMILARITY_QUERIES = {
     "q_ann_bruteforce_topk": q_ann_bruteforce_topk,
     "q_ann_ivf_topk": q_ann_ivf_topk,  # rows-only: approximate by design
+    "q_ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # rows-only: approximate
 }

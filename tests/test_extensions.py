@@ -59,6 +59,24 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert len(bf & ivf) / len(bf) >= 0.3
 
 
+def test_ivf_kmeans_recall_not_worse_than_stride(spark, sf_dir):
+    """Trained centroids must not lose recall vs the stride baseline
+    (on random vectors the gain is small; on clustered data it is
+    large -- this guards the mechanism, not the magnitude)."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    stride = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.q_ann_ivf_topk(spark, sf_dir).collect()
+    }
+    km_rows = similarity.q_ann_ivf_kmeans_topk(spark, sf_dir).collect()
+    km = {(r.query_id, r.neighbor_id) for r in km_rows}
+    assert len(km_rows) == len(bf)
+    assert len(bf & km) >= len(bf & stride) - max(2, len(bf) // 10)
+
+
 def test_ann_scores_sorted_and_bounded(spark, sf_dir):
     rows = similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()
     by_query: dict[int, list] = {}
