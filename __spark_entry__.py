@@ -22,6 +22,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     graph,
     multimodal,
     pipeline_queries,
+    reshape,
     semistructured,
     serving,
     similarity,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(advanced.ADVANCED_QUERIES)
     q.update(semistructured.SEMISTRUCTURED_QUERIES)
     q.update(graph.GRAPH_QUERIES)
+    q.update(reshape.RESHAPE_QUERIES)
     return q
 
 
@@ -67,4 +69,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(advanced.ADVANCED_ORACLES)
     o.update(semistructured.SEMISTRUCTURED_ORACLES)
     o.update(graph.GRAPH_ORACLES)
+    o.update(reshape.RESHAPE_ORACLES)
     return o
