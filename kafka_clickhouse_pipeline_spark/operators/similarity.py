@@ -85,7 +85,12 @@ def kmeans_centroids(vecs: DataFrame, stride: int = 16, iters: int = 3) -> DataF
     keeps runtime deterministic (classic k-means converges most of the
     way in 2-3 rounds).
     """
-    dim = len(vecs.select("v").first()["v"])
+    first = vecs.select("v").first()
+    if first is None:  # empty corpus -> no centroids, search yields nothing
+        return vecs.select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+    dim = len(first["v"])
     centroids = vecs.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )

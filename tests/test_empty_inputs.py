@@ -1,0 +1,60 @@
+"""Robustness: every operator family must handle empty input tables
+(a real pipeline sees empty partitions/days constantly)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from kafka_clickhouse_pipeline_spark.schemas import (
+    DOCUMENTS_SCHEMA,
+    EMBEDDINGS_SCHEMA,
+    EVENTS_SCHEMA,
+)
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """A fixture dir with empty (zero-row) core tables; TPC-H tables
+    copied tiny from sf0.001 so join queries still resolve."""
+    d = tmp_path_factory.mktemp("empty_sf")
+    spark.createDataFrame([], EVENTS_SCHEMA).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame([], DOCUMENTS_SCHEMA).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame([], EMBEDDINGS_SCHEMA).write.parquet(f"{d}/embeddings.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(0).write.parquet(
+            f"{d}/{t}.parquet"
+        )
+    return str(d)
+
+
+EMPTY_SENSITIVE = [
+    "sales_by_hour",
+    "status_counts",
+    "mv_parse_typed",
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "q_token_stats",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_embedding_cosine",
+    "q_dedup_clusters",
+    "q_ann_bruteforce_topk",
+    "q_ann_ivf_topk",
+    "q_ann_ivf_kmeans_topk",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_pivot_user_event_values",
+    "q_json_extract_stats",
+    "q_asof_last_signup",
+]
+
+
+@pytest.mark.parametrize("name", EMPTY_SENSITIVE)
+def test_operator_on_empty_input(spark, empty_sf_dir, name):
+    df = entrymod.queries()[name](spark, empty_sf_dir)
+    assert df.count() == 0

@@ -1,0 +1,74 @@
+"""Unit + property tests for the ClickHouse-equivalent scalar
+functions and transform edge cases."""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_pipeline_spark.functions import (
+    ch_if,
+    parse_datetime_best_effort,
+    to_decimal32,
+    to_start_of_hour,
+    to_yyyymm,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("x")).collect()[0]["x"]
+
+
+def test_parse_datetime_multi_format_fallback(spark):
+    df = spark.createDataFrame(
+        [Row(s="2024-01-15 10:30:00"), Row(s="15/01/2024 10:30"), Row(s="garbage"), Row(s=None)]
+    )
+    out = df.select(
+        parse_datetime_best_effort(F.col("s"), "yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy HH:mm").alias("t")
+    ).collect()
+    assert out[0]["t"].isoformat() == "2024-01-15T10:30:00"
+    assert out[1]["t"].isoformat() == "2024-01-15T10:30:00"
+    assert out[2]["t"] is None  # null, never an error (OrNull semantics)
+    assert out[3]["t"] is None
+
+
+def test_to_yyyymm(spark):
+    assert _one(spark, to_yyyymm(F.lit("2024-01-31 23:59:59").cast("timestamp"))) == 202401
+    assert _one(spark, to_yyyymm(F.lit("1999-12-01 00:00:00").cast("timestamp"))) == 199912
+    assert _one(spark, to_yyyymm(F.lit(None).cast("timestamp"))) is None
+
+
+def test_to_start_of_hour(spark):
+    got = _one(spark, to_start_of_hour(F.lit("2024-01-15 10:59:59").cast("timestamp")))
+    assert got.isoformat() == "2024-01-15T10:00:00"
+
+
+def test_ch_if(spark):
+    assert _one(spark, ch_if(F.lit(True), F.lit(1), F.lit(2))) == 1
+    assert _one(spark, ch_if(F.lit(False), F.lit(1), F.lit(2))) == 2
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.floats(
+            min_value=0, max_value=9_999_999, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_to_decimal32_matches_python_half_up(spark, values):
+    """Property: Spark's Decimal(9,2) cast == Python decimal HALF_UP
+    quantization for any representable double."""
+    df = spark.createDataFrame([Row(x=float(v)) for v in values])
+    got = [r["d"] for r in df.select(to_decimal32(F.col("x")).alias("d")).collect()]
+    want = [
+        decimal.Decimal(repr(v)).quantize(decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP)
+        for v in values
+    ]
+    assert got == want
