@@ -66,6 +66,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    ingest_eps = _bench_ingest(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -75,10 +76,77 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_events_per_sec": ingest_eps,
             }
         )
     )
     spark.stop()
+
+
+def _bench_ingest(spark) -> float:
+    """Streaming-ingest throughput: run the full MV pipeline (JSON
+    parse -> cast/filter -> partitioned parquet sink) over a generated
+    event file in availableNow mode. The reference's generator feeds
+    ~1-2 msg/s (BASELINE.md); this measures the engine's ceiling."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.streaming.ingest import file_pipeline
+
+    n = 200_000
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        sales_in = os.path.join(tmp, "in_sales")
+        stock_in = os.path.join(tmp, "in_stock")
+        os.makedirs(stock_in)
+        # synthesize n sales events as JSON lines (deterministic)
+        (
+            spark.range(n)
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.concat(F.lit("e"), F.col("id")).alias("event_id"),
+                        F.lit("sale").alias("event_type"),
+                        F.date_format(
+                            F.timestamp_seconds(F.lit(1704067200) + F.col("id") % 2_592_000),
+                            "yyyy-MM-dd HH:mm:ss",
+                        ).alias("event_time"),
+                        (F.col("id") % 50 + 1).alias("product_id"),
+                        F.lit("bench product").alias("product_name"),
+                        F.lit("Bench").alias("category"),
+                        (F.col("id") % 5 + 1).cast("int").alias("quantity"),
+                        F.round(F.col("id") % 9900 + 100.0, 2).alias("price"),
+                        F.lit(0.1).alias("discount"),
+                        F.round((F.col("id") % 9900 + 100.0) * 0.9, 2).alias("total"),
+                        (F.col("id") % 10 + 1).cast("int").alias("store_id"),
+                        (F.col("id") % 20 + 1).cast("int").alias("cashier_id"),
+                        F.concat(F.lit("c"), F.col("id") % 1000).alias("customer_id"),
+                    )
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(sales_in)
+        )
+        mgr = file_pipeline(
+            spark,
+            sales_in,
+            stock_in,
+            os.path.join(tmp, "sales"),
+            os.path.join(tmp, "stock"),
+            os.path.join(tmp, "ckpt"),
+        )
+        t0 = time.perf_counter()
+        q = mgr.attach("sales_mv", trigger_available_now=True)
+        q.awaitTermination(600)
+        mgr.detach_all()
+        elapsed = time.perf_counter() - t0
+        landed = spark.read.parquet(os.path.join(tmp, "sales")).count()
+        assert landed == n, (landed, n)
+        return round(n / elapsed, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
