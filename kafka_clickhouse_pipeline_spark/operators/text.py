@@ -107,6 +107,44 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 highest-scoring terms per document.
+
+    tf = term count in doc; idf = ln(N / df) with df = docs containing
+    the term. Plan: one explode -> per-(doc,term) counts (shuffle on
+    doc_id+term) -> df counts (shuffle on term) -> join -> rank window.
+    All exact integer counts + deterministic ln/multiply, so the oracle
+    matches bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension, computed once
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_counts, "term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
 def _stop_in_list_sql() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -159,9 +197,31 @@ TEXT_ORACLES: dict[str, str] = {
     """,
 }
 
+TEXT_ORACLES["q_tfidf_top_terms"] = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, df, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+"""
+
 TEXT_QUERIES = {
     "q_token_stats": q_token_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
+    "q_tfidf_top_terms": q_tfidf_top_terms,
 }

@@ -17,21 +17,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
 from ..schemas import SALES_RAW_SCHEMA, WAREHOUSE_RAW_SCHEMA
 from ..sources.kafka import read_json_lines_stream, read_kafka_json_stream
-from .sink import write_stream_to_table
+from .sink import prepare_batch, write_stream_to_table
 from .transforms import parse_sales, parse_stock
+
+#: Superset schema for the multiplexed variant (SURVEY.md S2 note: one
+#: stream over both topics, demuxed by a discriminator column). The two
+#: payloads share their first six fields; the rest are nullable
+#: per-kind extras.
+MERGED_RAW_SCHEMA = StructType(
+    list(SALES_RAW_SCHEMA.fields)
+    + [f for f in WAREHOUSE_RAW_SCHEMA.fields if f.name not in SALES_RAW_SCHEMA.names]
+)
 
 
 @dataclass
 class StreamDefinition:
-    """One reference materialized view: named source->transform->sink."""
+    """One reference materialized view: named source->transform->sink.
+    ``foreach_batch``, when set, replaces the standard table sink with a
+    custom per-batch router (used by the multiplexed pipeline)."""
 
     name: str
     source: Callable[[SparkSession], DataFrame]
     transform: Callable[[DataFrame], DataFrame]
     table_path: str
     checkpoint: str
+    foreach_batch: Callable[[DataFrame, int], None] | None = None
 
 
 @dataclass
@@ -50,7 +65,14 @@ class PipelineManager:
         """Start consumption (ATTACH TABLE analog, README.md:68-69)."""
         d = self.definitions[name]
         df = d.transform(d.source(self.spark))
-        writer = write_stream_to_table(df, d.table_path, d.checkpoint).queryName(name)
+        if d.foreach_batch is not None:
+            writer = (
+                df.writeStream.foreachBatch(d.foreach_batch)
+                .option("checkpointLocation", d.checkpoint)
+                .queryName(name)
+            )
+        else:
+            writer = write_stream_to_table(df, d.table_path, d.checkpoint).queryName(name)
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         q = writer.start()
@@ -97,6 +119,57 @@ def kafka_pipeline(
             transform=parse_stock,
             table_path=stock_path,
             checkpoint=f"{checkpoint_root}/stock_movements_mv",
+        )
+    )
+    return mgr
+
+
+def multiplexed_file_pipeline(
+    spark: SparkSession,
+    events_dir: str,
+    sales_path: str,
+    stock_path: str,
+    checkpoint_root: str,
+) -> PipelineManager:
+    """One stream, two sinks: both event kinds arrive interleaved (the
+    Kafka variant subscribes to both topics at once and demuxes on the
+    topic column; the file stand-in demuxes on event_type, which the
+    payloads carry). Each micro-batch is routed to both MV transforms
+    inside a single foreachBatch -- one checkpoint, half the consumer
+    overhead of two independent streams.
+    """
+    mgr = PipelineManager(spark)
+
+    def _source(s: SparkSession):
+        return read_json_lines_stream(s, events_dir, MERGED_RAW_SCHEMA)
+
+    def _identity(df: DataFrame) -> DataFrame:
+        return df
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        sales = parse_sales(
+            batch_df.filter(F.col("event_type") == "sale").select(*SALES_RAW_SCHEMA.names)
+        )
+        stock = parse_stock(
+            batch_df.filter(F.col("event_type") == "stock_movement").select(
+                *WAREHOUSE_RAW_SCHEMA.names
+            )
+        )
+        prepare_batch(sales).write.mode("append").partitionBy("event_month").parquet(
+            sales_path
+        )
+        prepare_batch(stock).write.mode("append").partitionBy("event_month").parquet(
+            stock_path
+        )
+
+    mgr.register(
+        StreamDefinition(
+            name="multiplex_mv",
+            source=_source,
+            transform=_identity,
+            table_path=sales_path,
+            checkpoint=f"{checkpoint_root}/multiplex_mv",
+            foreach_batch=_route,
         )
     )
     return mgr
