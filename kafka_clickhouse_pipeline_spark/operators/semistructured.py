@@ -54,6 +54,22 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest approximate p50/p95 -- the 100 TB pair of the exact
+    variant (mergeable sketches, constant memory per group). Rows-only:
+    sketch-dependent values differ from any oracle; the test suite
+    bounds the error against the exact percentiles instead."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SEMISTRUCTURED_ORACLES: dict[str, str] = {
     "q_json_extract_stats": """
         WITH k AS (
@@ -76,4 +92,5 @@ SEMISTRUCTURED_ORACLES: dict[str, str] = {
 SEMISTRUCTURED_QUERIES = {
     "q_json_extract_stats": q_json_extract_stats,
     "q_value_percentiles": q_value_percentiles,
+    "q_value_percentiles_approx": q_value_percentiles_approx,  # rows-only
 }

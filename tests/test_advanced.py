@@ -30,6 +30,23 @@ def test_asof_join_semantics(spark, sf_dir):
     assert any(r.last_signup_ts is not None for r in rows)
 
 
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    from kafka_clickhouse_pipeline_spark.operators import semistructured
+
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in semistructured.q_value_percentiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: (r.p50, r.p95)
+        for r in semistructured.q_value_percentiles_approx(spark, sf_dir).collect()
+    }
+    for k, (e50, e95) in exact.items():
+        a50, a95 = approx[k]
+        assert abs(a50 - e50) <= max(1.0, 0.05 * e50), (k, a50, e50)
+        assert abs(a95 - e95) <= max(1.0, 0.05 * e95), (k, a95, e95)
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
     approx = {
         r.event_type: r.approx_users
