@@ -259,7 +259,71 @@ def q_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: customers who ordered in 1996 but not 1997,
+    plus those who ordered in both years, labeled. Both set ops are
+    hash-distinct joins under the hood (left_semi/left_anti after
+    dedup) -- one shuffle each on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    both = y96.intersect(y97).select(F.col("o_custkey"), F.lit("both").alias("cohort"))
+    only96 = y96.subtract(y97).select(  # EXCEPT (distinct) semantics
+        F.col("o_custkey"), F.lit("only_1996").alias("cohort")
+    )
+    return both.unionAll(only96).orderBy("cohort", "o_custkey")
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function sweep over part names: upper, substring,
+    length, LIKE patterns, concat, replace -- all codegen'd JVM
+    expressions."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%a%"))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_replace(F.col("p_name"), "a", "@").alias("name_masked"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 ANALYTICS_ORACLES: dict[str, str] = {
+    "q_intersect_except_customers": """
+        WITH y96 AS (SELECT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate <  TIMESTAMP '1997-01-01'),
+        y97 AS (SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01'),
+        both_y AS (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97),
+        only96 AS (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+        SELECT o_custkey, 'both' AS cohort FROM both_y
+        UNION ALL
+        SELECT o_custkey, 'only_1996' AS cohort FROM only96
+        ORDER BY cohort, o_custkey
+    """,
+    "q_string_functions": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               substr(p_name, 1, 5) AS name_prefix,
+               length(p_name) AS name_len,
+               regexp_replace(p_name, 'a', '@', 'g') AS name_masked,
+               concat_ws('|', p_brand, p_type) AS brand_type
+        FROM part WHERE p_name LIKE '%a%'
+        ORDER BY p_partkey
+    """,
     "q1_pricing_summary": """
         WITH agged AS (
           SELECT l_returnflag, l_linestatus,
@@ -397,4 +461,6 @@ ANALYTICS_QUERIES = {
     "q_window_top3_parts_per_brand": q_window_top3_parts_per_brand,
     "q_window_running_revenue": q_window_running_revenue,
     "q_subquery_above_avg_balance": q_subquery_above_avg_balance,
+    "q_intersect_except_customers": q_intersect_except_customers,
+    "q_string_functions": q_string_functions,
 }

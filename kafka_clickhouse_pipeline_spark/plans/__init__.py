@@ -20,6 +20,27 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def simple_plan(df: DataFrame) -> str:
+    """Simple-mode plan: whole-stage-codegen'd operators are starred
+    ``*(n) Op`` (the formatted mode elides codegen annotations)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def uses_whole_stage_codegen(df: DataFrame) -> bool:
+    """True if the executed plan contains WholeStageCodegen subtrees.
+    Under AQE, query stages (and their codegen subtrees) exist only
+    after execution, and only ``collect`` runs THIS DataFrame's own
+    QueryExecution (a write wraps it in a new one) -- test-scale
+    frames only."""
+    df.collect()
+    report = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    return "Found 0 WholeStageCodegen subtrees" not in report
+
+
 def has_pushed_filters(df: DataFrame) -> bool:
     """True if any parquet scan carries pushed-down predicates."""
     plan = formatted_plan(df)

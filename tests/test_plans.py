@@ -85,6 +85,13 @@ def test_ann_broadcasts_queries(spark, sf_dir):
     assert plans.python_free(df)
 
 
+def test_serving_queries_whole_stage_codegen(spark, sf_dir):
+    """The hot path must be inside WholeStageCodegen spans (fused JVM
+    loops), not interpreted expression evaluation."""
+    for fn in (serving.sales_by_hour, analytics.q1_pricing_summary):
+        assert plans.uses_whole_stage_codegen(fn(spark, sf_dir)), fn.__name__
+
+
 def test_exact_dedup_single_shuffle(spark, sf_dir):
     """Hash-groupBy dedup must be exactly one exchange (plus none for
     the scan)."""
