@@ -299,7 +299,108 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join customers to orders, count
+    orders per customer (zero-order customers included), then the
+    distribution of customers by order count."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders at all (left_anti -- the
+    NOT EXISTS plan; nothing from the right side is materialized)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_array_agg_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per brand, the sorted list of its part keys
+    (sort_array makes collect_list deterministic) plus its size."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.sort_array(F.collect_list("p_partkey")).alias("partkeys"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction sweep over orders: year/quarter/month/day
+    plus month-start truncation, aggregated per (year, quarter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.col("o_totalprice").cast(DEC).alias("price"),
+        )
+        .groupBy("y", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("month_start").alias("first_month"),
+            F.max("d").alias("max_day"),
+            F.sum("price").alias("total_price"),
+        )
+        .orderBy("y", "q")
+    )
+
+
 ANALYTICS_ORACLES: dict[str, str] = {
+    "q13_customer_order_distribution": """
+        WITH per_cust AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q_anti_join_inactive_customers": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q_array_agg_parts_per_brand": """
+        SELECT p_brand,
+               list_sort(list(p_partkey)) AS partkeys,
+               count(*) AS n_parts
+        FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    "q_date_functions": """
+        WITH d AS (
+          SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+                 month(o_orderdate) AS m, day(o_orderdate) AS d,
+                 CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM orders)
+        SELECT y, q, count(*) AS n, min(month_start) AS first_month,
+               max(d) AS max_day, sum(price) AS total_price
+        FROM d GROUP BY y, q ORDER BY y, q
+    """,
     "q_intersect_except_customers": """
         WITH y96 AS (SELECT o_custkey FROM orders
                      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -463,4 +564,8 @@ ANALYTICS_QUERIES = {
     "q_subquery_above_avg_balance": q_subquery_above_avg_balance,
     "q_intersect_except_customers": q_intersect_except_customers,
     "q_string_functions": q_string_functions,
+    "q13_customer_order_distribution": q13_customer_order_distribution,
+    "q_anti_join_inactive_customers": q_anti_join_inactive_customers,
+    "q_array_agg_parts_per_brand": q_array_agg_parts_per_brand,
+    "q_date_functions": q_date_functions,
 }
