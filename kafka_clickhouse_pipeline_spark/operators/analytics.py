@@ -331,12 +331,14 @@ def q_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 def q_array_agg_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per brand, the sorted list of its part keys
-    (sort_array makes collect_list deterministic) plus its size."""
+    (sort_array makes collect_list deterministic) plus its size. The
+    list is emitted as a joined string so the value is representation-
+    portable across engines/drivers (list rendering differs)."""
     part = load_table(spark, sf_dir, "part")
     return (
         part.groupBy("p_brand")
         .agg(
-            F.sort_array(F.collect_list("p_partkey")).alias("partkeys"),
+            F.array_join(F.sort_array(F.collect_list("p_partkey")), ",").alias("partkeys"),
             F.count(F.lit(1)).alias("n_parts"),
         )
         .orderBy("p_brand")
@@ -386,7 +388,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     """,
     "q_array_agg_parts_per_brand": """
         SELECT p_brand,
-               list_sort(list(p_partkey)) AS partkeys,
+               array_to_string(list_sort(list(p_partkey)), ',') AS partkeys,
                count(*) AS n_parts
         FROM part GROUP BY p_brand ORDER BY p_brand
     """,

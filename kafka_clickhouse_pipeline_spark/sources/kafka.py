@@ -14,6 +14,13 @@ offsets in the checkpoint directory, which is strictly stronger
 At scale: one Kafka partition maps to one Spark input partition; the
 transform is stateless so throughput scales with
 ``minPartitions``/topic partition count, no shuffle anywhere.
+
+Deployment note: the Kafka source/sink needs the connector package on
+the session classpath (``--packages
+org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``). The
+offline test environment ships no broker or connector, so tests
+exercise the identical parse/transform/sink path through the
+JSON-lines file stand-in (``read_json_lines_stream``).
 """
 
 from __future__ import annotations
