@@ -78,3 +78,24 @@ def write_batch_to_table(df: DataFrame, path: str, target_files: int = 4) -> Non
         .partitionBy("event_month")
         .parquet(path)
     )
+
+
+def overwrite_partitions(df: DataFrame, path: str, target_files: int = 4) -> None:
+    """Reprocess late/corrected data at partition granularity: only the
+    month partitions present in ``df`` are replaced; all other
+    partitions are untouched (dynamic partition overwrite -- the
+    ClickHouse DROP PARTITION + re-insert pattern, and the right
+    backfill primitive at 100 TB where a full-table rewrite is
+    unthinkable)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            prepare_batch(df, target_files)
+            .write.mode("overwrite")
+            .partitionBy("event_month")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
