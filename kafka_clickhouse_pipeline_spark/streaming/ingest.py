@@ -86,6 +86,23 @@ class PipelineManager:
         if q is not None:
             q.stop()
 
+    def progress(self, name: str) -> dict:
+        """Operational metrics for a running stream (the /api/status
+        analog for the ingest side): rows/sec, batch id, watermark."""
+        q = self._queries.get(name)
+        if q is None or q.lastProgress is None:
+            return {"name": name, "state": "detached"}
+        p = q.lastProgress
+        return {
+            "name": name,
+            "state": "active" if q.isActive else "stopped",
+            "batch_id": p.get("batchId"),
+            "input_rows_per_second": p.get("inputRowsPerSecond"),
+            "processed_rows_per_second": p.get("processedRowsPerSecond"),
+            "num_input_rows": p.get("numInputRows"),
+            "watermark": (p.get("eventTime") or {}).get("watermark"),
+        }
+
     def detach_all(self) -> None:
         for name in list(self._queries):
             self.detach(name)
