@@ -93,7 +93,56 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary per returnflag: count, null count, min,
+    max, mean, sample stddev of quantity. Mean/variance are derived
+    from exact decimal sums (sum, sum-of-squares) divided as IEEE
+    doubles -- deterministic and engine-identical, unlike native
+    stddev aggregates whose accumulation order varies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(DEC)
+    agged = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+        F.sum(q).alias("sum_qty"),
+        F.sum((q * q).cast("decimal(28,4)")).alias("sumsq_qty"),
+    )
+    mean = F.col("sum_qty").cast("double") / F.col("n")
+    var = (
+        F.col("sumsq_qty").cast("double")
+        - F.col("sum_qty").cast("double") * F.col("sum_qty").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return agged.select(
+        "l_returnflag",
+        "n",
+        "n_null",
+        "min_qty",
+        "max_qty",
+        F.round(mean, 6).alias("mean_qty"),
+        F.round(F.sqrt(var), 6).alias("std_qty"),
+    ).orderBy("l_returnflag")
+
+
 ADVANCED_ORACLES: dict[str, str] = {
+    "q_profile_lineitem": """
+        WITH agged AS (
+          SELECT l_returnflag, count(*) AS n,
+                 sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null,
+                 min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
+                 max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                 sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                          CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sumsq_qty
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, n_null, min_qty, max_qty,
+               round(CAST(sum_qty AS DOUBLE) / n, 6) AS mean_qty,
+               round(sqrt((CAST(sumsq_qty AS DOUBLE)
+                           - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE) / n)
+                          / (n - 1)), 6) AS std_qty
+        FROM agged ORDER BY l_returnflag
+    """,
     "q_rollup_revenue": """
         SELECT c_mktsegment, o_orderpriority,
                count(*) AS n_orders,
@@ -119,4 +168,5 @@ ADVANCED_QUERIES = {
     "q_rollup_revenue": q_rollup_revenue,
     "q_asof_last_signup": q_asof_last_signup,
     "q_approx_distinct_users": q_approx_distinct_users,  # rows-only
+    "q_profile_lineitem": q_profile_lineitem,
 }

@@ -185,6 +185,77 @@ def _ivf_search(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+N_PLANES = 16
+LSH_BANDS = 4  # 4 bands x 4 bits
+
+
+def _hyperplanes(dim: int = 64, seed: int = 42) -> list[list[float]]:
+    """Deterministic +-1 random hyperplanes (Python-side literals --
+    no UDF, folded into the plan as constants)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(N_PLANES)]
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-random-projection codes (16 hyperplanes),
+    banded into 4x4-bit buckets; candidates share >= 1 band bucket with
+    the query, then are ranked by true cosine. Rows-only: approximate
+    by design (recall tested vs brute force).
+
+    At 100 TB: each vector carries a 16-bit code (2 bytes of state);
+    the candidate join touches only same-bucket vectors -- like IVF but
+    training-free and insert-friendly (a new vector's bucket is a pure
+    function of the vector)."""
+    vecs = _vectors(spark, sf_dir)
+    planes = _hyperplanes()
+
+    def code(vcol: Column) -> Column:
+        bits = []
+        for j, plane in enumerate(planes):
+            arr = F.array(*[F.lit(x) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(vcol, arr, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("int")
+
+    coded = vecs.select("vec_id", "v", code(F.col("v")).alias("code"))
+    band_keys = F.array(
+        *[
+            (F.shiftright("code", b * 4).bitwiseAND(F.lit(0xF)) + F.lit(b * 16))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = coded.select(
+        "vec_id", "v", F.explode(band_keys).alias("band_key")
+    )
+    queries = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band_key"
+    )
+    candidates = (
+        queries.join(banded.withColumnRenamed("vec_id", "neighbor_id"), "band_key")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "v")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        candidates.select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 _COS_SQL = """
  list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])) /
  (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
@@ -215,4 +286,5 @@ SIMILARITY_QUERIES = {
     "q_ann_bruteforce_topk": q_ann_bruteforce_topk,
     "q_ann_ivf_topk": q_ann_ivf_topk,  # rows-only: approximate by design
     "q_ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # rows-only: approximate
+    "q_ann_lsh_topk": q_ann_lsh_topk,  # rows-only: approximate
 }

@@ -77,6 +77,19 @@ def test_ivf_kmeans_recall_not_worse_than_stride(spark, sf_dir):
     assert len(bf & km) >= len(bf & stride) - max(2, len(bf) // 10)
 
 
+def test_lsh_ann_returns_topk_with_nontrivial_recall(spark, sf_dir):
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    lsh_rows = similarity.q_ann_lsh_topk(spark, sf_dir).collect()
+    lsh = {(r.query_id, r.neighbor_id) for r in lsh_rows}
+    assert len(lsh_rows) == len(bf)  # full top-k per query
+    # 16-bit sign-projection codes on unclustered random vectors: the
+    # hard case; non-trivial recall is the mechanism guard
+    assert len(bf & lsh) / len(bf) >= 0.2
+
+
 def test_ann_scores_sorted_and_bounded(spark, sf_dir):
     rows = similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()
     by_query: dict[int, list] = {}
