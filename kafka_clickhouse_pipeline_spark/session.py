@@ -32,6 +32,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # local-mode driver IS the executor: Spark's 1g default heap
+        # OOMs shuffle-heavy operators well below this machine's RAM
+        # (only effective for the process's first session, as JVM opts)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
