@@ -3,7 +3,7 @@ test_serving.py via the queries()/oracle_sql() contract)."""
 
 from __future__ import annotations
 
-from kafka_clickhouse_pipeline_spark.operators import advanced, analytics
+from kafka_clickhouse_pipeline_spark.operators import advanced
 
 
 def test_rollup_has_all_levels(spark, sf_dir):

@@ -4,7 +4,6 @@ exchange, salted join preserves results, compaction bounds files."""
 from __future__ import annotations
 
 import glob
-import json
 
 from pyspark.sql import functions as F
 
