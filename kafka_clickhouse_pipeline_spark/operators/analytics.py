@@ -369,7 +369,40 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling / conditional scalar sweep over events (props
+    occasionally yields no k): coalesce, nullif, greatest, least,
+    CASE chains -- the everyday defensive-SQL toolkit."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select(
+            "event_id",
+            F.coalesce(k, F.lit(-1)).alias("k_or_default"),
+            F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+            F.greatest(F.col("value"), F.lit(50.0)).alias("value_floor50"),
+            F.least(F.col("value"), F.lit(500.0)).alias("value_cap500"),
+            F.when(F.col("value") < 50, "low")
+            .when(F.col("value") < 500, "mid")
+            .otherwise("high")
+            .alias("value_band"),
+        )
+        .orderBy("event_id")
+    )
+
+
 ANALYTICS_ORACLES: dict[str, str] = {
+    "q_null_functions": """
+        SELECT event_id,
+               coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_or_default,
+               nullif(event_type, 'error') AS type_or_null,
+               greatest(value, 50.0) AS value_floor50,
+               least(value, 500.0) AS value_cap500,
+               CASE WHEN value < 50 THEN 'low'
+                    WHEN value < 500 THEN 'mid'
+                    ELSE 'high' END AS value_band
+        FROM events ORDER BY event_id
+    """,
     "q13_customer_order_distribution": """
         WITH per_cust AS (
           SELECT c_custkey, count(o_orderkey) AS c_count
@@ -570,4 +603,5 @@ ANALYTICS_QUERIES = {
     "q_anti_join_inactive_customers": q_anti_join_inactive_customers,
     "q_array_agg_parts_per_brand": q_array_agg_parts_per_brand,
     "q_date_functions": q_date_functions,
+    "q_null_functions": q_null_functions,
 }

@@ -49,6 +49,44 @@ def hourly_rollup_stream(
     )
 
 
+def sales_stock_stream_join(
+    sales: DataFrame,
+    stock: DataFrame,
+    watermark: str = "1 hour",
+    join_horizon: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each sale joined to stock movements of
+    the same product within ``join_horizon`` before the sale.
+
+    Both sides are watermarked, and the time-range predicate bounds the
+    join state: Spark keeps only rows inside the horizon per side, so
+    state is (rate x horizon) regardless of total stream length -- the
+    canonical bounded stream-stream join. Event-time columns are kept
+    distinctly named to keep the range condition explicit.
+    """
+    s = sales.withWatermark("event_time", watermark).select(
+        F.col("event_id").alias("sale_id"),
+        F.col("product_id"),
+        F.col("event_time").alias("sale_time"),
+        "quantity",
+        "total",
+    )
+    m = stock.withWatermark("event_time", watermark).select(
+        F.col("event_id").alias("movement_id"),
+        F.col("product_id").alias("m_product_id"),
+        F.col("event_time").alias("movement_time"),
+        F.col("movement_type"),
+    )
+    cond = (
+        (F.col("product_id") == F.col("m_product_id"))
+        & (F.col("movement_time") <= F.col("sale_time"))
+        & (F.col("movement_time") >= F.col("sale_time") - F.expr(f"INTERVAL {join_horizon}"))
+    )
+    return s.join(m, cond, "inner").select(
+        "sale_id", "movement_id", "product_id", "sale_time", "movement_time", "movement_type"
+    )
+
+
 def dedup_stream(
     parsed: DataFrame,
     keys: list[str] | None = None,

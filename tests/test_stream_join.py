@@ -1,0 +1,82 @@
+"""Stream-stream join: sales matched to prior stock movements of the
+same product within the join horizon; out-of-horizon movements
+excluded."""
+
+from __future__ import annotations
+
+import json
+
+from kafka_clickhouse_pipeline_spark.schemas import SALES_RAW_SCHEMA, WAREHOUSE_RAW_SCHEMA
+from kafka_clickhouse_pipeline_spark.sources.kafka import read_json_lines_stream
+from kafka_clickhouse_pipeline_spark.streaming.stateful import sales_stock_stream_join
+from kafka_clickhouse_pipeline_spark.streaming.transforms import parse_sales, parse_stock
+
+
+def test_stream_stream_join_within_horizon(spark, tmp_path):
+    sales_in = tmp_path / "s"
+    stock_in = tmp_path / "m"
+    sales_in.mkdir()
+    stock_in.mkdir()
+
+    sale = {
+        "event_id": "sale1",
+        "event_type": "sale",
+        "event_time": "2024-01-15 12:00:00",
+        "product_id": 7,
+        "product_name": "p",
+        "category": "c",
+        "quantity": 1,
+        "price": 10.0,
+        "discount": 0.0,
+        "total": 10.0,
+        "store_id": 1,
+        "cashier_id": 1,
+        "customer_id": "c1",
+    }
+    movements = [
+        # in horizon (<= 2h before the sale), same product -> joins
+        {"event_id": "m_in", "event_time": "2024-01-15 10:30:00", "product_id": 7},
+        # out of horizon -> excluded
+        {"event_id": "m_old", "event_time": "2024-01-15 09:00:00", "product_id": 7},
+        # after the sale -> excluded
+        {"event_id": "m_after", "event_time": "2024-01-15 12:30:00", "product_id": 7},
+        # other product -> excluded
+        {"event_id": "m_other", "event_time": "2024-01-15 11:00:00", "product_id": 9},
+    ]
+    with open(sales_in / "b.jsonl", "w") as f:
+        f.write(json.dumps(sale) + "\n")
+    with open(stock_in / "b.jsonl", "w") as f:
+        for m in movements:
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": m["event_id"],
+                        "event_type": "stock_movement",
+                        "event_time": m["event_time"],
+                        "product_id": m["product_id"],
+                        "product_name": "p",
+                        "category": "c",
+                        "warehouse": "W",
+                        "quantity": 5,
+                        "movement_type": "supply",
+                        "source": "A",
+                        "responsible": "R",
+                    }
+                )
+                + "\n"
+            )
+
+    sales = parse_sales(read_json_lines_stream(spark, str(sales_in), SALES_RAW_SCHEMA))
+    stock = parse_stock(read_json_lines_stream(spark, str(stock_in), WAREHOUSE_RAW_SCHEMA))
+    joined = sales_stock_stream_join(sales, stock)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("join_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM join_sink").collect()
+    assert [(r.sale_id, r.movement_id) for r in rows] == [("sale1", "m_in")]
