@@ -132,7 +132,11 @@ def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SERVING_ORACLES: dict[str, str] = {
+#: The same four queries as raw SQL strings executed by spark.sql over
+#: registered views -- the reference's entry style (app.py passes SQL
+#: strings to clickhouse-driver). Catalyst compiles these to the same
+#: plans as the DataFrame forms (asserted in tests/test_sql_interface.py).
+SERVING_SQL: dict[str, str] = {
     "sales_by_hour": f"""
         SELECT date_trunc('hour', ts) AS hour,
                count(*) AS total_quantity,
@@ -171,3 +175,18 @@ SERVING_ORACLES: dict[str, str] = {
         GROUP BY event_type ORDER BY event_type
     """,
 }
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Execute a raw SQL string against the registered fixture views --
+    the ClickHouse-style entry point."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+#: Oracle SQL == the serving SQL strings: these queries are written
+#: in the ANSI subset both Spark SQL and DuckDB parse identically.
+SERVING_ORACLES: dict[str, str] = dict(SERVING_SQL)
+
