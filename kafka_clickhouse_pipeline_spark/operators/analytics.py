@@ -369,6 +369,43 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) per user via
+    lag + cumulative-sum windows: assign session ids, then summarize
+    each session (start, end, n_events, revenue). Two window passes
+    over one shuffle on user_id -- the standard batch sessionization
+    plan; the streaming twin lives in streaming.stateful."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").cast(DEC).alias("value"),
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    with_sid = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("revenue"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling / conditional scalar sweep over events (props
     occasionally yields no k): coalesce, nullif, greatest, least,
@@ -392,6 +429,25 @@ def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "q_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CAST(value AS DECIMAL(18,2)) AS value,
+                 CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sid AS (
+          SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM flagged)
+        SELECT user_id, session_seq,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, sum(value) AS revenue
+        FROM sid GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
     "q_null_functions": """
         SELECT event_id,
                coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_or_default,
@@ -604,4 +660,5 @@ ANALYTICS_QUERIES = {
     "q_array_agg_parts_per_brand": q_array_agg_parts_per_brand,
     "q_date_functions": q_date_functions,
     "q_null_functions": q_null_functions,
+    "q_sessionize": q_sessionize,
 }
