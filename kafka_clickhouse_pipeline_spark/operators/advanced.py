@@ -164,9 +164,40 @@ ADVANCED_ORACLES: dict[str, str] = {
     """,
 }
 
+_HYPERTABLE_SQL = """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+           CASE WHEN CAST(date_trunc('hour', ts) AS TIMESTAMP) IS NOT NULL
+                THEN 'hour' ELSE 'day' END AS granularity,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY GROUPING SETS (
+      (CAST(date_trunc('hour', ts) AS TIMESTAMP)),
+      (CAST(date_trunc('day', ts) AS TIMESTAMP)))
+    ORDER BY granularity, bucket_hour NULLS FIRST, bucket_day NULLS FIRST
+"""
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly AND daily
+    purchase aggregates from ONE scan via GROUPING SETS (each output
+    row belongs to one granularity; the other bucket column is null).
+    Expressed through the SQL entry point -- grouping sets have no
+    DataFrame API; Catalyst expands them map-side, so the fact table is
+    read once regardless of granularity count."""
+    from .serving import run_sql
+
+    return run_sql(spark, sf_dir, _HYPERTABLE_SQL)
+
+
+ADVANCED_ORACLES["q_hypertable_rollup"] = _HYPERTABLE_SQL
+
 ADVANCED_QUERIES = {
     "q_rollup_revenue": q_rollup_revenue,
     "q_asof_last_signup": q_asof_last_signup,
     "q_approx_distinct_users": q_approx_distinct_users,  # rows-only
     "q_profile_lineitem": q_profile_lineitem,
+    "q_hypertable_rollup": q_hypertable_rollup,
 }
