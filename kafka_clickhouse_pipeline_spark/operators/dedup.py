@@ -43,6 +43,26 @@ MINHASH_BANDS = 8
 MINHASH_ROWS = 2
 
 
+def _shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> distinct n-token shingles as an ARRAY column (no
+    explode): (doc_id, sh). Docs shorter than n tokens yield empty
+    arrays and are dropped, matching the exploded relation's absence
+    semantics."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    slices = [F.slice(toks, k + 1, m) for k in range(n)]
+    zipped = slices[0]
+    for s in slices[1:]:
+        zipped = F.zip_with(zipped, s, lambda x, y: F.concat_ws(" ", x, y))
+    return df.select("doc_id", F.array_distinct(zipped).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+
+
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id -> exploded distinct n-token shingles (0 rows for docs
     shorter than n tokens).
@@ -136,13 +156,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path.
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingles = _shingles(docs)
+    shingle_sets = _shingle_arrays(docs).localCheckpoint(eager=True)
 
+    # signatures computed per row over the shingle ARRAY -- no explode,
+    # no groupBy shuffle; same min-over-same-hashes semantics as the
+    # exploded formulation (checkpointing shingle_sets keeps the 16
+    # min-hash expressions from re-deriving the shingle build 16x)
     minhash_cols = [
-        F.min(F.xxhash64(F.concat(F.lit(f"salt{i}#"), F.col("shingle")))).alias(f"h{i}")
+        F.array_min(
+            F.transform(
+                F.col("sh"), lambda s, i=i: F.xxhash64(F.concat(F.lit(f"salt{i}#"), s))
+            )
+        ).alias(f"h{i}")
         for i in range(MINHASH_HASHES)
     ]
-    sigs = shingles.groupBy("doc_id").agg(*minhash_cols)
+    sigs = shingle_sets.select("doc_id", *minhash_cols)
 
     # one posexplode pass over an 8-element band-hash array (instead of
     # an 8-way union that duplicates the whole upstream plan)
@@ -176,18 +204,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(candidates.select("d2"))
         .distinct()
     )
-    shingle_sets = (
-        shingles.join(cand_docs, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
+    cand_sets = shingle_sets.join(cand_docs, "doc_id", "left_semi")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     return (
         candidates.join(
-            shingle_sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1")), "d1"
+            cand_sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1")), "d1"
         )
         .join(
-            shingle_sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2")), "d2"
+            cand_sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2")), "d2"
         )
         .withColumn("inter", inter)
         .withColumn(
