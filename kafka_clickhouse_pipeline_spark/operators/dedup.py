@@ -141,36 +141,49 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingles(docs), JACCARD_THRESHOLD)
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+    Unordered; ``q_dedup_minhash_lsh`` adds the presentation sort and
+    ``q_dedup_clusters`` consumes this directly (a sort before a
+    symmetric-closure shuffle would be wasted work).
 
-    Signature: 16 minhashes (xxhash64 of shingle, salted per hash
-    index). Bands: 8 bands x 2 hashes; docs sharing any band bucket
-    become candidates; candidates are verified exactly. With j >= 0.8
-    the miss probability per pair is (1 - j^2)^8 <= 3e-4, so the output
-    matches the exact operator on real near-dups (the oracle relies on
-    this).
+    Signature: 16 minhashes. Each shingle string is hashed ONCE
+    (xxhash64); the 16 per-index hashes are derived by re-hashing the
+    64-bit base with the hash index -- fixed-width input, so the 16
+    derived passes cost a fraction of 16 string hashes (at 100 TB the
+    signature build is the dominant map-side cost of this operator).
+    Bands: 8 bands x 2 hashes; docs sharing any band bucket become
+    candidates; candidates are verified exactly. With j >= 0.8 the miss
+    probability per pair is (1 - j^2)^8 <= 3e-4, so the output matches
+    the exact operator on real near-dups (the oracle relies on this).
 
     At scale only the candidate pairs -- not all pairs -- reach the
     verify join, and signatures are 16 longs per doc: this is the
     100 TB path.
     """
-    docs = load_table(spark, sf_dir, "documents")
     shingle_sets = _shingle_arrays(docs).localCheckpoint(eager=True)
 
     # signatures computed per row over the shingle ARRAY -- no explode,
     # no groupBy shuffle; same min-over-same-hashes semantics as the
-    # exploded formulation (checkpointing shingle_sets keeps the 16
-    # min-hash expressions from re-deriving the shingle build 16x)
-    minhash_cols = [
-        F.array_min(
-            F.transform(
-                F.col("sh"), lambda s, i=i: F.xxhash64(F.concat(F.lit(f"salt{i}#"), s))
-            )
+    # exploded formulation (checkpointing shingle_sets keeps the
+    # min-hash expressions from re-deriving the shingle build; `hs` is
+    # projected first so each of the 16 transforms iterates a bound
+    # attribute, not a re-evaluated hash expression)
+    hashed = shingle_sets.select(
+        "doc_id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs")
+    )
+
+    # Factory, NOT a default-arg lambda: PySpark infers higher-order
+    # lambda arity from the Python signature, so `lambda h, i=i:` would
+    # be called as an (element, index) lambda and silently bind i to
+    # the array-position column -- destroying the independent-hash
+    # family (all 16 minima collapse to one position-salted function).
+    def _minhash(i: int) -> F.Column:
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: F.xxhash64(F.lit(i), h))
         ).alias(f"h{i}")
-        for i in range(MINHASH_HASHES)
-    ]
-    sigs = shingle_sets.select("doc_id", *minhash_cols)
+
+    sigs = hashed.select("doc_id", *[_minhash(i) for i in range(MINHASH_HASHES)])
 
     # one posexplode pass over an 8-element band-hash array (instead of
     # an 8-way union that duplicates the whole upstream plan)
@@ -224,8 +237,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "inter", "jaccard")
-        .orderBy("d1", "d2")
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract wrapper: LSH near-dup pairs, deterministically ordered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs).orderBy("d1", "d2")
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
@@ -310,9 +328,6 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential accumulation, matching the DuckDB oracle bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = emb.select("vec_id", vec.alias("v"))
-    a = e.alias("a")
-    b = e.alias("b")
 
     def dot(u, v):
         return F.aggregate(
@@ -321,10 +336,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    # norms hoisted to the per-side projection: computed once per
+    # vector instead of once per pair (the self-join makes per-pair
+    # work the quadratic term); same sqrt(sum)-then-divide arithmetic,
+    # bit-identical to the oracle
+    e = emb.select("vec_id", vec.alias("v")).withColumn(
+        "n", F.sqrt(dot(F.col("v"), F.col("v")))
     )
+    a = e.alias("a")
+    b = e.alias("b")
+
+    joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
     return (
         joined.select(
             F.col("a.vec_id").alias("v1"),

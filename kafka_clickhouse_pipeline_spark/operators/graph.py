@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .dedup import JACCARD_THRESHOLD, q_dedup_minhash_lsh
+from .dedup import JACCARD_THRESHOLD, minhash_lsh_pairs
 
 
 def connected_components(
@@ -48,30 +48,30 @@ def connected_components(
     labels = edge_nodes.select(F.col("node"), F.col("node").alias("label")).localCheckpoint(
         eager=True
     )
+    # Convergence witness: under min-label propagation labels only ever
+    # decrease, so sum(label) strictly decreases until fixpoint. One
+    # single-stage aggregate per round replaces a join + count job
+    # (decimal(38,0) keeps the sum exact for any node-id magnitude).
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(label_sum).first()["s"]
     for _ in range(max_iter):
         # each node adopts the min label among itself and its neighbors
         neighbor_labels = (
             sym.join(labels, sym["dst"] == labels["node"])
             .select(F.col("src").alias("node"), "label")
         )
-        # checkpoint per round: the changed-count and the next round
+        # checkpoint per round: the convergence check and the next round
         # both consume it, and lineage stays one round deep
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(label_sum).first()["s"]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     singletons = nodes.join(edge_nodes, "node", "left_anti").select(
         "node", F.col("node").alias("label")
     )
@@ -90,7 +90,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     document in a multi-document cluster: (doc_id, cluster_id,
     cluster_size)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+    pairs = minhash_lsh_pairs(docs).select(
         F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     nodes = docs.select(F.col("doc_id").alias("node"))

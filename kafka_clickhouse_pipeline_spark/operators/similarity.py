@@ -15,18 +15,27 @@ Two paths:
   by construction -> no SQL oracle (rows-only check); the test suite
   measures recall against the brute-force baseline instead.
 
-Everything is built-in higher-order array functions (``zip_with`` /
-``aggregate``) -- JVM-side, no UDFs, no driver-side loops.
+The exact, oracle-checked operator (brute force) uses built-in
+higher-order array functions (``zip_with`` / ``aggregate``) -- JVM
+arithmetic, bit-identical to DuckDB. The approximate variants use
+Arrow-batched pandas UDFs (numpy matmul) for centroid scoring: built-in
+HOF expressions are interpreted (no whole-stage codegen), so
+n_centroids x dim lambda evaluations per row is the wrong hot path at
+scale, and approximate operators don't owe the oracle bit-equality.
+No row-at-a-time Python anywhere; no driver-side loops over data.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from .topk import grouped_topk
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -51,39 +60,112 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: for each query vector (vec_id < N_QUERIES),
-    the TOP_K nearest other vectors. Broadcast the queries; rank with a
-    per-query window (vec_id tiebreak for determinism)."""
-    vecs = _vectors(spark, sf_dir)
+    the TOP_K nearest other vectors. Broadcast the queries; norms are
+    hoisted to the per-side projections (computed once per vector, not
+    once per pair -- higher-order array expressions are interpreted,
+    so per-pair work is the scale cost; the arithmetic is unchanged:
+    same sqrt(sum) then multiply/divide, bit-identical to the oracle)."""
+    vecs = _with_norm(_vectors(spark, sf_dir))
     queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
     )
-    corpus = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("vn").alias("nn"),
+    )
     scored = (
         corpus.join(broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
-    )
+    # map-side pruned top-k: only ~batches x queries x k rows reach the
+    # rank shuffle instead of corpus x queries (see topk.py)
+    return grouped_topk(
+        scored, ["query_id"], [("cosine", False), ("neighbor_id", True)], TOP_K
+    ).orderBy("query_id", "rank")
+
+
+def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect the (tiny, bounded: N_CENTROIDS) centroid table to the
+    driver. Centroids are model metadata, not data -- folding them into
+    the plan as literals is the Spark-idiomatic broadcast for a
+    fixed-size constant side and makes every consumer a pure map."""
+    return [(r["centroid_id"], list(r["cv"])) for r in centroids.collect()]
+
+
+def _centroid_matrix(rows: list[tuple[int, list[float]]]):
+    """(cids asc, centroid matrix, centroid norms) as numpy arrays for
+    the vectorized assignment/probe UDFs. Ascending-cid order makes
+    argmax/stable-argsort tie-breaking deterministic (first max = the
+    smallest centroid id)."""
+    ordered = sorted(rows)
+    cids = np.array([cid for cid, _ in ordered], dtype="int64")
+    C = np.stack([np.asarray(cv, dtype="float64") for _, cv in ordered])
+    return cids, C, np.linalg.norm(C, axis=1)
+
+
+def _nearest_centroid_udf(rows: list[tuple[int, list[float]]]):
+    """Arrow-batched nearest-centroid assignment: one numpy matmul per
+    batch (corpus_batch x dim @ dim x n_centroids). The interpreted
+    higher-order-function alternative costs ~n_centroids x dim lambda
+    evaluations PER ROW -- the sanctioned vectorized-pandas-UDF case
+    (IVF is approximate/rows-only, so numpy float summation order is
+    acceptable; the oracle-checked exact operators keep JVM arithmetic).
+    Still a pure map: no shuffle, centroids ride the task closure
+    (N_CENTROIDS x dim floats)."""
+    cids, C, Cn = _centroid_matrix(rows)
+
+    @F.pandas_udf("long")
+    def nearest(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        M = np.stack(v.to_numpy())
+        sims = (M @ C.T) / (np.linalg.norm(M, axis=1, keepdims=True) * Cn[None, :])
+        return pd.Series(cids[np.argmax(sims, axis=1)])
+
+    return nearest
+
+
+def _probe_centroids_udf(rows: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow-batched probe-list computation: NPROBE nearest centroid
+    ids per query vector (stable argsort -> deterministic ties)."""
+    cids, C, Cn = _centroid_matrix(rows)
+
+    @F.pandas_udf("array<long>")
+    def probes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        M = np.stack(v.to_numpy())
+        sims = (M @ C.T) / (np.linalg.norm(M, axis=1, keepdims=True) * Cn[None, :])
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cids[i].tolist() for i in idx])
+
+    return probes
+
+
+def _with_norm(vecs: DataFrame) -> DataFrame:
+    return vecs.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
 
 def kmeans_centroids(vecs: DataFrame, iters: int = 3) -> DataFrame:
     """Lloyd's k-means over the embedding column, all DataFrame ops.
 
     Init: deterministic stride sample. Each iteration: assign every
-    vector to its nearest centroid (broadcast centroids, one corpus
-    scan), then recompute centroids as element-wise means (64 column
-    aggregates -> one shuffle keyed by centroid). The driver only runs
-    the loop; vectors never leave the executors. Fixed iteration count
-    keeps runtime deterministic (classic k-means converges most of the
-    way in 2-3 rounds).
+    vector to its nearest centroid (centroid literals folded into the
+    scan -- a pure map, no shuffle), then recompute centroids as
+    element-wise means (64 column aggregates -> one map-side-combined
+    shuffle keyed by centroid). The driver only runs the loop and holds
+    the N_CENTROIDS centroid rows; vectors never leave the executors.
+    Fixed iteration count keeps runtime deterministic (classic k-means
+    converges most of the way in 2-3 rounds).
     """
     first = vecs.select("v").first()
     if first is None:  # empty corpus -> no centroids, search yields nothing
@@ -93,14 +175,9 @@ def kmeans_centroids(vecs: DataFrame, iters: int = 3) -> DataFrame:
     dim = len(first["v"])
     centroids = _stride_centroids(vecs)
     for _ in range(iters):
-        aw = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-        assigned = (
-            vecs.crossJoin(broadcast(centroids))
-            .select(
-                "vec_id", "v", "centroid_id", _cosine(F.col("v"), F.col("cv")).alias("sim")
-            )
-            .withColumn("rn", F.row_number().over(aw))
-            .filter(F.col("rn") == 1)
+        rows = _centroid_rows(centroids)
+        assigned = vecs.select(
+            "vec_id", "v", _nearest_centroid_udf(rows)(F.col("v")).alias("centroid_id")
         )
         centroids = (
             assigned.groupBy("centroid_id")
@@ -147,48 +224,48 @@ def _stride_centroids(vecs: DataFrame) -> DataFrame:
 
 
 def _ivf_search(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    # assign every vector to its nearest centroid
-    aw = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    assigned = (
-        vecs.crossJoin(broadcast(centroids))
-        .select(
-            "vec_id",
-            "v",
-            "centroid_id",
-            _cosine(F.col("v"), F.col("cv")).alias("sim"),
-        )
-        .withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "centroid_id")
+    rows = _centroid_rows(centroids)
+    if not rows:  # empty corpus
+        rows = [(0, [0.0])]
+    normed = _with_norm(vecs)
+
+    # assignment is a pure map over the corpus scan: Arrow-batched
+    # numpy matmul against the (tiny) centroid matrix, no shuffle
+    assigned = normed.select(
+        "vec_id", "v", "vn", _nearest_centroid_udf(rows)(F.col("v")).alias("centroid_id")
     )
 
-    # queries probe their NPROBE nearest centroid buckets
-    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    qw = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+    # queries probe their NPROBE nearest centroid buckets -- same
+    # vectorized scoring, one array<long> of probe ids per query
     probed = (
-        queries.crossJoin(broadcast(centroids))
-        .select("query_id", "qv", "centroid_id", _cosine(F.col("qv"), F.col("cv")).alias("qsim"))
-        .withColumn("qrn", F.row_number().over(qw))
-        .filter(F.col("qrn") <= NPROBE)
-        .select("query_id", "qv", "centroid_id")
+        normed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vn").alias("qn"),
+            F.explode(
+                _probe_centroids_udf(rows, NPROBE)(F.col("v"))
+            ).alias("centroid_id"),
+        )
     )
 
-    # search only within probed buckets
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        probed.join(assigned, "centroid_id")
+    # search only within probed buckets: the probe set (queries x
+    # nprobe) is broadcast, so the corpus never shuffles -- the only
+    # shuffle left is the pruned per-query top-k merge over candidates
+    scored = (
+        broadcast(probed).join(assigned, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+            ).alias("cosine"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
     )
+    return grouped_topk(
+        scored, ["query_id"], [("cosine", False), ("neighbor_id", True)], TOP_K
+    ).orderBy("query_id", "rank")
 
 
 N_PLANES = 16
@@ -217,20 +294,27 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     planes = _hyperplanes()
 
-    def code(vcol: Column) -> Column:
-        bits = []
-        for j, plane in enumerate(planes):
-            arr = F.array(*[F.lit(x) for x in plane])
-            dot = F.aggregate(
-                F.zip_with(vcol, arr, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    # single-expr literal (per-literal Column calls
+    # are py4j round-trips; 16 x 64 of them would dominate planning)
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('w', {w}, 'p', array({p}))".format(
+                w=1 << j, p=",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in plane)
             )
-            bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("int")
+            for j, plane in enumerate(planes)
+        )
+        + ")"
+    )
 
-    coded = vecs.select("vec_id", "v", code(F.col("v")).alias("code"))
+    def code(vcol: Column) -> Column:
+        bits = F.transform(
+            planes_lit,
+            lambda pl: F.when(_dot(vcol, pl["p"]) >= 0, pl["w"]).otherwise(F.lit(0)),
+        )
+        return F.aggregate(bits, F.lit(0), lambda a, x: a + x).cast("int")
+
+    coded = _with_norm(vecs).select("vec_id", "v", "vn", code(F.col("v")).alias("code"))
     band_keys = F.array(
         *[
             (F.shiftright("code", b * 4).bitwiseAND(F.lit(0xF)) + F.lit(b * 16))
@@ -238,28 +322,30 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = coded.select(
-        "vec_id", "v", F.explode(band_keys).alias("band_key")
+        "vec_id", "v", "vn", F.explode(band_keys).alias("band_key")
     )
     queries = banded.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "band_key"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+        "band_key",
     )
     candidates = (
         queries.join(banded.withColumnRenamed("vec_id", "neighbor_id"), "band_key")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "v")
+        .select("query_id", "qv", "qn", "neighbor_id", "v", "vn")
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        candidates.select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+        ).alias("cosine"),
     )
+    return grouped_topk(
+        scored, ["query_id"], [("cosine", False), ("neighbor_id", True)], TOP_K
+    ).orderBy("query_id", "rank")
 
 
 _COS_SQL = """

@@ -109,3 +109,12 @@ def python_free(df: DataFrame) -> bool:
     return not any(
         marker in plan for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
     )
+
+
+def rowwise_python_free(df: DataFrame) -> bool:
+    """True if no ROW-AT-A-TIME Python UDF appears in the plan.
+    Arrow-batched evaluation (pandas UDFs / mapInPandas) is allowed:
+    it is the sanctioned vectorized escape hatch for semantics the
+    built-ins cannot express efficiently (e.g. bounded grouped top-k);
+    BatchEvalPython -- per-row pickling -- never is."""
+    return "BatchEvalPython" not in formatted_plan(df)

@@ -82,7 +82,23 @@ def test_dedup_python_free(spark, sf_dir):
 def test_ann_broadcasts_queries(spark, sf_dir):
     df = similarity.q_ann_bruteforce_topk(spark, sf_dir)
     assert plans.count_broadcast_joins(df) >= 1 or "BroadcastNestedLoopJoin" in plans.formatted_plan(df)
-    assert plans.python_free(df)
+    # scoring stays JVM-side; the only Python in the plan is the
+    # Arrow-batched map-side top-k pruner (never row-wise pickling)
+    assert plans.rowwise_python_free(df)
+    import re
+
+    assert (
+        len(re.findall(r"^\(\d+\) MapInPandas", plans.formatted_plan(df), re.MULTILINE))
+        == 1
+    )
+
+
+def test_ann_topk_pruner_in_plan(spark, sf_dir):
+    """The map-side top-k pruner must be present (the rank window then
+    consumes its bounded output; value correctness is covered by the
+    oracle parity test)."""
+    df = similarity.q_ann_bruteforce_topk(spark, sf_dir)
+    assert "MapInPandas" in plans.formatted_plan(df)
 
 
 def test_serving_queries_whole_stage_codegen(spark, sf_dir):
