@@ -27,6 +27,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     serving,
     similarity,
     text,
+    tpch_extra,
 )
 
 
@@ -45,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_parse_typed": pipeline_queries.mv_parse_typed,
     }
     q.update(analytics.ANALYTICS_QUERIES)
+    q.update(tpch_extra.TPCH_EXTRA_QUERIES)
     q.update(text.TEXT_QUERIES)
     q.update(dedup.DEDUP_QUERIES)
     q.update(similarity.SIMILARITY_QUERIES)
@@ -62,6 +64,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(serving.SERVING_ORACLES)
     o.update(pipeline_queries.PIPELINE_ORACLES)
     o.update(analytics.ANALYTICS_ORACLES)
+    o.update(tpch_extra.TPCH_EXTRA_ORACLES)
     o.update(text.TEXT_ORACLES)
     o.update(dedup.DEDUP_ORACLES)
     o.update(similarity.SIMILARITY_ORACLES)
