@@ -12,6 +12,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     serving,
     similarity,
     text,
+    tpch_extra,
 )
 
 
@@ -46,6 +47,34 @@ def test_join_queries_broadcast_dimensions(spark, sf_dir):
     assert plans.count_broadcast_joins(df) >= 4
     df10 = analytics.q10_top_returning_customers(spark, sf_dir)
     assert plans.count_broadcast_joins(df10) >= 2
+
+
+def test_q6_all_predicates_pushed_scan_only(spark, sf_dir):
+    """Q6 is one filtered scan + one aggregate: predicates reach
+    parquet, no joins, no Python, and the scan reads only the four
+    referenced columns."""
+    df = tpch_extra.q6_forecast_revenue(spark, sf_dir)
+    assert plans.has_pushed_filters(df)
+    assert plans.python_free(df)
+    cols = plans.scan_read_schema(df, "lineitem")
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q7_q8_broadcast_all_dimensions(spark, sf_dir):
+    """Role-playing nation dims and every other dimension broadcast;
+    the only shuffle join is lineitem><orders."""
+    assert plans.count_broadcast_joins(tpch_extra.q7_volume_shipping(spark, sf_dir)) >= 4
+    assert plans.count_broadcast_joins(tpch_extra.q8_market_share(spark, sf_dir)) >= 6
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """The sum_qty>300 filter gates the lineitem self-aggregation
+    BEFORE the orders join: the plan's first join input must be the
+    aggregate, and the final top-100 compiles to TakeOrderedAndProject."""
+    df = tpch_extra.q18_large_volume_customers(spark, sf_dir)
+    assert plans.uses_top_k(df)
+    plan = plans.formatted_plan(df)
+    assert "HashAggregate" in plan
 
 
 def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
