@@ -161,17 +161,21 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     verify join, and signatures are 16 longs per doc: this is the
     100 TB path.
     """
-    shingle_sets = _shingle_arrays(docs).localCheckpoint(eager=True)
-
-    # signatures computed per row over the shingle ARRAY -- no explode,
-    # no groupBy shuffle; same min-over-same-hashes semantics as the
-    # exploded formulation (checkpointing shingle_sets keeps the
-    # min-hash expressions from re-deriving the shingle build; `hs` is
-    # projected first so each of the 16 transforms iterates a bound
-    # attribute, not a re-evaluated hash expression)
-    hashed = shingle_sets.select(
-        "doc_id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs")
+    # Checkpoint AFTER the per-shingle base hash, not before: a bare
+    # projection between the shingle build and the 16 minhash consumers
+    # gets CollapseProject-merged into them, re-running the string
+    # hashing 16x. Materializing (doc_id, sh, hs) makes `hs` a stored
+    # column: each shingle string is hashed exactly once, and the 16
+    # derived minima iterate a concrete long array. `sh` rides along
+    # for the exact-Jaccard verification of candidates.
+    shingle_sets = (
+        _shingle_arrays(docs)
+        .select(
+            "doc_id", "sh", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs")
+        )
+        .localCheckpoint(eager=True)
     )
+    hashed = shingle_sets.select("doc_id", "hs")
 
     # Factory, NOT a default-arg lambda: PySpark infers higher-order
     # lambda arity from the Python signature, so `lambda h, i=i:` would
