@@ -33,6 +33,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "q10_top_returning_customers",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
     "q_window_running_revenue",
     "q_token_stats",
     "q_dedup_exact",

@@ -18,8 +18,40 @@ section 2.8). These operators move both into the stream, the way a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: RocksDB-backed state store (bundled with Spark 4). The default
+#: HDFSBackedStateStoreProvider keeps ALL streaming state in executor
+#: JVM heap -- fine for hourly windows, fatal for 100 TB/day dedup
+#: state (one entry per event id inside the watermark horizon).
+#: RocksDB keeps state off-heap on local SSD with incremental
+#: (changelog) checkpointing, so state size is bounded by disk, not
+#: heap, and checkpoint cost by the delta, not the full store.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession, changelog: bool = True) -> None:
+    """Switch streaming state to RocksDB for queries started AFTER this
+    call (the provider is read from session conf at query start; running
+    queries keep their provider). Call before ``attach``-ing streams
+    whose state scales with the key space -- dedup_stream over high-
+    cardinality event ids, long-horizon stream-stream joins."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog else "false",
+    )
+
+
+def use_default_state_store(spark: SparkSession) -> None:
+    """Revert to the in-heap default provider (new queries only)."""
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
 
 
 def hourly_rollup_stream(

@@ -102,3 +102,43 @@ def test_dedup_stream_drops_duplicates_across_batches(spark, tmp_path):
     )
     ids = sorted(r.event_id for r in rows)
     assert ids == ["x", "y", "z"], ids
+
+
+def test_rocksdb_state_store_parity(spark, tmp_path):
+    """The RocksDB provider (off-heap state, the 100 TB-state lever)
+    must produce the same rollup as the default in-heap provider, and
+    the query must actually run on RocksDB (provider is read from
+    session conf at query start)."""
+    from kafka_clickhouse_pipeline_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        use_default_state_store,
+        use_rocksdb_state_store,
+    )
+
+    batches = [
+        [
+            _sale("a", "2024-01-15 10:00:00", quantity=2, total=20.0),
+            _sale("b", "2024-01-15 12:30:00", quantity=1, total=1.0),
+        ],
+        [_sale("c", "2024-01-15 14:00:00", quantity=1, total=2.0)],
+        [_sale("d", "2024-01-15 16:00:00", quantity=1, total=3.0)],
+    ]
+    use_rocksdb_state_store(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        rocks = _run_batches(
+            spark, tmp_path, batches, hourly_rollup_stream, "append", "rocks_sink"
+        )
+    finally:
+        use_default_state_store(spark)
+    default_dir = tmp_path / "default_run"
+    default_dir.mkdir()
+    default = _run_batches(
+        spark, default_dir, batches, hourly_rollup_stream, "append", "default_sink"
+    )
+    key = lambda r: r.hour
+    assert sorted(rocks, key=key) == sorted(default, key=key)
+    assert len(rocks) >= 2
