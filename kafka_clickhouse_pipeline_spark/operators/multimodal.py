@@ -145,6 +145,56 @@ def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame
     return media.mapInPandas(_frames, FRAME_SCHEMA)
 
 
+#: Target payload size for the resize operator (bytes).
+RESIZE_TARGET = 64
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized_checksum", StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = RESIZE_TARGET) -> DataFrame:
+    """Resize: deterministic stride subsampling of the payload down to
+    <= target_bytes (every k-th byte, k = ceil(n/target) -- the 1-D
+    analog of nearest-neighbor image downsampling). Same mapInPandas
+    call shape as a real resize (bytes in, smaller bytes + metadata
+    out); a production build swaps the stride slice for PIL's
+    ``Image.resize`` without touching the Spark plumbing."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "orig_bytes": [], "resized": [],
+                "resized_bytes": [], "resized_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                k = max(1, -(-len(data) // target_bytes))  # ceil div
+                small = data[::k]
+                rows["doc_id"].append(doc_id)
+                rows["orig_bytes"].append(len(data))
+                rows["resized"].append(small)
+                rows["resized_bytes"].append(len(small))
+                rows["resized_checksum"].append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "orig_bytes": pd.Series(rows["orig_bytes"], dtype="int64"),
+                    "resized": pd.Series(rows["resized"], dtype="object"),
+                    "resized_bytes": pd.Series(rows["resized_bytes"], dtype="int64"),
+                    "resized_checksum": pd.Series(rows["resized_checksum"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> binary payload -> Arrow-batched feature extraction."""
     docs = load_table(spark, sf_dir, "documents")
@@ -155,6 +205,18 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> binary payload -> pseudo-frame explosion."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(docs)).orderBy("doc_id", "frame_id")
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> binary payload -> stride-subsampled 'resize'.
+    The binary column stays executor-side; the contract output exposes
+    sizes + checksum so the oracle can verify the byte math."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        resize_media(with_binary_payload(docs))
+        .select("doc_id", "orig_bytes", "resized_bytes", "resized_checksum")
+        .orderBy("doc_id")
+    )
 
 
 MULTIMODAL_ORACLES: dict[str, str] = {
@@ -184,7 +246,26 @@ MULTIMODAL_ORACLES: dict[str, str] = {
     """,
 }
 
+MULTIMODAL_ORACLES["q_multimodal_resize"] = f"""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+               FROM documents),
+    params AS (SELECT doc_id, text, n,
+                      greatest(CAST(ceil(n * 1.0 / {RESIZE_TARGET}) AS INTEGER), 1) AS k
+               FROM d),
+    resized AS (
+      SELECT doc_id, n,
+             string_agg(substr(text, i * k + 1, 1), '' ORDER BY i) AS small
+      FROM params, (SELECT unnest(generate_series(0, 100000)) AS i) idx
+      WHERE i * k < n
+      GROUP BY doc_id, n)
+    SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes,
+           CAST(octet_length(encode(small)) AS BIGINT) AS resized_bytes,
+           md5(small) AS resized_checksum
+    FROM resized ORDER BY doc_id
+"""
+
 MULTIMODAL_QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
+    "q_multimodal_resize": q_multimodal_resize,
 }

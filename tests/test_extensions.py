@@ -131,3 +131,14 @@ def test_exact_dedup_groups_cover_all_docs(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     groups = dedup.q_dedup_exact(spark, sf_dir).collect()
     assert sum(g.n_docs for g in groups) == n_docs
+
+
+def test_multimodal_resize_bounds_and_determinism(spark, sf_dir):
+    """Resize must bound every payload to <= RESIZE_TARGET bytes and be
+    deterministic (same input -> same checksum across runs)."""
+    a = {r.doc_id: (r.resized_bytes, r.resized_checksum)
+         for r in multimodal.q_multimodal_resize(spark, sf_dir).collect()}
+    assert a and all(n <= multimodal.RESIZE_TARGET for n, _ in a.values())
+    b = {r.doc_id: (r.resized_bytes, r.resized_checksum)
+         for r in multimodal.q_multimodal_resize(spark, sf_dir).collect()}
+    assert a == b
