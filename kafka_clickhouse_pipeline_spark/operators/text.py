@@ -107,6 +107,80 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Winnowing parameters: k-gram size, window size, polynomial base,
+#: modulus. PW holds B^p mod M so per-gram hashes are a dot product
+#: against constants -- sum(code * PW) stays < 2^63, exact in BIGINT
+#: in both engines.
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_B = 257
+WINNOW_M = 1_000_000_007
+WINNOW_PW = [pow(WINNOW_B, WINNOW_K - 1 - p, WINNOW_M) for p in range(WINNOW_K)]
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, the MOSS
+    scheme): Rabin-Karp polynomial hashes of every character k-gram
+    over normalized text, then the minimum hash of each sliding window
+    of W consecutive gram hashes; the distinct minima are the
+    document's fingerprint set. Near-identical documents share most
+    fingerprints, so a groupBy on (fingerprint) finds overlapping
+    passages -- the classic plagiarism/near-dup primitive.
+
+    The hash VALUES equal the sequential rolling-hash values, but each
+    gram is computed independently (a dot product of char codes against
+    B^p mod M constants): in a columnar engine the vectorized
+    recomputation beats carrying the sequential rolling state, and the
+    independence is what lets the same definition run in DuckDB for the
+    oracle. One scan, no shuffle except the final presentation sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    pw = F.array(*[F.lit(p) for p in WINNOW_PW])
+
+    def _let(value, body):
+        """let-binding for expensive intermediate arrays: bind `value`
+        as a higher-order-function lambda variable (evaluated ONCE per
+        row) instead of a projected column. Layered projections don't
+        survive here: CollapseProject inlines the array-building
+        expression into every per-element lambda that consumes it,
+        re-deriving `codes` for each gram and `g` for each window --
+        measured quadratic per document (times out at sf0.01). Lambda
+        variables are bound to evaluated values, so this is immune."""
+        return F.element_at(F.transform(F.array(value), body), 1)
+
+    codes_expr = F.transform(F.split(F.col("norm"), ""), lambda c: F.ascii(c))
+
+    def gram_hashes(codes):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(codes) - (WINNOW_K - 1)),
+            lambda i: F.aggregate(
+                F.zip_with(
+                    F.slice(codes, i, WINNOW_K), pw, lambda c, p: c.cast("long") * p
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            % WINNOW_M,
+        )
+
+    def window_minima(g):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(g) - (WINNOW_W - 1)),
+                lambda j: F.array_min(F.slice(g, j, WINNOW_W)),
+            )
+        )
+
+    fps = _let(codes_expr, lambda codes: _let(gram_hashes(codes), window_minima))
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        # short docs have no full window; drop them in BOTH engines
+        .filter(F.length("norm") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", F.explode(fps).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-3 highest-scoring terms per document.
 
@@ -197,6 +271,30 @@ TEXT_ORACLES: dict[str, str] = {
     """,
 }
 
+_PW_SQL = "[" + ", ".join(str(p) for p in WINNOW_PW) + "]"
+
+TEXT_ORACLES["q_fingerprint_winnow"] = f"""
+    WITH d AS (SELECT doc_id,
+                      lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+               FROM documents),
+    f AS (SELECT doc_id, norm FROM d
+          WHERE length(norm) >= {WINNOW_K + WINNOW_W - 1}),
+    c AS (SELECT doc_id,
+                 list_transform(string_split(norm, ''), ch -> ascii(ch)) AS codes
+          FROM f),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(1, len(codes) - {WINNOW_K - 1}), i ->
+                   list_sum(list_transform(generate_series(1, {WINNOW_K}),
+                     p -> CAST(codes[i + p - 1] AS BIGINT) * ({_PW_SQL})[p])) % {WINNOW_M}) AS gh
+          FROM c),
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(gh) - {WINNOW_W - 1}), j ->
+                   list_min(gh[j : j + {WINNOW_W - 1}]))) AS fps
+          FROM g)
+    SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
+    FROM w ORDER BY doc_id, fingerprint
+"""
+
 TEXT_ORACLES["q_tfidf_top_terms"] = """
     WITH terms AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
@@ -223,5 +321,6 @@ TEXT_QUERIES = {
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
+    "q_fingerprint_winnow": q_fingerprint_winnow,
     "q_tfidf_top_terms": q_tfidf_top_terms,
 }

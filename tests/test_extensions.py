@@ -142,3 +142,29 @@ def test_multimodal_resize_bounds_and_determinism(spark, sf_dir):
     b = {r.doc_id: (r.resized_bytes, r.resized_checksum)
          for r in multimodal.q_multimodal_resize(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_winnow_fingerprints_overlap_for_near_dups(spark, sf_dir):
+    """Winnowing's defining property: near-duplicate documents share
+    most selected fingerprints; random pairs share almost none."""
+    import random
+
+    from kafka_clickhouse_pipeline_spark.operators import text
+
+    fps: dict[int, set] = {}
+    for r in text.q_fingerprint_winnow(spark, sf_dir).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    near = [(r.d1, r.d2) for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()]
+    assert near, "fixture should contain near-dup pairs"
+
+    def overlap(a, b):
+        return len(fps[a] & fps[b]) / max(1, min(len(fps[a]), len(fps[b])))
+
+    near_overlap = sum(overlap(a, b) for a, b in near) / len(near)
+    rng = random.Random(7)
+    ids = sorted(fps)
+    rand_pairs = [(rng.choice(ids), rng.choice(ids)) for _ in range(200)]
+    rand_pairs = [(a, b) for a, b in rand_pairs if a != b and (a, b) not in set(near)]
+    rand_overlap = sum(overlap(a, b) for a, b in rand_pairs) / len(rand_pairs)
+    assert near_overlap > 0.5, near_overlap
+    assert near_overlap > 4 * rand_overlap, (near_overlap, rand_overlap)
