@@ -406,6 +406,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Quantity banding dimension for the range join: (lo, hi, band).
+QTY_BANDS = [(1, 10, "small"), (11, 25, "mid"), (26, 50, "large")]
+
+
+def q_range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi interval) join: every lineitem matched to the
+    band whose [lo, hi] contains its quantity, revenue per band.
+
+    The band dimension is tiny and broadcast, so the non-equi predicate
+    evaluates inside a BroadcastNestedLoopJoin over 3 rows per input
+    row -- the right plan for interval dimensions at any fact size
+    (never a cartesian shuffle). Complements the as-of join
+    (advanced.py) as the second non-equi join family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(QTY_BANDS, "lo int, hi int, band string")
+    revenue = (_dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(
+            broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") <= F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
 def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling / conditional scalar sweep over events (props
     occasionally yields no k): coalesce, nullif, greatest, least,
@@ -429,6 +461,15 @@ def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "q_range_join_quantity_bands": """
+        WITH bands(lo, hi, band) AS (VALUES (1, 10, 'small'), (11, 25, 'mid'), (26, 50, 'large'))
+        SELECT band, count(*) AS n_items,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(28,4))) AS revenue
+        FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
+        GROUP BY band ORDER BY band
+    """,
     "q_sessionize": """
         WITH flagged AS (
           SELECT user_id, event_id, ts,
@@ -642,6 +683,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
 }
 
 ANALYTICS_QUERIES = {
+    "q_range_join_quantity_bands": q_range_join_quantity_bands,
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "q3_shipping_priority": q3_shipping_priority,

@@ -143,3 +143,12 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     df = dedup.q_dedup_exact(spark, sf_dir)
     # one shuffle for the groupBy; the orderBy adds a range exchange
     assert plans.count_shuffles(df) <= 2
+
+
+def test_range_join_broadcasts_band_dimension(spark, sf_dir):
+    """The interval dimension must broadcast (BroadcastNestedLoopJoin),
+    never a cartesian shuffle of the fact table."""
+    df = analytics.q_range_join_quantity_bands(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
