@@ -194,7 +194,71 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ADVANCED_ORACLES["q_hypertable_rollup"] = _HYPERTABLE_SQL
 
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the TimescaleDB ``time_bucket_gapfill``
+    analog): a generated hourly spine left-joined to the hourly purchase
+    rollup; empty hours are zero-filled, and ``carried_revenue``
+    forward-fills the last seen value (last-observation-carried-forward
+    via an IGNORE NULLS running window).
+
+    Scale shape: the spine is hours-between-bounds rows (tiny -- 8.8 k
+    rows/year), so it broadcasts into the join against the rolled-up
+    aggregate (already one row per non-empty hour). The fact table is
+    scanned once for the rollup and once (pruned to ``ts``) for the
+    bounds; nothing row-level ever joins the spine."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("rev"),
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(hourly, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("rev"), F.lit(0).cast(DEC)).alias("revenue"),
+            F.last("rev", ignorenulls=True).over(w).alias("carried_revenue"),
+        )
+        .orderBy("hour")
+    )
+
+
+ADVANCED_ORACLES["q_gapfill_hourly"] = """
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS mn,
+                 CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS mx
+          FROM events),
+    spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b)
+    SELECT s.hour,
+           coalesce(n, 0) AS n_events,
+           coalesce(rev, CAST(0 AS DECIMAL(18,2))) AS revenue,
+           last_value(rev IGNORE NULLS)
+             OVER (ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS carried_revenue
+    FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+    ORDER BY s.hour
+"""
+
 ADVANCED_QUERIES = {
+    "q_gapfill_hourly": q_gapfill_hourly,
     "q_rollup_revenue": q_rollup_revenue,
     "q_asof_last_signup": q_asof_last_signup,
     "q_approx_distinct_users": q_approx_distinct_users,  # rows-only
