@@ -45,7 +45,80 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long): quantity/extendedprice/discount melted
+    into (measure, val) rows, then aggregated per measure. Unpivot is
+    a per-row explode (map-side, no shuffle); the only shuffle is the
+    3-group final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    wide = li.select(
+        "l_orderkey",
+        dec("l_quantity").alias("quantity"),
+        dec("l_extendedprice").alias("extendedprice"),
+        dec("l_discount").alias("discount"),
+    )
+    long = wide.unpivot(
+        ["l_orderkey"], ["quantity", "extendedprice", "discount"], "measure", "val"
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("total"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("measure")
+    )
+
+
+def q_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles over customer balance (deterministic total order
+    via the custkey tiebreak): per-quartile count and balance range.
+    A global ntile needs a single total order -- fine for ranked
+    reporting output; at scale, prefer approx percentiles for cutoffs
+    (q_value_percentiles_approx) and reserve ntile for bounded result
+    sets."""
+    from pyspark.sql.window import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    w = Window.orderBy(F.col("bal"), F.col("c_custkey"))
+    return (
+        customer.select("c_custkey", dec.alias("bal"))
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bal").alias("min_bal"),
+            F.max("bal").alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
 RESHAPE_ORACLES: dict[str, str] = {
+    "q_unpivot_lineitem_measures": """
+        WITH long AS (
+          SELECT 'quantity' AS measure, CAST(l_quantity AS DECIMAL(18,2)) AS val FROM lineitem
+          UNION ALL
+          SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+          UNION ALL
+          SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem)
+        SELECT measure, count(*) AS n, sum(val) AS total,
+               min(val) AS min_val, max(val) AS max_val
+        FROM long GROUP BY measure ORDER BY measure
+    """,
+    "q_ntile_acctbal_quartiles": """
+        WITH ranked AS (
+          SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+                 ntile(4) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey)
+                   AS quartile
+          FROM customer)
+        SELECT quartile, count(*) AS n, min(bal) AS min_bal, max(bal) AS max_bal
+        FROM ranked GROUP BY quartile ORDER BY quartile
+    """,
     "q_pivot_user_event_values": """
         SELECT user_id,
                sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS click,
@@ -62,6 +135,8 @@ RESHAPE_ORACLES: dict[str, str] = {
 }
 
 RESHAPE_QUERIES = {
+    "q_unpivot_lineitem_measures": q_unpivot_lineitem_measures,
+    "q_ntile_acctbal_quartiles": q_ntile_acctbal_quartiles,
     "q_pivot_user_event_values": q_pivot_user_event_values,
     "q_sample_systematic": q_sample_systematic,
 }
