@@ -238,6 +238,66 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between per-user purchase revenue and click
+    count, computed from EXACT decimal sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    combined as doubles at the end. Native ``corr`` accumulates
+    float moments in partition order -- nondeterministic across runs
+    and engines; the exact-sums formulation is order-insensitive, so
+    the distributed result is bit-identical to the oracle. Two
+    shuffles: per-user conditional aggregate, then a single global
+    moment aggregate (map-side combined)."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast(DEC)).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        ).alias("x"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("y"),
+    )
+    moments = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") - sx * sy / n
+    vx = F.col("sxx").cast("double") - sx * sx / n
+    vy = F.col("syy").cast("double") - sy * sy / n
+    return moments.select(
+        "n", F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r")
+    )
+
+
+ADVANCED_ORACLES["q_corr_purchase_click"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS y
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(CAST(y AS DECIMAL(18,2))) AS sy,
+             sum(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+             sum(CAST(y * y AS DECIMAL(18,2))) AS syy
+      FROM per_user)
+    SELECT n,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+                 sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+                      (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+                 6) AS pearson_r
+    FROM m
+"""
+
+
 ADVANCED_ORACLES["q_gapfill_hourly"] = """
     WITH hourly AS (
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
@@ -258,6 +318,7 @@ ADVANCED_ORACLES["q_gapfill_hourly"] = """
 """
 
 ADVANCED_QUERIES = {
+    "q_corr_purchase_click": q_corr_purchase_click,
     "q_gapfill_hourly": q_gapfill_hourly,
     "q_rollup_revenue": q_rollup_revenue,
     "q_asof_last_signup": q_asof_last_signup,
