@@ -80,3 +80,58 @@ def test_stream_stream_join_within_horizon(spark, tmp_path):
     q.awaitTermination(180)
     rows = spark.sql("SELECT * FROM join_sink").collect()
     assert [(r.sale_id, r.movement_id) for r in rows] == [("sale1", "m_in")]
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: the streaming sales feed enriched with a
+    static dimension (store_id -> region) via broadcast -- no stream
+    state, the dimension evaluates per micro-batch. The standard
+    pattern for dimension lookups at any stream scale."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    sales_in = tmp_path / "s2"
+    sales_in.mkdir()
+    rows = []
+    for i, store in enumerate((1, 2, 3)):
+        rows.append(
+            {
+                "event_id": f"e{i}",
+                "event_type": "sale",
+                "event_time": f"2024-01-15 12:0{i}:00",
+                "product_id": 1,
+                "product_name": "p",
+                "category": "c",
+                "quantity": 2,
+                "price": 10.0,
+                "discount": 0.0,
+                "total": 20.0,
+                "store_id": store,
+                "cashier_id": 1,
+                "customer_id": "u",
+            }
+        )
+    with open(sales_in / "b0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    dim = spark.createDataFrame(
+        [(1, "north"), (2, "south")], "store_id int, region string"
+    )
+    raw = read_json_lines_stream(spark, str(sales_in), SALES_RAW_SCHEMA)
+    enriched = (
+        parse_sales(raw)
+        .join(broadcast(dim), "store_id", "left")
+        .select("event_id", "store_id", F.coalesce("region", F.lit("unknown")).alias("region"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.region for r in spark.sql("SELECT * FROM enriched_sink").collect()}
+    assert got == {"e0": "north", "e1": "south", "e2": "unknown"}
