@@ -52,8 +52,10 @@ def connected_components(
     # decrease, so sum(label) strictly decreases until fixpoint. One
     # single-stage aggregate per round replaces a join + count job
     # (decimal(38,0) keeps the sum exact for any node-id magnitude).
+    # No pre-loop sum: the first round is always executed, so the
+    # comparison starts at round 2 (one fewer job).
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(label_sum).first()["s"]
+    prev_sum = None
     for _ in range(max_iter):
         # each node adopts the min label among itself and its neighbors
         neighbor_labels = (
@@ -69,7 +71,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(label_sum).first()["s"]
-        if new_sum == prev_sum:
+        if prev_sum is not None and new_sum == prev_sum:
             break
         prev_sum = new_sum
     singletons = nodes.join(edge_nodes, "node", "left_anti").select(
