@@ -22,6 +22,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     graph,
     multimodal,
     pipeline_queries,
+    pq,
     reshape,
     semistructured,
     serving,
@@ -50,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(text.TEXT_QUERIES)
     q.update(dedup.DEDUP_QUERIES)
     q.update(similarity.SIMILARITY_QUERIES)
+    q.update(pq.PQ_QUERIES)
     q.update(multimodal.MULTIMODAL_QUERIES)
     q.update(advanced.ADVANCED_QUERIES)
     q.update(semistructured.SEMISTRUCTURED_QUERIES)

@@ -1,0 +1,202 @@
+"""Product-quantization ANN (the 100 TB memory path).
+
+Each 64-d float vector is compressed to ``PQ_M`` one-byte codes: the
+vector is split into M subvectors, each quantized to its subspace's
+nearest codebook centroid (trained with a few numpy k-means rounds on a
+bounded driver-side sample -- codebooks are model metadata, like the
+IVF centroids). At query time, scoring is asymmetric distance
+computation (ADC): per query, an M x K lookup table of
+subvector-vs-centroid dot products; a corpus vector's approximate score
+is the sum of M table lookups -- no float vector needed, so the scan
+state per vector is M bytes instead of 4*dim (32x compression at 64-d,
+the difference between RAM-resident and disk-bound at 1e11 vectors).
+The PQ top-``RERANK`` candidates are then re-ranked with exact cosine
+(the standard PQ + re-rank pipeline, FAISS-style).
+
+Execution shape: codebook training on a bounded sample (driver numpy);
+encoding and ADC scoring are Arrow-batched mapInPandas passes (pure
+maps, no shuffle); candidate pruning is map-side (each batch keeps only
+its own top candidates per query); the only shuffles are the two
+grouped top-k merges over ~batches x queries x k rows. Rows-only
+contract entry (approximate by design; recall guarded vs brute force in
+tests).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .similarity import N_QUERIES, TOP_K, _vectors
+from .topk import grouped_topk
+
+PQ_M = 8  #: subspaces
+PQ_K = 16  #: centroids per subspace
+PQ_TRAIN_SAMPLE = 2048  #: bounded codebook training sample (driver-side)
+#: PQ candidates per query fed to exact re-ranking. 16x the final k:
+#: measured recall@5 on random vectors (PQ's worst case) 0.30 -> 0.64
+#: going 4x -> 16x, at no wall-clock cost (candidates stay tiny);
+#: real clustered embeddings need far less.
+RERANK = 16 * TOP_K
+_KMEANS_ROUNDS = 8
+
+
+def train_codebooks(vecs: DataFrame) -> np.ndarray:
+    """(M, K, dim/M) codebooks from a bounded, deterministic sample of
+    L2-normalized vectors (numpy Lloyd's iterations per subspace; init
+    by stride so training is order-independent and deterministic)."""
+    sample = [
+        np.asarray(r["v"], dtype="float64")
+        for r in vecs.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).collect()
+    ]
+    X = np.stack(sample)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    sub = dim // PQ_M
+    books = np.empty((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        Xm = X[:, m * sub : (m + 1) * sub]
+        stride = max(1, len(Xm) // PQ_K)
+        C = Xm[::stride][:PQ_K].copy()
+        while len(C) < PQ_K:  # corpus smaller than PQ_K
+            C = np.vstack([C, C[: PQ_K - len(C)]])
+        for _ in range(_KMEANS_ROUNDS):
+            d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                members = Xm[assign == k]
+                if len(members):
+                    C[k] = members.mean(axis=0)
+        books[m] = C
+    return books
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _encode_udf(books: np.ndarray):
+    """vec -> M uint8 codes (nearest centroid per subspace on the
+    normalized vector), Arrow-batched."""
+    sub = books.shape[2]
+
+    @F.pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="object")
+        X = _normalize(np.stack(v.to_numpy()))
+        codes = np.empty((len(X), PQ_M), dtype="int64")
+        for m in range(PQ_M):
+            Xm = X[:, m * sub : (m + 1) * sub]
+            d2 = ((Xm[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-ranking. Rows-only:
+    approximate by design (no SQL oracle); recall vs brute force and
+    determinism are guarded in tests."""
+    vecs = _vectors(spark, sf_dir)
+    books = train_codebooks(vecs)
+    if books.size == 0:
+        books = np.zeros((PQ_M, PQ_K, 1))
+
+    coded = vecs.select("vec_id", "v", _encode_udf(books)(F.col("v")).alias("codes"))
+
+    # per-query ADC lookup tables: LUT[q, m, k] = <query_m, centroid_mk>
+    qrows = vecs.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    if not qrows:
+        return (
+            coded.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.lit(0.0).alias("cosine"),
+                F.lit(1).alias("rank"),
+            ).limit(0)
+        )
+    qids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    Q = _normalize(np.stack([np.asarray(r["v"], dtype="float64") for r in qrows]))
+    sub = books.shape[2]
+    lut = np.empty((len(qids), PQ_M, PQ_K))
+    for m in range(PQ_M):
+        lut[:, m, :] = Q[:, m * sub : (m + 1) * sub] @ books[m].T
+
+    keep = RERANK  # per query per batch: a superset of the global PQ top
+
+    def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())  # (n, M)
+            # scores[q, n] = sum_m lut[q, m, C[n, m]]
+            scores = np.zeros((len(qids), len(C)))
+            for m in range(PQ_M):
+                scores += lut[:, m, :][:, C[:, m]]
+            vec_ids = pdf["vec_id"].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "approx_score": []}
+            for qi, qid in enumerate(qids):
+                s = scores[qi]
+                mask = vec_ids != qid
+                idx = np.nonzero(mask)[0]
+                top = idx[np.argsort(-s[idx], kind="stable")[:keep]]
+                out["query_id"].extend([qid] * len(top))
+                out["neighbor_id"].extend(vec_ids[top].tolist())
+                out["approx_score"].extend(s[top].tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out["query_id"], dtype="int64"),
+                    "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+                    "approx_score": pd.Series(out["approx_score"], dtype="float64"),
+                }
+            )
+
+    scored = coded.select("vec_id", "codes").mapInPandas(
+        adc_score, "query_id long, neighbor_id long, approx_score double"
+    )
+    candidates = grouped_topk(
+        scored,
+        ["query_id"],
+        [("approx_score", False), ("neighbor_id", True)],
+        RERANK,
+        rank_col="pq_rank",
+    ).select("query_id", "neighbor_id")
+
+    # exact cosine re-rank of the tiny candidate set (JVM arithmetic,
+    # norms hoisted -- same formulation as the exact operators)
+    from .similarity import _dot, _with_norm
+
+    normed = _with_norm(vecs)
+    corpus = normed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("vn").alias("nn")
+    )
+    queries = normed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn")
+    )
+    exact = (
+        F.broadcast(candidates)
+        .join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return grouped_topk(
+        exact, ["query_id"], [("cosine", False), ("neighbor_id", True)], TOP_K
+    ).orderBy("query_id", "rank")
+
+
+PQ_QUERIES = {
+    "q_ann_pq_topk": q_ann_pq_topk,  # rows-only: approximate by design
+}

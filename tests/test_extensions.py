@@ -168,3 +168,29 @@ def test_winnow_fingerprints_overlap_for_near_dups(spark, sf_dir):
     rand_overlap = sum(overlap(a, b) for a, b in rand_pairs) / len(rand_pairs)
     assert near_overlap > 0.5, near_overlap
     assert near_overlap > 4 * rand_overlap, (near_overlap, rand_overlap)
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """PQ-ADC + exact re-rank: full top-k shape per query, deterministic
+    across runs, non-trivial recall vs brute force even on random
+    vectors (PQ's worst case), and exact cosines for survivors (re-rank
+    guarantees returned scores are true cosines)."""
+    from kafka_clickhouse_pipeline_spark.operators import pq
+
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.q_ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    a = pq.q_ann_pq_topk(spark, sf_dir).collect()
+    assert len(a) == len(bf)
+    b = pq.q_ann_pq_topk(spark, sf_dir).collect()
+    assert [(r.query_id, r.neighbor_id, r.cosine) for r in a] == [
+        (r.query_id, r.neighbor_id, r.cosine) for r in b
+    ]
+    hits = [(r.query_id, r.neighbor_id) for r in a if (r.query_id, r.neighbor_id) in bf]
+    assert len(hits) / len(bf) >= 0.2
+    # survivors carry the exact cosine, not the PQ approximation
+    for r in a:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf:
+            assert r.cosine == bf[key]
