@@ -43,9 +43,12 @@ HEADLINE = [
     "q_dedup_clusters",
     "q_ann_bruteforce_topk",
     "q_ann_ivf_topk",
+    "q_ann_pq_topk",
+    "q_fingerprint_winnow",
     "q_multimodal_features",
     "q_sessionize",
     "q_hypertable_rollup",
+    "q_gapfill_hourly",
 ]
 
 

@@ -2,10 +2,13 @@
 training-data-pipeline extensions (language-ID, quality scoring, token
 counting, document fingerprinting).
 
-All computation is JVM-side: ``split`` / higher-order array functions /
-``regexp_replace`` / ``md5`` -- no Python UDFs, so these run inside
-whole-stage codegen and scale linearly with document count (one scan,
-no shuffle except final aggregations).
+Computation is JVM-side (``split`` / higher-order array functions /
+``regexp_replace`` / ``md5``) wherever expressions are cheap enough to
+run inside whole-stage codegen; the one exception is the winnowing
+fingerprint, whose per-document sliding-window hashing is
+interpreted-HOF-bound as expressions and therefore runs as an
+Arrow-batched exact-int64 numpy map (same values, 10x faster). One
+scan per operator, no shuffle except final aggregations/sorts.
 
 Tokenization contract shared with the DuckDB oracles: tokens are
 ``split(trim(text), '\\s+')``; fingerprints are md5 of
@@ -127,56 +130,47 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints, so a groupBy on (fingerprint) finds overlapping
     passages -- the classic plagiarism/near-dup primitive.
 
-    The hash VALUES equal the sequential rolling-hash values, but each
-    gram is computed independently (a dot product of char codes against
-    B^p mod M constants): in a columnar engine the vectorized
-    recomputation beats carrying the sequential rolling state, and the
-    independence is what lets the same definition run in DuckDB for the
-    oracle. One scan, no shuffle except the final presentation sort."""
+    Arrow-batched numpy implementation: the hash is a sliding-window
+    dot product against B^p mod M constants -- exact int64 arithmetic,
+    so the values equal the sequential rolling-hash values AND the
+    DuckDB oracle's, while running vectorized (the pure-expression
+    formulation is interpreted-HOF-bound: ~7k lambda evaluations per
+    document, measured 10x slower; see NOTES_r1.md on CollapseProject
+    for the expression-based variant's pitfalls). Pure map, no shuffle
+    except the presentation sort. ASCII fixture text => byte positions
+    == char positions, matching the SQL oracle's substr semantics."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    import numpy as np
+    import pandas as pd
+
+    pw = np.array(WINNOW_PW, dtype="int64")
+
+    def winnow(batches):
+        for pdf in batches:
+            doc_ids: list = []
+            fps: list = []
+            for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
+                codes = np.frombuffer(norm.encode("utf-8"), np.uint8).astype("int64")
+                if len(codes) < WINNOW_K + WINNOW_W - 1:
+                    continue
+                g = (sliding_window_view(codes, WINNOW_K) @ pw) % WINNOW_M
+                sel = np.unique(sliding_window_view(g, WINNOW_W).min(axis=1))
+                doc_ids.extend([doc_id] * len(sel))
+                fps.extend(sel.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "fingerprint": pd.Series(fps, dtype="int64"),
+                }
+            )
+
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    pw = F.array(*[F.lit(p) for p in WINNOW_PW])
-
-    def _let(value, body):
-        """let-binding for expensive intermediate arrays: bind `value`
-        as a higher-order-function lambda variable (evaluated ONCE per
-        row) instead of a projected column. Layered projections don't
-        survive here: CollapseProject inlines the array-building
-        expression into every per-element lambda that consumes it,
-        re-deriving `codes` for each gram and `g` for each window --
-        measured quadratic per document (times out at sf0.01). Lambda
-        variables are bound to evaluated values, so this is immune."""
-        return F.element_at(F.transform(F.array(value), body), 1)
-
-    codes_expr = F.transform(F.split(F.col("norm"), ""), lambda c: F.ascii(c))
-
-    def gram_hashes(codes):
-        return F.transform(
-            F.sequence(F.lit(1), F.size(codes) - (WINNOW_K - 1)),
-            lambda i: F.aggregate(
-                F.zip_with(
-                    F.slice(codes, i, WINNOW_K), pw, lambda c, p: c.cast("long") * p
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            % WINNOW_M,
-        )
-
-    def window_minima(g):
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(g) - (WINNOW_W - 1)),
-                lambda j: F.array_min(F.slice(g, j, WINNOW_W)),
-            )
-        )
-
-    fps = _let(codes_expr, lambda codes: _let(gram_hashes(codes), window_minima))
     return (
         docs.select("doc_id", norm.alias("norm"))
-        # short docs have no full window; drop them in BOTH engines
         .filter(F.length("norm") >= WINNOW_K + WINNOW_W - 1)
-        .select("doc_id", F.explode(fps).alias("fingerprint"))
+        .mapInPandas(winnow, "doc_id long, fingerprint long")
         .orderBy("doc_id", "fingerprint")
     )
 
