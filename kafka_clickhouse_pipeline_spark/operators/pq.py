@@ -54,6 +54,8 @@ def train_codebooks(vecs: DataFrame) -> np.ndarray:
         np.asarray(r["v"], dtype="float64")
         for r in vecs.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).collect()
     ]
+    if not sample:  # empty corpus -> sentinel empty codebooks
+        return np.zeros((PQ_M, PQ_K, 0))
     X = np.stack(sample)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]

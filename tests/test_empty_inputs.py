@@ -51,6 +51,29 @@ EMPTY_SENSITIVE = [
     "q_pivot_user_event_values",
     "q_json_extract_stats",
     "q_asof_last_signup",
+    "q_ann_pq_topk",
+    "q_ann_lsh_topk",
+    "q_fingerprint_winnow",
+    "q_gapfill_hourly",
+    "q_range_join_quantity_bands",
+    "q_unpivot_lineitem_measures",
+    "q_ntile_acctbal_quartiles",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q22_untapped_segments",
+]
+
+#: global aggregates without grouping: on empty input they return ONE
+#: row (null/zero aggregates) -- the SQL-standard shape, matching the
+#: oracle, not zero rows
+EMPTY_SCALAR = [
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q_corr_purchase_click",
 ]
 
 
@@ -58,3 +81,9 @@ EMPTY_SENSITIVE = [
 def test_operator_on_empty_input(spark, empty_sf_dir, name):
     df = entrymod.queries()[name](spark, empty_sf_dir)
     assert df.count() == 0
+
+
+@pytest.mark.parametrize("name", EMPTY_SCALAR)
+def test_scalar_aggregate_on_empty_input(spark, empty_sf_dir, name):
+    rows = entrymod.queries()[name](spark, empty_sf_dir).collect()
+    assert len(rows) == 1
