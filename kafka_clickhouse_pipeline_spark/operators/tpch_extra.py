@@ -147,6 +147,48 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp, so profit = discounted revenue):
+    per supplier-nation per order-year, for parts whose name matches a
+    pattern. LIKE-filtered broadcast part dim + nation role-play."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%ing%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(_volume()).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: distinct suppliers per (brand, type, size
+    bucket), using lineitem's (partkey, suppkey) pairs as the
+    part-supplier relation, excluding one brand and one type prefix.
+    DISTINCT aggregation behind negated predicates + IN-list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: percentage of one month's revenue from PROMO parts.
     Conditional-sum ratio; part is broadcast."""
@@ -349,6 +391,27 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
                CAST(sum(volume) AS DOUBLE) AS mkt_share
         FROM flat GROUP BY o_year ORDER BY o_year
     """,
+    "q9_product_type_profit": f"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               sum({_VOL_SQL}) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%ing%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
     "q14_promo_revenue": f"""
         SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_VOL_SQL}
                                      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
@@ -421,6 +484,8 @@ TPCH_EXTRA_QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
     "q14_promo_revenue": q14_promo_revenue,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
