@@ -29,6 +29,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     similarity,
     text,
     tpch_extra,
+    tpch_subq,
 )
 
 
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     q.update(analytics.ANALYTICS_QUERIES)
     q.update(tpch_extra.TPCH_EXTRA_QUERIES)
+    q.update(tpch_subq.TPCH_SUBQ_QUERIES)
     q.update(text.TEXT_QUERIES)
     q.update(dedup.DEDUP_QUERIES)
     q.update(similarity.SIMILARITY_QUERIES)
@@ -67,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(pipeline_queries.PIPELINE_ORACLES)
     o.update(analytics.ANALYTICS_ORACLES)
     o.update(tpch_extra.TPCH_EXTRA_ORACLES)
+    o.update(tpch_subq.TPCH_SUBQ_ORACLES)
     o.update(text.TEXT_ORACLES)
     o.update(dedup.DEDUP_ORACLES)
     o.update(similarity.SIMILARITY_ORACLES)

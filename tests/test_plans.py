@@ -13,6 +13,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     similarity,
     text,
     tpch_extra,
+    tpch_subq,
 )
 
 
@@ -143,6 +144,35 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     df = dedup.q_dedup_exact(spark, sf_dir)
     # one shuffle for the groupBy; the orderBy adds a range exchange
     assert plans.count_shuffles(df) <= 2
+
+
+def test_q20_in_subquery_compiles_to_semi_join(spark, sf_dir):
+    """The IN-subquery membership check must be a LeftSemi join (no
+    duplicate-producing inner join + distinct), fully JVM-side."""
+    df = tpch_subq.q20_excess_suppliers(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert plans.python_free(df)
+
+
+def test_q21_exists_pair_semi_then_anti(spark, sf_dir):
+    """EXISTS -> LeftSemi and NOT EXISTS -> LeftAnti on the same fact,
+    with the top-100 compiled to TakeOrderedAndProject."""
+    df = tpch_subq.q21_waiting_suppliers(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert plans.uses_top_k(df)
+    assert plans.python_free(df)
+
+
+def test_q2_decorrelated_min_broadcasts(spark, sf_dir):
+    """The per-part min table and every dimension broadcast; the only
+    fact shuffle is the part-supplier aggregation; deterministic
+    top-100 via TakeOrderedAndProject."""
+    df = tpch_subq.q2_min_cost_supplier(spark, sf_dir)
+    assert plans.count_broadcast_joins(df) >= 3
+    assert plans.uses_top_k(df)
 
 
 def test_range_join_broadcasts_band_dimension(spark, sf_dir):
