@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_clickhouse_pipeline_spark.operators import (
     advanced,
     analytics,
+    curation,
     dedup,
     graph,
     multimodal,
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(semistructured.SEMISTRUCTURED_QUERIES)
     q.update(graph.GRAPH_QUERIES)
     q.update(reshape.RESHAPE_QUERIES)
+    q.update(curation.CURATION_QUERIES)
     return q
 
 
@@ -78,4 +80,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(semistructured.SEMISTRUCTURED_ORACLES)
     o.update(graph.GRAPH_ORACLES)
     o.update(reshape.RESHAPE_ORACLES)
+    o.update(curation.CURATION_ORACLES)
     return o

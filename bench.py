@@ -49,6 +49,9 @@ HEADLINE = [
     "q_sessionize",
     "q_hypertable_rollup",
     "q_gapfill_hourly",
+    "q21_waiting_suppliers",
+    "q_retention_cohorts",
+    "q_decontaminate_shingle_overlap",
 ]
 
 

@@ -1,0 +1,327 @@
+"""Training-data curation + behavioral analytics operators.
+
+Six operator families a large-scale training-data pipeline needs that
+the contract did not yet cover, each over the driver fixtures:
+
+- sequential funnel analysis (``q_funnel_steps``): ordered
+  view -> click -> purchase conversion via a min-timestamp cascade;
+- cohort retention (``q_retention_cohorts``): first-seen-day cohorts x
+  day offset, distinct active users;
+- frequency heavy hitters (``q_heavy_hitter_users``): users
+  contributing an outsized share of all events (spam/bot screening
+  before training on behavioral logs);
+- class rebalancing (``q_stratified_rebalance``): deterministic
+  per-class modulus downsampling -- the portable analog of
+  ``df.sampleBy`` with exact, reproducible membership;
+- anomaly screening (``q_zscore_outliers``): per-class mean/std from
+  exact decimal moments, counting |z| > 3 rows;
+- benchmark decontamination (``q_decontaminate_shingle_overlap``):
+  training docs sharing any 8-token shingle with a held-out benchmark
+  split -- the standard n-gram-overlap contamination check used when
+  preparing LLM training corpora.
+
+The reference has none of these (its whole analytical surface is the
+four dashboard queries, web-app/app.py:57-160); all six are extensions
+in the spirit of SURVEY.md section 7 step 6.
+
+Scale design: every aggregate is a single hash-shuffle on its group
+key; one-row scalars (event totals, funnel-step counts) and the
+benchmark shingle set broadcast; nothing collects to the driver.
+Determinism contract with the DuckDB oracles: money/value sums go
+through DECIMAL before any double division; sampling membership is a
+modulus on a stable integer key, never ``rand()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load_table
+from .dedup import _shingles
+
+#: Sources treated as the held-out benchmark split for decontamination.
+BENCH_SOURCES = ("src0", "src1", "src2", "src3")
+
+#: Heavy-hitter share threshold (fraction of all events).
+HH_SHARE = 0.0075
+
+#: Per-class keep rules for stratified rebalancing: event_type ->
+#: modulus m (keep rows with event_id % m == 0; m=1 keeps all).
+STRATA_MOD = {"view": 10, "click": 5, "error": 2}
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel view -> click -> purchase: users counted at each
+    step only if the step's first qualifying event falls within 24
+    hours AFTER the previous step's. Three per-user min-timestamp
+    aggregates chained by joins (each step's input shrinks), then three
+    one-row counts broadcast-crossed into a single result row."""
+    ev = load_table(spark, sf_dir, "events")
+    window = F.expr("INTERVAL 24 HOURS")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(broadcast(clicks.agg(F.count(F.lit(1)).alias("clicked_after_view"))))
+        .crossJoin(
+            broadcast(purchases.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+        )
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; for each
+    (cohort_day, days-since-cohort) cell, distinct active users. Two
+    shuffles: the per-user min-day, then the cohort-cell distinct
+    count (the per-user cohort table joins back keyed on user_id)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users contributing more than HH_SHARE of all events, with their
+    exact share. Per-user hash aggregate + a one-row global total
+    broadcast; the share division happens in double on exact integer
+    counts, so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = per_user.agg(F.sum("n_events").alias("n_total"))
+    return (
+        per_user.join(
+            broadcast(total),
+            F.col("n_events").cast("double")
+            > F.lit(HH_SHARE) * F.col("n_total").cast("double"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+    )
+
+
+def q_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-class downsampling summary: keep every row of
+    rare classes, 1-in-m of common ones (membership = event_id % m == 0,
+    reproducible across engines and re-runs, unlike rand()-based
+    sampling). Emits per-class total/kept/rate -- the audit record a
+    rebalancing job writes alongside its output."""
+    ev = load_table(spark, sf_dir, "events")
+    keep = F.lit(False)
+    for etype, m in STRATA_MOD.items():
+        keep = F.when(F.col("event_type") == etype, F.col("event_id") % m == 0).otherwise(
+            keep
+        )
+    keep = F.when(
+        ~F.col("event_type").isin(*STRATA_MOD.keys()), F.lit(True)
+    ).otherwise(keep)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        )
+        .withColumn(
+            "keep_rate",
+            F.col("n_kept").cast("double") / F.col("n_total").cast("double"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class |z| > 3 outlier counts with mean/std derived from
+    EXACT decimal moments (sum and sum-of-squares of the 2-dp value
+    column), so the double mean/std -- and therefore every per-row
+    comparison -- is bit-identical in Spark and DuckDB. One aggregate
+    for the moments (broadcast back), one for the outlier count."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = (
+        ev.groupBy(F.col("event_type").alias("s_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum((v * v).cast("decimal(38,4)")).alias("s2"),
+        )
+        .select(
+            "s_type",
+            "n",
+            (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.col("s2").cast("double") / F.col("n")
+                - (F.col("s1").cast("double") / F.col("n"))
+                * (F.col("s1").cast("double") / F.col("n"))
+            ).alias("std"),
+        )
+    )
+    return (
+        ev.join(broadcast(stats), F.col("event_type") == F.col("s_type"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > F.lit(3.0) * F.col("std"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.max("mean").alias("mean"),
+            F.max("std").alias("std"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_decontaminate_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents (sources outside
+    BENCH_SOURCES) that share at least one 8-token shingle with any
+    benchmark document, with the number of distinct shared shingles.
+    The benchmark shingle set is the small side and broadcasts; the
+    training side streams through the join map-side -- at 100 TB this
+    is the one-pass n-gram contamination sweep (the benchmark split is
+    always tiny relative to the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        _shingles(docs.filter(F.col("source").isin(*BENCH_SOURCES)), n=8)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = _shingles(docs.filter(~F.col("source").isin(*BENCH_SOURCES)), n=8)
+    return (
+        train_sh.join(broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+def _shingle8_sql(rel_filter: str) -> str:
+    concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(8))
+    return f"""
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - 7, 0)),
+                 i -> {concat}))) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents WHERE {rel_filter})
+    """
+
+
+_BENCH_IN = "('" + "', '".join(BENCH_SOURCES) + "')"
+
+CURATION_ORACLES: dict[str, str] = {
+    "q_funnel_steps": """
+        WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t_view
+                AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY 1)
+        SELECT (SELECT count(*) FROM v) AS viewed,
+               (SELECT count(*) FROM c) AS clicked_after_view,
+               (SELECT count(*) FROM p) AS purchased_after_click
+    """,
+    "q_retention_cohorts": """
+        WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        cohort AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+        SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset,
+               count(DISTINCT ev.user_id) AS n_active
+        FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q_heavy_hitter_users": f"""
+        WITH per_user AS (SELECT user_id, count(*) AS n_events
+                          FROM events GROUP BY 1),
+        tot AS (SELECT sum(n_events) AS n_total FROM per_user)
+        SELECT user_id, n_events,
+               CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        FROM per_user, tot
+        WHERE CAST(n_events AS DOUBLE) > {HH_SHARE} * CAST(n_total AS DOUBLE)
+        ORDER BY n_events DESC, user_id
+    """,
+    "q_stratified_rebalance": """
+        SELECT event_type, count(*) AS n_total,
+               sum(CASE WHEN (event_type = 'view' AND event_id % 10 = 0)
+                          OR (event_type = 'click' AND event_id % 5 = 0)
+                          OR (event_type = 'error' AND event_id % 2 = 0)
+                          OR event_type NOT IN ('view', 'click', 'error')
+                        THEN 1 ELSE 0 END) AS n_kept,
+               CAST(sum(CASE WHEN (event_type = 'view' AND event_id % 10 = 0)
+                          OR (event_type = 'click' AND event_id % 5 = 0)
+                          OR (event_type = 'error' AND event_id % 2 = 0)
+                          OR event_type NOT IN ('view', 'click', 'error')
+                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "q_zscore_outliers": """
+        WITH stats AS (
+          SELECT event_type AS s_type, count(*) AS n,
+                 sum(CAST(value AS DECIMAL(18,2))) AS s1,
+                 sum(CAST(CAST(value AS DECIMAL(18,2)) *
+                          CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2
+          FROM events GROUP BY 1),
+        st AS (
+          SELECT s_type, n,
+                 CAST(s1 AS DOUBLE) / n AS mean,
+                 sqrt(CAST(s2 AS DOUBLE) / n -
+                      (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std
+          FROM stats)
+        SELECT event_type, max(n) AS n_events,
+               sum(CASE WHEN abs(value - mean) > 3.0 * std THEN 1 ELSE 0 END)
+                 AS n_outliers,
+               max(mean) AS mean, max(std) AS std
+        FROM events JOIN st ON event_type = s_type
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q_decontaminate_shingle_overlap": f"""
+        WITH bench_sh AS (
+          SELECT DISTINCT shingle
+          FROM ({_shingle8_sql("source IN " + _BENCH_IN)})),
+        train_sh AS ({_shingle8_sql("source NOT IN " + _BENCH_IN)})
+        SELECT doc_id, count(*) AS n_shared_shingles
+        FROM train_sh JOIN bench_sh USING (shingle)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+}
+
+CURATION_QUERIES = {
+    "q_funnel_steps": q_funnel_steps,
+    "q_retention_cohorts": q_retention_cohorts,
+    "q_heavy_hitter_users": q_heavy_hitter_users,
+    "q_stratified_rebalance": q_stratified_rebalance,
+    "q_zscore_outliers": q_zscore_outliers,
+    "q_decontaminate_shingle_overlap": q_decontaminate_shingle_overlap,
+}

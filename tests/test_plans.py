@@ -8,6 +8,7 @@ from __future__ import annotations
 from kafka_clickhouse_pipeline_spark import plans
 from kafka_clickhouse_pipeline_spark.operators import (
     analytics,
+    curation,
     dedup,
     serving,
     similarity,
@@ -173,6 +174,25 @@ def test_q2_decorrelated_min_broadcasts(spark, sf_dir):
     df = tpch_subq.q2_min_cost_supplier(spark, sf_dir)
     assert plans.count_broadcast_joins(df) >= 3
     assert plans.uses_top_k(df)
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    """The benchmark shingle set (always the small side) must
+    broadcast; the training corpus streams map-side. Fully JVM-side."""
+    df = curation.q_decontaminate_shingle_overlap(spark, sf_dir)
+    assert plans.count_broadcast_joins(df) >= 1
+    assert plans.python_free(df)
+
+
+def test_curation_aggregates_python_free(spark, sf_dir):
+    for fn in (
+        curation.q_funnel_steps,
+        curation.q_retention_cohorts,
+        curation.q_heavy_hitter_users,
+        curation.q_stratified_rebalance,
+        curation.q_zscore_outliers,
+    ):
+        assert plans.python_free(fn(spark, sf_dir)), fn.__name__
 
 
 def test_range_join_broadcasts_band_dimension(spark, sf_dir):
