@@ -317,6 +317,130 @@ ADVANCED_ORACLES["q_gapfill_hourly"] = """
     ORDER BY s.hour
 """
 
+def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day RANGE-frame moving average of daily purchase revenue: the
+    frame is defined by VALUE distance (6 days preceding by date), not
+    row count, so missing days genuinely shrink the window -- the
+    semantics rows-frames get wrong on sparse series. Ordering key is
+    integer days-since-epoch so the DataFrame API's long-offset
+    rangeBetween expresses the interval exactly; the average divides
+    an exact decimal range-sum by the range count in double, keeping
+    both engines bit-identical. One shuffle for the daily rollup; the
+    window then runs on one row per day."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("revenue"))
+        .withColumn("day_num", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "revenue",
+            (
+                F.sum("revenue").over(w).cast("double")
+                / F.count(F.lit(1)).over(w).cast("double")
+            ).alias("avg_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+ADVANCED_ORACLES["q_moving_avg_7d"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(18,2))) AS revenue,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 3)
+    SELECT day, revenue,
+           CAST(sum(revenue) OVER w AS DOUBLE) /
+           CAST(count(*) OVER w AS DOUBLE) AS avg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+"""
+
+
+def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta via LAG: each day's purchase revenue
+    against the previous OBSERVED day's, with the relative change in
+    double over exact decimal inputs. First day's delta is NULL (no
+    COALESCE -- absence and zero-change are different facts)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("revenue"))
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return (
+        daily.select(
+            "day",
+            "revenue",
+            prev.alias("prev_revenue"),
+            (
+                (F.col("revenue").cast("double") - prev.cast("double"))
+                / prev.cast("double")
+            ).alias("pct_change"),
+        )
+        .orderBy("day")
+    )
+
+
+ADVANCED_ORACLES["q_day_over_day"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(18,2))) AS revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT day, revenue,
+           lag(revenue) OVER (ORDER BY day) AS prev_revenue,
+           (CAST(revenue AS DOUBLE) -
+            CAST(lag(revenue) OVER (ORDER BY day) AS DOUBLE)) /
+           CAST(lag(revenue) OVER (ORDER BY day) AS DOUBLE) AS pct_change
+    FROM daily ORDER BY day
+"""
+
+
+def q_division_every_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers who placed at least one order in
+    EVERY calendar year the orders table spans. Division becomes a
+    per-customer distinct-year count compared against the global
+    distinct-year count (a one-row broadcast) -- no universal
+    quantifier, no double negation, one shuffle on custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    from pyspark.sql.functions import broadcast
+
+    n_years = orders.select(F.year("o_orderdate").alias("y")).distinct().agg(
+        F.count(F.lit(1)).alias("n_years")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.countDistinct(F.year("o_orderdate")).alias("cust_years")
+    )
+    return (
+        per_cust.join(broadcast(n_years), F.col("cust_years") == F.col("n_years"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_custkey").alias("custkey"), "c_name", "cust_years")
+        .orderBy("custkey")
+    )
+
+
+ADVANCED_ORACLES["q_division_every_year"] = """
+    WITH yrs AS (SELECT count(DISTINCT year(o_orderdate)) AS n_years FROM orders),
+    per_cust AS (
+      SELECT o_custkey, count(DISTINCT year(o_orderdate)) AS cust_years
+      FROM orders GROUP BY 1)
+    SELECT c_custkey AS custkey, c_name, cust_years
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey, yrs
+    WHERE cust_years = n_years
+    ORDER BY custkey
+"""
+
+
 ADVANCED_QUERIES = {
     "q_corr_purchase_click": q_corr_purchase_click,
     "q_gapfill_hourly": q_gapfill_hourly,
@@ -325,4 +449,7 @@ ADVANCED_QUERIES = {
     "q_approx_distinct_users": q_approx_distinct_users,  # rows-only
     "q_profile_lineitem": q_profile_lineitem,
     "q_hypertable_rollup": q_hypertable_rollup,
+    "q_moving_avg_7d": q_moving_avg_7d,
+    "q_day_over_day": q_day_over_day,
+    "q_division_every_year": q_division_every_year,
 }
