@@ -63,6 +63,19 @@ EMPTY_SENSITIVE = [
     "q15_top_supplier",
     "q18_large_volume_customers",
     "q22_untapped_segments",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q_retention_cohorts",
+    "q_heavy_hitter_users",
+    "q_stratified_rebalance",
+    "q_zscore_outliers",
+    "q_decontaminate_shingle_overlap",
+    "q_moving_avg_7d",
+    "q_day_over_day",
+    "q_division_every_year",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE
@@ -74,6 +87,7 @@ EMPTY_SCALAR = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q_corr_purchase_click",
+    "q_funnel_steps",
 ]
 
 
