@@ -52,13 +52,10 @@ HH_SHARE = 0.0075
 STRATA_MOD = {"view": 10, "click": 5, "error": 2}
 
 
-def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed funnel view -> click -> purchase: users counted at each
-    step only if the step's first qualifying event falls within 24
-    hours AFTER the previous step's. Three per-user min-timestamp
-    aggregates chained by joins (each step's input shrinks), then three
-    one-row counts broadcast-crossed into a single result row."""
-    ev = load_table(spark, sf_dir, "events")
+def funnel_steps(ev: DataFrame) -> DataFrame:
+    """Funnel cascade over any (user_id, ts, event_type) frame; see
+    ``q_funnel_steps``. Split out so property tests can fuzz it on
+    generated tables."""
     window = F.expr("INTERVAL 24 HOURS")
     views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("ts").alias("t_view")
@@ -86,21 +83,36 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel view -> click -> purchase: users counted at each
+    step only if the step's first qualifying event falls within 24
+    hours AFTER the previous step's. Three per-user min-timestamp
+    aggregates chained by joins (each step's input shrinks), then three
+    one-row counts broadcast-crossed into a single result row."""
+    return funnel_steps(load_table(spark, sf_dir, "events"))
+
+
+def retention_cohorts(ev: DataFrame) -> DataFrame:
+    """Cohort grid over any (user_id, ts) frame; see
+    ``q_retention_cohorts``. Split out so property tests can fuzz it."""
+    ev = ev.select("user_id", F.to_date("ts").alias("d"))
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day; for each
     (cohort_day, days-since-cohort) cell, distinct active users. Two
     shuffles: the per-user min-day, then the cohort-cell distinct
     count (the per-user cohort table joins back keyed on user_id)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("d")
-    )
-    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
-    return (
-        ev.join(cohort, "user_id")
-        .groupBy("cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"))
-        .agg(F.countDistinct("user_id").alias("n_active"))
-        .orderBy("cohort_day", "day_offset")
-    )
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
 
 
 def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:

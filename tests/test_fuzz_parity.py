@@ -79,3 +79,83 @@ def test_grouped_decimal_agg_parity_on_random_data(spark, tmp_path_factory, rows
     ).fetchall()
     con.close()
     assert [(a, b, c, d) for a, b, c, d in drows] == srows
+
+
+USER_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+user_event_strategy = st.tuples(
+    st.integers(min_value=0, max_value=10_000),
+    st.datetimes(
+        min_value=__import__("datetime").datetime(2024, 1, 1),
+        max_value=__import__("datetime").datetime(2024, 1, 10),
+    ).map(lambda d: d.replace(microsecond=0)),
+    st.integers(min_value=0, max_value=5),  # few users -> dense funnels
+    st.sampled_from(["purchase", "view", "click"]),
+    st.floats(min_value=0, max_value=100, allow_nan=False, allow_infinity=False),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(user_event_strategy, min_size=0, max_size=80))
+def test_funnel_and_retention_parity_on_random_data(spark, tmp_path_factory, rows):
+    """The ordering-sensitive curation operators (min-ts funnel
+    cascade, first-seen cohorts) must agree with DuckDB on arbitrary
+    event tables, not just the driver fixtures -- ties (same user, same
+    timestamp, different type) are the interesting corner."""
+    from kafka_clickhouse_pipeline_spark.operators.curation import (
+        funnel_steps,
+        retention_cohorts,
+    )
+
+    tmp = str(tmp_path_factory.mktemp("fuzz_funnel"))
+    path = os.path.join(tmp, "events.parquet")
+    spark.createDataFrame(rows, USER_SCHEMA).write.mode("overwrite").parquet(path)
+    ev = spark.read.parquet(path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')")
+
+    srow = funnel_steps(ev).collect()[0]
+    drow = con.execute(
+        """
+        WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t_view
+                AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY 1)
+        SELECT (SELECT count(*) FROM v), (SELECT count(*) FROM c),
+               (SELECT count(*) FROM p)
+        """
+    ).fetchone()
+    assert tuple(srow) == drow
+
+    srows = [(r.cohort_day, r.day_offset, r.n_active) for r in retention_cohorts(ev).collect()]
+    drows = con.execute(
+        """
+        WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        cohort AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+        SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset,
+               count(DISTINCT ev.user_id) AS n_active
+        FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    con.close()
+    assert srows == [(a, b, c) for a, b, c in drows]
