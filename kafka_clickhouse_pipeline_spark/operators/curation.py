@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
-from .dedup import _shingles
+from .dedup import _shingle_expr, _shingles
 
 #: Sources treated as the held-out benchmark split for decontamination.
 BENCH_SOURCES = ("src0", "src1", "src2", "src3")
@@ -233,6 +233,29 @@ def q_decontaminate_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .orderBy("doc_id")
+    )
+
+
+def decontaminate_stream(doc_stream: DataFrame, bench_docs: DataFrame) -> DataFrame:
+    """Streaming ingestion guard: drop incoming documents that share
+    any 8-token shingle with the static benchmark corpus. Stateless per
+    micro-batch -- the benchmark shingle set aggregates to ONE row,
+    broadcasts, and each streaming document is checked with
+    ``arrays_overlap``; no stream state, no watermark, append mode.
+
+    Scale: the benchmark split is tiny by construction, so its shingle
+    set fits comfortably in a broadcast even when the stream is
+    unbounded; the constant-memory variant at extreme benchmark sizes
+    is a bloom filter over the shingle hashes (same plan shape, a
+    might-contain probe instead of the exact overlap)."""
+    bench_set = _shingles(bench_docs, n=8).agg(
+        F.collect_set("shingle").alias("bench_sh")
+    )
+    return (
+        doc_stream.withColumn("sh", _shingle_expr(8))
+        .crossJoin(broadcast(bench_set))
+        .filter(~F.arrays_overlap(F.col("sh"), F.col("bench_sh")))
+        .drop("sh", "bench_sh")
     )
 
 

@@ -43,6 +43,20 @@ MINHASH_BANDS = 8
 MINHASH_ROWS = 2
 
 
+def _shingle_expr(n: int = 3, text_col: str = "text") -> F.Column:
+    """Distinct n-token shingles of a text column as an array Column
+    (works on batch AND streaming frames -- no partition probing).
+    Built from aligned array slices zipped together; see ``_shingles``
+    for why not per-index ``element_at`` lambdas."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    slices = [F.slice(toks, k + 1, m) for k in range(n)]
+    zipped = slices[0]
+    for s in slices[1:]:
+        zipped = F.zip_with(zipped, s, lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(zipped)
+
+
 def _shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id -> distinct n-token shingles as an ARRAY column (no
     explode): (doc_id, sh). Docs shorter than n tokens yield empty
@@ -52,15 +66,7 @@ def _shingle_arrays(df: DataFrame, n: int = 3) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    slices = [F.slice(toks, k + 1, m) for k in range(n)]
-    zipped = slices[0]
-    for s in slices[1:]:
-        zipped = F.zip_with(zipped, s, lambda x, y: F.concat_ws(" ", x, y))
-    return df.select("doc_id", F.array_distinct(zipped).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    return df.select("doc_id", _shingle_expr(n).alias("sh")).filter(F.size("sh") > 0)
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
@@ -80,13 +86,7 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    slices = [F.slice(toks, k + 1, m) for k in range(n)]
-    zipped = slices[0]
-    for s in slices[1:]:
-        zipped = F.zip_with(zipped, s, lambda x, y: F.concat_ws(" ", x, y))
-    return df.select("doc_id", F.explode(F.array_distinct(zipped)).alias("shingle"))
+    return df.select("doc_id", F.explode(_shingle_expr(n)).alias("shingle"))
 
 
 def _jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:

@@ -135,3 +135,47 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.event_id: r.region for r in spark.sql("SELECT * FROM enriched_sink").collect()}
     assert got == {"e0": "north", "e1": "south", "e2": "unknown"}
+
+
+def test_streaming_decontamination_guard(spark, tmp_path):
+    """Ingest-time benchmark decontamination: a streaming document that
+    shares an 8-token shingle with the static benchmark corpus is
+    dropped; clean and too-short documents pass. Stateless (no
+    watermark) -- the benchmark shingle set is one broadcast row per
+    micro-batch."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.operators.curation import decontaminate_stream
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog tonight", "src0")],
+        "doc_id long, text string, source string",
+    )
+    docs_in = tmp_path / "docs_in"
+    docs_in.mkdir()
+    rows = [
+        # contains the benchmark 8-gram "quick brown fox jumps over the lazy dog"
+        {"doc_id": 1, "text": "intro quick brown fox jumps over the lazy dog outro"},
+        {"doc_id": 2, "text": "a completely different document with no overlap at all here"},
+        {"doc_id": 3, "text": "too short to shingle"},
+    ]
+    with open(docs_in / "b0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(docs_in))
+    )
+    clean = decontaminate_stream(stream, bench)
+    q = (
+        clean.select("doc_id")
+        .writeStream.format("memory")
+        .queryName("decontam_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decontam"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.sql("SELECT * FROM decontam_sink").collect())
+    assert kept == [2, 3]
