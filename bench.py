@@ -52,6 +52,8 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "q_retention_cohorts",
     "q_decontaminate_shingle_overlap",
+    "q_quality_gopher",
+    "q_pack_sequences",
 ]
 
 

@@ -1,6 +1,6 @@
 """Training-data curation + behavioral analytics operators.
 
-Six operator families a large-scale training-data pipeline needs that
+Operator families a large-scale training-data pipeline needs that
 the contract did not yet cover, each over the driver fixtures:
 
 - sequential funnel analysis (``q_funnel_steps``): ordered
@@ -18,7 +18,16 @@ the contract did not yet cover, each over the driver fixtures:
 - benchmark decontamination (``q_decontaminate_shingle_overlap``):
   training docs sharing any 8-token shingle with a held-out benchmark
   split -- the standard n-gram-overlap contamination check used when
-  preparing LLM training corpora.
+  preparing LLM training corpora (streaming ingest-guard twin:
+  ``decontaminate_stream``);
+- repetition screening (``q_quality_gopher``): Gopher-style duplicate
+  n-gram / type-token-ratio / top-token-dominance keep rules;
+- PII redaction (``q_pii_redact_stats`` + the reusable ``redact_pii``
+  column transform): email/phone/number span replacement with an audit
+  aggregate;
+- sequence packing (``q_pack_sequences``): greedy fill-in-order
+  assignment of documents into fixed-token-capacity training bins,
+  applyInPandas per shard, recursive-CTE oracle.
 
 The reference has none of these (its whole analytical surface is the
 four dashboard queries, web-app/app.py:57-160); all six are extensions
@@ -50,6 +59,26 @@ HH_SHARE = 0.0075
 #: Per-class keep rules for stratified rebalancing: event_type ->
 #: modulus m (keep rows with event_id % m == 0; m=1 keeps all).
 STRATA_MOD = {"view": 10, "click": 5, "error": 2}
+
+#: Gopher-style repetition/diversity keep thresholds (set from the
+#: measured sf0.01 distribution so each rule rejects a real slice).
+GOPHER_MIN_TOKENS = 25
+GOPHER_MIN_TTR = 0.35
+GOPHER_MAX_DUP_BIGRAM = 0.05
+GOPHER_MAX_TOP_SHARE = 0.12
+
+#: PII redaction patterns -- one regex dialect shared by Spark (Java
+#: regex) and the DuckDB oracle (RE2); both are leftmost-greedy on
+#: these classes, so match spans agree.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+PII_NUMBER = r"[0-9]+"
+
+#: Sequence packing: target context length (tokens per packed bin) and
+#: docs per packing shard (bins never cross a shard boundary, which is
+#: what makes the operator embarrassingly parallel at corpus scale).
+PACK_CAPACITY = 256
+PACK_SHARD_DOCS = 100_000
 
 
 def funnel_steps(ev: DataFrame) -> DataFrame:
@@ -259,6 +288,155 @@ def decontaminate_stream(doc_stream: DataFrame, bench_docs: DataFrame) -> DataFr
     )
 
 
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity screening (Rae et al. 2021
+    family): per document, token count, type-token ratio, fraction of
+    duplicate bigram occurrences, and the share of the single most
+    frequent token, combined into a keep flag. Complements
+    ``q_quality_score`` (text.py), which covers the length/punctuation/
+    stopword side of the rule set.
+
+    Plan: one scan computes the array-side metrics in codegen
+    (``size``/``array_distinct``); the top-token share needs per-token
+    counts, so a second path explodes tokens through two partial-agg
+    shuffles keyed on doc_id (never on the raw text) and joins back.
+    All ratios are exact-integer divisions in double, so the DuckDB
+    oracle agrees bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    per_doc = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.greatest(n_tokens - 1, F.lit(0)).alias("n_bigrams"),
+        F.size(_shingle_expr(2)).alias("n_distinct_bigrams"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+    dup = F.when(
+        F.col("n_bigrams") > 0,
+        F.lit(1.0)
+        - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    tts = F.col("top_c").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        per_doc.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            ttr.alias("ttr"),
+            dup.alias("dup_bigram_frac"),
+            tts.alias("top_token_share"),
+            (
+                (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+                & (ttr >= GOPHER_MIN_TTR)
+                & (dup <= GOPHER_MAX_DUP_BIGRAM)
+                & (tts <= GOPHER_MAX_TOP_SHARE)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def redact_pii(col: F.Column) -> F.Column:
+    """Redact emails, then phone-like digit runs, then remaining bare
+    numbers (order matters: each later pattern would otherwise eat
+    pieces of the earlier ones). Pure JVM ``regexp_replace`` chain --
+    whole-stage codegen, no UDF."""
+    red = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(red, PII_NUMBER, "<NUM>")
+
+
+def q_pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-redaction audit over the events ``props`` payload: per event
+    type, how many email / phone / bare-number spans the redaction pass
+    replaced and the net length change of the redacted text. Each
+    pattern is counted on the output of the previous replacement, i.e.
+    exactly what the redactor sees. One scan, one hash aggregate; the
+    regex work rides whole-stage codegen (no Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    p1 = F.regexp_replace(F.col("props"), PII_EMAIL, "<EMAIL>")
+    p2 = F.regexp_replace(p1, PII_PHONE, "<PHONE>")
+    p3 = F.regexp_replace(p2, PII_NUMBER, "<NUM>")
+    return (
+        ev.select(
+            "event_type",
+            F.regexp_count("props", F.lit(PII_EMAIL)).alias("c_email"),
+            F.regexp_count(p1, F.lit(PII_PHONE)).alias("c_phone"),
+            F.regexp_count(p2, F.lit(PII_NUMBER)).alias("c_num"),
+            (F.length(p3) - F.length("props")).alias("delta"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_email").alias("n_email"),
+            F.sum("c_phone").alias("n_phone"),
+            F.sum("c_num").alias("n_num"),
+            F.sum("delta").alias("redacted_len_delta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def pack_sequences(docs: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
+    """Greedy sequential sequence packing: within each (source, shard)
+    group, walk documents in doc_id order and open a new bin whenever
+    the next document no longer fits in ``capacity`` tokens (an
+    oversize document gets a bin of its own). This is the deterministic
+    fill-in-order packing used when assembling fixed-context training
+    batches.
+
+    Scale design: token counts are computed JVM-side first, so the
+    shuffle carries only (source, shard, doc_id, n_tokens) ints --
+    the text never moves. Packing is sequential within a group by
+    definition (the bin layout IS the order), parallel across groups;
+    ``PACK_SHARD_DOCS`` bounds group size so one giant source cannot
+    serialize the job: bins simply never cross a shard boundary."""
+    sized = docs.select(
+        "source",
+        (F.col("doc_id") / PACK_SHARD_DOCS).cast("long").alias("shard"),
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        fill, b = capacity + 1, 0  # force a new bin on the first doc
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill + n <= capacity:
+                fill += n
+            else:
+                b += 1
+                fill = n
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf
+
+    return sized.groupBy("source", "shard").applyInPandas(
+        pack, "source string, shard long, doc_id long, n_tokens int, bin_id long"
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the documents corpus (see
+    ``pack_sequences``); the DuckDB oracle replays the same greedy
+    recurrence as a recursive CTE, so bin assignments -- not just
+    counts -- are hash-compared."""
+    return pack_sequences(load_table(spark, sf_dir, "documents")).orderBy(
+        "source", "doc_id"
+    )
+
+
 def _shingle8_sql(rel_filter: str) -> str:
     concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(8))
     return f"""
@@ -350,6 +528,73 @@ CURATION_ORACLES: dict[str, str] = {
         FROM train_sh JOIN bench_sh USING (shingle)
         GROUP BY doc_id ORDER BY doc_id
     """,
+    "q_quality_gopher": f"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents),
+        m AS (SELECT doc_id, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_types,
+                     greatest(len(toks) - 1, 0) AS n_bigrams,
+                     len(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || ' ' || toks[i+1]))) AS n_distinct_bigrams
+              FROM t),
+        top AS (SELECT doc_id, max(c) AS top_c FROM (
+                  SELECT doc_id, tok, count(*) AS c
+                  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                  GROUP BY 1, 2)
+                GROUP BY 1)
+        SELECT doc_id, n_tokens,
+               CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+               CASE WHEN n_bigrams > 0
+                    THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+                    ELSE 0.0 END AS dup_bigram_frac,
+               CAST(top_c AS DOUBLE) / n_tokens AS top_token_share,
+               (n_tokens >= {GOPHER_MIN_TOKENS}
+                AND CAST(n_types AS DOUBLE) / n_tokens >= {GOPHER_MIN_TTR}
+                AND (CASE WHEN n_bigrams > 0
+                          THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+                          ELSE 0.0 END) <= {GOPHER_MAX_DUP_BIGRAM}
+                AND CAST(top_c AS DOUBLE) / n_tokens <= {GOPHER_MAX_TOP_SHARE})
+                 AS keep
+        FROM m JOIN top USING (doc_id) ORDER BY doc_id
+    """,
+    "q_pii_redact_stats": f"""
+        WITH s1 AS (SELECT event_type, props,
+                           regexp_replace(props, '{PII_EMAIL}', '<EMAIL>', 'g') AS p1
+                    FROM events),
+        s2 AS (SELECT *, regexp_replace(p1, '{PII_PHONE}', '<PHONE>', 'g') AS p2
+               FROM s1),
+        s3 AS (SELECT *, regexp_replace(p2, '{PII_NUMBER}', '<NUM>', 'g') AS p3
+               FROM s2)
+        SELECT event_type, count(*) AS n_rows,
+               sum(len(regexp_extract_all(props, '{PII_EMAIL}'))) AS n_email,
+               sum(len(regexp_extract_all(p1, '{PII_PHONE}'))) AS n_phone,
+               sum(len(regexp_extract_all(p2, '{PII_NUMBER}'))) AS n_num,
+               sum(length(p3) - length(props)) AS redacted_len_delta
+        FROM s3 GROUP BY 1 ORDER BY 1
+    """,
+    "q_pack_sequences": f"""
+        WITH RECURSIVE t AS (
+          SELECT source, doc_id // {PACK_SHARD_DOCS} AS shard, doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                 row_number() OVER (PARTITION BY source, doc_id // {PACK_SHARD_DOCS}
+                                    ORDER BY doc_id) AS rn
+          FROM documents),
+        r AS (
+          SELECT source, shard, doc_id, n_tokens, rn,
+                 n_tokens AS fill, 1 AS bin_id
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.source, t.shard, t.doc_id, t.n_tokens, t.rn,
+                 CASE WHEN r.fill + t.n_tokens <= {PACK_CAPACITY}
+                      THEN r.fill + t.n_tokens ELSE t.n_tokens END,
+                 CASE WHEN r.fill + t.n_tokens <= {PACK_CAPACITY}
+                      THEN r.bin_id ELSE r.bin_id + 1 END
+          FROM r JOIN t ON t.source = r.source AND t.shard = r.shard
+                       AND t.rn = r.rn + 1)
+        SELECT source, shard, doc_id, n_tokens, bin_id
+        FROM r ORDER BY source, doc_id
+    """,
 }
 
 CURATION_QUERIES = {
@@ -359,4 +604,7 @@ CURATION_QUERIES = {
     "q_stratified_rebalance": q_stratified_rebalance,
     "q_zscore_outliers": q_zscore_outliers,
     "q_decontaminate_shingle_overlap": q_decontaminate_shingle_overlap,
+    "q_quality_gopher": q_quality_gopher,
+    "q_pii_redact_stats": q_pii_redact_stats,
+    "q_pack_sequences": q_pack_sequences,
 }

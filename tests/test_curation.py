@@ -1,0 +1,83 @@
+"""Behavioral tests for the curation operators beyond oracle parity:
+redaction output on real PII-shaped strings, packing invariants, and
+quality-flag semantics on constructed degenerate documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_pipeline_spark.operators.curation import (
+    GOPHER_MAX_DUP_BIGRAM,
+    PACK_CAPACITY,
+    pack_sequences,
+    redact_pii,
+)
+
+
+def test_redact_pii_real_strings(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+spam@example.co.uk for details"),
+            (2, "call +1 (415) 555-0199 or 8 800 2000-600 now"),
+            (3, "order #12345 shipped 7 units"),
+            (4, "nothing sensitive here"),
+        ],
+        "id long, s string",
+    )
+    got = {
+        r.id: r.red
+        for r in df.select("id", redact_pii(F.col("s")).alias("red")).collect()
+    }
+    assert got[1] == "contact <EMAIL> for details"
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == "order #<NUM> shipped <NUM> units"
+    assert got[4] == "nothing sensitive here"
+
+
+def test_pack_sequences_invariants(spark):
+    """Every bin fits in capacity unless it holds a single oversize
+    doc; bin ids are contiguous from 1 in doc_id order per group."""
+    rows = [
+        # source a: 100+100 | 200 | 300(oversize alone) | 50
+        (0, "a", 100), (1, "a", 100), (2, "a", 200), (3, "a", 300), (4, "a", 50),
+        # source b: single tiny doc
+        (10, "b", 5),
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), s) for i, s, n in rows],
+        "doc_id long, text string, source string",
+    )
+    out = pack_sequences(docs, capacity=PACK_CAPACITY).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert [by_doc[i].bin_id for i in (0, 1, 2, 3, 4)] == [1, 1, 2, 3, 4]
+    assert by_doc[10].bin_id == 1
+    # per-bin totals respect capacity except the oversize singleton
+    fills: dict[tuple, int] = {}
+    counts: dict[tuple, int] = {}
+    for r in out:
+        key = (r.source, r.shard, r.bin_id)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+        counts[key] = counts.get(key, 0) + 1
+    for key, tot in fills.items():
+        assert tot <= PACK_CAPACITY or counts[key] == 1
+
+
+def test_quality_gopher_flags_degenerate_docs(spark, tmp_path):
+    """A maximally repetitive doc fails every repetition rule; a
+    diverse doc of distinct tokens passes them all."""
+    import __spark_entry__ as entrymod
+
+    diverse = " ".join(f"tok{i}" for i in range(40))
+    repetitive = " ".join(["spam spam"] * 40)
+    d = tmp_path / "sf"
+    docs = spark.createDataFrame(
+        [(0, diverse, "en", "srcA", len(diverse)),
+         (1, repetitive, "en", "srcA", len(repetitive))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in entrymod.queries()["q_quality_gopher"](spark, str(d)).collect()}
+    assert got[0].keep and got[0].ttr == 1.0 and got[0].dup_bigram_frac == 0.0
+    assert not got[1].keep
+    assert got[1].top_token_share == 1.0
+    assert got[1].dup_bigram_frac > GOPHER_MAX_DUP_BIGRAM

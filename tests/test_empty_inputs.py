@@ -73,6 +73,9 @@ EMPTY_SENSITIVE = [
     "q_stratified_rebalance",
     "q_zscore_outliers",
     "q_decontaminate_shingle_overlap",
+    "q_quality_gopher",
+    "q_pii_redact_stats",
+    "q_pack_sequences",
     "q_moving_avg_7d",
     "q_day_over_day",
     "q_division_every_year",
