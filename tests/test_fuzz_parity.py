@@ -159,3 +159,55 @@ def test_funnel_and_retention_parity_on_random_data(spark, tmp_path_factory, row
     ).fetchall()
     con.close()
     assert srows == [(a, b, c) for a, b, c in drows]
+
+
+pack_doc_strategy = st.tuples(
+    st.integers(min_value=0, max_value=120),  # token counts, incl. oversize
+    st.sampled_from(["sA", "sB", "sC"]),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(pack_doc_strategy, min_size=0, max_size=60))
+def test_pack_sequences_parity_on_random_data(spark, rows):
+    """The sequential packing recurrence (applyInPandas) must agree
+    with an independent pure-Python replay on arbitrary corpora --
+    oversize docs, empty groups, and shard boundaries included
+    (doc_ids are spaced so consecutive docs often land in different
+    PACK_SHARD_DOCS shards)."""
+    from kafka_clickhouse_pipeline_spark.operators.curation import (
+        PACK_SHARD_DOCS,
+        pack_sequences,
+    )
+
+    capacity = 100
+    docs = [
+        (i * 60_000, " ".join(["w"] * n) if n else "", src)
+        for i, (n, src) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.source, r.shard, r.n_tokens, r.bin_id)
+        for r in pack_sequences(df, capacity=capacity).collect()
+    }
+
+    # independent replay: group by (source, shard), walk in doc_id order
+    expected = {}
+    groups: dict[tuple, list] = {}
+    for doc_id, text, src in docs:
+        n = len(text.strip().split()) if text.strip() else 1  # split('\s+') of '' -> ['']
+        groups.setdefault((src, doc_id // PACK_SHARD_DOCS), []).append((doc_id, n))
+    for (src, shard), members in groups.items():
+        fill, b = capacity + 1, 0
+        for doc_id, n in sorted(members):
+            if fill + n <= capacity:
+                fill += n
+            else:
+                b += 1
+                fill = n
+            expected[doc_id] = (src, shard, n, b)
+    assert got == expected
