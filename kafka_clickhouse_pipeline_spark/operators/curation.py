@@ -402,7 +402,7 @@ def pack_sequences(docs: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
     serialize the job: bins simply never cross a shard boundary."""
     sized = docs.select(
         "source",
-        (F.col("doc_id") / PACK_SHARD_DOCS).cast("long").alias("shard"),
+        F.expr(f"doc_id div {PACK_SHARD_DOCS}").alias("shard"),
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     )
