@@ -372,7 +372,44 @@ _SHINGLE_SQL = """
               FROM documents)
 """
 
+def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins keyed compaction -- the ClickHouse ReplacingMergeTree
+    semantics (the reference's target tables are plain MergeTree,
+    generate_data.py:170,191; Replacing is the engine-family sibling a
+    ClickHouse user reaches for to collapse re-delivered events). For
+    each (user_id, event_type) keep only the newest row by (ts,
+    event_id) -- the version column + deterministic tiebreak.
+
+    Plan: a single hash aggregate with ``max(struct(version, payload))``
+    -- partial max per map task, then one shuffle of ONE row per key per
+    mapper. At 100 TB this beats the window-function formulation
+    (row_number over a partition sort), which shuffles every row and
+    sorts each partition; the agg form is the standard scalable upsert
+    compaction."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("ts", "event_id", "value")).alias("m")
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.value").alias("last_value"),
+    ).orderBy("user_id", "event_type")
+
+
 DEDUP_ORACLES: dict[str, str] = {
+    "q_upsert_latest_wins": """
+        WITH r AS (
+          SELECT user_id, event_type, ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_type, ts AS last_ts,
+               event_id AS last_event_id, value AS last_value
+        FROM r WHERE rn = 1 ORDER BY user_id, event_type
+    """,
     "q_dedup_exact": """
         SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
                min(doc_id) AS canonical_id, count(*) AS n_docs
@@ -444,4 +481,5 @@ DEDUP_QUERIES = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,  # rows-only: no portable oracle
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "q_upsert_latest_wins": q_upsert_latest_wins,
 }

@@ -213,6 +213,104 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring (the KenLM-filter stand-in used by
+    CCNet/RedPajama-style curation): train a unigram model on the corpus
+    itself (p(t) = corpus_count(t) / total_tokens), then score each
+    document by mean negative log-probability and perplexity.
+
+    Two-pass plan: explode -> per-(doc, term) counts (one shuffle) ->
+    term frequencies as a second aggregation over the SAME shuffled data
+    (partial-agg friendly) -> join back on term -> per-doc aggregate.
+    The 1-row total is broadcast. At 100 TB the vocabulary table is
+    millions of rows (bounded by distinct tokens, not corpus size), so
+    AQE turns the term join into a broadcast join; nothing collects to
+    the driver.
+
+    Determinism contract with the oracle: the per-term contribution
+    ``tf * ln(total/cnt)`` is rounded to 9 dp and summed as
+    DECIMAL(28,9) -- exact, order-independent addition in both engines
+    (the same trick q_corr_purchase_click uses for its moments) -- so
+    the cross-row double-sum never depends on partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total_tokens"))
+    contrib = (
+        tf.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("total_tokens").cast("double") / F.col("cnt")),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("c"),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("s"), F.sum("tf").alias("n_tokens")
+    )
+    avg = F.col("s").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(avg, 6).alias("avg_neg_logp"),
+        F.round(F.exp(avg), 6).alias("ppl"),
+    ).orderBy("doc_id")
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap: per-source distinct vocabulary
+    sizes and pairwise Jaccard similarity between source vocabularies --
+    the corpus-mixing diagnostic that flags near-identical crawls before
+    they are weighted as independent sources.
+
+    Plan: explode -> distinct (source, term) -- one shuffle keyed by
+    term+source -- then a self-join on term whose fan-out is bounded by
+    sources^2 per term (each term appears at most once per source after
+    the distinct), never by corpus size. Vocabulary sizes are a tiny
+    per-source aggregate, broadcast onto the pair counts. Sources with
+    zero shared terms produce no pair row (inner-join contract, same in
+    the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select("source", F.explode(_tokens()).alias("term")).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("vocab_size"))
+    inter = (
+        vocab.alias("a")
+        .join(vocab.alias("b"), "term")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes_a = sizes.select(
+        F.col("source").alias("source_a"), F.col("vocab_size").alias("vocab_a")
+    )
+    sizes_b = sizes.select(
+        F.col("source").alias("source_b"), F.col("vocab_size").alias("vocab_b")
+    )
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+    return (
+        inter.join(F.broadcast(sizes_a), "source_a")
+        .join(F.broadcast(sizes_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / union, 6).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def _stop_in_list_sql() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -310,8 +408,50 @@ TEXT_ORACLES["q_tfidf_top_terms"] = """
     ORDER BY doc_id, rnk
 """
 
+TEXT_ORACLES["q_perplexity_unigram"] = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    freq AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total_tokens FROM freq),
+    contrib AS (
+      SELECT doc_id, tf,
+             CAST(round(tf * ln(CAST(total_tokens AS DOUBLE) / cnt), 9)
+                  AS DECIMAL(28,9)) AS c
+      FROM tf JOIN freq USING (term) CROSS JOIN tot),
+    agg AS (SELECT doc_id, sum(c) AS s, sum(tf) AS n_tokens
+            FROM contrib GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_neg_logp,
+           round(exp(CAST(s AS DOUBLE) / n_tokens), 6) AS ppl
+    FROM agg ORDER BY doc_id
+"""
+
+TEXT_ORACLES["q_source_vocab_overlap"] = """
+    WITH exploded AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    vocab AS (SELECT DISTINCT source, term FROM exploded),
+    sizes AS (SELECT source, count(*) AS vocab_size FROM vocab GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           sa.vocab_size AS vocab_a, sb.vocab_size AS vocab_b, n_common,
+           round(n_common * 1.0 / (sa.vocab_size + sb.vocab_size - n_common), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+"""
+
 TEXT_QUERIES = {
     "q_token_stats": q_token_stats,
+    "q_perplexity_unigram": q_perplexity_unigram,
+    "q_source_vocab_overlap": q_source_vocab_overlap,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,

@@ -79,6 +79,9 @@ EMPTY_SENSITIVE = [
     "q_moving_avg_7d",
     "q_day_over_day",
     "q_division_every_year",
+    "q_perplexity_unigram",
+    "q_source_vocab_overlap",
+    "q_upsert_latest_wins",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE
