@@ -372,6 +372,36 @@ _SHINGLE_SQL = """
               FROM documents)
 """
 
+def q_dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per exact-duplicate group
+    (same content fingerprint), keep the member with the most tokens
+    (ties -> lowest doc_id) instead of the arbitrary min-id winner --
+    the policy real curation uses (keep the best-quality copy; others
+    may be truncated variants).
+
+    Same single-shuffle shape as ``q_dedup_exact``: one hash aggregate
+    on the fingerprint with ``max(struct(quality, -doc_id))`` -- the
+    argmax travels as partial aggregates, no window sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    keyed = docs.select(
+        F.md5(norm).alias("fingerprint"),
+        n_tokens.alias("q"),
+        F.col("doc_id"),
+    )
+    grouped = keyed.groupBy("fingerprint").agg(
+        F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("negid"))).alias("m"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return grouped.select(
+        "fingerprint",
+        (-F.col("m.negid")).alias("canonical_id"),
+        F.col("m.q").alias("best_n_tokens"),
+        "n_docs",
+    ).orderBy("fingerprint")
+
+
 def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins keyed compaction -- the ClickHouse ReplacingMergeTree
     semantics (the reference's target tables are plain MergeTree,
@@ -400,6 +430,21 @@ def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_ORACLES: dict[str, str] = {
+    "q_dedup_quality_canonical": """
+        WITH d AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                 len(string_split_regex(trim(text), '\\s+')) AS q
+          FROM documents),
+        r AS (
+          SELECT fingerprint, doc_id, q,
+                 row_number() OVER (PARTITION BY fingerprint
+                                    ORDER BY q DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY fingerprint) AS n_docs
+          FROM d)
+        SELECT fingerprint, doc_id AS canonical_id, q AS best_n_tokens, n_docs
+        FROM r WHERE rn = 1 ORDER BY fingerprint
+    """,
     "q_upsert_latest_wins": """
         WITH r AS (
           SELECT user_id, event_type, ts, event_id, value,
@@ -481,5 +526,6 @@ DEDUP_QUERIES = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,  # rows-only: no portable oracle
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "q_dedup_quality_canonical": q_dedup_quality_canonical,
     "q_upsert_latest_wins": q_upsert_latest_wins,
 }

@@ -45,6 +45,33 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-source sample size for the hash-ranked sampler.
+SAMPLE_K = 40
+
+
+def q_sample_hash_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random per-stratum sampling: within each
+    source keep the SAMPLE_K documents with the smallest md5(doc_id) --
+    a reproducible uniform sample (the hash is the random order, so the
+    sample is stable across runs, engines, and partitionings; the
+    standard trick for auditable subsampling of a training corpus).
+
+    Scale path: ``grouped_topk`` prunes map-side to <= k rows per
+    source per Arrow batch before the rank shuffle -- O(batches x
+    sources x k) shuffled rows instead of the full corpus (the
+    window-only formulation the oracle uses ships every row)."""
+    from .topk import grouped_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    top = grouped_topk(
+        keyed, ["source"], [("h", True), ("doc_id", True)], SAMPLE_K, rank_col="rnk"
+    )
+    return top.select("source", "doc_id", "h", "rnk").orderBy("source", "rnk")
+
+
 def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide->long): quantity/extendedprice/discount melted
     into (measure, val) rows, then aggregated per measure. Unpivot is
@@ -132,9 +159,21 @@ RESHAPE_ORACLES: dict[str, str] = {
         SELECT event_id, user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value
         FROM events WHERE event_id % 20 = 0 ORDER BY event_id
     """,
+    "q_sample_hash_per_source": f"""
+        WITH h AS (SELECT source, doc_id,
+                          md5(CAST(doc_id AS VARCHAR)) AS h
+                   FROM documents),
+        r AS (SELECT source, doc_id, h,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY h, doc_id) AS rnk
+              FROM h)
+        SELECT source, doc_id, h, rnk FROM r WHERE rnk <= {SAMPLE_K}
+        ORDER BY source, rnk
+    """,
 }
 
 RESHAPE_QUERIES = {
+    "q_sample_hash_per_source": q_sample_hash_per_source,
     "q_unpivot_lineitem_measures": q_unpivot_lineitem_measures,
     "q_ntile_acctbal_quartiles": q_ntile_acctbal_quartiles,
     "q_pivot_user_event_values": q_pivot_user_event_values,

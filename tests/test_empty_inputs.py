@@ -82,6 +82,8 @@ EMPTY_SENSITIVE = [
     "q_perplexity_unigram",
     "q_source_vocab_overlap",
     "q_upsert_latest_wins",
+    "q_sample_hash_per_source",
+    "q_dedup_quality_canonical",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE

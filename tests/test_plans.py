@@ -195,6 +195,42 @@ def test_curation_aggregates_python_free(spark, sf_dir):
         assert plans.python_free(fn(spark, sf_dir)), fn.__name__
 
 
+def test_upsert_compaction_aggregates_not_window(spark, sf_dir):
+    """Latest-wins compaction must compile to a partial+final aggregate
+    (one key shuffle), NOT the window-sort formulation that shuffles
+    and sorts every row."""
+    df = dedup.q_upsert_latest_wins(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan
+    assert plans.count_shuffles(df) <= 2  # key agg + presentation sort
+    assert plans.python_free(df)
+
+
+def test_quality_canonical_single_shuffle_no_window(spark, sf_dir):
+    df = dedup.q_dedup_quality_canonical(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan
+    assert plans.count_shuffles(df) <= 2
+    assert plans.python_free(df)
+
+
+def test_perplexity_python_free(spark, sf_dir):
+    """The unigram-LM scorer is pure JVM expression work: explode,
+    two hash aggregates, a vocabulary join -- no Python anywhere."""
+    df = text.q_perplexity_unigram(spark, sf_dir)
+    assert plans.python_free(df)
+
+
+def test_sample_hash_prunes_map_side(spark, sf_dir):
+    """The hash sampler must carry the Arrow map-side top-k pruner so
+    the rank shuffle sees a bounded candidate set."""
+    from kafka_clickhouse_pipeline_spark.operators import reshape
+
+    df = reshape.q_sample_hash_per_source(spark, sf_dir)
+    assert "MapInPandas" in plans.formatted_plan(df)
+    assert plans.rowwise_python_free(df)
+
+
 def test_range_join_broadcasts_band_dimension(spark, sf_dir):
     """The interval dimension must broadcast (BroadcastNestedLoopJoin),
     never a cartesian shuffle of the fact table."""
