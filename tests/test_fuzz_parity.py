@@ -211,3 +211,39 @@ def test_pack_sequences_parity_on_random_data(spark, rows):
                 fill = n
             expected[doc_id] = (src, shard, n, b)
     assert got == expected
+
+
+upsert_row_strategy = st.tuples(
+    st.integers(min_value=0, max_value=6),     # key (forced collisions)
+    st.integers(min_value=0, max_value=50),    # version
+    st.integers(min_value=0, max_value=9),     # payload disambiguator
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(upsert_row_strategy, min_size=1, max_size=40))
+def test_latest_per_key_parity_on_random_data(spark, rows):
+    """latest_per_key (the max(struct) compaction core shared by the
+    batch operator and the streaming upsert sink) must agree with a
+    pure-Python replay on arbitrary inputs, including duplicate
+    (key, version) pairs where the payload is the deterministic
+    tiebreak."""
+    from kafka_clickhouse_pipeline_spark.streaming.upsert import latest_per_key
+
+    data = [(k, v, f"p{p}", p * 1.5) for k, v, p in rows]
+    df = spark.createDataFrame(data, "k long, ver long, name string, score double")
+    got = {
+        r.k: (r.ver, r.name, r.score)
+        for r in latest_per_key(df, ["k"], ["ver"]).collect()
+    }
+
+    expected: dict[int, tuple] = {}
+    for k, ver, name, score in data:
+        cur = expected.get(k)
+        if cur is None or (ver, name, score) > cur:
+            expected[k] = (ver, name, score)
+    assert got == expected
