@@ -437,6 +437,82 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Split thresholds on the 0..255 hash value: < TRAIN -> train,
+#: < VAL -> val, else test (~94/3/3; the 256-value hash makes exact
+#: percentages approximate -- documented, deterministic).
+SPLIT_TRAIN = 240
+SPLIT_VAL = 248
+
+
+def _split_hash():
+    """Portable 0..255 pseudo-uniform value from the doc_id's md5: the
+    ascii codes of the first two hex chars. Both engines compute md5
+    and ascii identically, so membership is reproducible anywhere."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
+    ) % 256
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment by content-free
+    hash of the stable document id -- the reproducible-split primitive
+    every training pipeline needs (re-running on a grown corpus never
+    moves an existing document between splits, because membership
+    depends only on its own id). Pure map work: no shuffle except the
+    presentation sort; at 100 TB this is a free column."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = _split_hash()
+    split = (
+        F.when(hv < SPLIT_TRAIN, F.lit("train"))
+        .when(hv < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", "source", hv.alias("hash_value"), split.alias("split")
+    ).orderBy("doc_id")
+
+
+#: Per-source token budget for budget-capped selection.
+TOKEN_BUDGET = 3_000
+
+
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped corpus selection: per source, walk documents
+    in deterministic pseudo-random order (md5 of doc_id) and keep them
+    while the running token total stays within TOKEN_BUDGET -- the
+    fixed-budget uniform subsample used when mixing sources at target
+    token proportions.
+
+    The running sum is a per-source window cumsum (one shuffle on
+    source). At 100 TB a single source outgrows one partition; the
+    production variant pre-aggregates per-shard token totals first
+    (same two-level trick as ``pack_sequences``'s shards) -- kept
+    single-level here because the semantics, and the oracle, are the
+    per-document prefix sum."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keyed.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
 def _shingle8_sql(rel_filter: str) -> str:
     concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(8))
     return f"""
@@ -452,6 +528,34 @@ def _shingle8_sql(rel_filter: str) -> str:
 _BENCH_IN = "('" + "', '".join(BENCH_SOURCES) + "')"
 
 CURATION_ORACLES: dict[str, str] = {
+    "q_split_assign": f"""
+        WITH h AS (
+          SELECT doc_id, source,
+                 (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 256
+                   AS hash_value
+          FROM documents)
+        SELECT doc_id, source, hash_value,
+               CASE WHEN hash_value < {SPLIT_TRAIN} THEN 'train'
+                    WHEN hash_value < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h ORDER BY doc_id
+    """,
+    "q_token_budget_selection": f"""
+        WITH k AS (
+          SELECT source, doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM k)
+        SELECT source, doc_id, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+        ORDER BY source, cum_tokens
+    """,
     "q_funnel_steps": """
         WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
                    WHERE event_type = 'view' GROUP BY 1),
@@ -607,4 +711,6 @@ CURATION_QUERIES = {
     "q_quality_gopher": q_quality_gopher,
     "q_pii_redact_stats": q_pii_redact_stats,
     "q_pack_sequences": q_pack_sequences,
+    "q_split_assign": q_split_assign,
+    "q_token_budget_selection": q_token_budget_selection,
 }

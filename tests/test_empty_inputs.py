@@ -84,6 +84,8 @@ EMPTY_SENSITIVE = [
     "q_upsert_latest_wins",
     "q_sample_hash_per_source",
     "q_dedup_quality_canonical",
+    "q_split_assign",
+    "q_token_budget_selection",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE
