@@ -251,21 +251,33 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per document: each distinct token's xxhash64
-    votes +1/-1 per bit; the sign of each bit's vote sum is the
-    signature bit. Returns (doc_id, simhash)."""
+    """64-bit SimHash per document from md5-derived token hashes: the
+    first 16 hex chars of md5(token) give 16 nibbles; bit i of the
+    token's hash is bit (i mod 4) of nibble (i div 4). Each distinct
+    token votes +1/-1 per bit; the sign of each bit's vote sum is the
+    signature bit. md5 (rather than xxhash64) keeps the whole
+    construction expressible in ANSI SQL, so the pair output is
+    oracle-checked instead of rows-only. The 64 bit columns are built
+    in one projection (md5 common-subexpression-eliminated by codegen)
+    and the aggregate sums plain ints. Returns (doc_id, simhash)."""
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("tok"),
     )
-    h = F.xxhash64("tok")
-    bit_votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(64)
-    ]
-    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    h = F.md5(F.col("tok"))
+    nib = [F.conv(F.substring(h, c + 1, 1), 16, 10).cast("int") for c in range(16)]
+    bits = toks.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(nib[i // 4], i % 4).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    votes = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(64)]
+    )
     sig = reduce(
         lambda acc, i: acc.bitwiseOR(
             F.shiftleft(
@@ -283,11 +295,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks (a necessary condition for hamming distance <= 3, so banding
     loses nothing) and verified hamming <= 3.
 
-    Output: (d1, d2, hamming). Spark-only (no SQL oracle -- the 64-bit
-    signature arithmetic isn't portably expressible in DuckDB); the
-    driver records a rows-only check. Note simhash measures *token-set*
-    similarity: on a corpus with a tiny shared vocabulary it both finds
-    pairs shingle-Jaccard misses and vice versa.
+    Output: (d1, d2, hamming). Because the banding is lossless for the
+    <= 3 threshold, the output is EXACTLY the set of pairs at hamming
+    <= 3 -- so the DuckDB oracle computes it brute-force (per-bit vote
+    rows -> signature bits -> all-pairs hamming) from the same
+    md5-nibble hash family, and the banded plan is value-checked, not
+    rows-only. Note simhash measures *token-set* similarity: on a
+    corpus with a tiny shared vocabulary it both finds pairs
+    shingle-Jaccard misses and vice versa.
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
@@ -430,6 +445,33 @@ def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_ORACLES: dict[str, str] = {
+    "q_dedup_simhash": """
+        WITH toks AS (
+          SELECT DISTINCT doc_id, tok
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents)),
+        h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        bits AS (
+          SELECT doc_id, i,
+                 ((strpos('0123456789abcdef', substr(h, (i // 4) + 1, 1)) - 1)
+                  >> (i % 4)) & 1 AS bit
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+        votes AS (
+          SELECT doc_id, i,
+                 sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+          FROM bits GROUP BY 1, 2),
+        sig AS (SELECT doc_id, i,
+                       CASE WHEN v > 0 THEN 1 ELSE 0 END AS b
+                FROM votes),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+          FROM sig a JOIN sig b ON a.i = b.i AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2, CAST(hamming AS INT) AS hamming
+        FROM pairs WHERE hamming <= 3 ORDER BY d1, d2
+    """,
     "q_dedup_quality_canonical": """
         WITH d AS (
           SELECT doc_id,
@@ -524,7 +566,7 @@ DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "q_dedup_simhash": q_dedup_simhash,  # rows-only: no portable oracle
+    "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_dedup_quality_canonical": q_dedup_quality_canonical,
     "q_upsert_latest_wins": q_upsert_latest_wins,
