@@ -48,6 +48,39 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, orderpriority): all four grouping levels
+    (pair, each single key, grand total) in one scan, tagged with the
+    grouping-id bitmask so consumers can tell a subtotal NULL from a
+    data NULL. Like ROLLUP this is map-side grouping-set expansion --
+    the fact table is still scanned once, and the shuffle moves partial
+    aggregates for every level, so the cost at 100 TB is one scan plus
+    a (levels x group-cardinality)-sized shuffle, not four scans.
+
+    Known edge (documented, not hit by the sf>0 gate): on a ZERO-row
+    input the SQL standard emits one grand-total row for the ``()``
+    grouping set (DuckDB does); Spark's Expand-then-HashAggregate
+    emits zero rows. Identical on any non-empty input."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total_price"),
+        )
+        .orderBy(
+            "gid",
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every purchase event, the timestamp of the same
     user's most recent signup at-or-before the purchase.
@@ -150,6 +183,15 @@ ADVANCED_ORACLES: dict[str, str] = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
         ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "q_cube_revenue": """
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(GROUPING(c_mktsegment, o_orderpriority) AS INT) AS gid,
+               count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
     """,
     "q_asof_last_signup": """
         WITH purchases AS (
@@ -445,6 +487,7 @@ ADVANCED_QUERIES = {
     "q_corr_purchase_click": q_corr_purchase_click,
     "q_gapfill_hourly": q_gapfill_hourly,
     "q_rollup_revenue": q_rollup_revenue,
+    "q_cube_revenue": q_cube_revenue,
     "q_asof_last_signup": q_asof_last_signup,
     "q_approx_distinct_users": q_approx_distinct_users,  # rows-only
     "q_profile_lineitem": q_profile_lineitem,

@@ -242,6 +242,44 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-class outlier screening via median absolute deviation:
+    |value - median| > 3 * MAD. Unlike the z-score screen, the median
+    and MAD are insensitive to the outliers themselves, so one wild
+    value cannot widen its own acceptance band -- the standard robust
+    alternative when curating heavy-tailed quality signals.
+
+    Two grouped exact percentiles (each a shuffle on event_type whose
+    reduce side holds per-group sorted values -- fine while classes fit
+    an executor; a 100 TB deployment swaps ``percentile_approx``, whose
+    mergeable sketches restore constant memory, trading exactness) with
+    the tiny per-class stats broadcast back for the per-row comparison,
+    so the fact table itself never reshuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(broadcast(med), F.col("event_type") == F.col("m_type")).withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.percentile("adev", 0.5).alias("mad"), F.min("med").alias("s_med")
+    )
+    return (
+        dev.join(broadcast(mad), F.col("event_type") == F.col("s_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.min("s_med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_decontaminate_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training documents (sources outside
     BENCH_SOURCES) that share at least one 8-token shingle with any
@@ -623,6 +661,23 @@ CURATION_ORACLES: dict[str, str] = {
         FROM events JOIN st ON event_type = s_type
         GROUP BY 1 ORDER BY 1
     """,
+    "q_mad_outliers": """
+        WITH med AS (
+          SELECT event_type AS m_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY 1),
+        dev AS (
+          SELECT event_type, value, med, abs(value - med) AS adev
+          FROM events JOIN med ON event_type = m_type),
+        mad AS (
+          SELECT event_type AS s_type, quantile_cont(adev, 0.5) AS mad,
+                 min(med) AS s_med
+          FROM dev GROUP BY 1)
+        SELECT event_type, count(*) AS n_events,
+               sum(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS n_outliers,
+               round(min(s_med), 6) AS med, round(min(mad), 6) AS mad
+        FROM dev JOIN mad ON event_type = s_type
+        GROUP BY 1 ORDER BY 1
+    """,
     "q_decontaminate_shingle_overlap": f"""
         WITH bench_sh AS (
           SELECT DISTINCT shingle
@@ -707,6 +762,7 @@ CURATION_QUERIES = {
     "q_heavy_hitter_users": q_heavy_hitter_users,
     "q_stratified_rebalance": q_stratified_rebalance,
     "q_zscore_outliers": q_zscore_outliers,
+    "q_mad_outliers": q_mad_outliers,
     "q_decontaminate_shingle_overlap": q_decontaminate_shingle_overlap,
     "q_quality_gopher": q_quality_gopher,
     "q_pii_redact_stats": q_pii_redact_stats,

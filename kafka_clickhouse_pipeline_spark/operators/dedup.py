@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 
 JACCARD_THRESHOLD = 0.8
+CONTAINMENT_THRESHOLD = 0.9
 COSINE_THRESHOLD = 0.45
 
 #: MinHash signature geometry: b bands x r rows = n hashes.
@@ -139,6 +140,45 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants are measured against."""
     docs = load_table(spark, sf_dir, "documents")
     return _jaccard_pairs(_shingles(docs), JACCARD_THRESHOLD)
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: inter / min(|A|, |B|) >=
+    0.9 over 3-token shingle sets. Catches the case Jaccard misses --
+    a short document wholly embedded in a much longer one (boilerplate
+    inclusion, quote-expansion), where the union denominator dilutes
+    the score below any usable threshold.
+
+    Same inverted-index shape as the exact Jaccard operator: one
+    shuffle on the shingle to build candidate intersections, then tiny
+    per-doc size joins -- no pairwise cross join anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = _shingles(docs)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    containment = F.round(
+        F.col("inter").cast("double") / F.least("sz1", "sz2").cast("double"), 6
+    )
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("d1", "d2", "inter", "containment")
+        .orderBy("d1", "d2")
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -518,6 +558,21 @@ DEDUP_ORACLES: dict[str, str] = {
         WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= {JACCARD_THRESHOLD}
         ORDER BY d1, d2
     """,
+    "q_dedup_containment": f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2, inter,
+               round(inter * 1.0 / least(s1.sz, s2.sz), 6) AS containment
+        FROM inter
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE round(inter * 1.0 / least(s1.sz, s2.sz), 6) >= {CONTAINMENT_THRESHOLD}
+        ORDER BY d1, d2
+    """,
     # q_dedup_minhash_lsh intentionally reuses the exact-Jaccard oracle:
     # at threshold 0.8 the banded-LSH miss probability is <= 3e-4 per
     # pair, so LSH output == exact output on this data (verified in
@@ -565,6 +620,7 @@ DEDUP_ORACLES: dict[str, str] = {
 DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_containment": q_dedup_containment,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,

@@ -72,6 +72,9 @@ EMPTY_SENSITIVE = [
     "q_heavy_hitter_users",
     "q_stratified_rebalance",
     "q_zscore_outliers",
+    "q_mad_outliers",
+    "q_dedup_containment",
+    "q_cube_revenue",
     "q_decontaminate_shingle_overlap",
     "q_quality_gopher",
     "q_pii_redact_stats",
