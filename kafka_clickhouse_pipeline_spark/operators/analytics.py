@@ -222,6 +222,27 @@ def q_window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position analytics: percent_rank and cume_dist of
+    each customer's balance within its market segment, keeping the top
+    decile (percent_rank >= 0.9). Same physical shape as every other
+    window op here -- one shuffle on the partition key, one sorted pass
+    per partition; the rank filter prunes output, not compute."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        customer.select(
+            "c_mktsegment",
+            "c_custkey",
+            _dec("c_acctbal").alias("c_acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .filter(F.col("pr") >= 0.9)
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
 def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window over a time-ordered stream: running purchase
     revenue per user (events table). Partition by user -> sort by ts
@@ -461,6 +482,19 @@ def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANALYTICS_ORACLES: dict[str, str] = {
+    "q_window_percent_rank": """
+        WITH r AS (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 percent_rank() OVER w AS pr_raw,
+                 cume_dist() OVER w AS cd_raw
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+        SELECT c_mktsegment, c_custkey,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal,
+               round(pr_raw, 6) AS pr, round(cd_raw, 6) AS cd
+        FROM r WHERE round(pr_raw, 6) >= 0.9
+        ORDER BY c_mktsegment, c_custkey
+    """,
     "q_range_join_quantity_bands": """
         WITH bands(lo, hi, band) AS (VALUES (1, 10, 'small'), (11, 25, 'mid'), (26, 50, 'large'))
         SELECT band, count(*) AS n_items,
@@ -694,6 +728,7 @@ ANALYTICS_QUERIES = {
     "q_union_priority_classes": q_union_priority_classes,
     "q_window_top3_parts_per_brand": q_window_top3_parts_per_brand,
     "q_window_running_revenue": q_window_running_revenue,
+    "q_window_percent_rank": q_window_percent_rank,
     "q_subquery_above_avg_balance": q_subquery_above_avg_balance,
     "q_intersect_except_customers": q_intersect_except_customers,
     "q_string_functions": q_string_functions,

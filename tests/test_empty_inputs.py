@@ -73,6 +73,7 @@ EMPTY_SENSITIVE = [
     "q_stratified_rebalance",
     "q_zscore_outliers",
     "q_mad_outliers",
+    "q_window_percent_rank",
     "q_dedup_containment",
     "q_cube_revenue",
     "q_decontaminate_shingle_overlap",

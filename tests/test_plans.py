@@ -5,8 +5,11 @@ Python in relational hot paths."""
 
 from __future__ import annotations
 
+import re
+
 from kafka_clickhouse_pipeline_spark import plans
 from kafka_clickhouse_pipeline_spark.operators import (
+    advanced,
     analytics,
     curation,
     dedup,
@@ -238,3 +241,29 @@ def test_range_join_broadcasts_band_dimension(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cube_expands_once_and_broadcasts(spark, sf_dir):
+    """CUBE must compile to one Expand over one scan (grouping-set
+    expansion, not a scan per level) with the customer dim broadcast."""
+    df = advanced.q_cube_revenue(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
+    assert plans.count_broadcast_joins(df) >= 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plans.python_free(df)
+
+
+def test_mad_outliers_broadcasts_stats(spark, sf_dir):
+    """Both per-class stat frames (median, MAD) must broadcast back to
+    the fact table: the events table itself never shuffles for a join."""
+    df = curation.q_mad_outliers(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.count_broadcast_joins(df) >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plans.python_free(df)
+
+
+def test_containment_and_percent_rank_python_free(spark, sf_dir):
+    assert plans.python_free(dedup.q_dedup_containment(spark, sf_dir))
+    assert plans.python_free(analytics.q_window_percent_rank(spark, sf_dir))
