@@ -106,6 +106,92 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed-point PageRank: ranks are BIGINTs scaled by 10^12 and every
+#: update uses integer multiply/divide only, so five synchronous
+#: iterations are bit-identical in Spark and the unrolled SQL oracle
+#: (double-typed PageRank would drift with reduce order and engine).
+PAGERANK_SCALE = 10**12
+PAGERANK_ITERS = 5
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Synchronous PageRank (damping 0.85) over a directed edge list in
+    which every node has at least one out-edge (symmetric graphs
+    qualify; no dangling-mass redistribution needed). Returns
+    (node, r) with r the 10^12-scaled fixed-point rank after ``iters``
+    rounds from a uniform start.
+
+    Driver runs the loop; data never leaves the executors. Per round:
+    map-side broadcast of the (tiny) rank vector onto the checkpointed
+    edge list, then one shuffle of per-destination partial sums --
+    partial aggregation means the shuffle carries O(nodes), not
+    O(edges), regardless of graph size. Edge list is checkpointed once
+    so the (possibly expensive) edge derivation never re-runs per
+    round; rank lineage is truncated every round."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    spark = edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "node bigint, r bigint")
+    r0 = PAGERANK_SCALE // n
+    teleport = (PAGERANK_SCALE * 15 // 100) // n
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(r0).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contribs = ranks.join(deg, ranks["node"] == deg["src"]).select(
+            "src", F.expr("r div d").alias("c")
+        )
+        ranks = (
+            edges.join(F.broadcast(contribs), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit(teleport) + F.expr("(85 * s) div 100")).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 products by PageRank over the co-purchase graph (two
+    parts are linked when they appear in the same order). The edge
+    build is one self-join on orderkey with bounded per-order fanout
+    (TPC-H orders hold <= 7 items) -- linear in lineitem, never
+    quadratic in the catalog -- followed by an edge-dedup shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank_fixed_point(edges)
+    return (
+        # 8-dp display rank via integer half-up then exact double divide
+        # (engine round() implementations differ in last-ulp cases;
+        # integer arithmetic cannot)
+        ranks.select(
+            F.col("node").alias("partkey"),
+            F.col("r").alias("rank_scaled"),
+            (F.expr("(r + 5000) div 10000") / F.lit(1e8)).alias("pagerank"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "partkey")
+        .limit(20)
+    )
+
+
 _PAIRS_SQL = f"""
         WITH RECURSIVE sh AS (
           SELECT doc_id,
@@ -127,7 +213,38 @@ _PAIRS_SQL = f"""
           WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= {JACCARD_THRESHOLD})
 """
 
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled synchronous-PageRank round (integer fixed point,
+    mirroring pagerank_fixed_point exactly)."""
+    return f"""
+        r{i} AS (
+          SELECT e.dst AS node,
+                 (SELECT tp FROM tp) + (85 * sum(r.r // d.d)) // 100 AS r
+          FROM e JOIN r{i - 1} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src
+          GROUP BY e.dst)"""
+
+
+_PAGERANK_SQL = f"""
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM deg),
+        tp AS (SELECT (({PAGERANK_SCALE} * 15) // 100) // (SELECT n FROM n) AS tp),
+        r0 AS (SELECT src AS node, {PAGERANK_SCALE} // (SELECT n FROM n) AS r
+               FROM deg),
+        {",".join(_pagerank_iter_sql(i) for i in range(1, PAGERANK_ITERS + 1))}
+        SELECT node AS partkey, CAST(r AS BIGINT) AS rank_scaled,
+               CAST((r + 5000) // 10000 AS BIGINT) / 100000000.0 AS pagerank
+        FROM r{PAGERANK_ITERS}
+        ORDER BY rank_scaled DESC, partkey LIMIT 20
+"""
+
+
 GRAPH_ORACLES: dict[str, str] = {
+    "q_pagerank_copurchase": _PAGERANK_SQL,
     "q_dedup_clusters": f"""
         {_PAIRS_SQL},
         edges AS (
@@ -148,4 +265,5 @@ GRAPH_ORACLES: dict[str, str] = {
 
 GRAPH_QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
+    "q_pagerank_copurchase": q_pagerank_copurchase,
 }

@@ -74,6 +74,7 @@ EMPTY_SENSITIVE = [
     "q_zscore_outliers",
     "q_mad_outliers",
     "q_window_percent_rank",
+    "q_pagerank_copurchase",
     "q_dedup_containment",
     "q_cube_revenue",
     "q_decontaminate_shingle_overlap",

@@ -267,3 +267,13 @@ def test_mad_outliers_broadcasts_stats(spark, sf_dir):
 def test_containment_and_percent_rank_python_free(spark, sf_dir):
     assert plans.python_free(dedup.q_dedup_containment(spark, sf_dir))
     assert plans.python_free(analytics.q_window_percent_rank(spark, sf_dir))
+
+
+def test_pagerank_python_free_and_topk(spark, sf_dir):
+    """The rank loop is JVM joins/aggregates only; the final top-20
+    compiles to TakeOrderedAndProject, not a global sort."""
+    from kafka_clickhouse_pipeline_spark.operators import graph
+
+    df = graph.q_pagerank_copurchase(spark, sf_dir)
+    assert plans.python_free(df)
+    assert plans.uses_top_k(df)
