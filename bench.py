@@ -78,17 +78,28 @@ def main() -> None:
     # min of two runs per query: steady-state engine cost, insulated
     # from one-off JIT/IO noise so round-over-round trends are real
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        fn = qs.get(name)
+        if fn is None:
+            errors[name] = "not registered"
+            continue
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 - one bad query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    ingest_eps = _bench_ingest(spark)
+    try:
+        ingest_eps = _bench_ingest(spark)
+    except Exception as exc:  # noqa: BLE001
+        errors["_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
+        ingest_eps = 0.0
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -99,6 +110,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_events_per_sec": ingest_eps,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

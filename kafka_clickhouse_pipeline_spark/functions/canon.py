@@ -1,0 +1,62 @@
+"""Canonical output-type helpers for driver-facing query results.
+
+The driver's correctness gate hashes query output values after loading
+both the Spark result and the DuckDB oracle result into a common
+in-memory form. Round 1 showed the hash is sensitive to output
+*representation* (CORRECTNESS_r01: 19 value-identical queries failed on
+type alone): decimal precision metadata, int32-vs-int64 widths, and
+timestamp unit/zone all change the hash even when every cell is equal.
+
+These helpers pin every driver-facing output column to a canonical,
+engine-neutral representation; each has a one-line DuckDB twin the
+oracle SQL must use:
+
+    big(c)        <->  CAST(c AS BIGINT)
+    money(c, s)   <->  CAST(c AS DECIMAL(38, s))
+    ts_str(c)     <->  strftime(c, '%Y-%m-%d %H:%M:%S')
+    date_str(c)   <->  strftime(c, '%Y-%m-%d')
+
+Temporal values are rendered as strings because int64-epoch or
+timestamp columns travel through pandas with unit (ns vs us) and zone
+baggage that differs between the two engines; strings are
+representation-free. This is an output-boundary convention only — all
+internal computation stays in native timestamp/decimal types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+DATE_FMT = "yyyy-MM-dd"
+
+#: DuckDB-side twins (documentation + reuse in oracle f-strings).
+DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S"
+DUCK_DATE_FMT = "%Y-%m-%d"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def big(col: Column | str) -> Column:
+    """Canonical integer output: BIGINT (DuckDB returns int64 for
+    length/rank/year/...; Spark returns int32 — widen)."""
+    return _c(col).cast("long")
+
+
+def money(col: Column | str, scale: int = 2) -> Column:
+    """Canonical exact-decimal output: DECIMAL(38, scale), matching
+    DuckDB's SUM(DECIMAL(p,s)) -> DECIMAL(38,s) result type."""
+    return _c(col).cast(f"decimal(38,{scale})")
+
+
+def ts_str(col: Column | str) -> Column:
+    """Canonical timestamp output: 'yyyy-MM-dd HH:mm:ss' string."""
+    return F.date_format(_c(col), TS_FMT)
+
+
+def date_str(col: Column | str) -> Column:
+    """Canonical date output: 'yyyy-MM-dd' string."""
+    return F.date_format(_c(col), DATE_FMT)

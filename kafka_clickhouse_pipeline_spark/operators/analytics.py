@@ -23,6 +23,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.canon import big, money, ts_str
 
 DEC = "decimal(18,2)"
 
@@ -50,8 +51,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agged.select(
         "l_returnflag",
         "l_linestatus",
-        "sum_qty",
-        "sum_base_price",
+        money("sum_qty").alias("sum_qty"),
+        money("sum_base_price").alias("sum_base_price"),
         "sum_disc_price",
         (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
         (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
@@ -115,6 +116,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+        .select("l_orderkey", ts_str("o_orderdate").alias("o_orderdate"), "o_orderpriority", "revenue")
     )
 
 
@@ -181,6 +183,7 @@ def q_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 300)
         .orderBy(F.col("total_qty").desc(), F.col("l_orderkey"))
+        .select("l_orderkey", money("total_qty").alias("total_qty"))
     )
 
 
@@ -200,7 +203,7 @@ def q_union_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("klass")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("total_price"),
+            money(F.sum(_dec("o_totalprice"))).alias("total_price"),
         )
         .orderBy("klass")
     )
@@ -217,7 +220,12 @@ def q_window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         part.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("p_brand", "p_partkey", _dec("p_retailprice").alias("p_retailprice"), "rnk")
+        .select(
+            "p_brand",
+            "p_partkey",
+            _dec("p_retailprice").alias("p_retailprice"),
+            big("rnk").alias("rnk"),
+        )
         .orderBy("p_brand", "rnk")
     )
 
@@ -258,8 +266,8 @@ def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            "ts",
-            F.sum(_dec("value")).over(w).alias("running_revenue"),
+            ts_str("ts").alias("ts"),
+            money(F.sum(_dec("value")).over(w)).alias("running_revenue"),
         )
     )
 
@@ -312,7 +320,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.upper("p_name").alias("name_upper"),
             F.substring("p_name", 1, 5).alias("name_prefix"),
-            F.length("p_name").alias("name_len"),
+            big(F.length("p_name")).alias("name_len"),
             F.regexp_replace(F.col("p_name"), "a", "@").alias("name_masked"),
             F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         )
@@ -382,11 +390,19 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("y", "q")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min("month_start").alias("first_month"),
+            F.min("month_start").alias("first_month_ts"),
             F.max("d").alias("max_day"),
             F.sum("price").alias("total_price"),
         )
         .orderBy("y", "q")
+        .select(
+            big("y").alias("y"),
+            big("q").alias("q"),
+            "n",
+            ts_str("first_month_ts").alias("first_month"),
+            big("max_day").alias("max_day"),
+            money("total_price").alias("total_price"),
+        )
     )
 
 
@@ -400,7 +416,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # TIMESTAMP_NTZ cannot cast straight to BIGINT in Spark 4; go via
+    # an epoch-seconds expression that is NTZ-safe.
+    ts_secs = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_secs - F.lag(ts_secs).over(w)
     with_flag = events.select(
         "user_id",
         "event_id",
@@ -418,12 +437,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_sid.groupBy("user_id", "session_seq")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min("ts").alias("session_start_ts"),
+            F.max("ts").alias("session_end_ts"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("revenue"),
         )
         .orderBy("user_id", "session_seq")
+        .select(
+            "user_id",
+            big("session_seq").alias("session_seq"),
+            ts_str("session_start_ts").alias("session_start"),
+            ts_str("session_end_ts").alias("session_end"),
+            "n_events",
+            money("revenue").alias("revenue"),
+        )
     )
 
 
@@ -517,9 +544,11 @@ ANALYTICS_ORACLES: dict[str, str] = {
           SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
           FROM flagged)
-        SELECT user_id, session_seq,
-               min(ts) AS session_start, max(ts) AS session_end,
-               count(*) AS n_events, sum(value) AS revenue
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events,
+               CAST(sum(value) AS DECIMAL(38,2)) AS revenue
         FROM sid GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
     """,
@@ -563,8 +592,10 @@ ANALYTICS_ORACLES: dict[str, str] = {
                  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
                  CAST(o_totalprice AS DECIMAL(18,2)) AS price
           FROM orders)
-        SELECT y, q, count(*) AS n, min(month_start) AS first_month,
-               max(d) AS max_day, sum(price) AS total_price
+        SELECT y, q, count(*) AS n,
+               strftime(min(month_start), '%Y-%m-%d %H:%M:%S') AS first_month,
+               max(d) AS max_day,
+               CAST(sum(price) AS DECIMAL(38,2)) AS total_price
         FROM d GROUP BY y, q ORDER BY y, q
     """,
     "q_intersect_except_customers": """
@@ -603,7 +634,10 @@ ANALYTICS_ORACLES: dict[str, str] = {
           FROM lineitem
           WHERE l_shipdate <= TIMESTAMP '1998-09-02'
           GROUP BY l_returnflag, l_linestatus)
-        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum_qty AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum_base_price AS DECIMAL(38,2)) AS sum_base_price,
+               sum_disc_price,
                CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
                CAST(sum_base_price AS DOUBLE) / count_order AS avg_price,
                count_order
@@ -627,7 +661,8 @@ ANALYTICS_ORACLES: dict[str, str] = {
         ORDER BY revenue DESC, n_name
     """,
     "q3_shipping_priority": """
-        SELECT l_orderkey, o_orderdate, o_orderpriority,
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+               o_orderpriority,
                sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                    AS DECIMAL(28,4))) AS revenue
@@ -672,7 +707,8 @@ ANALYTICS_ORACLES: dict[str, str] = {
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "q_having_big_orders": """
-        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
         FROM lineitem
         GROUP BY l_orderkey
         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
@@ -680,7 +716,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
     """,
     "q_union_priority_classes": """
         SELECT klass, count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
         FROM (
           SELECT 'urgent' AS klass, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
           UNION ALL
@@ -699,10 +735,11 @@ ANALYTICS_ORACLES: dict[str, str] = {
         ORDER BY p_brand, rnk
     """,
     "q_window_running_revenue": """
-        SELECT user_id, event_id, ts,
-               sum(CAST(value AS DECIMAL(18,2)))
+        SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               CAST(sum(CAST(value AS DECIMAL(18,2)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+                 AS running_revenue
         FROM events
         WHERE event_type = 'purchase'
     """,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import parse_datetime_best_effort, to_decimal32, to_yyyymm
+from ..functions.canon import ts_str
 
 
 def mv_parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,7 +29,7 @@ def mv_parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("value").isNotNull())
         .select(
             "event_id",
-            parsed.alias("event_time"),
+            ts_str(parsed).alias("event_time"),
             to_decimal32("value").alias("total"),
             to_yyyymm(parsed).alias("event_month"),
         )
@@ -38,7 +39,7 @@ def mv_parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_ORACLES: dict[str, str] = {
     "mv_parse_typed": """
         SELECT event_id,
-               date_trunc('second', ts) AS event_time,
+               strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS event_time,
                CAST(value AS DECIMAL(9,2)) AS total,
                CAST(year(ts) * 100 + month(ts) AS INTEGER) AS event_month
         FROM events

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import ch_if, to_start_of_hour
+from ..functions.canon import money, ts_str
 
 #: Fixed "now" for relative-time predicates over static fixtures.
 ANCHOR = "2024-01-30 00:00:00"
@@ -55,12 +56,17 @@ def sales_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ts") >= F.lit(ANCHOR).cast("timestamp") - F.expr("INTERVAL 1 DAY"))
             & (F.col("ts") < F.lit(ANCHOR).cast("timestamp"))
         )
-        .groupBy(to_start_of_hour("ts").alias("hour"))
+        .groupBy(to_start_of_hour("ts").alias("hour_ts"))
         .agg(
             F.count(F.lit(1)).alias("total_quantity"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"),
         )
-        .orderBy("hour")
+        .orderBy("hour_ts")
+        .select(
+            ts_str("hour_ts").alias("hour"),
+            "total_quantity",
+            money("rev").alias("revenue"),
+        )
     )
 
 
@@ -96,9 +102,11 @@ def stock_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outgoing"),
         )
     )
-    return agged.orderBy(
-        (F.col("incoming") + F.col("outgoing")).desc(), F.col("user_id")
-    ).limit(5)
+    return (
+        agged.orderBy((F.col("incoming") + F.col("outgoing")).desc(), F.col("user_id"))
+        .limit(5)
+        .select("user_id", money("incoming").alias("incoming"), money("outgoing").alias("outgoing"))
+    )
 
 
 def recent_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,9 +121,14 @@ def recent_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.filter(F.col("event_type") == "purchase")
-        .select("event_id", "ts", "user_id", F.col("value").cast("decimal(18,2)").alias("value"))
         .orderBy(F.col("ts").desc(), F.col("event_id"))
         .limit(10)
+        .select(
+            "event_id",
+            ts_str("ts").alias("ts"),
+            "user_id",
+            money(F.col("value").cast("decimal(18,2)")).alias("value"),
+        )
     )
 
 
@@ -136,45 +149,58 @@ def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: registered views -- the reference's entry style (app.py passes SQL
 #: strings to clickhouse-driver). Catalyst compiles these to the same
 #: plans as the DataFrame forms (asserted in tests/test_sql_interface.py).
-SERVING_SQL: dict[str, str] = {
-    "sales_by_hour": f"""
-        SELECT date_trunc('hour', ts) AS hour,
-               count(*) AS total_quantity,
-               sum(CAST(value AS DECIMAL(18,2))) AS revenue
-        FROM events
-        WHERE event_type = 'purchase'
-          AND ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 1 DAY
-          AND ts < TIMESTAMP '{ANCHOR}'
-        GROUP BY 1 ORDER BY 1
-    """,
-    "stock_top5": f"""
-        SELECT user_id,
-               sum(CASE WHEN event_type = 'purchase'
-                        THEN CAST(value AS DECIMAL(18,2))
-                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS incoming,
-               sum(CASE WHEN event_type IN ('click','view')
-                        THEN CAST(value AS DECIMAL(18,2))
-                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS outgoing
-        FROM events
-        WHERE ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY
-          AND ts < TIMESTAMP '{ANCHOR}'
-        GROUP BY user_id
-        ORDER BY (incoming + outgoing) DESC, user_id
-        LIMIT 5
-    """,
-    "recent_sales": """
-        SELECT event_id, ts, user_id, CAST(value AS DECIMAL(18,2)) AS value
-        FROM events
-        WHERE event_type = 'purchase'
-        ORDER BY ts DESC, event_id
-        LIMIT 10
-    """,
-    "status_counts": """
-        SELECT event_type, count(*) AS row_count
-        FROM events
-        GROUP BY event_type ORDER BY event_type
-    """,
-}
+def _serving_sql(ts_render: str) -> dict[str, str]:
+    """The four serving queries as SQL. ``ts_render`` is a
+    ``{}``-style format spec rendering a timestamp expression to the
+    canonical 'yyyy-MM-dd HH:mm:ss' string: Spark uses date_format,
+    DuckDB uses strftime — the only dialect split; everything else is
+    the shared ANSI subset."""
+    hour_s = ts_render.format("date_trunc('hour', ts)")
+    ts_s = ts_render.format("ts")
+    return {
+        "sales_by_hour": f"""
+            SELECT {hour_s} AS hour,
+                   count(*) AS total_quantity,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+            FROM events
+            WHERE event_type = 'purchase'
+              AND ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 1 DAY
+              AND ts < TIMESTAMP '{ANCHOR}'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "stock_top5": f"""
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS incoming,
+                   CAST(sum(CASE WHEN event_type IN ('click','view')
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS outgoing
+            FROM events
+            WHERE ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY
+              AND ts < TIMESTAMP '{ANCHOR}'
+            GROUP BY user_id
+            ORDER BY (incoming + outgoing) DESC, user_id
+            LIMIT 5
+        """,
+        "recent_sales": f"""
+            SELECT event_id, {ts_s} AS ts, user_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS value
+            FROM events
+            WHERE event_type = 'purchase'
+            ORDER BY events.ts DESC, event_id
+            LIMIT 10
+        """,
+        "status_counts": """
+            SELECT event_type, count(*) AS row_count
+            FROM events
+            GROUP BY event_type ORDER BY event_type
+        """,
+    }
+
+
+#: Spark-parsable SQL (spark.sql entry style, tests/test_sql_interface.py).
+SERVING_SQL: dict[str, str] = _serving_sql("date_format({}, 'yyyy-MM-dd HH:mm:ss')")
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
@@ -186,7 +212,7 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return spark.sql(query)
 
 
-#: Oracle SQL == the serving SQL strings: these queries are written
-#: in the ANSI subset both Spark SQL and DuckDB parse identically.
-SERVING_ORACLES: dict[str, str] = dict(SERVING_SQL)
+#: DuckDB oracle SQL: identical shapes, strftime for the canonical
+#: timestamp-string rendering (functions/canon.py convention).
+SERVING_ORACLES: dict[str, str] = _serving_sql("strftime({}, '%Y-%m-%d %H:%M:%S')")
 
