@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.canon import date_str, money, ts_str
 
 DEC = "decimal(18,2)"
 
@@ -39,7 +40,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("c_mktsegment", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("total_price"),
+            money(F.sum(F.col("o_totalprice").cast(DEC))).alias("total_price"),
         )
         .orderBy(
             F.col("c_mktsegment").asc_nulls_first(),
@@ -71,7 +72,7 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("total_price"),
+            money(F.sum(F.col("o_totalprice").cast(DEC))).alias("total_price"),
         )
         .orderBy(
             "gid",
@@ -107,7 +108,12 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         relevant.withColumn("last_signup_ts", last_signup)
         .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", "last_signup_ts")
+        .select(
+            "event_id",
+            "user_id",
+            ts_str("ts").alias("ts"),
+            ts_str("last_signup_ts").alias("last_signup_ts"),
+        )
         .orderBy("event_id")
     )
 
@@ -162,7 +168,7 @@ ADVANCED_ORACLES: dict[str, str] = {
     "q_profile_lineitem": """
         WITH agged AS (
           SELECT l_returnflag, count(*) AS n,
-                 sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null,
+                 CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                  min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
                  max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
@@ -179,7 +185,7 @@ ADVANCED_ORACLES: dict[str, str] = {
     "q_rollup_revenue": """
         SELECT c_mktsegment, o_orderpriority,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
         ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -188,7 +194,7 @@ ADVANCED_ORACLES: dict[str, str] = {
         SELECT c_mktsegment, o_orderpriority,
                CAST(GROUPING(c_mktsegment, o_orderpriority) AS INT) AS gid,
                count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY CUBE (c_mktsegment, o_orderpriority)
         ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -198,7 +204,9 @@ ADVANCED_ORACLES: dict[str, str] = {
           SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         signups AS (
           SELECT user_id, ts FROM events WHERE event_type = 'signup')
-        SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS last_signup_ts
         FROM purchases p
         ASOF LEFT JOIN signups s
           ON p.user_id = s.user_id AND p.ts >= s.ts
@@ -206,20 +214,29 @@ ADVANCED_ORACLES: dict[str, str] = {
     """,
 }
 
-_HYPERTABLE_SQL = """
-    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
-           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
-           CASE WHEN CAST(date_trunc('hour', ts) AS TIMESTAMP) IS NOT NULL
+def _hypertable_sql(ts_render: str) -> str:
+    """Shared hourly+daily GROUPING SETS rollup; ``ts_render`` formats a
+    timestamp expression to the canonical string (date_format on Spark,
+    strftime on DuckDB)."""
+    hour_s = ts_render.format("date_trunc('hour', ts)")
+    day_s = ts_render.format("date_trunc('day', ts)")
+    return f"""
+    SELECT {hour_s} AS bucket_hour,
+           {day_s} AS bucket_day,
+           CASE WHEN {hour_s} IS NOT NULL
                 THEN 'hour' ELSE 'day' END AS granularity,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY GROUPING SETS (
-      (CAST(date_trunc('hour', ts) AS TIMESTAMP)),
-      (CAST(date_trunc('day', ts) AS TIMESTAMP)))
+      ({hour_s}),
+      ({day_s}))
     ORDER BY granularity, bucket_hour NULLS FIRST, bucket_day NULLS FIRST
 """
+
+
+_HYPERTABLE_SQL = _hypertable_sql("date_format({}, 'yyyy-MM-dd HH:mm:ss')")
 
 
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,7 +251,8 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _HYPERTABLE_SQL)
 
 
-ADVANCED_ORACLES["q_hypertable_rollup"] = _HYPERTABLE_SQL
+ADVANCED_ORACLES["q_hypertable_rollup"] = _hypertable_sql(
+    "strftime({}, '%Y-%m-%d %H:%M:%S')")
 
 
 def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,12 +289,12 @@ def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spine.join(hourly, "hour", "left")
         .select(
-            "hour",
+            ts_str("hour").alias("hour"),
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-            F.coalesce(F.col("rev"), F.lit(0).cast(DEC)).alias("revenue"),
-            F.last("rev", ignorenulls=True).over(w).alias("carried_revenue"),
+            money(F.coalesce(F.col("rev"), F.lit(0).cast(DEC))).alias("revenue"),
+            money(F.last("rev", ignorenulls=True).over(w)).alias("carried_revenue"),
         )
-        .orderBy("hour")
+        .orderBy(F.col("hour"))
     )
 
 
@@ -349,12 +367,12 @@ ADVANCED_ORACLES["q_gapfill_hourly"] = """
                  CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS mx
           FROM events),
     spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b)
-    SELECT s.hour,
+    SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
            coalesce(n, 0) AS n_events,
-           coalesce(rev, CAST(0 AS DECIMAL(18,2))) AS revenue,
-           last_value(rev IGNORE NULLS)
+           CAST(coalesce(rev, CAST(0 AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+           CAST(last_value(rev IGNORE NULLS)
              OVER (ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS carried_revenue
+             AS DECIMAL(38,2)) AS carried_revenue
     FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
     ORDER BY s.hour
 """
@@ -379,14 +397,14 @@ def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day_num").rangeBetween(-6, 0)
     return (
         daily.select(
-            "day",
-            "revenue",
+            date_str("day").alias("day"),
+            money("revenue").alias("revenue"),
             (
                 F.sum("revenue").over(w).cast("double")
                 / F.count(F.lit(1)).over(w).cast("double")
             ).alias("avg_7d"),
         )
-        .orderBy("day")
+        .orderBy(F.col("day"))
     )
 
 
@@ -396,7 +414,8 @@ ADVANCED_ORACLES["q_moving_avg_7d"] = """
              sum(CAST(value AS DECIMAL(18,2))) AS revenue,
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 3)
-    SELECT day, revenue,
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(revenue AS DECIMAL(38,2)) AS revenue,
            CAST(sum(revenue) OVER w AS DOUBLE) /
            CAST(count(*) OVER w AS DOUBLE) AS avg_7d
     FROM daily
@@ -420,15 +439,15 @@ def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("revenue").over(w)
     return (
         daily.select(
-            "day",
-            "revenue",
-            prev.alias("prev_revenue"),
+            date_str("day").alias("day"),
+            money("revenue").alias("revenue"),
+            money(prev).alias("prev_revenue"),
             (
                 (F.col("revenue").cast("double") - prev.cast("double"))
                 / prev.cast("double")
             ).alias("pct_change"),
         )
-        .orderBy("day")
+        .orderBy(F.col("day"))
     )
 
 
@@ -437,8 +456,9 @@ ADVANCED_ORACLES["q_day_over_day"] = """
       SELECT CAST(ts AS DATE) AS day,
              sum(CAST(value AS DECIMAL(18,2))) AS revenue
       FROM events WHERE event_type = 'purchase' GROUP BY 1)
-    SELECT day, revenue,
-           lag(revenue) OVER (ORDER BY day) AS prev_revenue,
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(revenue AS DECIMAL(38,2)) AS revenue,
+           CAST(lag(revenue) OVER (ORDER BY day) AS DECIMAL(38,2)) AS prev_revenue,
            (CAST(revenue AS DOUBLE) -
             CAST(lag(revenue) OVER (ORDER BY day) AS DOUBLE)) /
            CAST(lag(revenue) OVER (ORDER BY day) AS DOUBLE) AS pct_change

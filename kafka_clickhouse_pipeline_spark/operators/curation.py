@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
+from ..functions.canon import date_str
 from .dedup import _shingle_expr, _shingles
 
 #: Sources treated as the held-out benchmark split for decontamination.
@@ -141,7 +142,12 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort_day, days-since-cohort) cell, distinct active users. Two
     shuffles: the per-user min-day, then the cohort-cell distinct
     count (the per-user cohort table joins back keyed on user_id)."""
-    return retention_cohorts(load_table(spark, sf_dir, "events"))
+    grid = retention_cohorts(load_table(spark, sf_dir, "events"))
+    return grid.select(
+        date_str("cohort_day").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_active",
+    ).orderBy("cohort_day", "day_offset")
 
 
 def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,7 +374,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.join(top, "doc_id")
         .select(
             "doc_id",
-            "n_tokens",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
             ttr.alias("ttr"),
             dup.alias("dup_bigram_frac"),
             tts.alias("top_token_share"),
@@ -461,7 +467,7 @@ def pack_sequences(docs: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
         return pdf
 
     return sized.groupBy("source", "shard").applyInPandas(
-        pack, "source string, shard long, doc_id long, n_tokens int, bin_id long"
+        pack, "source string, shard long, doc_id long, n_tokens long, bin_id long"
     )
 
 
@@ -535,7 +541,7 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "source",
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
     w = (
@@ -590,7 +596,7 @@ CURATION_ORACLES: dict[str, str] = {
                  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
                                      ROWS UNBOUNDED PRECEDING) AS cum_tokens
           FROM k)
-        SELECT source, doc_id, n_tokens, cum_tokens
+        SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
         ORDER BY source, cum_tokens
     """,
@@ -612,7 +618,8 @@ CURATION_ORACLES: dict[str, str] = {
     "q_retention_cohorts": """
         WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
         cohort AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
-        SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset,
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               date_diff('day', cohort_day, d) AS day_offset,
                count(DISTINCT ev.user_id) AS n_active
         FROM ev JOIN cohort ON ev.user_id = cohort.user_id
         GROUP BY 1, 2 ORDER BY 1, 2
@@ -629,11 +636,11 @@ CURATION_ORACLES: dict[str, str] = {
     """,
     "q_stratified_rebalance": """
         SELECT event_type, count(*) AS n_total,
-               sum(CASE WHEN (event_type = 'view' AND event_id % 10 = 0)
+               CAST(sum(CASE WHEN (event_type = 'view' AND event_id % 10 = 0)
                           OR (event_type = 'click' AND event_id % 5 = 0)
                           OR (event_type = 'error' AND event_id % 2 = 0)
                           OR event_type NOT IN ('view', 'click', 'error')
-                        THEN 1 ELSE 0 END) AS n_kept,
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(sum(CASE WHEN (event_type = 'view' AND event_id % 10 = 0)
                           OR (event_type = 'click' AND event_id % 5 = 0)
                           OR (event_type = 'error' AND event_id % 2 = 0)
@@ -655,8 +662,8 @@ CURATION_ORACLES: dict[str, str] = {
                       (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std
           FROM stats)
         SELECT event_type, max(n) AS n_events,
-               sum(CASE WHEN abs(value - mean) > 3.0 * std THEN 1 ELSE 0 END)
-                 AS n_outliers,
+               CAST(sum(CASE WHEN abs(value - mean) > 3.0 * std THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers,
                max(mean) AS mean, max(std) AS std
         FROM events JOIN st ON event_type = s_type
         GROUP BY 1 ORDER BY 1
@@ -673,7 +680,7 @@ CURATION_ORACLES: dict[str, str] = {
                  min(med) AS s_med
           FROM dev GROUP BY 1)
         SELECT event_type, count(*) AS n_events,
-               sum(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS n_outliers,
+               CAST(sum(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                round(min(s_med), 6) AS med, round(min(mad), 6) AS mad
         FROM dev JOIN mad ON event_type = s_type
         GROUP BY 1 ORDER BY 1
@@ -726,10 +733,10 @@ CURATION_ORACLES: dict[str, str] = {
         s3 AS (SELECT *, regexp_replace(p2, '{PII_NUMBER}', '<NUM>', 'g') AS p3
                FROM s2)
         SELECT event_type, count(*) AS n_rows,
-               sum(len(regexp_extract_all(props, '{PII_EMAIL}'))) AS n_email,
-               sum(len(regexp_extract_all(p1, '{PII_PHONE}'))) AS n_phone,
-               sum(len(regexp_extract_all(p2, '{PII_NUMBER}'))) AS n_num,
-               sum(length(p3) - length(props)) AS redacted_len_delta
+               CAST(sum(len(regexp_extract_all(props, '{PII_EMAIL}'))) AS BIGINT) AS n_email,
+               CAST(sum(len(regexp_extract_all(p1, '{PII_PHONE}'))) AS BIGINT) AS n_phone,
+               CAST(sum(len(regexp_extract_all(p2, '{PII_NUMBER}'))) AS BIGINT) AS n_num,
+               CAST(sum(length(p3) - length(props)) AS BIGINT) AS redacted_len_delta
         FROM s3 GROUP BY 1 ORDER BY 1
     """,
     "q_pack_sequences": f"""
@@ -751,7 +758,8 @@ CURATION_ORACLES: dict[str, str] = {
                       THEN r.bin_id ELSE r.bin_id + 1 END
           FROM r JOIN t ON t.source = r.source AND t.shard = r.shard
                        AND t.rn = r.rn + 1)
-        SELECT source, shard, doc_id, n_tokens, bin_id
+        SELECT source, shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(bin_id AS BIGINT) AS bin_id
         FROM r ORDER BY source, doc_id
     """,
 }

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.canon import ts_str
 
 JACCARD_THRESHOLD = 0.8
 CONTAINMENT_THRESHOLD = 0.9
@@ -280,7 +281,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("d1", "d2", "inter", "jaccard")
+        .select("d1", "d2", F.col("inter").cast("long").alias("inter"), "jaccard")
     )
 
 
@@ -452,7 +453,7 @@ def q_dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "fingerprint",
         (-F.col("m.negid")).alias("canonical_id"),
-        F.col("m.q").alias("best_n_tokens"),
+        F.col("m.q").cast("long").alias("best_n_tokens"),
         "n_docs",
     ).orderBy("fingerprint")
 
@@ -478,7 +479,7 @@ def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id",
         "event_type",
-        F.col("m.ts").alias("last_ts"),
+        ts_str(F.col("m.ts")).alias("last_ts"),
         F.col("m.event_id").alias("last_event_id"),
         F.col("m.value").alias("last_value"),
     ).orderBy("user_id", "event_type")
@@ -533,7 +534,8 @@ DEDUP_ORACLES: dict[str, str] = {
                  row_number() OVER (PARTITION BY user_id, event_type
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events)
-        SELECT user_id, event_type, ts AS last_ts,
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
                event_id AS last_event_id, value AS last_value
         FROM r WHERE rn = 1 ORDER BY user_id, event_type
     """,

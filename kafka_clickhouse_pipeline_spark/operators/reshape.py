@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.canon import money
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -27,12 +28,14 @@ def q_pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explicit pivot values -> no discovery pass)."""
     events = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,2)")
-    return (
+    wide = (
         events.groupBy("user_id")
         .pivot("event_type", list(EVENT_TYPES))
         .agg(F.sum(dec))
-        .orderBy("user_id")
     )
+    return wide.select(
+        "user_id", *[money(t).alias(t) for t in EVENT_TYPES]
+    ).orderBy("user_id")
 
 
 def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +95,7 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.groupBy("measure")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("val").alias("total"),
+            money(F.sum("val")).alias("total"),
             F.min("val").alias("min_val"),
             F.max("val").alias("max_val"),
         )
@@ -114,7 +117,7 @@ def q_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("bal"), F.col("c_custkey"))
     return (
         customer.select("c_custkey", dec.alias("bal"))
-        .withColumn("quartile", F.ntile(4).over(w))
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -133,7 +136,7 @@ RESHAPE_ORACLES: dict[str, str] = {
           SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
           UNION ALL
           SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem)
-        SELECT measure, count(*) AS n, sum(val) AS total,
+        SELECT measure, count(*) AS n, CAST(sum(val) AS DECIMAL(38,2)) AS total,
                min(val) AS min_val, max(val) AS max_val
         FROM long GROUP BY measure ORDER BY measure
     """,
@@ -148,11 +151,11 @@ RESHAPE_ORACLES: dict[str, str] = {
     """,
     "q_pivot_user_event_values": """
         SELECT user_id,
-               sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS click,
-               sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS error,
-               sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS purchase,
-               sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS signup,
-               sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS view
+               CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS click,
+               CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS view
         FROM events GROUP BY user_id ORDER BY user_id
     """,
     "q_sample_systematic": """

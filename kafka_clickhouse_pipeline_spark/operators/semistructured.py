@@ -76,7 +76,7 @@ SEMISTRUCTURED_ORACLES: dict[str, str] = {
           SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events)
-        SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+        SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
                CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
         FROM k WHERE k IS NOT NULL
         GROUP BY event_type ORDER BY event_type

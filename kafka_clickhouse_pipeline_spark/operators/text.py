@@ -39,9 +39,9 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.size(_tokens()).alias("n_tokens"),
-        F.size(bpeish).alias("n_subtokens"),
-        F.length("text").alias("text_len"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.size(bpeish).cast("long").alias("n_subtokens"),
+        F.length("text").cast("long").alias("text_len"),
     ).orderBy("doc_id")
 
 
@@ -72,7 +72,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 6).alias("quality_score"),
@@ -91,7 +91,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        n_markers.alias("n_markers"),
+        n_markers.cast("long").alias("n_markers"),
         F.when(n_markers > 0, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
     ).orderBy("doc_id")
 
@@ -208,7 +208,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rnk").cast("long").alias("rnk"))
         .orderBy("doc_id", "rnk")
     )
 
@@ -422,7 +422,7 @@ TEXT_ORACLES["q_perplexity_unigram"] = """
       FROM tf JOIN freq USING (term) CROSS JOIN tot),
     agg AS (SELECT doc_id, sum(c) AS s, sum(tf) AS n_tokens
             FROM contrib GROUP BY 1)
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_neg_logp,
            round(exp(CAST(s AS DOUBLE) / n_tokens), 6) AS ppl
     FROM agg ORDER BY doc_id

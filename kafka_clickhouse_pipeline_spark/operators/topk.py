@@ -59,6 +59,6 @@ def grouped_topk(
         *[F.col(c).asc() if a else F.col(c).desc() for c, a in order]
     )
     return (
-        pruned.withColumn(rank_col, F.row_number().over(w))
+        pruned.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= k)
     )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
+from ..functions.canon import big as big_int, money, ts_str
 
 DEC = "decimal(18,2)"
 
@@ -93,7 +94,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
             )
         )
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.sum(_volume()).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -129,7 +130,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
                 F.lit(0).cast("decimal(28,4)")
@@ -162,7 +163,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
-            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+            F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year")
         )
         .agg(F.sum(_volume()).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
@@ -279,11 +280,16 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
-        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ts_str("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            money("sum_qty").alias("sum_qty"),
+        )
     )
 
 
@@ -337,7 +343,7 @@ def q22_untapped_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec("c_acctbal")).alias("total_acctbal"),
+            money(F.sum(_dec("c_acctbal"))).alias("total_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -447,7 +453,9 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
           SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
           FROM lineitem GROUP BY l_orderkey
           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+               o_totalprice, sum_qty
         FROM big
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -470,7 +478,7 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
                  AS thr
           FROM customer WHERE c_acctbal > 0.0)
         SELECT c_mktsegment, count(*) AS n_customers,
-               sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
         FROM customer, thr
         WHERE c_acctbal > thr
           AND NOT EXISTS (SELECT 1 FROM orders

@@ -39,8 +39,11 @@ def get_sales_payload(spark: SparkSession, sf_dir: str) -> dict:
     if not tables_exist(spark, sf_dir, REQUIRED_TABLES):
         return {"labels": [], "quantity": [], "revenue": []}
     rows = serving.sales_by_hour(spark, sf_dir).collect()
+    # hour is the canonical 'yyyy-MM-dd HH:mm:ss' string; the chart
+    # label is its HH:MM slice (reference formats with strftime('%H:%M'),
+    # app.py:71)
     return {
-        "labels": [r["hour"].strftime("%H:%M") for r in rows],
+        "labels": [r["hour"][11:16] for r in rows],
         "quantity": [int(r["total_quantity"]) for r in rows],
         "revenue": [round(float(r["revenue"]), 2) for r in rows],
     }
@@ -66,7 +69,7 @@ def get_recent_payload(spark: SparkSession, sf_dir: str) -> dict:
     return {
         "sales": [
             {
-                "time": r["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+                "time": r["ts"],  # already 'yyyy-MM-dd HH:mm:ss' canonical string
                 "product": f"Product {r['user_id']}",
                 "quantity": 1,
                 "total": float(r["value"]),
