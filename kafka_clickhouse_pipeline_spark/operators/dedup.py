@@ -12,9 +12,10 @@ Scale design (100 TB corpus):
   are verified with exact Jaccard. All hashing is xxhash64 -- JVM-side,
   deterministic.
 - Frequent-shingle skew: a shingle shared by k docs produces k^2 join
-  rows. LSH banding caps this; for the exact variant a document-
-  frequency cap would be applied in production (kept off here so the
-  oracle semantics stay exact).
+  rows. LSH banding caps this; the exact variants apply a document-
+  frequency cap (``SHINGLE_DF_CAP``, mirrored in the oracles) that
+  drops boilerplate shingles from intersection counting -- bounded
+  fan-out on any corpus, exact semantics below the cap.
 - SimHash: 64-bit signature via per-token hash bit voting; near-dup
   pairs found by banding the signature into 4x16-bit chunks (hamming
   distance <= 3 guarantees >= 1 identical chunk) and verifying.
@@ -38,6 +39,17 @@ from ..functions.canon import ts_str
 JACCARD_THRESHOLD = 0.8
 CONTAINMENT_THRESHOLD = 0.9
 COSINE_THRESHOLD = 0.45
+
+#: Document-frequency cap for the exact shingle self-joins: a shingle
+#: shared by k documents emits k^2 join rows, so one boilerplate
+#: shingle on a skewed corpus turns the inverted-index join quadratic.
+#: Shingles above this DF are dropped from intersection counting (set
+#: sizes stay full), the standard near-dup treatment of boilerplate --
+#: ultra-hot shingles carry no dedup signal. 1024 caps the worst
+#: per-shingle fan-out at ~1M pairs while leaving every fixture shingle
+#: untouched (max DF at sf0.1 is far below it), so oracle parity is
+#: exact at test scale and the cap only engages on pathological data.
+SHINGLE_DF_CAP = 1024
 
 #: MinHash signature geometry: b bands x r rows = n hashes.
 MINHASH_HASHES = 16
@@ -91,12 +103,27 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     return df.select("doc_id", F.explode(_shingle_expr(n)).alias("shingle"))
 
 
+def _df_capped(shingles: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``cap`` before a
+    self-join. Same shuffle key (shingle) as the join that follows, so
+    the DF count rides the identical partitioning; the anti-skew
+    guarantee is that no shingle can fan out more than cap^2 pairs."""
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("shingle")
+    )
+    return shingles.join(hot, "shingle", "left_anti")
+
+
 def _jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
     """Exact set-similarity self-join on an exploded shingle relation:
     pairs (d1 < d2) with jaccard >= threshold."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    capped = _df_capped(shingles)
+    a = capped.alias("a")
+    b = capped.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
@@ -156,8 +183,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingles = _shingles(docs)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    capped = _df_capped(shingles)
+    a = capped.alias("a")
+    b = capped.alias("b")
     inter = (
         a.join(
             b,
@@ -548,9 +576,11 @@ DEDUP_ORACLES: dict[str, str] = {
     "q_dedup_ngram_jaccard": f"""
         WITH sh AS ({_SHINGLE_SQL}),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        kept AS (SELECT doc_id, shingle FROM sh
+                 QUALIFY count(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}),
         inter AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT d1, d2, inter,
                round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
@@ -563,9 +593,11 @@ DEDUP_ORACLES: dict[str, str] = {
     "q_dedup_containment": f"""
         WITH sh AS ({_SHINGLE_SQL}),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        kept AS (SELECT doc_id, shingle FROM sh
+                 QUALIFY count(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}),
         inter AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT d1, d2, inter,
                round(inter * 1.0 / least(s1.sz, s2.sz), 6) AS containment

@@ -113,6 +113,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAGERANK_SCALE = 10**12
 PAGERANK_ITERS = 5
 
+#: Broadcast the per-round rank vector only while it is genuinely
+#: small. Each contrib row is ~16 bytes of payload (two longs); 4M
+#: nodes keeps the broadcast comfortably inside Spark's default 8GB
+#: hard limit with room for overhead, while a billion-node graph
+#: falls through to a plain shuffle join on src (both sides already
+#: partitioned by the join key after round one). Without the gate the
+#: full rank vector ships to every executor every round -- fine for a
+#: 200k-part catalog, fatal at web-graph scale.
+PAGERANK_BROADCAST_MAX_NODES = 4_000_000
+
 
 def pagerank_fixed_point(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     """Synchronous PageRank (damping 0.85) over a directed edge list in
@@ -122,12 +132,14 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataF
     rounds from a uniform start.
 
     Driver runs the loop; data never leaves the executors. Per round:
-    map-side broadcast of the (tiny) rank vector onto the checkpointed
-    edge list, then one shuffle of per-destination partial sums --
-    partial aggregation means the shuffle carries O(nodes), not
-    O(edges), regardless of graph size. Edge list is checkpointed once
-    so the (possibly expensive) edge derivation never re-runs per
-    round; rank lineage is truncated every round."""
+    the rank vector joins onto the checkpointed edge list -- map-side
+    broadcast while the vector is small (node count under
+    PAGERANK_BROADCAST_MAX_NODES), a plain shuffle join beyond that --
+    then one shuffle of per-destination partial sums; partial
+    aggregation means that shuffle carries O(nodes), not O(edges),
+    regardless of graph size. Edge list is checkpointed once so the
+    (possibly expensive) edge derivation never re-runs per round; rank
+    lineage is truncated every round."""
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     deg = (
         edges.groupBy("src")
@@ -143,21 +155,38 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataF
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(r0).cast("long").alias("r")
     )
+    small_enough = n <= PAGERANK_BROADCAST_MAX_NODES
     for _ in range(iters):
-        contribs = ranks.join(deg, ranks["node"] == deg["src"]).select(
-            "src", F.expr("r div d").alias("c")
-        )
-        ranks = (
-            edges.join(F.broadcast(contribs), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("s"))
-            .select(
-                "node",
-                (F.lit(teleport) + F.expr("(85 * s) div 100")).alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = _pagerank_round(
+            edges, deg, ranks, teleport, broadcast_ranks=small_enough
+        ).localCheckpoint(eager=True)
     return ranks
+
+
+def _pagerank_round(
+    edges: DataFrame,
+    deg: DataFrame,
+    ranks: DataFrame,
+    teleport: int,
+    broadcast_ranks: bool,
+) -> DataFrame:
+    """One synchronous PageRank round, un-checkpointed (split out so
+    plan tests can assert the broadcast-vs-shuffle join branch the
+    size gate selects)."""
+    contribs = ranks.join(deg, ranks["node"] == deg["src"]).select(
+        "src", F.expr("r div d").alias("c")
+    )
+    if broadcast_ranks:
+        contribs = F.broadcast(contribs)
+    return (
+        edges.join(contribs, "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("c").alias("s"))
+        .select(
+            "node",
+            (F.lit(teleport) + F.expr("(85 * s) div 100")).alias("r"),
+        )
+    )
 
 
 def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:

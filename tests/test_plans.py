@@ -277,3 +277,51 @@ def test_pagerank_python_free_and_topk(spark, sf_dir):
     df = graph.q_pagerank_copurchase(spark, sf_dir)
     assert plans.python_free(df)
     assert plans.uses_top_k(df)
+
+
+def test_pagerank_broadcast_is_size_gated(spark):
+    """The per-round rank-vector join broadcasts below
+    PAGERANK_BROADCAST_MAX_NODES and falls back to a shuffle join above
+    it (broadcasting a billion-row rank vector is the r1-flagged
+    scale-killer). Assert both branches on one un-checkpointed round,
+    with auto-broadcast disabled so the branch under test -- not the
+    size estimator -- decides the join strategy."""
+    from kafka_clickhouse_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    from pyspark.sql import functions as F
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1000).cast("long").alias("r"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = graph._pagerank_round(edges, deg, ranks, 50, broadcast_ranks=True)
+        big = graph._pagerank_round(edges, deg, ranks, 50, broadcast_ranks=False)
+        assert plans.count_broadcast_joins(small) >= 1
+        assert "BroadcastHashJoin" not in plans.formatted_plan(big)
+        # both branches compute identical fixed-point ranks
+        assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_shingle_df_cap_bounds_fanout(spark):
+    """_jaccard_pairs with a DF cap: a boilerplate shingle shared by
+    every doc must not contribute intersections once its document
+    frequency exceeds the cap, while rare shingles still match."""
+    from kafka_clickhouse_pipeline_spark.operators import dedup as dd
+
+    # 6 docs all share shingle 'hot hot hot'; docs 1/2 also share two
+    # rare shingles -> with cap=3 the hot shingle is dropped, so only
+    # (1,2) survives with inter=2.
+    rows = [(i, "hot") for i in range(1, 7)] + [
+        (1, "rare a"), (1, "rare b"), (2, "rare a"), (2, "rare b"),
+    ]
+    shingles = spark.createDataFrame(rows, "doc_id long, shingle string")
+    capped = dd._df_capped(shingles, cap=3)
+    kept = {r["shingle"] for r in capped.select("shingle").distinct().collect()}
+    assert kept == {"rare a", "rare b"}

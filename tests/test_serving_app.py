@@ -58,3 +58,25 @@ def test_unknown_route_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/api/nope")
     assert e.value.code == 404
+
+
+def test_api_sales_payload_formats_match_reference(server):
+    """The reference formats hour labels as '%H:%M' and revenue as
+    round(x, 2) in Python (app.py:71-72); assert the same JSON wire
+    format, not just the key set."""
+    import re
+
+    _, payload = _get(server, "/api/sales")
+    assert all(re.fullmatch(r"\d{2}:\d{2}", lab) for lab in payload["labels"])
+    assert all(isinstance(q, int) for q in payload["quantity"])
+    assert all(round(r, 2) == r for r in payload["revenue"])
+
+
+def test_api_recent_time_format_matches_reference(server):
+    """recent-sales 'time' uses the reference's '%Y-%m-%d %H:%M:%S'
+    rendering (app.py:143)."""
+    import re
+
+    _, payload = _get(server, "/api/recent")
+    for row in payload["sales"]:
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", row["time"])
