@@ -1,5 +1,13 @@
 """Order-insensitive Spark-vs-DuckDB comparison, mimicking the driver's
-correctness gate (row count + column names + value hash)."""
+correctness gate (row count + column names + value hash).
+
+Round-1 lesson (VERDICT r1 #1): the driver's hash is sensitive to
+output *representation* -- decimal precision metadata, int32-vs-int64
+widths, timestamp unit/zone -- which this module's value-normalized
+compare could not see. ``assert_query_matches_oracle`` therefore also
+enforces Arrow-level type equality between the Spark result and the
+DuckDB result (the canonical-output contract in functions/canon.py);
+the byte-exact value sweep lives in tools/strict_check.py."""
 
 from __future__ import annotations
 
@@ -41,8 +49,43 @@ def canonical(rows, colnames) -> list[str]:
     return out
 
 
+def _unlarge(t):
+    """Normalize DuckDB's large_string/large_list offset widths to the
+    plain Arrow twins (container detail, value-identical)."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_unlarge(t.value_type))
+    return t
+
+
+def assert_arrow_types_match(spark_df, oracle, sql):
+    """Driver-hash proxy: every output column must carry the SAME Arrow
+    type in Spark and DuckDB, and no temporal types may reach the
+    output (they travel through pandas with ns/us unit baggage --
+    render strings via functions.canon instead)."""
+    import pyarrow as pa
+
+    s_schema = spark_df.limit(0).toArrow().schema
+    d_schema = oracle.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+    s_types = {f.name: f.type for f in s_schema}
+    d_types = {f.name: _unlarge(f.type) for f in d_schema}
+    for name, st in s_types.items():
+        dt = d_types.get(name)
+        assert dt is not None, f"column {name} missing from oracle"
+        assert st == dt, f"arrow type mismatch[{name}]: spark={st} duck={dt}"
+        assert not (pa.types.is_timestamp(st) or pa.types.is_date(st)), (
+            f"temporal output column {name} ({st}): emit canonical strings instead"
+        )
+
+
 def assert_query_matches_oracle(spark, oracle, query_fn, sql, sf_dir):
     sdf = query_fn(spark, sf_dir)
+    assert_arrow_types_match(sdf, oracle, sql)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
