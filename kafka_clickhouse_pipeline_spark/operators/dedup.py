@@ -333,19 +333,28 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("tok"),
     )
+    # Materialize the 16 nibbles ONCE per token (localCheckpoint stops
+    # CollapseProject from merging this projection into the 64 vote
+    # expressions below, which would re-run md5+conv per bit column --
+    # the measured difference is ~17s -> <1s for the signature build at
+    # 500 docs). Same lineage-cut rationale as minhash_lsh_pairs.
     h = F.md5(F.col("tok"))
-    nib = [F.conv(F.substring(h, c + 1, 1), 16, 10).cast("int") for c in range(16)]
-    bits = toks.select(
+    nibbled = toks.select(
         "doc_id",
         *[
-            F.when(F.shiftright(nib[i // 4], i % 4).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
-            for i in range(64)
+            F.conv(F.substring(h, c + 1, 1), 16, 10).cast("int").alias(f"n{c}")
+            for c in range(16)
         ],
-    )
-    votes = bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(64)]
+    ).localCheckpoint(eager=True)
+    votes = nibbled.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"n{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
     sig = reduce(
         lambda acc, i: acc.bitwiseOR(
@@ -374,7 +383,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-Jaccard misses and vice versa.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+    # one 8-byte signature per doc: materialize so the banding
+    # self-join's two sides share it instead of re-running the vote agg
+    sigs = simhash_signatures(docs).localCheckpoint(eager=True)
 
     chunk_keys = F.array(
         *[
