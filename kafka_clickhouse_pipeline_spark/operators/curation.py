@@ -520,6 +520,11 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Per-source token budget for budget-capped selection.
 TOKEN_BUDGET = 3_000
 
+#: Fixed-context chunking geometry: window and stride in tokens
+#: (32-token overlap keeps boundary context in both neighbors).
+CHUNK_SIZE = 128
+CHUNK_STRIDE = 96
+
 
 def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget-capped corpus selection: per source, walk documents
@@ -739,6 +744,23 @@ CURATION_ORACLES: dict[str, str] = {
                CAST(sum(length(p3) - length(props)) AS BIGINT) AS redacted_len_delta
         FROM s3 GROUP BY 1 ORDER BY 1
     """,
+    "q_chunk_documents": f"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents),
+        st AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks), 1),
+                                             {CHUNK_STRIDE})) AS start
+               FROM t),
+        ch AS (SELECT doc_id,
+                      CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+                      CAST(start AS BIGINT) AS start,
+                      toks[start:least(start + {CHUNK_SIZE} - 1, len(toks))] AS c
+               FROM st)
+        SELECT doc_id, chunk_id, start,
+               CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+               md5(array_to_string(c, ' ')) AS chunk_fp
+        FROM ch ORDER BY doc_id, chunk_id
+    """,
     "q_pack_sequences": f"""
         WITH RECURSIVE t AS (
           SELECT source, doc_id // {PACK_SHARD_DOCS} AS shard, doc_id,
@@ -764,6 +786,40 @@ CURATION_ORACLES: dict[str, str] = {
     """,
 }
 
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split every document into
+    CHUNK_SIZE-token windows advancing by CHUNK_STRIDE (the
+    tokenize-then-chunk step feeding fixed-context training batches;
+    ``q_pack_sequences`` is the sibling that packs whole short docs).
+    Emits one row per chunk with its token count and an md5 content
+    fingerprint, so the oracle hash checks chunk CONTENT, not just
+    geometry.
+
+    Scale shape: pure per-row array work (split once, slice per chunk)
+    inside whole-stage codegen -- no shuffle except the presentation
+    sort, no UDF, output rows ~= tokens/stride. At 100 TB this is a
+    map-only pass whose cost is the text scan itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE))
+    chunked = docs.select(
+        "doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_id", "start")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.slice(F.col("toks"), F.col("start"), F.lit(CHUNK_SIZE)).alias("ch"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.size("ch").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("ch"))).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 CURATION_QUERIES = {
     "q_funnel_steps": q_funnel_steps,
     "q_retention_cohorts": q_retention_cohorts,
@@ -777,4 +833,5 @@ CURATION_QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_split_assign": q_split_assign,
     "q_token_budget_selection": q_token_budget_selection,
+    "q_chunk_documents": q_chunk_documents,
 }

