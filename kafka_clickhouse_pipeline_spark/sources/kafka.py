@@ -56,11 +56,32 @@ def read_kafka_json_stream(
 
 
 def parse_json_payload(df: DataFrame, schema: StructType) -> DataFrame:
-    """``value: string`` -> typed columns via PERMISSIVE from_json;
-    rows whose JSON is unparseable become all-null structs and are
-    dropped (kafka_skip_broken_messages analog)."""
-    parsed = df.select(F.from_json(F.col("value"), schema, {"mode": "PERMISSIVE"}).alias("data"))
-    return parsed.filter(F.col("data").isNotNull()).select("data.*")
+    """``value: string`` -> typed columns via PERMISSIVE from_json with
+    an explicit corrupt-record column; malformed payloads are dropped
+    (kafka_skip_broken_messages analog, generate_data.py:67).
+
+    The corrupt-record column matters: a malformed-but-brace-prefixed
+    payload (``{not json``) parses to an all-NULL struct, not a NULL
+    struct, so an ``isNotNull`` filter alone would let it through as a
+    ghost row. With columnNameOfCorruptRecord the parser tags exactly
+    the rows ClickHouse's skip setting would discard, while valid JSON
+    with missing fields still lands with NULLs (the MV layer's
+    ``price IS NOT NULL`` then applies downstream, matching the
+    reference's layering)."""
+    from pyspark.sql.types import StringType, StructField
+
+    corrupt = "_corrupt_record"
+    aug = StructType(list(schema.fields) + [StructField(corrupt, StringType(), True)])
+    parsed = df.select(
+        F.from_json(
+            F.col("value"),
+            aug,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ).alias("data")
+    )
+    return parsed.filter(
+        F.col("data").isNotNull() & F.col(f"data.{corrupt}").isNull()
+    ).select(*[f"data.{f.name}" for f in schema.fields])
 
 
 def read_json_lines_stream(
@@ -76,12 +97,22 @@ def read_json_lines_stream(
     return parse_json_payload(raw.select(F.col("value")), schema)
 
 
+def serialize_json_payload(df: DataFrame) -> DataFrame:
+    """Producer-side serialization (S4): all columns -> one JSON
+    ``value`` string, the reference's ``json.dumps(event).encode()``
+    (generate_data.py:353). Split from the sink wiring so the offline
+    suite can prove the produce->consume round trip:
+    ``parse_json_payload(serialize_json_payload(df), df.schema) == df``
+    (tests/test_streaming.py)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
 def to_kafka_json_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
     """Producer sink (S4): serialize all columns to one JSON value and
     write to a topic -- the reference's ``json.dumps(...).encode()``
     producer (generate_data.py:353)."""
     return (
-        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        serialize_json_payload(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
