@@ -54,6 +54,7 @@ HEADLINE = [
     "q_decontaminate_shingle_overlap",
     "q_quality_gopher",
     "q_pack_sequences",
+    "q_chunk_documents",
     "q_perplexity_unigram",
     "q_upsert_latest_wins",
 ]

@@ -91,6 +91,7 @@ EMPTY_SENSITIVE = [
     "q_dedup_quality_canonical",
     "q_split_assign",
     "q_token_budget_selection",
+    "q_chunk_documents",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE
