@@ -422,9 +422,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs of vectors with cosine above
-    COSINE_THRESHOLD. Exact self-join baseline (the ANN variants in
-    ``similarity`` are the scale path). Arithmetic in float64,
-    sequential accumulation, matching the DuckDB oracle bit-for-bit."""
+    COSINE_THRESHOLD.
+
+    AUDIT/ORACLE PATH, not a production operator: the self-join is
+    exactly O(n^2) in the corpus and stays registered only as the
+    measured ground truth for the approximate twins. Production
+    near-dup over embeddings routes through ``similarity``
+    (LSH-bucketed / IVF candidate generation) or ``pq`` (ADC scan),
+    which bound the pair space; at 100 TB you run those and
+    sample-audit against this (SCALE.md, "Known trade-offs" #2).
+    Arithmetic in float64, sequential accumulation, matching the
+    DuckDB oracle bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
