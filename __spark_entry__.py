@@ -45,7 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: from every operator family -- reference serving parity, MV
 #: transform, TPC-H joins/windows/sessionization, text analysis, dedup
 #: (exact/MinHash-LSH/SimHash/quality/upsert), graph clustering +
-#: PageRank, ANN (exact + IVF + PQ), multimodal, advanced analytics
+#: PageRank, ANN (exact + IVF + label centroids; PQ/LSH variants sit
+#: just outside), multimodal, advanced analytics
 #: (rollup/cube/as-of/gapfill/hypertable/moving-avg), semi-structured,
 #: reshape (pivot/unpivot/ntile/sampling), and curation -- into the
 #: verified window. Everything after entry 50 is a variant of an
@@ -67,8 +68,8 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_quality_canonical", "q_upsert_latest_wins",
     # graph
     "q_dedup_clusters", "q_pagerank_copurchase",
-    # similarity search (exact + scale paths)
-    "q_ann_bruteforce_topk", "q_ann_ivf_topk", "q_ann_pq_topk",
+    # similarity search (exact + scale paths + label centroids)
+    "q_ann_bruteforce_topk", "q_ann_ivf_topk", "q_embedding_label_centroids",
     # multimodal
     "q_multimodal_features", "q_multimodal_frames", "q_multimodal_resize",
     # advanced analytics

@@ -354,7 +354,81 @@ _COS_SQL = """
   sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i]))))
 """
 
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: the elementwise mean vector of
+    every label class -- the bootstrap for IVF/k-means initialization
+    and the standard per-class drift diagnostic over an embedding
+    corpus.
+
+    Determinism: float sums are reduce-order-dependent, so each
+    component is summed exactly. The float travels float -> shortest
+    decimal string -> DECIMAL(28,18): a float32's shortest repr has
+    <= 9 significant digits, so for unit-scale embeddings (>= 1e-6
+    magnitude) scale 18 holds it EXACTLY -- no rounding mode involved,
+    both engines parse the identical value, and the decimal sum is
+    order-insensitive. Mean divides as IEEE double at the end --
+    bit-identical to the DuckDB oracle. (A direct float->decimal cast
+    is NOT portable: Spark rounds the double expansion HALF_UP,
+    DuckDB half-even -- one low bit per ~10^10 components flips.)
+
+    Scale shape: posexplode fans each vector into dim rows of
+    (label, pos, x) -- map-side -- then ONE shuffle keyed (label, pos)
+    with partial aggregation, then a tiny (labels x dim) regroup to
+    reassemble arrays. Shuffle volume is corpus x dim scalars of
+    partial sums reduced map-side first; no collect, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("string").cast("decimal(28,18)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            # decimal->double differs by 1 ulp between engines (int128
+            # scaling vs BigDecimal); decimal->string->double is exact
+            # then correctly-rounded strtod in both
+            (F.col("s").cast("string").cast("double") / F.col("n")).alias("m"),
+            "n",
+        )
+    )
+    return (
+        per_comp.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.transform(F.col("pm"), lambda e: e.getField("m")).alias("centroid"),
+        )
+        .orderBy("label")
+    )
+
+
 SIMILARITY_ORACLES: dict[str, str] = {
+    "q_embedding_label_centroids": """
+        WITH comp AS (
+          SELECT label, pos,
+                 CAST(CAST(x AS VARCHAR) AS DECIMAL(28,18)) AS xdec
+          FROM (SELECT label,
+                       unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)),
+        agg AS (
+          SELECT label, pos,
+                 CAST(CAST(sum(xdec) AS VARCHAR) AS DOUBLE) / count(*) AS m,
+                 count(*) AS n
+          FROM comp GROUP BY 1, 2)
+        SELECT label, max(n) AS n_vectors,
+               list(m ORDER BY pos) AS centroid
+        FROM agg GROUP BY label ORDER BY label
+    """,
     "q_ann_bruteforce_topk": f"""
         WITH e AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -379,4 +453,5 @@ SIMILARITY_QUERIES = {
     "q_ann_ivf_topk": q_ann_ivf_topk,  # rows-only: approximate by design
     "q_ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # rows-only: approximate
     "q_ann_lsh_topk": q_ann_lsh_topk,  # rows-only: approximate
+    "q_embedding_label_centroids": q_embedding_label_centroids,
 }

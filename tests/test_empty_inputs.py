@@ -92,6 +92,7 @@ EMPTY_SENSITIVE = [
     "q_split_assign",
     "q_token_budget_selection",
     "q_chunk_documents",
+    "q_embedding_label_centroids",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE
