@@ -394,21 +394,17 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return (
-        per_comp.groupBy("label")
-        .agg(
-            F.max("n").alias("n_vectors"),
-            F.array_sort(
-                F.collect_list(F.struct("pos", "m"))
-            ).alias("pm"),
-        )
-        .select(
-            "label",
-            "n_vectors",
-            F.transform(F.col("pm"), lambda e: e.getField("m")).alias("centroid"),
-        )
-        .orderBy("label")
-    )
+    # Long format (one row per component), not array<double>: array
+    # VALUES are engine-identical here, but array RENDERING through the
+    # driver's canonicalization is not trusted (same reason
+    # q_array_agg_parts_per_brand stringifies its list) -- scalar rows
+    # hash portably and reassemble trivially.
+    return per_comp.select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("m").alias("centroid_component"),
+        F.col("n").alias("n_vectors"),
+    ).orderBy("label", "pos")
 
 
 SIMILARITY_ORACLES: dict[str, str] = {
@@ -425,9 +421,9 @@ SIMILARITY_ORACLES: dict[str, str] = {
                  CAST(CAST(sum(xdec) AS VARCHAR) AS DOUBLE) / count(*) AS m,
                  count(*) AS n
           FROM comp GROUP BY 1, 2)
-        SELECT label, max(n) AS n_vectors,
-               list(m ORDER BY pos) AS centroid
-        FROM agg GROUP BY label ORDER BY label
+        SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+               m AS centroid_component, n AS n_vectors
+        FROM agg ORDER BY label, pos
     """,
     "q_ann_bruteforce_topk": f"""
         WITH e AS (SELECT vec_id,
