@@ -562,6 +562,79 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing weights: per source, document and token counts,
+    the source's share of all tokens, and the resampling weight that
+    would equalize token mass across sources (target = uniform 1/k).
+    This is the bookkeeping every multi-source pretraining mix starts
+    from; swap the uniform target for a config map in production.
+
+    All shares/weights are exact-integer divisions in double --
+    bit-identical across engines. One scan, one tiny per-source
+    aggregate, a one-row global total broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("long")).alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    return (
+        per_source.crossJoin(broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            share.alias("token_share"),
+            (
+                (F.lit(1.0) / F.col("n_sources").cast("double")) / share
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split NEAR-duplicate leakage audit: near-dup pairs
+    (MinHash+LSH, Jaccard >= 0.8) whose two documents land in
+    different train/val/test splits under ``q_split_assign``'s hash.
+    Hash-splitting by doc_id cannot see content, so near-identical
+    documents routinely straddle the split boundary -- exactly the
+    leakage that inflates eval numbers. This is the composition check
+    a pipeline runs before shipping a split (pairs from the LSH scale
+    path; the oracle recomputes them from the exact inverted-index
+    join, value-identical at this threshold).
+
+    Plan: the LSH candidate machinery (bounded, banded) plus one
+    broadcast of the tiny (doc_id, split) map onto each pair side."""
+    from .dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    hv = _split_hash()
+    split = (
+        F.when(hv < SPLIT_TRAIN, F.lit("train"))
+        .when(hv < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    splits = docs.select("doc_id", split.alias("split"))
+    pairs = minhash_lsh_pairs(docs).select("d1", "d2", "jaccard")
+    s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("split1"))
+    s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("split2"))
+    return (
+        pairs.join(broadcast(s1), "d1")
+        .join(broadcast(s2), "d2")
+        .filter(F.col("split1") != F.col("split2"))
+        .select("d1", "d2", "split1", "split2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+
 def _shingle8_sql(rel_filter: str) -> str:
     concat = " || ' ' || ".join(f"toks[i+{k}]" for k in range(8))
     return f"""
@@ -744,6 +817,59 @@ CURATION_ORACLES: dict[str, str] = {
                CAST(sum(length(p3) - length(props)) AS BIGINT) AS redacted_len_delta
         FROM s3 GROUP BY 1 ORDER BY 1
     """,
+    "q_source_mixture_weights": """
+        WITH per_source AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                       count(*) AS n_sources
+                FROM per_source)
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS token_share,
+               (1.0 / CAST(n_sources AS DOUBLE)) /
+               (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS mix_weight
+        FROM per_source, tot
+        ORDER BY source
+    """,
+    "q_split_leakage_audit": f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2,
+                 round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
+          FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) >= 0.8),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+                            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 256
+                           < {SPLIT_TRAIN} THEN 'train'
+                      WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+                            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 256
+                           < {SPLIT_VAL} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT d1, d2, p1.split AS split1, p2.split AS split2, jaccard
+        FROM pairs
+        JOIN sp p1 ON d1 = p1.doc_id
+        JOIN sp p2 ON d2 = p2.doc_id
+        WHERE p1.split <> p2.split
+        ORDER BY d1, d2
+    """,
     "q_chunk_documents": f"""
         WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                    FROM documents),
@@ -834,4 +960,6 @@ CURATION_QUERIES = {
     "q_split_assign": q_split_assign,
     "q_token_budget_selection": q_token_budget_selection,
     "q_chunk_documents": q_chunk_documents,
+    "q_source_mixture_weights": q_source_mixture_weights,
+    "q_split_leakage_audit": q_split_leakage_audit,
 }

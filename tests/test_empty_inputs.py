@@ -93,6 +93,8 @@ EMPTY_SENSITIVE = [
     "q_token_budget_selection",
     "q_chunk_documents",
     "q_embedding_label_centroids",
+    "q_source_mixture_weights",
+    "q_split_leakage_audit",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE
