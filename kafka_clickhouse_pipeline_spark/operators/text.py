@@ -315,6 +315,41 @@ def _stop_in_list_sql() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health summary: document/token totals, global
+    vocabulary size, exact mean document length, longest document, and
+    the short-document fraction (< 50 tokens) -- the first dashboard a
+    corpus build publishes.
+
+    Scale shape: one scan computes per-doc token counts map-side; the
+    vocabulary size is a two-phase distinct on the exploded token
+    (partial dedup before the shuffle); everything else folds into one
+    global aggregate of exact integers, divided as double at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens()).cast("long")
+    per_doc = docs.select("doc_id", n_tok.alias("n"))
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("max_doc_tokens"),
+        F.sum(F.when(F.col("n") < 50, 1).otherwise(0)).cast("long").alias("n_short"),
+    )
+    return agg.crossJoin(vocab).select(
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        (F.col("n_tokens").cast("double") / F.col("n_docs")).alias("mean_doc_tokens"),
+        "max_doc_tokens",
+        (F.col("n_short").cast("double") / F.col("n_docs")).alias("short_doc_frac"),
+    )
+
+
+
 TEXT_ORACLES: dict[str, str] = {
     "q_token_stats": """
         SELECT doc_id,
@@ -448,7 +483,30 @@ TEXT_ORACLES["q_source_vocab_overlap"] = """
     ORDER BY source_a, source_b
 """
 
+TEXT_ORACLES["q_corpus_stats"] = """
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+      FROM documents),
+    vocab AS (
+      SELECT count(DISTINCT tok) AS vocab_size
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)),
+    agg AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             max(n) AS max_doc_tokens,
+             CAST(sum(CASE WHEN n < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      FROM per_doc)
+    SELECT n_docs, n_tokens, vocab_size,
+           CAST(n_tokens AS DOUBLE) / n_docs AS mean_doc_tokens,
+           max_doc_tokens,
+           CAST(n_short AS DOUBLE) / n_docs AS short_doc_frac
+    FROM agg, vocab
+"""
+
 TEXT_QUERIES = {
+    "q_corpus_stats": q_corpus_stats,
     "q_token_stats": q_token_stats,
     "q_perplexity_unigram": q_perplexity_unigram,
     "q_source_vocab_overlap": q_source_vocab_overlap,

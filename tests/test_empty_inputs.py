@@ -107,6 +107,7 @@ EMPTY_SCALAR = [
     "q19_discounted_revenue",
     "q_corr_purchase_click",
     "q_funnel_steps",
+    "q_corpus_stats",
 ]
 
 
