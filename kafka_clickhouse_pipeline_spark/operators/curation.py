@@ -913,20 +913,10 @@ CURATION_ORACLES: dict[str, str] = {
 }
 
 
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking: split every document into
-    CHUNK_SIZE-token windows advancing by CHUNK_STRIDE (the
-    tokenize-then-chunk step feeding fixed-context training batches;
-    ``q_pack_sequences`` is the sibling that packs whole short docs).
-    Emits one row per chunk with its token count and an md5 content
-    fingerprint, so the oracle hash checks chunk CONTENT, not just
-    geometry.
-
-    Scale shape: pure per-row array work (split once, slice per chunk)
-    inside whole-stage codegen -- no shuffle except the presentation
-    sort, no UDF, output rows ~= tokens/stride. At 100 TB this is a
-    map-only pass whose cost is the text scan itself."""
-    docs = load_table(spark, sf_dir, "documents")
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """Stateless chunking transform over any (doc_id, text) frame --
+    batch or streaming (no shuffle, no state, so it drops into the
+    ingest pipeline unchanged; tests/test_streaming.py streams it)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(CHUNK_STRIDE))
     chunked = docs.select(
@@ -943,7 +933,25 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start",
         F.size("ch").cast("long").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", F.col("ch"))).alias("chunk_fp"),
-    ).orderBy("doc_id", "chunk_id")
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split every document into
+    CHUNK_SIZE-token windows advancing by CHUNK_STRIDE (the
+    tokenize-then-chunk step feeding fixed-context training batches;
+    ``q_pack_sequences`` is the sibling that packs whole short docs).
+    Emits one row per chunk with its token count and an md5 content
+    fingerprint, so the oracle hash checks chunk CONTENT, not just
+    geometry.
+
+    Scale shape: pure per-row array work (split once, slice per chunk)
+    inside whole-stage codegen -- no shuffle except the presentation
+    sort, no UDF, output rows ~= tokens/stride. At 100 TB this is a
+    map-only pass whose cost is the text scan itself."""
+    return chunk_documents(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "chunk_id"
+    )
 
 
 CURATION_QUERIES = {

@@ -215,3 +215,34 @@ def test_kafka_sink_writer_configured_for_topic(spark):
         sdf = spark.readStream.schema(df.schema).parquet(d + "/in")
         writer = to_kafka_json_sink(sdf, "broker:9092", "sales", d + "/ckpt")
         assert writer is not None  # startable DataStreamWriter (no broker in env)
+
+
+def test_chunking_transform_runs_in_streaming_pipeline(spark, tmp_path, sf_dir):
+    """chunk_documents is stateless, so the same transform drops into a
+    streaming pipeline unchanged: stream the documents fixture through
+    it in availableNow mode and assert the materialized chunks equal
+    the batch operator's output."""
+    from kafka_clickhouse_pipeline_spark.operators.curation import chunk_documents
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = sorted(map(tuple, chunk_documents(batch_docs).collect()))
+
+    # the file stream source needs a DIRECTORY; stage the fixture file
+    import os
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    os.symlink(f"{sf_dir}/documents.parquet", in_dir / "documents.parquet")
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(in_dir))
+    out = str(tmp_path / "chunks")
+    q = (
+        chunk_documents(stream_docs)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == expected
