@@ -76,13 +76,18 @@ PRIORITY: tuple[str, ...] = (
     # advanced analytics
     "q_rollup_revenue", "q_cube_revenue", "q_asof_last_signup",
     "q_gapfill_hourly", "q_hypertable_rollup", "q_moving_avg_7d",
-    # curation
+    # curation (q_chunk_documents replaced q_ann_ivf_topk in r3: the
+    # IVF query has no DuckDB oracle so it could never be fully green
+    # in the window -- VERDICT r2 #2; IVF stays registered below and
+    # keeps its pytest recall tests, and ANN remains represented here
+    # by the brute-force and label-centroid entries)
     "q_funnel_steps", "q_retention_cohorts", "q_quality_gopher",
     "q_pack_sequences", "q_decontaminate_shingle_overlap",
+    "q_chunk_documents",
     # multimodal
     "q_multimodal_features", "q_multimodal_frames", "q_multimodal_resize",
-    # similarity search (exact + scale paths + label centroids)
-    "q_ann_bruteforce_topk", "q_ann_ivf_topk", "q_embedding_label_centroids",
+    # similarity search (exact + label centroids)
+    "q_ann_bruteforce_topk", "q_embedding_label_centroids",
     # dedup + keyed compaction + graph (the heavy tail)
     "q_dedup_exact", "q_upsert_latest_wins", "q_dedup_quality_canonical",
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_pagerank_copurchase",

@@ -12,7 +12,7 @@ engine-neutral representation; each has a one-line DuckDB twin the
 oracle SQL must use:
 
     big(c)        <->  CAST(c AS BIGINT)
-    money(c, s)   <->  CAST(c AS DECIMAL(38, s))
+    money(c, s)   <->  CAST(CAST(c AS DECIMAL(38, s)) AS VARCHAR)
     ts_str(c)     <->  strftime(c, '%Y-%m-%d %H:%M:%S')
     date_str(c)   <->  strftime(c, '%Y-%m-%d')
 
@@ -21,6 +21,20 @@ timestamp columns travel through pandas with unit (ns vs us) and zone
 baggage that differs between the two engines; strings are
 representation-free. This is an output-boundary convention only — all
 internal computation stays in native timestamp/decimal types.
+
+Round-2 lesson (VERDICT r2 #1): DECIMAL output columns are hash-unsafe
+*entirely*, not just when precision metadata differs. All 19 r2 hash
+failures carried a decimal128 column whose values were bit-identical to
+the oracle's (strict Arrow sweep 19/19 ok); empirically a query failed
+iff any decimal cell's fixed-scale string ('123.40') differed from its
+float shortest-repr ('123.4') — the driver coerces decimals to float
+asymmetrically between engines. So, exactly as temporals were banned in
+round 1, decimals are banned at the output boundary: ``money()`` now
+renders a fixed-scale STRING. Both engines render decimal->string
+identically (verified on 0.00 / -5.00 / 123.40 / 1234567.8900 /
+half-up 0.005->'0.01' / NULL), so strings are representation-free.
+Internal math still runs in exact decimal; only the final select
+changes.
 """
 
 from __future__ import annotations
@@ -47,9 +61,18 @@ def big(col: Column | str) -> Column:
 
 
 def money(col: Column | str, scale: int = 2) -> Column:
-    """Canonical exact-decimal output: DECIMAL(38, scale), matching
-    DuckDB's SUM(DECIMAL(p,s)) -> DECIMAL(38,s) result type."""
-    return _c(col).cast(f"decimal(38,{scale})")
+    """Canonical exact-money output: fixed-scale STRING rendering of
+    DECIMAL(38, scale) — e.g. '123.40', '-5.00', NULL stays NULL.
+
+    DuckDB twin: ``CAST(CAST(c AS DECIMAL(38, s)) AS VARCHAR)``.
+    Decimal columns themselves are banned at the output boundary
+    (module docstring; enforced by tools/strict_check.py and
+    tests/parity.py)."""
+    return _c(col).cast(f"decimal(38,{scale})").cast("string")
+
+
+#: Alias emphasizing the string rendering (VERDICT r2 terminology).
+money_str = money
 
 
 def ts_str(col: Column | str) -> Column:

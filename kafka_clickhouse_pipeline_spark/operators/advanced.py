@@ -157,8 +157,8 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         "n_null",
-        "min_qty",
-        "max_qty",
+        money("min_qty").alias("min_qty"),
+        money("max_qty").alias("max_qty"),
         F.round(mean, 6).alias("mean_qty"),
         F.round(F.sqrt(var), 6).alias("std_qty"),
     ).orderBy("l_returnflag")
@@ -175,7 +175,9 @@ ADVANCED_ORACLES: dict[str, str] = {
                  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
                           CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS sumsq_qty
           FROM lineitem GROUP BY l_returnflag)
-        SELECT l_returnflag, n, n_null, min_qty, max_qty,
+        SELECT l_returnflag, n, n_null,
+               CAST(CAST(min_qty AS DECIMAL(38,2)) AS STRING) AS min_qty,
+               CAST(CAST(max_qty AS DECIMAL(38,2)) AS STRING) AS max_qty,
                round(CAST(sum_qty AS DOUBLE) / n, 6) AS mean_qty,
                round(sqrt((CAST(sumsq_qty AS DOUBLE)
                            - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE) / n)
@@ -185,7 +187,7 @@ ADVANCED_ORACLES: dict[str, str] = {
     "q_rollup_revenue": """
         SELECT c_mktsegment, o_orderpriority,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
         ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -194,7 +196,7 @@ ADVANCED_ORACLES: dict[str, str] = {
         SELECT c_mktsegment, o_orderpriority,
                CAST(GROUPING(c_mktsegment, o_orderpriority) AS INT) AS gid,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY CUBE (c_mktsegment, o_orderpriority)
         ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -226,7 +228,7 @@ def _hypertable_sql(ts_render: str) -> str:
            CASE WHEN {hour_s} IS NOT NULL
                 THEN 'hour' ELSE 'day' END AS granularity,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total_value
     FROM events
     WHERE event_type = 'purchase'
     GROUP BY GROUPING SETS (
@@ -369,10 +371,10 @@ ADVANCED_ORACLES["q_gapfill_hourly"] = """
     spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b)
     SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
            coalesce(n, 0) AS n_events,
-           CAST(coalesce(rev, CAST(0 AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
-           CAST(last_value(rev IGNORE NULLS)
+           CAST(CAST(coalesce(rev, CAST(0 AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS revenue,
+           CAST(CAST(last_value(rev IGNORE NULLS)
              OVER (ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DECIMAL(38,2)) AS carried_revenue
+             AS DECIMAL(38,2)) AS STRING) AS carried_revenue
     FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
     ORDER BY s.hour
 """
@@ -415,7 +417,7 @@ ADVANCED_ORACLES["q_moving_avg_7d"] = """
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 3)
     SELECT strftime(day, '%Y-%m-%d') AS day,
-           CAST(revenue AS DECIMAL(38,2)) AS revenue,
+           CAST(CAST(revenue AS DECIMAL(38,2)) AS STRING) AS revenue,
            CAST(sum(revenue) OVER w AS DOUBLE) /
            CAST(count(*) OVER w AS DOUBLE) AS avg_7d
     FROM daily
@@ -457,8 +459,8 @@ ADVANCED_ORACLES["q_day_over_day"] = """
              sum(CAST(value AS DECIMAL(18,2))) AS revenue
       FROM events WHERE event_type = 'purchase' GROUP BY 1)
     SELECT strftime(day, '%Y-%m-%d') AS day,
-           CAST(revenue AS DECIMAL(38,2)) AS revenue,
-           CAST(lag(revenue) OVER (ORDER BY day) AS DECIMAL(38,2)) AS prev_revenue,
+           CAST(CAST(revenue AS DECIMAL(38,2)) AS STRING) AS revenue,
+           CAST(CAST(lag(revenue) OVER (ORDER BY day) AS DECIMAL(38,2)) AS STRING) AS prev_revenue,
            (CAST(revenue AS DOUBLE) -
             CAST(lag(revenue) OVER (ORDER BY day) AS DOUBLE)) /
            CAST(lag(revenue) OVER (ORDER BY day) AS DOUBLE) AS pct_change

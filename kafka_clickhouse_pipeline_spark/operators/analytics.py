@@ -12,6 +12,10 @@ Scale design notes (100 TB):
 - Money aggregates are decimal -- exact, order-insensitive, and
   deterministic across engines; averages are exact-decimal sums divided
   as IEEE doubles, so both engines produce bit-identical results.
+  Decimal values are rendered as fixed-scale strings at the output
+  boundary (canon.money; decimal columns are hash-unsafe in the driver,
+  VERDICT r2 #1) -- all ordering/filtering happens on the decimal form
+  first.
 - Top-K forms compile to TakeOrderedAndProject (no full sort).
 """
 
@@ -53,7 +57,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         money("sum_qty").alias("sum_qty"),
         money("sum_base_price").alias("sum_base_price"),
-        "sum_disc_price",
+        money("sum_disc_price", 4).alias("sum_disc_price"),
         (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
         (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
         "count_order",
@@ -89,8 +93,9 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .groupBy("n_name")
-        .agg(F.sum(revenue).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+        .agg(F.sum(revenue).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("n_name"))
+        .select("n_name", money("rev", 4).alias("revenue"))
     )
 
 
@@ -116,7 +121,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", ts_str("o_orderdate").alias("o_orderdate"), "o_orderpriority", "revenue")
+        .select(
+            "l_orderkey",
+            ts_str("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+            money("revenue", 4).alias("revenue"),
+        )
     )
 
 
@@ -155,9 +165,10 @@ def q10_top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .agg(F.sum(revenue).alias("rev"))
+        .orderBy(F.col("rev").desc(), F.col("c_custkey"))
         .limit(20)
+        .select("c_custkey", "c_name", "n_name", money("rev", 4).alias("revenue"))
     )
 
 
@@ -223,7 +234,7 @@ def q_window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "p_brand",
             "p_partkey",
-            _dec("p_retailprice").alias("p_retailprice"),
+            money(_dec("p_retailprice")).alias("p_retailprice"),
             big("rnk").alias("rnk"),
         )
         .orderBy("p_brand", "rnk")
@@ -242,7 +253,7 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select(
             "c_mktsegment",
             "c_custkey",
-            _dec("c_acctbal").alias("c_acctbal"),
+            money(_dec("c_acctbal")).alias("c_acctbal"),
             F.round(F.percent_rank().over(w), 6).alias("pr"),
             F.round(F.cume_dist().over(w), 6).alias("cd"),
         )
@@ -283,7 +294,7 @@ def q_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.crossJoin(broadcast(avg_bal))
         .filter(_dec("c_acctbal").cast("double") > F.col("avg_bal"))
-        .select("c_custkey", "c_name", _dec("c_acctbal").alias("c_acctbal"))
+        .select("c_custkey", "c_name", money(_dec("c_acctbal")).alias("c_acctbal"))
         .orderBy("c_custkey")
     )
 
@@ -480,9 +491,10 @@ def q_range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(revenue).alias("revenue"),
+            F.sum(revenue).alias("rev"),
         )
         .orderBy("band")
+        .select("band", "n_items", money("rev", 4).alias("revenue"))
     )
 
 
@@ -517,7 +529,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
           FROM customer
           WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
         SELECT c_mktsegment, c_custkey,
-               CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING) AS c_acctbal,
                round(pr_raw, 6) AS pr, round(cd_raw, 6) AS cd
         FROM r WHERE round(pr_raw, 6) >= 0.9
         ORDER BY c_mktsegment, c_custkey
@@ -525,9 +537,9 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "q_range_join_quantity_bands": """
         WITH bands(lo, hi, band) AS (VALUES (1, 10, 'small'), (11, 25, 'mid'), (26, 50, 'large'))
         SELECT band, count(*) AS n_items,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                   AS DECIMAL(28,4))) AS revenue
+                   AS DECIMAL(28,4))) AS STRING) AS revenue
         FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
         GROUP BY band ORDER BY band
     """,
@@ -548,7 +560,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
                count(*) AS n_events,
-               CAST(sum(value) AS DECIMAL(38,2)) AS revenue
+               CAST(CAST(sum(value) AS DECIMAL(38,2)) AS STRING) AS revenue
         FROM sid GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
     """,
@@ -595,7 +607,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
         SELECT y, q, count(*) AS n,
                strftime(min(month_start), '%Y-%m-%d %H:%M:%S') AS first_month,
                max(d) AS max_day,
-               CAST(sum(price) AS DECIMAL(38,2)) AS total_price
+               CAST(CAST(sum(price) AS DECIMAL(38,2)) AS STRING) AS total_price
         FROM d GROUP BY y, q ORDER BY y, q
     """,
     "q_intersect_except_customers": """
@@ -635,9 +647,9 @@ ANALYTICS_ORACLES: dict[str, str] = {
           WHERE l_shipdate <= TIMESTAMP '1998-09-02'
           GROUP BY l_returnflag, l_linestatus)
         SELECT l_returnflag, l_linestatus,
-               CAST(sum_qty AS DECIMAL(38,2)) AS sum_qty,
-               CAST(sum_base_price AS DECIMAL(38,2)) AS sum_base_price,
-               sum_disc_price,
+               CAST(CAST(sum_qty AS DECIMAL(38,2)) AS STRING) AS sum_qty,
+               CAST(CAST(sum_base_price AS DECIMAL(38,2)) AS STRING) AS sum_base_price,
+               CAST(sum_disc_price AS STRING) AS sum_disc_price,
                CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
                CAST(sum_base_price AS DOUBLE) / count_order AS avg_price,
                count_order
@@ -645,9 +657,9 @@ ANALYTICS_ORACLES: dict[str, str] = {
     """,
     "q5_revenue_by_nation": """
         SELECT n_name,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                   AS DECIMAL(28,4))) AS revenue
+                   AS DECIMAL(28,4))) AS STRING) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -658,23 +670,27 @@ ANALYTICS_ORACLES: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY n_name
-        ORDER BY revenue DESC, n_name
+        ORDER BY 2 DESC, n_name
     """,
     "q3_shipping_priority": """
-        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-               o_orderpriority,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                   AS DECIMAL(28,4))) AS revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1998-01-01'
-          AND l_shipdate  > TIMESTAMP '1996-01-01'
-        GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, l_orderkey
-        LIMIT 10
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(revenue AS STRING) AS revenue
+        FROM (
+          SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+                 o_orderpriority,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(28,4))) AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate  > TIMESTAMP '1996-01-01'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, l_orderkey
+          LIMIT 10
+        ) t
     """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
@@ -689,17 +705,21 @@ ANALYTICS_ORACLES: dict[str, str] = {
     """,
     "q10_top_returning_customers": """
         SELECT c_custkey, c_name, n_name,
-               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                   AS DECIMAL(28,4))) AS revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        WHERE l_returnflag = 'R'
-        GROUP BY c_custkey, c_name, n_name
-        ORDER BY revenue DESC, c_custkey
-        LIMIT 20
+               CAST(revenue AS STRING) AS revenue
+        FROM (
+          SELECT c_custkey, c_name, n_name,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(28,4))) AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, n_name
+          ORDER BY revenue DESC, c_custkey
+          LIMIT 20
+        ) t
     """,
     "q_distinct_customers_per_segment": """
         SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_customers
@@ -708,15 +728,15 @@ ANALYTICS_ORACLES: dict[str, str] = {
     """,
     "q_having_big_orders": """
         SELECT l_orderkey,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total_qty
         FROM lineitem
         GROUP BY l_orderkey
         HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
-        ORDER BY total_qty DESC, l_orderkey
+        ORDER BY sum(CAST(l_quantity AS DECIMAL(18,2))) DESC, l_orderkey
     """,
     "q_union_priority_classes": """
         SELECT klass, count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total_price
         FROM (
           SELECT 'urgent' AS klass, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
           UNION ALL
@@ -725,7 +745,8 @@ ANALYTICS_ORACLES: dict[str, str] = {
         GROUP BY klass ORDER BY klass
     """,
     "q_window_top3_parts_per_brand": """
-        SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS p_retailprice, rnk
+        SELECT p_brand, p_partkey,
+               CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS STRING) AS p_retailprice, rnk
         FROM (
           SELECT p_brand, p_partkey, p_retailprice,
                  row_number() OVER (PARTITION BY p_brand
@@ -736,15 +757,16 @@ ANALYTICS_ORACLES: dict[str, str] = {
     """,
     "q_window_running_revenue": """
         SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-               CAST(sum(CAST(value AS DECIMAL(18,2)))
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
-                 AS running_revenue
+                 AS STRING) AS running_revenue
         FROM events
         WHERE event_type = 'purchase'
     """,
     "q_subquery_above_avg_balance": """
-        SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING) AS c_acctbal
         FROM customer
         WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) >
               (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)

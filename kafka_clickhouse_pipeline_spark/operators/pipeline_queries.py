@@ -30,7 +30,10 @@ def mv_parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             ts_str(parsed).alias("event_time"),
-            to_decimal32("value").alias("total"),
+            # Decimal math stays in to_decimal32's Decimal(9,2); the
+            # output boundary renders the fixed-scale string (canon.py
+            # decimal ban, VERDICT r2 #1).
+            to_decimal32("value").cast("string").alias("total"),
             to_yyyymm(parsed).alias("event_month"),
         )
     )
@@ -40,7 +43,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "mv_parse_typed": """
         SELECT event_id,
                strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS event_time,
-               CAST(value AS DECIMAL(9,2)) AS total,
+               CAST(CAST(value AS DECIMAL(9,2)) AS STRING) AS total,
                CAST(year(ts) * 100 + month(ts) AS INTEGER) AS event_month
         FROM events
         WHERE value IS NOT NULL

@@ -43,7 +43,12 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.filter(F.col("event_id") % 20 == 0)
-        .select("event_id", "user_id", "event_type", F.col("value").cast("decimal(18,2)").alias("value"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            money(F.col("value").cast("decimal(18,2)")).alias("value"),
+        )
         .orderBy("event_id")
     )
 
@@ -96,8 +101,8 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             money(F.sum("val")).alias("total"),
-            F.min("val").alias("min_val"),
-            F.max("val").alias("max_val"),
+            money(F.min("val")).alias("min_val"),
+            money(F.max("val")).alias("max_val"),
         )
         .orderBy("measure")
     )
@@ -121,8 +126,8 @@ def q_ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min("bal").alias("min_bal"),
-            F.max("bal").alias("max_bal"),
+            money(F.min("bal")).alias("min_bal"),
+            money(F.max("bal")).alias("max_bal"),
         )
         .orderBy("quartile")
     )
@@ -136,8 +141,10 @@ RESHAPE_ORACLES: dict[str, str] = {
           SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
           UNION ALL
           SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem)
-        SELECT measure, count(*) AS n, CAST(sum(val) AS DECIMAL(38,2)) AS total,
-               min(val) AS min_val, max(val) AS max_val
+        SELECT measure, count(*) AS n,
+               CAST(CAST(sum(val) AS DECIMAL(38,2)) AS STRING) AS total,
+               CAST(min(val) AS STRING) AS min_val,
+               CAST(max(val) AS STRING) AS max_val
         FROM long GROUP BY measure ORDER BY measure
     """,
     "q_ntile_acctbal_quartiles": """
@@ -146,20 +153,23 @@ RESHAPE_ORACLES: dict[str, str] = {
                  ntile(4) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey)
                    AS quartile
           FROM customer)
-        SELECT quartile, count(*) AS n, min(bal) AS min_bal, max(bal) AS max_bal
+        SELECT quartile, count(*) AS n,
+               CAST(min(bal) AS STRING) AS min_bal,
+               CAST(max(bal) AS STRING) AS max_bal
         FROM ranked GROUP BY quartile ORDER BY quartile
     """,
     "q_pivot_user_event_values": """
         SELECT user_id,
-               CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS click,
-               CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS error,
-               CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS purchase,
-               CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS signup,
-               CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS view
+               CAST(CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS STRING) AS click,
+               CAST(CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS STRING) AS error,
+               CAST(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS STRING) AS purchase,
+               CAST(CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS STRING) AS signup,
+               CAST(CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS STRING) AS view
         FROM events GROUP BY user_id ORDER BY user_id
     """,
     "q_sample_systematic": """
-        SELECT event_id, user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value
+        SELECT event_id, user_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) AS STRING) AS value
         FROM events WHERE event_id % 20 = 0 ORDER BY event_id
     """,
     "q_sample_hash_per_source": f"""

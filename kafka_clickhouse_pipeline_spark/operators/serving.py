@@ -161,7 +161,7 @@ def _serving_sql(ts_render: str) -> dict[str, str]:
         "sales_by_hour": f"""
             SELECT {hour_s} AS hour,
                    count(*) AS total_quantity,
-                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS revenue
             FROM events
             WHERE event_type = 'purchase'
               AND ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 1 DAY
@@ -170,22 +170,27 @@ def _serving_sql(ts_render: str) -> dict[str, str]:
         """,
         "stock_top5": f"""
             SELECT user_id,
-                   CAST(sum(CASE WHEN event_type = 'purchase'
-                            THEN CAST(value AS DECIMAL(18,2))
-                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS incoming,
-                   CAST(sum(CASE WHEN event_type IN ('click','view')
-                            THEN CAST(value AS DECIMAL(18,2))
-                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS outgoing
-            FROM events
-            WHERE ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY
-              AND ts < TIMESTAMP '{ANCHOR}'
-            GROUP BY user_id
-            ORDER BY (incoming + outgoing) DESC, user_id
-            LIMIT 5
+                   CAST(CAST(incoming AS DECIMAL(38,2)) AS STRING) AS incoming,
+                   CAST(CAST(outgoing AS DECIMAL(38,2)) AS STRING) AS outgoing
+            FROM (
+              SELECT user_id,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS incoming,
+                     sum(CASE WHEN event_type IN ('click','view')
+                              THEN CAST(value AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS outgoing
+              FROM events
+              WHERE ts >= TIMESTAMP '{ANCHOR}' - INTERVAL 7 DAY
+                AND ts < TIMESTAMP '{ANCHOR}'
+              GROUP BY user_id
+              ORDER BY (incoming + outgoing) DESC, user_id
+              LIMIT 5
+            ) t
         """,
         "recent_sales": f"""
             SELECT event_id, {ts_s} AS ts, user_id,
-                   CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS value
+                   CAST(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS STRING) AS value
             FROM events
             WHERE event_type = 'purchase'
             ORDER BY events.ts DESC, event_id

@@ -59,8 +59,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(28,4)"))
-            .alias("revenue")
+            money(
+                F.sum((_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(28,4)")),
+                4,
+            ).alias("revenue")
         )
     )
 
@@ -95,7 +97,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
-        .agg(F.sum(_volume()).alias("revenue"))
+        .agg(money(F.sum(_volume()), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -165,7 +167,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year")
         )
-        .agg(F.sum(_volume()).alias("sum_profit"))
+        .agg(money(F.sum(_volume()), 4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -234,7 +236,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(broadcast(mx), F.col("total_revenue") == F.col("mx"))
         .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", money("total_revenue", 4).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
@@ -319,7 +321,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(F.sum(_volume()).alias("revenue"))
+        .agg(money(F.sum(_volume()), 4).alias("revenue"))
     )
 
 
@@ -351,8 +353,8 @@ def q22_untapped_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_EXTRA_ORACLES: dict[str, str] = {
     "q6_forecast_revenue": """
-        SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                   CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS revenue
+        SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS STRING) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -362,7 +364,7 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
     "q7_volume_shipping": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               sum({_VOL_SQL}) AS revenue
+               CAST(sum({_VOL_SQL}) AS STRING) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -399,7 +401,7 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
     """,
     "q9_product_type_profit": f"""
         SELECT n_name AS nation, year(o_orderdate) AS o_year,
-               sum({_VOL_SQL}) AS sum_profit
+               CAST(sum({_VOL_SQL}) AS STRING) AS sum_profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN orders   ON l_orderkey = o_orderkey
@@ -433,7 +435,7 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate <  TIMESTAMP '1996-04-01'
           GROUP BY l_suppkey)
-        SELECT s_suppkey, s_name, total_revenue
+        SELECT s_suppkey, s_name, CAST(total_revenue AS STRING) AS total_revenue
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         ORDER BY s_suppkey
@@ -455,7 +457,7 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
           HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
         SELECT c_name, c_custkey, o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-               o_totalprice, sum_qty
+               o_totalprice, CAST(sum_qty AS STRING) AS sum_qty
         FROM big
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -463,7 +465,7 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
         LIMIT 100
     """,
     "q19_discounted_revenue": f"""
-        SELECT sum({_VOL_SQL}) AS revenue
+        SELECT CAST(sum({_VOL_SQL}) AS STRING) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
                AND l_quantity BETWEEN 1 AND 11)
@@ -478,7 +480,7 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
                  AS thr
           FROM customer WHERE c_acctbal > 0.0)
         SELECT c_mktsegment, count(*) AS n_customers,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+               CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total_acctbal
         FROM customer, thr
         WHERE c_acctbal > thr
           AND NOT EXISTS (SELECT 1 FROM orders

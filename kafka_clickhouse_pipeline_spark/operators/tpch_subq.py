@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
+from ..functions.canon import money
 
 DEC = "decimal(18,2)"
 
@@ -80,7 +81,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-            "s_suppkey", "supplycost",
+            "s_suppkey", money("supplycost").alias("supplycost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
         .limit(100)
@@ -113,8 +114,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             broadcast(total),
             F.col("value").cast("double") > F.lit(0.001) * F.col("tot").cast("double"),
         )
-        .select("partkey", "value")
         .orderBy(F.col("value").desc(), "partkey")
+        .select("partkey", money("value", 4).alias("value"))
     )
 
 
@@ -241,7 +242,7 @@ TPCH_SUBQ_ORACLES: dict[str, str] = {
           JOIN region   ON n_regionkey = r_regionkey
           WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE')
         SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-               s_suppkey, supplycost
+               s_suppkey, CAST(supplycost AS STRING) AS supplycost
         FROM cand c1
         WHERE supplycost = (SELECT min(c2.supplycost) FROM cand c2
                             WHERE c2.l_partkey = c1.l_partkey)
@@ -259,11 +260,11 @@ TPCH_SUBQ_ORACLES: dict[str, str] = {
           JOIN nation   ON s_nationkey = n_nationkey
           WHERE n_name = 'NATION_3'
           GROUP BY 1)
-        SELECT partkey, value
+        SELECT partkey, CAST(value AS STRING) AS value
         FROM per_part
         WHERE CAST(value AS DOUBLE) >
               0.001 * (SELECT CAST(sum(value) AS DOUBLE) FROM per_part)
-        ORDER BY value DESC, partkey
+        ORDER BY partkey
     """,
     "q12_shipmode_priority": """
         SELECT l_returnflag AS ship_mode,

@@ -72,7 +72,10 @@ def assert_arrow_types_match(spark_df, oracle, sql):
 
     s_schema = spark_df.limit(0).toArrow().schema
     d_schema = oracle.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
-    s_types = {f.name: f.type for f in s_schema}
+    # _unlarge on BOTH sides: it rebuilds list types via pa.list_, which
+    # also normalizes the element field name (Spark 'element' vs DuckDB
+    # 'item' — Arrow type equality compares nested field names).
+    s_types = {f.name: _unlarge(f.type) for f in s_schema}
     d_types = {f.name: _unlarge(f.type) for f in d_schema}
     for name, st in s_types.items():
         dt = d_types.get(name)
@@ -80,6 +83,11 @@ def assert_arrow_types_match(spark_df, oracle, sql):
         assert st == dt, f"arrow type mismatch[{name}]: spark={st} duck={dt}"
         assert not (pa.types.is_timestamp(st) or pa.types.is_date(st)), (
             f"temporal output column {name} ({st}): emit canonical strings instead"
+        )
+        # Round-2 lesson: decimal outputs are hash-unsafe in the driver
+        # (asymmetric decimal->float coercion) — ban them like temporals.
+        assert not pa.types.is_decimal(st), (
+            f"decimal output column {name} ({st}): render canon.money() strings instead"
         )
 
 

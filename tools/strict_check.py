@@ -74,8 +74,11 @@ def compare_tables(spark_tbl: pa.Table, duck_tbl: pa.Table) -> str | None:
     if spark_tbl.num_rows != duck_tbl.num_rows:
         return f"rows: spark={spark_tbl.num_rows} duck={duck_tbl.num_rows}"
     for c in s_cols:
-        st = spark_tbl.schema.field(c).type
-        dt = duck_tbl.schema.field(c).type
+        # _unlarge on BOTH sides: it also rebuilds list types through
+        # pa.list_, normalizing the element field name (Spark names it
+        # 'element', DuckDB 'item'; Arrow equality compares the name).
+        st = _unlarge(spark_tbl.schema.field(c).type)
+        dt = _unlarge(duck_tbl.schema.field(c).type)
         if st != dt:
             return f"arrow type[{c}]: spark={st} duck={dt}"
         # Policy: no temporal outputs. The driver's canonicalization
@@ -84,6 +87,12 @@ def compare_tables(spark_tbl: pa.Table, duck_tbl: pa.Table) -> str | None:
         # column is evidence. Emit strings or epoch integers instead.
         if pa.types.is_timestamp(st) or pa.types.is_date(st):
             return f"policy[{c}]: temporal output ({st}); emit string/epoch instead"
+        # Policy: no decimal outputs either. Round 2 proved the driver
+        # coerces decimal128 to float asymmetrically (every r02 hash
+        # fail carried a decimal column with bit-identical values) —
+        # render fixed-scale strings via functions.canon.money instead.
+        if pa.types.is_decimal(st):
+            return f"policy[{c}]: decimal output ({st}); render money() string instead"
     s_rows = _table_rows(spark_tbl, s_cols)
     d_rows = _table_rows(duck_tbl, s_cols)
     if s_rows != d_rows:
