@@ -49,7 +49,7 @@ from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
 from ..functions.canon import date_str
-from .dedup import _shingle_expr, _shingles
+from .dedup import SHINGLE_DF_CAP, _shingle_expr, _shingles
 
 #: Sources treated as the held-out benchmark split for decontamination.
 BENCH_SOURCES = ("src0", "src1", "src2", "src3")
@@ -488,14 +488,26 @@ SPLIT_TRAIN = 240
 SPLIT_VAL = 248
 
 
-def _split_hash():
-    """Portable 0..255 pseudo-uniform value from the doc_id's md5: the
+def _split_hash(col: str = "doc_id"):
+    """Portable 0..255 pseudo-uniform value from the doc id's md5: the
     ascii codes of the first two hex chars. Both engines compute md5
     and ascii identically, so membership is reproducible anywhere."""
-    h = F.md5(F.col("doc_id").cast("string"))
+    h = F.md5(F.col(col).cast("string"))
     return (
         F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
     ) % 256
+
+
+def _split_label(col: str = "doc_id"):
+    """train/val/test label as a pure expression of the doc id -- no
+    lookup table, so consumers never need a join or broadcast to
+    recover a document's split."""
+    hv = _split_hash(col)
+    return (
+        F.when(hv < SPLIT_TRAIN, F.lit("train"))
+        .when(hv < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
 
 
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,33 +613,27 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split NEAR-duplicate leakage audit: near-dup pairs
-    (MinHash+LSH, Jaccard >= 0.8) whose two documents land in
+    (exact 3-gram Jaccard >= 0.8) whose two documents land in
     different train/val/test splits under ``q_split_assign``'s hash.
     Hash-splitting by doc_id cannot see content, so near-identical
     documents routinely straddle the split boundary -- exactly the
     leakage that inflates eval numbers. This is the composition check
-    a pipeline runs before shipping a split (pairs from the LSH scale
-    path; the oracle recomputes them from the exact inverted-index
-    join, value-identical at this threshold).
+    a pipeline runs before shipping a split.
 
-    Plan: the LSH candidate machinery (bounded, banded) plus one
-    broadcast of the tiny (doc_id, split) map onto each pair side."""
-    from .dedup import minhash_lsh_pairs
+    It is an AUDIT, so exactness is the point: pairs come from the
+    DF-capped exact inverted-index join (dedup._jaccard_pairs), not the
+    probabilistic LSH path -- a banding miss near the threshold would
+    silently under-report leakage (and diverge from the exact oracle).
+    The split labels are pure expressions of d1/d2 (md5-derived), so
+    recovering them needs NO join and NO broadcast of a corpus-sized
+    map -- the audit adds zero shuffles beyond the pair join itself."""
+    from .dedup import _jaccard_pairs, _shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    hv = _split_hash()
-    split = (
-        F.when(hv < SPLIT_TRAIN, F.lit("train"))
-        .when(hv < SPLIT_VAL, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    splits = docs.select("doc_id", split.alias("split"))
-    pairs = minhash_lsh_pairs(docs).select("d1", "d2", "jaccard")
-    s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("split1"))
-    s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("split2"))
+    pairs = _jaccard_pairs(_shingles(docs), 0.8).select("d1", "d2", "jaccard")
     return (
-        pairs.join(broadcast(s1), "d1")
-        .join(broadcast(s2), "d2")
+        pairs.withColumn("split1", _split_label("d1"))
+        .withColumn("split2", _split_label("d2"))
         .filter(F.col("split1") != F.col("split2"))
         .select("d1", "d2", "split1", "split2", "jaccard")
         .orderBy("d1", "d2")
@@ -842,9 +848,11 @@ CURATION_ORACLES: dict[str, str] = {
           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                 FROM documents)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        kept AS (SELECT doc_id, shingle FROM sh
+                 QUALIFY count(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}),
         inter AS (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
         pairs AS (
           SELECT d1, d2,
