@@ -22,6 +22,7 @@ before every query with graceful empty payloads (app.py:16-42), and
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -97,10 +98,32 @@ ROUTES = {
     "/api/status": get_status_payload,
 }
 
+# The dashboard page itself (reference: web-app/templates/index.html,
+# served by Flask's render_template at app.py's index route; polls the
+# API every 5 s per index.html:165). Ours is an original, dependency-free
+# page (inline-SVG charts instead of the Chart.js CDN) over the same
+# four endpoints.
+_TEMPLATE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "templates", "dashboard.html"
+)
+
+
+def get_dashboard_html() -> bytes:
+    with open(_TEMPLATE_PATH, "rb") as f:
+        return f.read()
+
 
 def make_handler(spark: SparkSession, sf_dir: str):
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib API name)
+            if self.path in ("/", "/index.html"):
+                body = get_dashboard_html()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             fn = ROUTES.get(self.path)
             if fn is None:
                 self.send_response(404)
@@ -135,8 +158,6 @@ def serve(spark: SparkSession, sf_dir: str, port: int = 8080) -> ThreadingHTTPSe
 
 
 if __name__ == "__main__":
-    import os
-
     from .session import get_spark
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

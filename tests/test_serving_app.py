@@ -52,6 +52,19 @@ def test_api_status(server):
     assert sum(payload["counts"].values()) > 0
 
 
+def test_dashboard_page(server):
+    """'/' serves the HTML dashboard (reference web-app/templates/
+    index.html, polled every 5 s per index.html:165); the page must
+    reference every API endpoint it renders."""
+    with urllib.request.urlopen(server + "/", timeout=120) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/html")
+        html = resp.read().decode()
+    for endpoint in ("/api/sales", "/api/stock", "/api/recent", "/api/status"):
+        assert endpoint in html
+    assert "5000" in html  # 5 s poll interval, like the reference
+
+
 def test_unknown_route_404(server):
     import urllib.error
 

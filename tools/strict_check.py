@@ -106,6 +106,13 @@ def compare_tables(spark_tbl: pa.Table, duck_tbl: pa.Table) -> str | None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        help="Use a bare default-conf SparkSession (like the driver does) "
+        "instead of session.get_spark — catches queries that silently "
+        "depend on our session conf (ANSI off, UTC tz, AQE).",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -114,7 +121,17 @@ def main() -> int:
     from kafka_clickhouse_pipeline_spark.schemas import FIXTURE_TABLES
     from kafka_clickhouse_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="strict_check")
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.appName("strict_check_plain")
+            .master(f"local[{cpus}]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="strict_check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for name in FIXTURE_TABLES:
