@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..lineage import cut_lineage
 from ..functions.canon import ts_str
 
 JACCARD_THRESHOLD = 0.8
@@ -242,7 +243,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id", "sh", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs")
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     hashed = shingle_sets.select("doc_id", "hs")
 
@@ -333,7 +334,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("tok"),
     )
-    # Materialize the 16 nibbles ONCE per token (localCheckpoint stops
+    # Materialize the 16 nibbles ONCE per token (cut_lineage stops
     # CollapseProject from merging this projection into the 64 vote
     # expressions below, which would re-run md5+conv per bit column --
     # the measured difference is ~17s -> <1s for the signature build at
@@ -345,7 +346,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             F.conv(F.substring(h, c + 1, 1), 16, 10).cast("int").alias(f"n{c}")
             for c in range(16)
         ],
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     votes = nibbled.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -385,7 +386,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # one 8-byte signature per doc: materialize so the banding
     # self-join's two sides share it instead of re-running the vote agg
-    sigs = simhash_signatures(docs).localCheckpoint(eager=True)
+    sigs = simhash_signatures(docs).transform(cut_lineage)
 
     chunk_keys = F.array(
         *[

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..lineage import cut_lineage
 from .dedup import JACCARD_THRESHOLD, minhash_lsh_pairs
 
 
@@ -38,16 +39,14 @@ def connected_components(
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     # Iterate ONLY over the edge-induced subgraph: every node outside
     # it is its own component by definition. At scale this is the
     # difference between shuffling the near-dup docs (tiny) and the
     # whole corpus, every round.
     edge_nodes = sym.select("src").distinct().select(F.col("src").alias("node"))
-    labels = edge_nodes.select(F.col("node"), F.col("node").alias("label")).localCheckpoint(
-        eager=True
-    )
+    labels = edge_nodes.select(F.col("node"), F.col("node").alias("label")).transform(cut_lineage)
     # Convergence witness: under min-label propagation labels only ever
     # decrease, so sum(label) strictly decreases until fixpoint. One
     # single-stage aggregate per round replaces a join + count job
@@ -68,7 +67,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         new_sum = labels.agg(label_sum).first()["s"]
         if prev_sum is not None and new_sum == prev_sum:
@@ -140,11 +139,11 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataF
     regardless of graph size. Edge list is checkpointed once so the
     (possibly expensive) edge derivation never re-runs per round; rank
     lineage is truncated every round."""
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    edges = edges.select("src", "dst").transform(cut_lineage)
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     n = deg.count()
     spark = edges.sparkSession
@@ -159,7 +158,7 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataF
     for _ in range(iters):
         ranks = _pagerank_round(
             edges, deg, ranks, teleport, broadcast_ranks=small_enough
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     return ranks
 
 

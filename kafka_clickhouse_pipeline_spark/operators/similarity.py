@@ -35,6 +35,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..lineage import cut_lineage
 from .topk import grouped_topk
 
 TOP_K = 5
@@ -183,7 +184,7 @@ def kmeans_centroids(vecs: DataFrame, iters: int = 3) -> DataFrame:
             assigned.groupBy("centroid_id")
             .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv"))
         )
-        centroids = centroids.localCheckpoint(eager=True)  # cut lineage per round
+        centroids = centroids.transform(cut_lineage)  # cut lineage per round
     return centroids
 
 

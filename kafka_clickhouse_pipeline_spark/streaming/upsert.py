@@ -36,6 +36,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..lineage import cut_lineage
+
 #: Partition column holding the key hash bucket.
 BUCKET_COL = "key_bucket"
 
@@ -84,7 +86,7 @@ def upsert_batch(
     # cut lineage before overwriting the path we just read
     merged = merged.repartition(
         max(1, target_files_per_bucket), F.col(BUCKET_COL)
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
