@@ -40,7 +40,11 @@ HEADLINE = [
     "q_token_stats",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
+    "q_pagerank_copurchase",
+    "q_split_leakage_audit",
     "q_ann_bruteforce_topk",
     "q_ann_ivf_topk",
     "q_ann_pq_topk",
