@@ -19,8 +19,12 @@ Scale design (100 TB corpus):
 - SimHash: 64-bit signature via per-token hash bit voting; near-dup
   pairs found by banding the signature into 4x16-bit chunks (hamming
   distance <= 3 guarantees >= 1 identical chunk) and verifying.
-- Embedding near-dup: exact cosine self-join above a threshold;
-  the LSH/IVF scale path lives in ``similarity``.
+- Embedding near-dup: exact cosine self-join above a threshold (the
+  audit/oracle path) plus the LSH-bucketed production twin
+  (``q_dedup_embedding_lsh``: sign-projection band join -> exact verify
+  on candidates only -- no O(n^2) stage, and still oracle-checked
+  because the +-1 hyperplane arithmetic is bit-portable). ANN top-k
+  over embeddings lives in ``similarity``.
 
 Shingling contract shared with the oracles: whitespace tokens,
 3-token shingles joined by single spaces, distinct per document.
@@ -467,6 +471,69 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed -- the 100 TB production path
+    for what ``q_dedup_embedding_cosine`` computes exactly.
+
+    Candidate generation: every vector gets a 16-bit sign-random-
+    projection code (similarity.lsh_code), banded 4x4 bits; only pairs
+    sharing >= 1 band bucket are joined (like MinHash-LSH banding for
+    Jaccard, but over the embedding space). Verification: exact cosine
+    on candidates only, same float64 sequential arithmetic as the exact
+    twin. Unlike the ANN top-k variants this IS oracle-checkable: the
+    +-1 hyperplane signs are bit-portable (a dot against +-1 planes is
+    a sequential double sum of +-v[i], identical under DuckDB's
+    list_sum), so the oracle reproduces the exact candidate set, not
+    just the verified values.
+
+    Shuffle shape at scale: one map to code each vector, one join keyed
+    by band bucket (bounded fan-out: bucket sizes ~n/2^4 per band by
+    construction on spread-out embeddings), exact verify on candidates
+    only. No O(n^2) stage."""
+    from .similarity import lsh_band_keys, lsh_code
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+
+    e = emb.select("vec_id", vec.alias("v")).withColumn(
+        "n", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    banded = e.select(
+        "vec_id",
+        "v",
+        "n",
+        F.explode(lsh_band_keys(lsh_code(F.col("v")))).alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.col("a.v").alias("av"),
+            F.col("b.v").alias("bv"),
+            F.col("a.n").alias("an"),
+            F.col("b.n").alias("bn"),
+        )
+        .dropDuplicates(["v1", "v2"])
+    )
+    cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (
+        candidates.select("v1", "v2", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("v1", "v2")
+    )
+
+
 _SHINGLE_SQL = """
         SELECT doc_id,
                unnest(list_distinct(list_transform(
@@ -533,7 +600,63 @@ def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type")
 
 
+def _lsh_planes_values_sql() -> str:
+    """The 16 sign-projection hyperplanes as a DuckDB VALUES list --
+    generated from the SAME Python source as the Spark literal
+    (similarity._hyperplanes), so both engines band identically."""
+    from .similarity import _hyperplanes
+
+    return ", ".join(
+        "({w}, [{p}])".format(
+            w=1 << j, p=", ".join(repr(float(x)) for x in plane)
+        )
+        for j, plane in enumerate(_hyperplanes())
+    )
+
+
+_EMB_COS_SQL = """
+ round(
+   list_sum(list_transform(generate_series(1, len(ea.v)),
+            i -> ea.v[i] * eb.v[i])) /
+   (sqrt(list_sum(list_transform(generate_series(1, len(ea.v)),
+         i -> ea.v[i] * ea.v[i]))) *
+    sqrt(list_sum(list_transform(generate_series(1, len(eb.v)),
+         i -> eb.v[i] * eb.v[i]))))
+ , 6)
+"""
+
+
+def _embedding_lsh_oracle() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        coded AS (
+          SELECT e.vec_id,
+                 CAST(sum(CASE WHEN list_sum(list_transform(
+                            generate_series(1, len(e.v)),
+                            i -> e.v[i] * pl.p[i])) >= 0
+                          THEN pl.w ELSE 0 END) AS INT) AS code
+          FROM e, (VALUES {_lsh_planes_values_sql()}) AS pl(w, p)
+          GROUP BY e.vec_id),
+        banded AS (
+          SELECT vec_id, ((code >> (bb.b * 4)) & 15) + bb.b * 16 AS band_key
+          FROM coded, (VALUES (0), (1), (2), (3)) AS bb(b)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+          FROM banded a JOIN banded b
+            ON a.band_key = b.band_key AND a.vec_id < b.vec_id)
+        SELECT v1, v2, {_EMB_COS_SQL} AS cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = v1
+        JOIN e eb ON eb.vec_id = v2
+        WHERE {_EMB_COS_SQL} >= {COSINE_THRESHOLD}
+        ORDER BY v1, v2
+    """
+
+
 DEDUP_ORACLES: dict[str, str] = {
+    "q_dedup_embedding_lsh": _embedding_lsh_oracle(),
     "q_dedup_simhash": """
         WITH toks AS (
           SELECT DISTINCT doc_id, tok
@@ -678,6 +801,7 @@ DEDUP_QUERIES = {
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
     "q_dedup_quality_canonical": q_dedup_quality_canonical,
     "q_upsert_latest_wins": q_upsert_latest_wins,
 }

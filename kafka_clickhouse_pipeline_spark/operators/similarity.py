@@ -282,6 +282,46 @@ def _hyperplanes(dim: int = 64, seed: int = 42) -> list[list[float]]:
     return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(N_PLANES)]
 
 
+def _planes_literal() -> Column:
+    """The 16 hyperplanes as ONE array-of-structs literal expression
+    (per-literal Column calls are py4j round-trips; 16 x 64 of them
+    would dominate planning)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "named_struct('w', {w}, 'p', array({p}))".format(
+                w=1 << j, p=",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in plane)
+            )
+            for j, plane in enumerate(_hyperplanes())
+        )
+        + ")"
+    )
+
+
+def lsh_code(vcol: Column) -> Column:
+    """16-bit sign-random-projection code of a double-array column.
+    Portable arithmetic: each bit is sign(dot(v, plane)) with the
+    planes +-1.0, so the dot is a sequential double sum of +-v[i] --
+    bit-identical in any engine that folds lists left-to-right (the
+    DuckDB oracles mirror it with list_sum/list_transform)."""
+    bits = F.transform(
+        _planes_literal(),
+        lambda pl: F.when(_dot(vcol, pl["p"]) >= 0, pl["w"]).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, x: a + x).cast("int")
+
+
+def lsh_band_keys(code: Column) -> Column:
+    """array of LSH_BANDS band keys (band index folded in, so keys from
+    different bands never collide)."""
+    return F.array(
+        *[
+            (F.shiftright(code, b * 4).bitwiseAND(F.lit(0xF)) + F.lit(b * 16))
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: sign-random-projection codes (16 hyperplanes),
     banded into 4x4-bit buckets; candidates share >= 1 band bucket with
@@ -293,35 +333,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-free and insert-friendly (a new vector's bucket is a pure
     function of the vector)."""
     vecs = _vectors(spark, sf_dir)
-    planes = _hyperplanes()
-
-    # single-expr literal (per-literal Column calls
-    # are py4j round-trips; 16 x 64 of them would dominate planning)
-    planes_lit = F.expr(
-        "array("
-        + ",".join(
-            "named_struct('w', {w}, 'p', array({p}))".format(
-                w=1 << j, p=",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in plane)
-            )
-            for j, plane in enumerate(planes)
-        )
-        + ")"
+    coded = _with_norm(vecs).select(
+        "vec_id", "v", "vn", lsh_code(F.col("v")).alias("code")
     )
-
-    def code(vcol: Column) -> Column:
-        bits = F.transform(
-            planes_lit,
-            lambda pl: F.when(_dot(vcol, pl["p"]) >= 0, pl["w"]).otherwise(F.lit(0)),
-        )
-        return F.aggregate(bits, F.lit(0), lambda a, x: a + x).cast("int")
-
-    coded = _with_norm(vecs).select("vec_id", "v", "vn", code(F.col("v")).alias("code"))
-    band_keys = F.array(
-        *[
-            (F.shiftright("code", b * 4).bitwiseAND(F.lit(0xF)) + F.lit(b * 16))
-            for b in range(LSH_BANDS)
-        ]
-    )
+    band_keys = lsh_band_keys(F.col("code"))
     banded = coded.select(
         "vec_id", "v", "vn", F.explode(band_keys).alias("band_key")
     )

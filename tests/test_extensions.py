@@ -194,3 +194,23 @@ def test_pq_topk_recall_and_determinism(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in bf:
             assert r.cosine == bf[key]
+
+
+def test_embedding_lsh_pairs_subset_of_exact_with_recall(spark, sf_dir):
+    """q_dedup_embedding_lsh verifies candidates with the exact cosine,
+    so its pairs must be a strict subset of q_dedup_embedding_cosine's;
+    banding (4 bands x 4 bits of a 16-bit sign code) must still recover
+    a non-trivial fraction of true near-dup pairs."""
+    from kafka_clickhouse_pipeline_spark.operators.dedup import (
+        q_dedup_embedding_cosine,
+        q_dedup_embedding_lsh,
+    )
+
+    exact = {(r["v1"], r["v2"]) for r in q_dedup_embedding_cosine(spark, sf_dir).collect()}
+    lsh = {(r["v1"], r["v2"]) for r in q_dedup_embedding_lsh(spark, sf_dir).collect()}
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh) / len(exact)
+        # random unclustered fixture vectors are the hard case; the
+        # mechanism guard is non-trivial recall, not production recall
+        assert recall > 0.2, recall
