@@ -487,9 +487,13 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the verified values.
 
     Shuffle shape at scale: one map to code each vector, one join keyed
-    by band bucket (bounded fan-out: bucket sizes ~n/2^4 per band by
-    construction on spread-out embeddings), exact verify on candidates
-    only. No O(n^2) stage."""
+    by band bucket, exact verify on candidates only. Candidate volume is
+    ~n^2 / 2^bits_per_band per band, so the code geometry must scale
+    with the corpus: this 16-plane/4x4 layout matches the test fixture
+    (and the oracle); a 100 TB run raises N_PLANES so each band carries
+    16+ bits (2^16 buckets/band -> million-fold candidate reduction),
+    trading recall per band for more bands -- same operator, different
+    constants (see SCALE.md, Dedup)."""
     from .similarity import lsh_band_keys, lsh_code
 
     emb = load_table(spark, sf_dir, "embeddings")
