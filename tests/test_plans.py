@@ -325,3 +325,22 @@ def test_shingle_df_cap_bounds_fanout(spark):
     capped = dd._df_capped(shingles, cap=3)
     kept = {r["shingle"] for r in capped.select("shingle").distinct().collect()}
     assert kept == {"rare a", "rare b"}
+
+
+def test_window_plan_audit_no_row_python_no_cartesian(spark, sf_dir):
+    """Every driver-window query: zero row-at-a-time Python
+    (BatchEvalPython) and zero CartesianProduct (audited: even the
+    1-row constant cross-joins compile to BroadcastNestedLoopJoin)."""
+    import __spark_entry__ as entry
+
+    one_row_cross: set[str] = set()
+    qs = entry.queries()
+    violations = []
+    for name in list(qs)[:50]:
+        df = qs[name](spark, sf_dir)
+        plan = plans.formatted_plan(df)
+        if "BatchEvalPython" in plan:
+            violations.append((name, "BatchEvalPython"))
+        if "CartesianProduct" in plan and name not in one_row_cross:
+            violations.append((name, "CartesianProduct"))
+    assert not violations, violations
