@@ -1,0 +1,132 @@
+"""Incremental exact dedup of a document stream against a persistent
+fingerprint index.
+
+The batch operator (``operators.dedup.q_dedup_exact``) answers "which
+docs in THIS corpus are duplicates"; a training-data pipeline also
+needs the streaming question: "is this NEW document already in the
+corpus we ingested last month" -- without re-reading the corpus. Two
+complementary mechanisms:
+
+- **Within-run**: Spark's watermarked ``dropDuplicates`` keeps stream
+  state for the run (streaming/stateful.py:129).
+- **Cross-run / bootstrap** (this module): a persistent fingerprint
+  index table. Each micro-batch is (1) deduped within itself, (2)
+  anti-joined against the index, and (3) the survivors are appended to
+  both the output corpus and the index -- with the same staged-commit
+  marker protocol as streaming/sink.py, so batch replays are no-ops.
+
+Fingerprint contract: md5 of whitespace-normalized lowercased text --
+IDENTICAL to q_dedup_exact, so the streaming index and the batch
+operator agree on what "exact duplicate" means.
+
+Scale shape (100 TB corpus, so ~10^9-10^10 index rows of 32-byte
+fingerprints ~ low-TB index):
+- The per-batch anti-join shuffles only the micro-batch if the index
+  is bucketed by fingerprint (plans/layout.write_bucketed); the batch
+  side repartitions into the index's bucketing, each index bucket is
+  read by exactly one task, nothing corpus-sized moves.
+- A bloom-filter prefilter over the index (bounded bits, rebuilt
+  periodically) can drop the no-hit majority of batch rows before the
+  exact anti-join; correctness never depends on it, so it is an
+  optional accelerator, not implemented here.
+- Appends grow the index monotonically; duplicate index entries from
+  a replayed-but-uncommitted batch are harmless (anti-join semantics
+  are set-membership), the marker protocol prevents them anyway.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Same normalization as operators.dedup.q_dedup_exact."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " ")))
+
+
+INDEX_SCHEMA = StructType([StructField("fingerprint", StringType(), False)])
+
+
+def _read_index(spark, index_path: str) -> DataFrame:
+    """The fingerprint index, or an empty frame before the first
+    commit (missing/empty dir)."""
+    files = glob.glob(os.path.join(index_path, "*.parquet"))
+    if not files:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+    return spark.read.schema(INDEX_SCHEMA).parquet(index_path)
+
+
+def dedup_batch_against_index(batch: DataFrame, index: DataFrame) -> DataFrame:
+    """Pure transform: one micro-batch of documents -> the subset that
+    is new, deduped within the batch (deterministic: min doc_id wins a
+    within-batch tie) and not present in the index."""
+    fp = batch.withColumn("fingerprint", fingerprint(F.col("text")))
+    within = (
+        fp.groupBy("fingerprint")
+        .agg(F.min(F.struct("doc_id", *[c for c in batch.columns if c != "doc_id"])).alias("doc"))
+        .select("fingerprint", "doc.*")
+    )
+    return within.join(index, "fingerprint", "left_anti")
+
+
+def incremental_dedup_writer(out_path: str, index_path: str, target_files: int = 4):
+    """foreachBatch function: effectively-once append of new-unique
+    docs to ``out_path`` and their fingerprints to ``index_path``.
+
+    Same staged-commit protocol as sink.idempotent_batch_writer: a
+    replayed batch id with a commit marker is a no-op, and half-written
+    files from a crashed attempt are named by batch id so they are
+    swept before re-publish.
+    """
+
+    def _publish(staging: str, dest_dir: str, batch_id: int) -> None:
+        for stale in glob.glob(os.path.join(dest_dir, f"b{batch_id}-*")):
+            os.remove(stale)
+        os.makedirs(dest_dir, exist_ok=True)
+        for f in glob.glob(os.path.join(staging, "*.parquet")):
+            shutil.move(f, os.path.join(dest_dir, f"b{batch_id}-{os.path.basename(f)}"))
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(out_path, "_commits", str(batch_id))
+        if os.path.exists(marker):
+            return  # replay after successful publish
+        spark = batch_df.sparkSession
+        fresh = dedup_batch_against_index(batch_df, _read_index(spark, index_path))
+        doc_staging = os.path.join(out_path, "_staging", str(batch_id))
+        idx_staging = os.path.join(index_path, "_staging", str(batch_id))
+        fresh_docs = fresh.repartition(target_files)
+        fresh_docs.write.mode("overwrite").parquet(doc_staging)
+        (
+            spark.read.parquet(doc_staging)
+            .select("fingerprint")
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(idx_staging)
+        )
+        _publish(doc_staging, out_path, batch_id)
+        _publish(idx_staging, index_path, batch_id)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
+        shutil.rmtree(os.path.dirname(doc_staging), ignore_errors=True)
+        shutil.rmtree(os.path.dirname(idx_staging), ignore_errors=True)
+
+    return _write
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+):
+    """writeStream wiring: document stream -> incremental dedup sink."""
+    return docs_stream.writeStream.foreachBatch(
+        incremental_dedup_writer(out_path, index_path)
+    ).option("checkpointLocation", checkpoint)
