@@ -57,6 +57,7 @@ HEADLINE = [
     "q_retention_cohorts",
     "q_decontaminate_shingle_overlap",
     "q_quality_gopher",
+    "q_curation_pipeline",
     "q_pack_sequences",
     "q_chunk_documents",
     "q_perplexity_unigram",

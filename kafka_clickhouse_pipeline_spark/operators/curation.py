@@ -346,7 +346,13 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles keyed on doc_id (never on the raw text) and joins back.
     All ratios are exact-integer divisions in double, so the DuckDB
     oracle agrees bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_flags(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Gopher screening as a reusable transform over any documents
+    frame: (doc_id, n_tokens, ttr, dup_bigram_frac, top_token_share,
+    keep). See q_quality_gopher for the plan discussion."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(toks)
     per_doc = docs.select(
@@ -385,8 +391,60 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (tts <= GOPHER_MAX_TOP_SHARE)
             ).alias("keep"),
         )
-        .orderBy("doc_id")
     )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline -- the stages a user composes for a
+    real training-data build, chained and oracle-checked as ONE query:
+
+      1. corpus scoping: benchmark sources (BENCH_SOURCES) are eval
+         material, excluded from the training corpus up front;
+      2. quality-aware exact dedup: one hash aggregate per content
+         fingerprint keeps the most-token member (ties -> lowest id);
+      3. Gopher screening (gopher_flags) keeps only passing docs;
+      4. benchmark decontamination: any surviving doc sharing an
+         8-token shingle with a benchmark doc is dropped (bench shingle
+         set broadcasts -- the corpus never shuffles for this stage);
+      5. deterministic split assignment (pure expression of doc_id).
+
+    Output: (doc_id, source, n_tokens, split), the manifest of the
+    curated corpus. Plan shape at 100 TB: two content shuffles (dedup
+    fingerprint, gopher token aggregate), one broadcast join
+    (decontamination), everything else map-side; no stage touches more
+    than the surviving candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(~F.col("source").isin(*BENCH_SOURCES))
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    q = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    canon = (
+        train.select(F.md5(norm).alias("fingerprint"), q.alias("q"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("negid"))).alias("m"))
+        .select((-F.col("m.negid")).alias("doc_id"))
+    )
+    kept = train.join(canon, "doc_id")
+
+    good = gopher_flags(kept).filter(F.col("keep")).select("doc_id", "n_tokens")
+    good_docs = kept.join(good, "doc_id")
+
+    bench_sh = (
+        _shingles(docs.filter(F.col("source").isin(*BENCH_SOURCES)), n=8)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        _shingles(good_docs, n=8)
+        .join(broadcast(bench_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = good_docs.join(contaminated, "doc_id", "left_anti")
+
+    return clean.select(
+        "doc_id", "source", "n_tokens", _split_label().alias("split")
+    ).orderBy("doc_id")
 
 
 def redact_pii(col: F.Column) -> F.Column:
@@ -655,7 +713,76 @@ def _shingle8_sql(rel_filter: str) -> str:
 
 _BENCH_IN = "('" + "', '".join(BENCH_SOURCES) + "')"
 
+
+def _curation_pipeline_oracle() -> str:
+    """The five pipeline stages as one CTE chain, each reusing the SQL
+    fragment of its standalone oracle (so pipeline parity is checked
+    against the same definitions as the stage queries)."""
+    return f"""
+        WITH train AS (
+          SELECT * FROM documents WHERE source NOT IN {_BENCH_IN}),
+        d AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                 len(string_split_regex(trim(text), '\\s+')) AS q
+          FROM train),
+        canon AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY fingerprint
+                                              ORDER BY q DESC, doc_id ASC) AS rn
+            FROM d) WHERE rn = 1),
+        t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM train WHERE doc_id IN (SELECT doc_id FROM canon)),
+        m AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_types,
+                 greatest(len(toks) - 1, 0) AS n_bigrams,
+                 len(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i+1]))) AS n_distinct_bigrams
+          FROM t),
+        top AS (
+          SELECT doc_id, max(c) AS top_c FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY 1, 2) GROUP BY 1),
+        good AS (
+          SELECT doc_id, n_tokens
+          FROM m JOIN top USING (doc_id)
+          WHERE n_tokens >= {GOPHER_MIN_TOKENS}
+            AND CAST(n_types AS DOUBLE) / n_tokens >= {GOPHER_MIN_TTR}
+            AND (CASE WHEN n_bigrams > 0
+                      THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+                      ELSE 0.0 END) <= {GOPHER_MAX_DUP_BIGRAM}
+            AND CAST(top_c AS DOUBLE) / n_tokens <= {GOPHER_MAX_TOP_SHARE}),
+        bench_sh AS (
+          SELECT DISTINCT shingle FROM ({_shingle8_sql(f"source IN {_BENCH_IN}")})),
+        good_sh AS (
+          {_shingle8_sql(
+              f"source NOT IN {_BENCH_IN}"
+              " AND doc_id IN (SELECT doc_id FROM good)"
+          )}),
+        contaminated AS (
+          SELECT DISTINCT doc_id FROM good_sh JOIN bench_sh USING (shingle)),
+        final AS (
+          SELECT g.doc_id, tr.source, g.n_tokens
+          FROM good g JOIN train tr USING (doc_id)
+          WHERE g.doc_id NOT IN (SELECT doc_id FROM contaminated))
+        SELECT doc_id, source, n_tokens,
+               CASE WHEN hv < {SPLIT_TRAIN} THEN 'train'
+                    WHEN hv < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *,
+                     (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+                    + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 256 AS hv
+              FROM final)
+        ORDER BY doc_id
+    """
+
+
 CURATION_ORACLES: dict[str, str] = {
+    "q_curation_pipeline": _curation_pipeline_oracle(),
     "q_split_assign": f"""
         WITH h AS (
           SELECT doc_id, source,
@@ -963,6 +1090,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURATION_QUERIES = {
+    "q_curation_pipeline": q_curation_pipeline,
     "q_funnel_steps": q_funnel_steps,
     "q_retention_cohorts": q_retention_cohorts,
     "q_heavy_hitter_users": q_heavy_hitter_users,

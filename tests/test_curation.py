@@ -117,3 +117,34 @@ def test_chunk_documents_geometry(spark, sf_dir):
         assert last.start + CHUNK_STRIDE > last.start + last.n_chunk_tokens - 1 or (
             last.n_chunk_tokens == CHUNK_SIZE
         )
+
+
+def test_curation_pipeline_consistent_with_stages(spark, sf_dir):
+    """The composed pipeline must agree with its standalone stages:
+    unique ids, no benchmark sources, every survivor passes Gopher,
+    no survivor shares an 8-shingle with the benchmark set, split
+    labels match q_split_assign."""
+    from kafka_clickhouse_pipeline_spark.operators.curation import (
+        BENCH_SOURCES,
+        q_curation_pipeline,
+        q_decontaminate_shingle_overlap,
+        q_quality_gopher,
+        q_split_assign,
+    )
+
+    out = q_curation_pipeline(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    assert not {r["source"] for r in out} & set(BENCH_SOURCES)
+
+    gopher = {r["doc_id"]: r["keep"] for r in q_quality_gopher(spark, sf_dir).collect()}
+    assert all(gopher[i] for i in ids)
+
+    contaminated = {
+        r["doc_id"] for r in q_decontaminate_shingle_overlap(spark, sf_dir).collect()
+    }
+    assert not set(ids) & contaminated
+
+    splits = {r["doc_id"]: r["split"] for r in q_split_assign(spark, sf_dir).collect()}
+    assert all(r["split"] == splits[r["doc_id"]] for r in out)
+    assert len(out) > 0
