@@ -47,9 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (exact/MinHash-LSH/SimHash/quality/upsert), graph clustering +
 #: PageRank, ANN (exact + IVF + label centroids; PQ/LSH variants sit
 #: just outside), multimodal, advanced analytics
-#: (rollup/cube/as-of/gapfill/hypertable/moving-avg), semi-structured,
-#: reshape (pivot/unpivot/ntile/sampling), and curation -- into the
-#: verified window. Everything after entry 50 is a variant of an
+#: (rollup/cube/as-of/gapfill/hypertable), semi-structured, reshape
+#: (pivot/unpivot/ntile/sampling), curation, and the composed
+#: end-to-end curation pipeline -- into the verified window. Everything after entry 50 is a variant of an
 #: already-covered family.
 #: Within the window, cheap families run first and the iterative/heavy
 #: operators (MinHash, SimHash, clustering, PageRank) close it out --
