@@ -42,6 +42,7 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
+    "q_dedup_embedding_lsh",
     "q_dedup_clusters",
     "q_pagerank_copurchase",
     "q_split_leakage_audit",
