@@ -538,6 +538,37 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: History/batch boundary for the batch-visible incremental-dedup
+#: query: docs below this id play the already-ingested corpus, the
+#: rest arrive as the new batch. Mirrored verbatim in the oracle.
+INCR_HISTORY_BOUNDARY = 250
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-visible (and oracle-checked) twin of the streaming
+    incremental dedup (streaming/incremental_dedup.py): documents with
+    doc_id < INCR_HISTORY_BOUNDARY form the historical fingerprint
+    index; the remaining documents are 'the incoming batch'. Output is
+    the batch survivors -- deduped within the batch (min doc_id wins a
+    fingerprint tie) and anti-joined against the index -- exactly the
+    transform each streaming micro-batch applies, so the driver gate
+    verifies the streaming path's core semantics."""
+    from ..streaming.incremental_dedup import dedup_batch_against_index, fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = (
+        docs.filter(F.col("doc_id") < INCR_HISTORY_BOUNDARY)
+        .select(fingerprint(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= INCR_HISTORY_BOUNDARY)
+    return (
+        dedup_batch_against_index(batch, index)
+        .select("doc_id", "source", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
 _SHINGLE_SQL = """
         SELECT doc_id,
                unnest(list_distinct(list_transform(
@@ -661,6 +692,26 @@ def _embedding_lsh_oracle() -> str:
 
 DEDUP_ORACLES: dict[str, str] = {
     "q_dedup_embedding_lsh": _embedding_lsh_oracle(),
+    "q_dedup_incremental": f"""
+        WITH fp AS (
+          SELECT doc_id, source,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+          FROM documents),
+        hist AS (
+          SELECT DISTINCT fingerprint FROM fp
+          WHERE doc_id < {INCR_HISTORY_BOUNDARY}),
+        batch AS (
+          SELECT * FROM fp WHERE doc_id >= {INCR_HISTORY_BOUNDARY}),
+        within AS (
+          SELECT fingerprint, doc_id, source FROM (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                         ORDER BY doc_id ASC) AS rn
+            FROM batch) WHERE rn = 1)
+        SELECT doc_id, source, fingerprint
+        FROM within
+        WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+        ORDER BY doc_id
+    """,
     "q_dedup_simhash": """
         WITH toks AS (
           SELECT DISTINCT doc_id, tok
@@ -800,6 +851,7 @@ DEDUP_ORACLES: dict[str, str] = {
 
 DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_containment": q_dedup_containment,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
