@@ -92,3 +92,35 @@ def test_writer_replay_is_noop(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1
     # but its commit marker still lands (the batch itself succeeded)
     assert os.path.exists(os.path.join(out, "_commits", "8"))
+
+
+def test_batch_twin_matches_streaming_writer(spark, sf_dir, tmp_path):
+    """q_dedup_incremental (the oracle-checked batch twin) must produce
+    exactly the docs the streaming writer would keep when the same
+    history/batch partition of `documents` flows through it."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+    from kafka_clickhouse_pipeline_spark.operators.dedup import (
+        INCR_HISTORY_BOUNDARY,
+        q_dedup_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out, idx = str(tmp_path / "docs"), str(tmp_path / "index")
+    writer = incremental_dedup_writer(out, idx)
+    # batch 0: the historical corpus bootstraps the index
+    writer(docs.filter(F.col("doc_id") < INCR_HISTORY_BOUNDARY), 0)
+    # batch 1: the 'incoming' documents
+    writer(docs.filter(F.col("doc_id") >= INCR_HISTORY_BOUNDARY), 1)
+
+    streamed = {
+        (r["doc_id"], r["fingerprint"])
+        for r in spark.read.parquet(out).collect()
+        if r["doc_id"] >= INCR_HISTORY_BOUNDARY
+    }
+    batch_twin = {
+        (r["doc_id"], r["fingerprint"])
+        for r in q_dedup_incremental(spark, sf_dir).collect()
+    }
+    assert streamed == batch_twin
