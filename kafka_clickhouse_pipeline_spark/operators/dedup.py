@@ -639,14 +639,9 @@ def _lsh_planes_values_sql() -> str:
     """The 16 sign-projection hyperplanes as a DuckDB VALUES list --
     generated from the SAME Python source as the Spark literal
     (similarity._hyperplanes), so both engines band identically."""
-    from .similarity import _hyperplanes
+    from .similarity import lsh_planes_values_sql
 
-    return ", ".join(
-        "({w}, [{p}])".format(
-            w=1 << j, p=", ".join(repr(float(x)) for x in plane)
-        )
-        for j, plane in enumerate(_hyperplanes())
-    )
+    return lsh_planes_values_sql()
 
 
 _EMB_COS_SQL = """

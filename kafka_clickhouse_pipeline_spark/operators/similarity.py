@@ -282,6 +282,16 @@ def _hyperplanes(dim: int = 64, seed: int = 42) -> list[list[float]]:
     return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(N_PLANES)]
 
 
+def lsh_planes_values_sql() -> str:
+    """The hyperplanes as a DuckDB VALUES list -- generated from the
+    SAME Python source as the Spark literal (_hyperplanes), so both
+    engines compute identical sign codes."""
+    return ", ".join(
+        "({w}, [{p}])".format(w=1 << j, p=", ".join(repr(float(x)) for x in plane))
+        for j, plane in enumerate(_hyperplanes())
+    )
+
+
 def _planes_literal() -> Column:
     """The 16 hyperplanes as ONE array-of-structs literal expression
     (per-literal Column calls are py4j round-trips; 16 x 64 of them
@@ -325,8 +335,12 @@ def lsh_band_keys(code: Column) -> Column:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: sign-random-projection codes (16 hyperplanes),
     banded into 4x4-bit buckets; candidates share >= 1 band bucket with
-    the query, then are ranked by true cosine. Rows-only: approximate
-    by design (recall tested vs brute force).
+    the query, then are ranked by true cosine. Approximate relative to
+    brute force (recall tested), but -- unlike the numpy-scored IVF/PQ
+    variants -- fully ORACLE-CHECKED: the +-1-plane sign codes and the
+    candidate cosine ranking are bit-portable to DuckDB (sequential
+    double sums; see dedup.q_dedup_embedding_lsh), so the oracle
+    reproduces the exact candidate set and ranking.
 
     At 100 TB: each vector carries a 16-bit code (2 bytes of state);
     the candidate join touches only same-bucket vectors -- like IVF but
@@ -423,7 +437,47 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "pos")
 
 
+def _ann_lsh_oracle() -> str:
+    """Exact DuckDB twin of q_ann_lsh_topk: same sign codes (shared
+    plane constants via lsh_planes_values_sql), same banding, same
+    cosine ranking -- candidate set and order reproduce bit-for-bit."""
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        coded AS (
+          SELECT e.vec_id,
+                 CAST(sum(CASE WHEN list_sum(list_transform(
+                            generate_series(1, len(e.v)),
+                            i -> e.v[i] * pl.p[i])) >= 0
+                          THEN pl.w ELSE 0 END) AS INT) AS code
+          FROM e, (VALUES {lsh_planes_values_sql()}) AS pl(w, p)
+          GROUP BY e.vec_id),
+        banded AS (
+          SELECT vec_id, ((code >> (bb.b * 4)) & 15) + bb.b * 16 AS band_key
+          FROM coded, (VALUES (0), (1), (2), (3)) AS bb(b)),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM banded qb JOIN banded cb ON qb.band_key = cb.band_key
+          WHERE qb.vec_id < {N_QUERIES} AND cb.vec_id <> qb.vec_id),
+        scored AS (
+          SELECT query_id, neighbor_id, round({_COS_SQL}, 6) AS cosine
+          FROM cand
+          JOIN e q ON q.vec_id = query_id
+          JOIN e c ON c.vec_id = neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 SIMILARITY_ORACLES: dict[str, str] = {
+    "q_ann_lsh_topk": _ann_lsh_oracle(),
     "q_embedding_label_centroids": """
         WITH comp AS (
           SELECT label, pos,
@@ -464,6 +518,6 @@ SIMILARITY_QUERIES = {
     "q_ann_bruteforce_topk": q_ann_bruteforce_topk,
     "q_ann_ivf_topk": q_ann_ivf_topk,  # rows-only: approximate by design
     "q_ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # rows-only: approximate
-    "q_ann_lsh_topk": q_ann_lsh_topk,  # rows-only: approximate
+    "q_ann_lsh_topk": q_ann_lsh_topk,  # oracle-checked (bit-portable LSH)
     "q_embedding_label_centroids": q_embedding_label_centroids,
 }
