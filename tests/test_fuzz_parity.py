@@ -247,3 +247,56 @@ def test_latest_per_key_parity_on_random_data(spark, rows):
         if cur is None or (ver, name, score) > cur:
             expected[k] = (ver, name, score)
     assert got == expected
+
+
+doc_text_strategy = st.text(
+    alphabet=st.sampled_from("ab cd"), min_size=0, max_size=40
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(doc_text_strategy, min_size=1, max_size=30))
+def test_incremental_dedup_invariants_on_random_data(spark, texts):
+    """On arbitrary corpora: survivors of dedup_batch_against_index are
+    (a) fingerprint-unique, (b) disjoint from the index, (c) exactly
+    the min-doc_id representatives of batch fingerprints not in the
+    index."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.streaming.incremental_dedup import (
+        dedup_batch_against_index,
+        fingerprint,
+    )
+
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    cut = len(texts) // 2
+    hist = docs.filter(F.col("doc_id") < cut)
+    batch = docs.filter(F.col("doc_id") >= cut)
+    index = hist.select(fingerprint(F.col("text")).alias("fingerprint")).distinct()
+
+    out = dedup_batch_against_index(batch, index).collect()
+    fps = [r["fingerprint"] for r in out]
+    assert len(fps) == len(set(fps))
+    index_fps = {r["fingerprint"] for r in index.collect()}
+    assert not set(fps) & index_fps
+
+    # reference computation in plain Python
+    def fp(t):
+        import hashlib
+        import re
+
+        return hashlib.md5(re.sub(r"\s+", " ", t.strip()).lower().encode()).hexdigest()
+
+    hist_fps = {fp(t) for i, t in enumerate(texts) if i < cut}
+    expect = {}
+    for i, t in enumerate(texts):
+        if i >= cut and fp(t) not in hist_fps and fp(t) not in expect:
+            expect[fp(t)] = i
+    assert {(r["fingerprint"], r["doc_id"]) for r in out} == {
+        (k, v) for k, v in expect.items()
+    }
