@@ -219,7 +219,35 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_media_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary media payloads by content digest -- the
+    byte-level twin of dedup.q_dedup_exact (no normalization: media
+    bytes either match or they don't). Single shuffle keyed on the
+    digest; payload bytes are reduced to a 16-byte digest map-side, so
+    at 100 TB the shuffle carries digests, never media."""
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        media.select(F.md5(F.col("payload")).alias("digest"), "doc_id", "n_bytes")
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
 MULTIMODAL_ORACLES: dict[str, str] = {
+    "q_dedup_media_exact": """
+        WITH p AS (
+          SELECT doc_id, md5(text) AS digest,
+                 octet_length(CAST(text AS BLOB)) AS n_bytes
+          FROM documents)
+        SELECT digest, min(doc_id) AS canonical_id,
+               count(*) AS n_copies, min(n_bytes) AS n_bytes
+        FROM p GROUP BY digest ORDER BY canonical_id
+    """,
     # ASCII fixture text => byte slices == char slices, so the oracle
     # reproduces the pandas byte math in SQL.
     "q_multimodal_features": """
@@ -268,4 +296,5 @@ MULTIMODAL_QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_resize": q_multimodal_resize,
+    "q_dedup_media_exact": q_dedup_media_exact,
 }

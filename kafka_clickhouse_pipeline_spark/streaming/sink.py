@@ -117,6 +117,49 @@ def write_batch_to_table(df: DataFrame, path: str, target_files: int = 4) -> Non
     )
 
 
+def compact_partitions(
+    spark,
+    path: str,
+    max_files_per_partition: int = 8,
+    target_files: int = 4,
+) -> list[str]:
+    """Periodic small-file compaction -- the Delta ``OPTIMIZE`` stand-in
+    promised in the module docstring. Month partitions whose parquet
+    file count exceeds ``max_files_per_partition`` are rewritten to
+    ``target_files`` sorted files via dynamic partition overwrite;
+    every other partition is untouched. Returns the compacted month
+    values.
+
+    At 100 TB this runs as a scheduled maintenance job per table:
+    streaming appends keep latency low with small per-batch files, the
+    compactor restores scan efficiency (row-group stats + fewer file
+    opens). Not concurrency-safe against a writer on plain parquet
+    directories -- run between micro-batches or DETACH first (a real
+    deployment gets transactional compaction from a table format like
+    Delta/Iceberg; the job shape is identical).
+
+    The null-month partition (unparseable event_time rows,
+    ``__HIVE_DEFAULT_PARTITION__``) is deliberately skipped: dynamic
+    overwrite matches partitions by value and null is not addressable
+    that way; those rows are a diagnostic stash, not a scan target.
+    """
+    import glob
+    import os
+
+    crowded = [
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(path, "event_month=*"))
+        if os.path.basename(d).split("=", 1)[1] != "__HIVE_DEFAULT_PARTITION__"
+        and len(glob.glob(os.path.join(d, "*.parquet"))) > max_files_per_partition
+    ]
+    if not crowded:
+        return []
+    months = [int(m) for m in crowded]
+    subset = spark.read.parquet(path).filter(F.col("event_month").isin(months))
+    overwrite_partitions(subset.drop("event_month"), path, target_files)
+    return crowded
+
+
 def overwrite_partitions(df: DataFrame, path: str, target_files: int = 4) -> None:
     """Reprocess late/corrected data at partition granularity: only the
     month partitions present in ``df`` are replaced; all other
