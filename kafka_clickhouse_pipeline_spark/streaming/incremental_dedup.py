@@ -55,11 +55,14 @@ INDEX_SCHEMA = StructType([StructField("fingerprint", StringType(), False)])
 
 def _read_index(spark, index_path: str) -> DataFrame:
     """The fingerprint index, or an empty frame before the first
-    commit (missing/empty dir)."""
-    files = glob.glob(os.path.join(index_path, "*.parquet"))
-    if not files:
+    commit. Read through Spark (works on any filesystem the cluster
+    sees -- ``_staging``/``_commits`` are underscore-prefixed, which
+    Spark's file listing treats as hidden); only a missing path needs
+    the empty-frame fallback."""
+    try:
+        return spark.read.schema(INDEX_SCHEMA).parquet(index_path)
+    except Exception:  # noqa: BLE001 - PATH_NOT_FOUND before first commit
         return spark.createDataFrame([], INDEX_SCHEMA)
-    return spark.read.schema(INDEX_SCHEMA).parquet(index_path)
 
 
 def dedup_batch_against_index(batch: DataFrame, index: DataFrame) -> DataFrame:
