@@ -311,6 +311,106 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    section A1.1 'repetitious text'): documents dominated by repeated
+    tokens / n-grams are low-quality for LM training and are filtered
+    before mixing.
+
+    Signals (all deterministic, token-level; tokens are the shared
+    ``split(trim(text), '\\s+')`` contract):
+      - dup_token_frac:   1 - distinct_tokens / n_tokens
+      - top_2gram:        most frequent word 2-gram (ties -> smallest)
+      - top_2gram_frac:   its occurrence count / (n_tokens - 1) bigram slots
+      - dup_3gram_frac:   fraction of 3-gram slots whose 3-gram occurs
+                          more than once in the document
+    n-gram columns are NULL when the document is too short to form one.
+
+    Scale shape: the per-document counting runs as an Arrow-batched
+    ``mapInPandas`` hash-count (collections.Counter per row) -- a pure
+    map over the scan, NO shuffle of the token stream, O(n_tokens) per
+    document. The expression-only alternative (nested higher-order
+    filters) is interpreted-HOF-bound and quadratic per row (measured
+    236 s vs ~1 s at sf0.01 -- the winnowing lesson again); the
+    explode+groupBy alternative shuffles ~corpus size. The UDF emits
+    only INTEGER counts and the (string) top bigram; every fraction is
+    computed JVM-side with the same round(x, 6) the DuckDB oracle uses,
+    so no Python float arithmetic touches the output."""
+    import pandas as pd
+
+    def signals(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "n_tokens": [],
+                "nd": [],
+                "top_2gram": [],
+                "top_c": [],
+                "dup3_slots": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # match split(trim(text), '\s+'): empty text -> ['']
+                toks = text.strip().split() or [""]
+                n = len(toks)
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                out["nd"].append(len(set(toks)))
+                if n >= 2:
+                    bg = Counter(
+                        toks[i] + " " + toks[i + 1] for i in range(n - 1)
+                    )
+                    # (max count, then lexicographically smallest gram)
+                    c, g = min((-c, g) for g, c in bg.items())
+                    out["top_2gram"].append(g)
+                    out["top_c"].append(-c)
+                else:
+                    out["top_2gram"].append(None)
+                    out["top_c"].append(None)
+                if n >= 3:
+                    tg = Counter(
+                        " ".join(toks[i : i + 3]) for i in range(n - 2)
+                    )
+                    out["dup3_slots"].append(
+                        sum(c for c in tg.values() if c > 1)
+                    )
+                else:
+                    out["dup3_slots"].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+                    "nd": pd.Series(out["nd"], dtype="int64"),
+                    "top_2gram": pd.Series(out["top_2gram"], dtype="object"),
+                    "top_c": pd.Series(out["top_c"], dtype="Int64"),
+                    "dup3_slots": pd.Series(out["dup3_slots"], dtype="Int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select("doc_id", "text").mapInPandas(
+        signals,
+        "doc_id long, n_tokens long, nd long, top_2gram string, "
+        "top_c long, dup3_slots long",
+    )
+    n = F.col("n_tokens")
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.lit(1.0) - F.col("nd").cast("double") / n, 6).alias(
+            "dup_token_frac"
+        ),
+        "top_2gram",
+        F.round(F.col("top_c").cast("double") / (n - 1), 6).alias(
+            "top_2gram_frac"
+        ),
+        F.round(F.col("dup3_slots").cast("double") / (n - 2), 6).alias(
+            "dup_3gram_frac"
+        ),
+    ).orderBy("doc_id")
+
+
 def _stop_in_list_sql() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -505,8 +605,52 @@ TEXT_ORACLES["q_corpus_stats"] = """
     FROM agg, vocab
 """
 
+TEXT_ORACLES["q_repetition_filters"] = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd
+      FROM t),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM t WHERE len(toks) >= 2),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, g, c
+      FROM (SELECT doc_id, g, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, g) AS rn
+            FROM bgc)
+      WHERE rn = 1),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+               AS g
+      FROM t WHERE len(toks) >= 3),
+    tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+    dup3 AS (
+      SELECT doc_id,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_slots
+      FROM tgc GROUP BY 1)
+    SELECT base.doc_id AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           round(1.0 - nd * 1.0 / n, 6) AS dup_token_frac,
+           top.g AS top_2gram,
+           round(top.c * 1.0 / (n - 1), 6) AS top_2gram_frac,
+           round(dup3.dup_slots * 1.0 / (n - 2), 6) AS dup_3gram_frac
+    FROM base
+    LEFT JOIN top ON base.doc_id = top.doc_id
+    LEFT JOIN dup3 ON base.doc_id = dup3.doc_id
+    ORDER BY doc_id
+"""
+
 TEXT_QUERIES = {
     "q_corpus_stats": q_corpus_stats,
+    "q_repetition_filters": q_repetition_filters,
     "q_token_stats": q_token_stats,
     "q_perplexity_unigram": q_perplexity_unigram,
     "q_source_vocab_overlap": q_source_vocab_overlap,

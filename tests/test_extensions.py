@@ -214,3 +214,36 @@ def test_embedding_lsh_pairs_subset_of_exact_with_recall(spark, sf_dir):
         # random unclustered fixture vectors are the hard case; the
         # mechanism guard is non-trivial recall, not production recall
         assert recall > 0.2, recall
+
+
+def test_repetition_filters_parity_and_bounds(spark, oracle, sf_dir):
+    """Gopher repetition signals: oracle parity at smoke SF plus the
+    definitional bounds (every fraction in [0, 1]; n-gram columns NULL
+    exactly when the document is too short)."""
+    from tests.parity import assert_query_matches_oracle
+
+    from kafka_clickhouse_pipeline_spark.operators import text
+
+    assert_query_matches_oracle(
+        spark,
+        oracle,
+        text.q_repetition_filters,
+        text.TEXT_ORACLES["q_repetition_filters"],
+        sf_dir,
+    )
+    rows = text.q_repetition_filters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        if r["n_tokens"] >= 2:
+            assert r["top_2gram"] is not None
+            assert 0.0 < r["top_2gram_frac"] <= 1.0
+        else:
+            assert r["top_2gram"] is None and r["top_2gram_frac"] is None
+        if r["n_tokens"] >= 3:
+            assert 0.0 <= r["dup_3gram_frac"] <= 1.0
+        else:
+            assert r["dup_3gram_frac"] is None
+    # the synthetic corpus draws from a tiny vocabulary: repetition
+    # must actually fire somewhere, or the signal is vacuous
+    assert any(r["dup_token_frac"] > 0.5 for r in rows)
