@@ -43,6 +43,7 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding_lsh",
+    "q_semantic_dedup",
     "q_dedup_clusters",
     "q_pagerank_copurchase",
     "q_split_leakage_audit",
@@ -58,6 +59,7 @@ HEADLINE = [
     "q_retention_cohorts",
     "q_decontaminate_shingle_overlap",
     "q_quality_gopher",
+    "q_repetition_filters",
     "q_curation_pipeline",
     "q_pack_sequences",
     "q_chunk_documents",

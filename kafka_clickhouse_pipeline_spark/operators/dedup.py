@@ -538,6 +538,100 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cluster count for semantic dedup. Fixed (not corpus-proportional):
+#: assignment costs n * K distance evaluations, and the within-cluster
+#: pair space is ~n^2/K, so K tunes the quadratic-term bound.
+SEMDEDUP_K = 16
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then prune near-duplicate pairs WITHIN each
+    cluster only -- the clustering bounds the quadratic pair term that
+    makes global exact cosine dedup (q_dedup_embedding_cosine) a
+    non-starter at corpus scale. Pair volume drops from ~n^2 to
+    ~n^2/K with recall loss only for cross-cluster near-dups (which a
+    high cosine threshold makes rare: near-identical vectors land in
+    the same cell).
+
+    Deterministic, oracle-checked variant: centroids are the stride
+    sample (vec_id % (n // K) == 0, same convention as IVF); assignment
+    is argmin of exact squared L2 distance, ties to the smallest
+    centroid id; a vector is discarded when a SMALLER-id vector in its
+    cluster has cosine >= COSINE_THRESHOLD with it (greedy min-id
+    keeper). All distances are sequential float64 folds -- bit-portable
+    to DuckDB's list_sum, so the full decision, not just counts, is
+    hash-verified.
+
+    Scale shape: the K centroid rows are the only driver-side collect
+    (bounded, same policy as IVF's _centroid_rows); assignment is a
+    pure map with centroid literals folded into the scan (no shuffle);
+    the pair join shuffles once on cluster_id. At 100 TB, swap the
+    interpreted-HOF assignment for the Arrow-batched numpy assignment
+    in similarity.py (recall-identical, bit-inequivalent) and raise K
+    so clusters stay ~constant-size (K ~ n / target_cluster_rows).
+
+    Output: one row per vector -- (vec_id, cluster_id, kept)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", vec.alias("v"))
+    n = e.count()
+    stride = max(1, n // SEMDEDUP_K)
+    cent_rows = sorted(
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id") % stride == 0).collect()
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+
+    def d2(cv: list[float]):
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        return F.aggregate(
+            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    nearest = F.array_min(
+        F.array(
+            *[
+                F.struct(d2(cv).alias("d"), F.lit(cid).cast("long").alias("cid"))
+                for cid, cv in cent_rows
+            ]
+        )
+    )
+    assigned = e.select(
+        "vec_id",
+        "v",
+        nearest.getField("cid").alias("cluster_id"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    discarded = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cos, 6) >= COSINE_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        assigned.join(discarded, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 #: History/batch boundary for the batch-visible incremental-dedup
 #: query: docs below this id play the already-ingested corpus, the
 #: rest arrive as the new batch. Mirrored verbatim in the oracle.
@@ -842,6 +936,44 @@ DEDUP_ORACLES: dict[str, str] = {
                        i -> b.v[i] * b.v[i])))), 6) >= {COSINE_THRESHOLD}
         ORDER BY v1, v2
     """,
+    "q_semantic_dedup": f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        nn AS (SELECT greatest(1, count(*) // {SEMDEDUP_K}) AS stride FROM e),
+        cent AS (SELECT vec_id AS cid, v AS cv
+                 FROM e WHERE vec_id % (SELECT stride FROM nn) = 0),
+        dist AS (
+          SELECT e.vec_id, cent.cid,
+                 list_sum(list_transform(generate_series(1, len(e.v)),
+                          i -> (e.v[i] - cent.cv[i]) * (e.v[i] - cent.cv[i])))
+                   AS d2
+          FROM e CROSS JOIN cent),
+        asg AS (
+          SELECT vec_id, cid AS cluster_id
+          FROM (SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cid) AS rn
+                FROM dist)
+          WHERE rn = 1),
+        av AS (
+          SELECT asg.vec_id, cluster_id, v,
+                 sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                      i -> v[i] * v[i]))) AS nrm
+          FROM asg JOIN e ON asg.vec_id = e.vec_id),
+        disc AS (
+          SELECT DISTINCT b.vec_id
+          FROM av a JOIN av b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE round(
+                  list_sum(list_transform(generate_series(1, len(a.v)),
+                           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6)
+                >= {COSINE_THRESHOLD})
+        SELECT av.vec_id AS vec_id, cluster_id,
+               disc.vec_id IS NULL AS kept
+        FROM av LEFT JOIN disc ON av.vec_id = disc.vec_id
+        ORDER BY vec_id
+    """,
 }
 
 DEDUP_QUERIES = {
@@ -853,6 +985,7 @@ DEDUP_QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "q_semantic_dedup": q_semantic_dedup,
     "q_dedup_quality_canonical": q_dedup_quality_canonical,
     "q_upsert_latest_wins": q_upsert_latest_wins,
 }

@@ -247,3 +247,33 @@ def test_repetition_filters_parity_and_bounds(spark, oracle, sf_dir):
     # the synthetic corpus draws from a tiny vocabulary: repetition
     # must actually fire somewhere, or the signal is vacuous
     assert any(r["dup_token_frac"] > 0.5 for r in rows)
+
+
+def test_semantic_dedup_subset_and_recall_of_exact(spark, sf_dir):
+    """SemDeDup discards must be a subset of the exact global near-dup
+    set (clustering can only REMOVE pairs, never invent them), every
+    vector appears exactly once, and the discard set must re-derive
+    from exact-pairs x cluster-assignments. (No recall floor: the
+    sf0.001 fixture's 7 exact pairs all sit at marginal cosine
+    0.45-0.48, where cross-cluster splits are expected; true
+    near-identical pairs co-locate by construction.)"""
+    sem = dedup.q_semantic_dedup(spark, sf_dir).collect()
+    exact_pairs = dedup.q_dedup_embedding_cosine(spark, sf_dir).collect()
+
+    n_vecs = similarity._vectors(spark, sf_dir).count()
+    assert len(sem) == n_vecs
+    assert len({r["vec_id"] for r in sem}) == n_vecs
+
+    exact_discards = {r["v2"] for r in exact_pairs}
+    sem_discards = {r["vec_id"] for r in sem if not r["kept"]}
+    assert sem_discards <= exact_discards
+
+    # cross-derivation: the discard set must equal exactly the v2 side
+    # of global near-dup pairs whose endpoints share a cluster --
+    # computed here from two INDEPENDENT queries (exact pairs x
+    # assignments), so it re-derives the operator's decision rule
+    cluster = {r["vec_id"]: r["cluster_id"] for r in sem}
+    expected = {
+        r["v2"] for r in exact_pairs if cluster[r["v1"]] == cluster[r["v2"]]
+    }
+    assert sem_discards == expected
