@@ -58,11 +58,13 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "q_retention_cohorts",
     "q_decontaminate_shingle_overlap",
+    "q_decontaminate_bloom",
     "q_quality_gopher",
     "q_repetition_filters",
     "q_curation_pipeline",
     "q_pack_sequences",
     "q_chunk_documents",
+    "q_paragraph_dedup",
     "q_perplexity_unigram",
     "q_upsert_latest_wins",
 ]

@@ -332,6 +332,117 @@ def decontaminate_stream(doc_stream: DataFrame, bench_docs: DataFrame) -> DataFr
     )
 
 
+#: Bloom-filter geometry for q_decontaminate_bloom: positions are
+#: 16-bit (three disjoint 4-hex-char slices of one md5 digest), so the
+#: bitmap is 2^16 bits = 1024 int64 words = 8 KiB. K=3 hashes over the
+#: ~5k bench shingles at sf0.01 -> fill ~0.2, false-positive rate
+#: ~0.9%. At a larger benchmark, widen the slices (5 hex chars -> 2^20
+#: bits) -- same operator, different constants.
+BLOOM_K = 3
+BLOOM_WORDS = (1 << 16) // 64
+
+#: Single-bit masks indexed by bit position; bit 63 is the sign bit of
+#: a signed int64, hence the negative literal.
+_BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
+
+
+def _bloom_positions(h: F.Column) -> list[F.Column]:
+    """K 16-bit bit positions from disjoint 4-hex-char slices of an md5
+    hex digest -- decoded digit-by-digit with ascii() arithmetic, the
+    same engine-portable trick as curation._split_hash."""
+    out = []
+    for k in range(BLOOM_K):
+        v = F.lit(0)
+        for j in range(4):
+            a = F.ascii(F.substring(h, 4 * k + j + 1, 1))
+            v = v * 16 + (
+                a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+            )
+        out.append(v)
+    return out
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination -- the constant-memory
+    variant ``decontaminate_stream``'s docstring promises for benchmark
+    sets too large to broadcast exactly: the bench shingle set is
+    compressed to a 2^16-bit bloom bitmap (1024 int64 words, 8 KiB
+    regardless of benchmark size), and every training shingle is probed
+    against it with pure bit arithmetic. No join against the benchmark
+    relation at probe time; false positives at the documented rate are
+    part of the operator's semantics (a decontamination screen
+    over-flags safely), false negatives are impossible.
+
+    Scale shape: building the bitmap aggregates the bench positions to
+    <= 1024 word rows (the only driver-side collect, bounded by the
+    bitmap geometry, not the data); probing is a pure map over the
+    training scan -- the bitmap and the 64 bit masks ride the plan as
+    folded array literals, variable-shift-free (word AND mask), inside
+    whole-stage codegen. At 100 TB: one scan, zero shuffle, 8 KiB of
+    state per task.
+
+    Output per training document: distinct-shingle count, bloom-flagged
+    shingle count, contaminated flag. Oracle twin replicates the exact
+    bitmap semantics as position-set membership (bit set <=> some bench
+    shingle produced that position), so flags -- including false
+    positives -- are hash-verified bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    masks_lit = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+
+    bench_sh = (
+        _shingles(docs.filter(F.col("source").isin(*BENCH_SOURCES)), n=8)
+        .select("shingle")
+        .distinct()
+    )
+    word_rows = (
+        bench_sh.select(
+            F.explode(
+                F.array(*_bloom_positions(F.md5(F.col("shingle"))))
+            ).alias("p")
+        )
+        .select(
+            F.floor(F.col("p") / 64).cast("int").alias("w"),
+            F.element_at(
+                masks_lit, F.col("p").bitwiseAND(F.lit(63)) + 1
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+        .collect()
+    )
+    wmap = {r["w"]: r["word"] for r in word_rows}
+    words_lit = F.array(
+        *[F.lit(wmap.get(i, 0)).cast("long") for i in range(BLOOM_WORDS)]
+    )
+
+    def probe(h: F.Column) -> F.Column:
+        t = F.lit(True)
+        for p in _bloom_positions(h):
+            word = F.element_at(words_lit, F.floor(p / 64).cast("int") + 1)
+            mask = F.element_at(masks_lit, p.bitwiseAND(F.lit(63)) + 1)
+            t = t & (word.bitwiseAND(mask) != 0)
+        return t
+
+    sh = _shingle_expr(8)
+    hs = F.transform(sh, lambda s: F.md5(s))
+    n_flagged = F.size(F.filter(hs, probe))
+    return (
+        docs.filter(~F.col("source").isin(*BENCH_SOURCES))
+        .select(
+            "doc_id",
+            F.size(sh).cast("long").alias("n_shingles"),
+            n_flagged.cast("long").alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_flagged",
+            (F.col("n_flagged") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/diversity screening (Rae et al. 2021
     family): per document, token count, type-token ratio, fraction of
@@ -1022,6 +1133,32 @@ CURATION_ORACLES: dict[str, str] = {
                md5(array_to_string(c, ' ')) AS chunk_fp
         FROM ch ORDER BY doc_id, chunk_id
     """,
+    "q_paragraph_dedup": f"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents),
+        st AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks), 1),
+                                             {CHUNK_STRIDE})) AS start
+               FROM t),
+        ch AS (SELECT doc_id,
+                      CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+                      md5(array_to_string(
+                        toks[start:least(start + {CHUNK_SIZE} - 1, len(toks))],
+                        ' ')) AS chunk_fp
+               FROM st),
+        marked AS (
+          SELECT doc_id, chunk_id,
+                 row_number() OVER (PARTITION BY chunk_fp
+                                    ORDER BY doc_id, chunk_id) AS rn
+          FROM ch)
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_chunks,
+               round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS dup_chunk_frac
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
     "q_pack_sequences": f"""
         WITH RECURSIVE t AS (
           SELECT source, doc_id // {PACK_SHARD_DOCS} AS shard, doc_id,
@@ -1048,6 +1185,60 @@ CURATION_ORACLES: dict[str, str] = {
 }
 
 
+def _bloom_pos_sql(k: int, h: str = "h") -> str:
+    """DuckDB twin of _bloom_positions for hash slice ``k``."""
+    e = "0"
+    for j in range(4):
+        idx = 4 * k + j + 1
+        hv = (
+            f"(ascii(substr({h}, {idx}, 1)) - CASE WHEN "
+            f"ascii(substr({h}, {idx}, 1)) >= 97 THEN 87 ELSE 48 END)"
+        )
+        e = f"(({e}) * 16 + {hv})"
+    return e
+
+
+_BLOOM_P = [_bloom_pos_sql(k) for k in range(BLOOM_K)]
+
+#: Bitmap semantics as position-set membership: a bit is set iff some
+#: bench shingle produced that position, so "all K positions set"
+#: membership reproduces the bloom probe -- false positives included.
+CURATION_ORACLES["q_decontaminate_bloom"] = f"""
+    WITH bench_sh AS (
+      SELECT DISTINCT shingle
+      FROM ({_shingle8_sql("source IN " + _BENCH_IN)})),
+    bench_pos AS (
+      SELECT DISTINCT p
+      FROM (SELECT unnest([{", ".join(_BLOOM_P)}]) AS p
+            FROM (SELECT md5(shingle) AS h FROM bench_sh))),
+    train AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE source NOT IN {_BENCH_IN}),
+    tsh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 7, 0)),
+               i -> {" || ' ' || ".join(f"toks[i+{k}]" for k in range(8))}))
+               AS shs
+      FROM train),
+    th AS (
+      SELECT doc_id, md5(unnest(shs)) AS h FROM tsh),
+    flagged AS (
+      SELECT doc_id, count(*) AS n_flagged
+      FROM th
+      WHERE {_BLOOM_P[0]} IN (SELECT p FROM bench_pos)
+        AND {_BLOOM_P[1]} IN (SELECT p FROM bench_pos)
+        AND {_BLOOM_P[2]} IN (SELECT p FROM bench_pos)
+      GROUP BY doc_id)
+    SELECT tsh.doc_id AS doc_id,
+           CAST(len(shs) AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_flagged, 0) AS BIGINT) AS n_flagged,
+           coalesce(n_flagged, 0) > 0 AS contaminated
+    FROM tsh LEFT JOIN flagged ON tsh.doc_id = flagged.doc_id
+    ORDER BY doc_id
+"""
+
+
 def chunk_documents(docs: DataFrame) -> DataFrame:
     """Stateless chunking transform over any (doc_id, text) frame --
     batch or streaming (no shuffle, no state, so it drops into the
@@ -1068,6 +1259,51 @@ def chunk_documents(docs: DataFrame) -> DataFrame:
         "start",
         F.size("ch").cast("long").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", F.col("ch"))).alias("chunk_fp"),
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (passage-granularity) deduplication, the
+    RefinedWeb-style refinement of whole-document dedup: documents that
+    are not global duplicates can still share large repeated passages
+    (boilerplate, quoted blocks); those passages are deduplicated at
+    chunk granularity. A chunk is a duplicate when the same content
+    fingerprint was already claimed by a smaller (doc_id, chunk_id) --
+    min-owner wins, the same greedy keeper rule as exact doc dedup.
+
+    Output per document: chunk count, duplicate-chunk count, duplicate
+    fraction -- the per-doc signal a curation pass thresholds on.
+
+    Scale shape: chunking is the map-only transform
+    (``chunk_documents``); ownership is ONE shuffle keyed by the chunk
+    fingerprint using min(struct) aggregation (partial-agg friendly, no
+    per-group window sort) + a fingerprint-keyed join back; the per-doc
+    rollup re-shuffles only (doc_id, flag) pairs. Fingerprints are md5
+    of chunk content, so the whole decision is content-derived and
+    portable."""
+    ch = chunk_documents(load_table(spark, sf_dir, "documents"))
+    owner = ch.groupBy("chunk_fp").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("o")
+    )
+    dup = (F.col("doc_id") != F.col("o.doc_id")) | (
+        F.col("chunk_id") != F.col("o.chunk_id")
+    )
+    return (
+        ch.join(owner, "chunk_fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(
+                F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6
+            ).alias("dup_chunk_frac"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -1098,12 +1334,14 @@ CURATION_QUERIES = {
     "q_zscore_outliers": q_zscore_outliers,
     "q_mad_outliers": q_mad_outliers,
     "q_decontaminate_shingle_overlap": q_decontaminate_shingle_overlap,
+    "q_decontaminate_bloom": q_decontaminate_bloom,
     "q_quality_gopher": q_quality_gopher,
     "q_pii_redact_stats": q_pii_redact_stats,
     "q_pack_sequences": q_pack_sequences,
     "q_split_assign": q_split_assign,
     "q_token_budget_selection": q_token_budget_selection,
     "q_chunk_documents": q_chunk_documents,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "q_source_mixture_weights": q_source_mixture_weights,
     "q_split_leakage_audit": q_split_leakage_audit,
 }

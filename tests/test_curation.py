@@ -148,3 +148,49 @@ def test_curation_pipeline_consistent_with_stages(spark, sf_dir):
     splits = {r["doc_id"]: r["split"] for r in q_split_assign(spark, sf_dir).collect()}
     assert all(r["split"] == splits[r["doc_id"]] for r in out)
     assert len(out) > 0
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Bloom membership can over-flag (false positives at the
+    documented rate) but NEVER under-flag: every document the exact
+    shingle-overlap sweep catches must be bloom-contaminated, and the
+    false-positive document rate must stay far below certainty."""
+    from kafka_clickhouse_pipeline_spark.operators import curation
+
+    exact = {
+        r["doc_id"]
+        for r in curation.q_decontaminate_shingle_overlap(
+            spark, sf_dir
+        ).collect()
+    }
+    bloom_rows = curation.q_decontaminate_bloom(spark, sf_dir).collect()
+    flagged = {r["doc_id"] for r in bloom_rows if r["contaminated"]}
+    assert exact <= flagged
+    clean = [r for r in bloom_rows if r["doc_id"] not in exact]
+    if clean:
+        fp_rate = sum(1 for r in clean if r["contaminated"]) / len(clean)
+        assert fp_rate < 0.5, f"bloom FP document rate implausible: {fp_rate}"
+
+
+def test_paragraph_dedup_marks_whole_duplicates(spark, sf_dir):
+    """A document whose raw text is byte-identical to a smaller-id
+    document must have every chunk already owned elsewhere
+    (dup_chunk_frac == 1.0); the canonical (smallest-id) copy of each
+    text must keep at least one original chunk."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+    from kafka_clickhouse_pipeline_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = {
+        r["m"]
+        for r in docs.groupBy("text").agg(F.min("doc_id").alias("m")).collect()
+    }
+    rows = {r["doc_id"]: r for r in curation.q_paragraph_dedup(spark, sf_dir).collect()}
+    assert rows
+    dup_docs = set(rows) - canon
+    for d in dup_docs:
+        assert rows[d]["dup_chunk_frac"] == 1.0, (d, rows[d])
+    # sanity: the signal is not vacuously all-duplicate
+    assert any(rows[d]["n_dup_chunks"] < rows[d]["n_chunks"] for d in canon)
