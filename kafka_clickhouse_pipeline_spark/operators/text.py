@@ -450,6 +450,49 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+BPE_TOP_K = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training primitive: corpus-wide counts of adjacent
+    character pairs within words, top-``BPE_TOP_K`` by frequency -- the
+    statistic one round of byte-pair-encoding vocabulary induction
+    merges on (Sennrich et al. 2016). A full trainer iterates
+    count -> merge; the count step is the distributed-scale part (the
+    merge table is vocabulary-sized driver metadata), so it is the
+    operator the engine owes.
+
+    Scale shape: explode words map-side, expand each word into its
+    length-1 adjacent pairs with a codegen'd ``transform(sequence)``
+    expression (no UDF), then ONE map-side-combined shuffle keyed by
+    pair. The key space is bounded by alphabet^2 (tiny), so the final
+    aggregate is trivially broadcast-sized; top-k plans as
+    TakeOrderedAndProject. Exact integer counts -> bit-portable oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_tokens()).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    from pyspark.sql.window import Window
+
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # TakeOrderedAndProject keeps only the top rows; the single-partition
+    # rank window then runs over BPE_TOP_K rows, not the vocabulary
+    top = counted.orderBy(F.col("n_occurrences").desc(), "pair").limit(BPE_TOP_K)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "pair")
+    return top.select(
+        "pair",
+        "n_occurrences",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).orderBy("rank")
+
+
 TEXT_ORACLES: dict[str, str] = {
     "q_token_stats": """
         SELECT doc_id,
@@ -648,8 +691,26 @@ TEXT_ORACLES["q_repetition_filters"] = """
     ORDER BY doc_id
 """
 
+TEXT_ORACLES["q_bpe_pair_counts"] = f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM (SELECT w FROM words WHERE length(w) >= 2),
+           unnest(generate_series(1, length(w) - 1)) AS t(i)),
+    agg AS (SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY 1),
+    ranked AS (
+      SELECT pair, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+      FROM agg)
+    SELECT pair, n_occurrences, rank
+    FROM ranked WHERE rank <= {BPE_TOP_K} ORDER BY rank
+"""
+
 TEXT_QUERIES = {
     "q_corpus_stats": q_corpus_stats,
+    "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_repetition_filters": q_repetition_filters,
     "q_token_stats": q_token_stats,
     "q_perplexity_unigram": q_perplexity_unigram,

@@ -59,6 +59,33 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert len(bf & ivf) / len(bf) >= 0.3
 
 
+def test_ivf_assignment_margin_dominates_ulp_noise(spark, sf_dir):
+    """Guards the q_ann_ivf_topk DuckDB oracle's determinism argument:
+    the oracle reproduces the numpy argmax/argsort decisions only if no
+    two centroid similarities tie within summation-order ULP noise
+    (~1e-12 relative). Assert the minimum top1-top2 margin across all
+    assignments stays orders of magnitude above that."""
+    import numpy as np
+
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([[float(x) for x in r.embedding] for r in rows])
+    stride = max(1, len(ids) // similarity.N_CENTROIDS)
+    C = M[ids % stride == 0]
+    sims = (M @ C.T) / (
+        np.linalg.norm(M, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)[None, :]
+    )
+    top2 = -np.partition(-sims, 1, axis=1)[:, :2]
+    margin = float((top2[:, 0] - top2[:, 1]).min())
+    assert margin > 1e-9, margin
+
+
 def test_ivf_kmeans_recall_not_worse_than_stride(spark, sf_dir):
     """Trained centroids must not lose recall vs the stride baseline
     (on random vectors the gain is small; on clustered data it is
