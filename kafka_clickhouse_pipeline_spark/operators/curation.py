@@ -387,19 +387,26 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle produced that position), so flags -- including false
     positives -- are hash-verified bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
-    masks_lit = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
-
-    bench_sh = (
-        _shingles(docs.filter(F.col("source").isin(*BENCH_SOURCES)), n=8)
-        .select("shingle")
-        .distinct()
+    # ONE expr() per literal array: per-element F.lit() calls are py4j
+    # round-trips, and 1024+64 of them measured ~2 s of plan
+    # construction per invocation (the similarity._planes_literal
+    # lesson)
+    # (string-cast form, not <n>L: Long.MIN_VALUE's sign-bit mask can't
+    # be written as a SQL long literal -- unary minus parses after the
+    # overflowing magnitude; the casts fold to constants)
+    masks_lit = F.expr(
+        "array(" + ",".join(f"BIGINT('{m}')" for m in _BIT_MASKS) + ")"
     )
+
+    # No distinct() on the bench shingles: bit_or is idempotent, so a
+    # duplicate shingle sets the same bits -- dropping the dedup removes
+    # a full shuffle from the build. The digest is hoisted into its own
+    # projection (expression trees duplicate subtrees, so inlining md5
+    # into the K position decodes would compute it 4K times per row).
     word_rows = (
-        bench_sh.select(
-            F.explode(
-                F.array(*_bloom_positions(F.md5(F.col("shingle"))))
-            ).alias("p")
-        )
+        _shingles(docs.filter(F.col("source").isin(*BENCH_SOURCES)), n=8)
+        .select(F.md5(F.col("shingle")).alias("h"))
+        .select(F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p"))
         .select(
             F.floor(F.col("p") / 64).cast("int").alias("w"),
             F.element_at(
@@ -411,8 +418,10 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     wmap = {r["w"]: r["word"] for r in word_rows}
-    words_lit = F.array(
-        *[F.lit(wmap.get(i, 0)).cast("long") for i in range(BLOOM_WORDS)]
+    words_lit = F.expr(
+        "array("
+        + ",".join(f"BIGINT('{wmap.get(i, 0)}')" for i in range(BLOOM_WORDS))
+        + ")"
     )
 
     def probe(h: F.Column) -> F.Column:
@@ -423,15 +432,27 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = t & (word.bitwiseAND(mask) != 0)
         return t
 
-    sh = _shingle_expr(8)
-    hs = F.transform(sh, lambda s: F.md5(s))
-    n_flagged = F.size(F.filter(hs, probe))
-    return (
+    # Probe via explode + top-level expressions, NOT a higher-order
+    # filter lambda: HOF lambda bodies are interpreted, and K element_at
+    # probes per shingle per document in the interpreter measured ~10 s
+    # at sf0.1 vs ~1 s for the identical expressions inside whole-stage
+    # codegen (the winnowing/repetition-filter lesson again). The per-doc
+    # count regroup this adds is a map-side-combined shuffle of one row
+    # per document -- noise next to the scan. explode_outer keeps
+    # shingle-less documents as a null row so they still report 0/0.
+    exploded = (
         docs.filter(~F.col("source").isin(*BENCH_SOURCES))
-        .select(
-            "doc_id",
-            F.size(sh).cast("long").alias("n_shingles"),
-            n_flagged.cast("long").alias("n_flagged"),
+        .select("doc_id", F.explode_outer(_shingle_expr(8)).alias("s"))
+        # hoist the digest: probe() references it K*4 times and
+        # expression trees duplicate rather than share subtrees
+        .select("doc_id", "s", F.md5(F.col("s")).alias("h"))
+    )
+    flagged = F.when(probe(F.col("h")), 1).otherwise(0)
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.count("s").alias("n_shingles"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
         )
         .select(
             "doc_id",

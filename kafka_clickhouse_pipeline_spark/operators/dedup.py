@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -494,27 +496,30 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     16+ bits (2^16 buckets/band -> million-fold candidate reduction),
     trading recall per band for more bands -- same operator, different
     constants (see SCALE.md, Dedup)."""
-    from .similarity import lsh_band_keys, lsh_code
+    from .similarity import lsh_band_keys, lsh_code_arrow, seq_dot_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
+    # Arrow-batched code + dot twins, bit-identical to the expression
+    # forms (sequential cumsum fold -- see similarity.lsh_code_arrow):
+    # the interpreted-HOF versions measured ~8 s at sf0.1 with the
+    # candidate-verify cosine dominating; the vectorized twins keep the
+    # oracle contract and cut it to ~2 s
+    dot = seq_dot_arrow()
 
     e = emb.select("vec_id", vec.alias("v")).withColumn(
         "n", F.sqrt(dot(F.col("v"), F.col("v")))
     )
+    # Band join and pair dedup carry BARE IDS only -- attaching the
+    # vectors before dropDuplicates shuffles candidate_pairs x 2 x dim
+    # doubles twice (measured ~7 s at sf0.1); the vectors rejoin by id
+    # after the dedup, so each shuffle moves ids or one corpus copy
     banded = e.select(
-        "vec_id",
-        "v",
-        "n",
-        F.explode(lsh_band_keys(lsh_code(F.col("v")))).alias("band_key"),
+        "vec_id", F.explode(lsh_band_keys(lsh_code_arrow()(F.col("v")))).alias("band_key")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
@@ -523,12 +528,26 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            F.col("a.v").alias("av"),
-            F.col("b.v").alias("bv"),
-            F.col("a.n").alias("an"),
-            F.col("b.n").alias("bn"),
         )
         .dropDuplicates(["v1", "v2"])
+    )
+    candidates = (
+        pairs.join(
+            e.select(
+                F.col("vec_id").alias("v1"),
+                F.col("v").alias("av"),
+                F.col("n").alias("an"),
+            ),
+            "v1",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("v2"),
+                F.col("v").alias("bv"),
+                F.col("n").alias("bn"),
+            ),
+            "v2",
+        )
     )
     cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
     return (
@@ -582,42 +601,58 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") % stride == 0).collect()
     )
 
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
+    # Arrow-batched assignment, BIT-IDENTICAL to the interpreted
+    # argmin-of-folds form it replaced: (x-y)^2 is exact IEEE in any
+    # order and np.cumsum forces the sequential left-to-right sum of
+    # the d2 fold; np.argmin's first-min tie-break over ascending-cid
+    # columns equals array_min's (d, cid) struct order. Same cumsum
+    # contract as similarity.lsh_code_arrow.
+    cids = np.array([cid for cid, _ in cent_rows], dtype="int64")
+    C = np.stack([np.asarray(cv, dtype="float64") for _, cv in cent_rows])
 
-    def d2(cv: list[float]):
-        lit = F.array(*[F.lit(float(x)) for x in cv])
-        return F.aggregate(
-            F.zip_with(F.col("v"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+    @F.pandas_udf("long")
+    def assign(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        M = np.stack(v.to_numpy())
+        d2 = np.cumsum((M[:, None, :] - C[None, :, :]) ** 2, axis=2)[:, :, -1]
+        return pd.Series(cids[np.argmin(d2, axis=1)])
 
-    nearest = F.array_min(
-        F.array(
-            *[
-                F.struct(d2(cv).alias("d"), F.lit(cid).cast("long").alias("cid"))
-                for cid, cv in cent_rows
-            ]
-        )
-    )
+    from .similarity import seq_dot_arrow
+
+    dot = seq_dot_arrow()
     assigned = e.select(
-        "vec_id",
-        "v",
-        nearest.getField("cid").alias("cluster_id"),
+        "vec_id", "v", assign(F.col("v")).alias("cluster_id")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    # same-cluster pair join on bare ids; vectors rejoin by id for the
+    # cosine verify (carrying them through the pair explosion shuffles
+    # pairs x 2 x dim doubles -- the q_dedup_embedding_lsh lesson)
+    ids = assigned.select("vec_id", "cluster_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    pair_ids = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("v1"),
+        F.col("b.vec_id").alias("v2"),
+    )
+    sides = assigned.select("vec_id", "v", "nrm")
+    pairs = pair_ids.join(
+        sides.select(
+            F.col("vec_id").alias("v1"), F.col("v").alias("av"), F.col("nrm").alias("an")
+        ),
+        "v1",
+    ).join(
+        sides.select(
+            F.col("vec_id").alias("v2"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+        ),
+        "v2",
+    )
+    cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
     discarded = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(F.round(cos, 6) >= COSINE_THRESHOLD)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        pairs.filter(F.round(cos, 6) >= COSINE_THRESHOLD)
+        .select(F.col("v2").alias("vec_id"))
         .distinct()
         .withColumn("dup", F.lit(True))
     )

@@ -195,14 +195,17 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TPC-H orders hold <= 7 items) -- linear in lineitem, never
     quadratic in the catalog -- followed by an edge-dedup shuffle."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # One groupBy shuffle + map-side pair expansion instead of a
+    # self-join on orderkey: same distinct edge set, but the join's
+    # matched-row shuffle goes away (measured 3.0 s -> 1.6 s at sf0.1).
+    # collect_set buffers <= 7 items per order (TPC-H fanout bound);
+    # its element order is nondeterministic but the pair expansion +
+    # distinct is order-insensitive.
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
     ranks = pagerank_fixed_point(edges)

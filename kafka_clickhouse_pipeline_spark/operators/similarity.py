@@ -108,30 +108,45 @@ def _centroid_matrix(rows: list[tuple[int, list[float]]]):
     """(cids asc, centroid matrix, centroid norms) as numpy arrays for
     the vectorized assignment/probe UDFs. Ascending-cid order makes
     argmax/stable-argsort tie-breaking deterministic (first max = the
-    smallest centroid id)."""
+    smallest centroid id). Norms use the sequential cumsum fold, not
+    np.linalg.norm (pairwise summation), so every similarity the UDFs
+    emit is bit-identical to a left-to-right fold -- see _seq_sims."""
     ordered = sorted(rows)
     cids = np.array([cid for cid, _ in ordered], dtype="int64")
     C = np.stack([np.asarray(cv, dtype="float64") for _, cv in ordered])
-    return cids, C, np.linalg.norm(C, axis=1)
+    return cids, C, np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+
+
+def _seq_sims(M, C, Cn):
+    """Cosine similarities of every row of M against every centroid,
+    with BIT-IDENTICAL arithmetic to the sequential left-to-right fold
+    (JVM ``aggregate`` / DuckDB ``list_sum``): products are exact IEEE
+    ops, ``np.cumsum`` forces sequential summation order (a matmul
+    would sum pairwise -- ULP-different), sqrt/divide are correctly
+    rounded. This makes the IVF centroid decisions reproducible in
+    ANSI SQL *unconditionally*, not merely because the fixture's
+    argmax margins dwarf summation noise."""
+    Mn = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+    dots = np.cumsum(M[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+    return dots / (Mn[:, None] * Cn[None, :])
 
 
 def _nearest_centroid_udf(rows: list[tuple[int, list[float]]]):
-    """Arrow-batched nearest-centroid assignment: one numpy matmul per
-    batch (corpus_batch x dim @ dim x n_centroids). The interpreted
-    higher-order-function alternative costs ~n_centroids x dim lambda
-    evaluations PER ROW -- the sanctioned vectorized-pandas-UDF case
-    (IVF is approximate/rows-only, so numpy float summation order is
-    acceptable; the oracle-checked exact operators keep JVM arithmetic).
-    Still a pure map: no shuffle, centroids ride the task closure
-    (N_CENTROIDS x dim floats)."""
+    """Arrow-batched nearest-centroid assignment: one vectorized numpy
+    pass per batch. The interpreted higher-order-function alternative
+    costs ~n_centroids x dim lambda evaluations PER ROW -- the
+    sanctioned vectorized-pandas-UDF case. Arithmetic is the
+    bit-portable sequential-cumsum form (_seq_sims), so the assignment
+    decisions reproduce exactly in the DuckDB oracles. Still a pure
+    map: no shuffle, centroids ride the task closure (N_CENTROIDS x
+    dim floats)."""
     cids, C, Cn = _centroid_matrix(rows)
 
     @F.pandas_udf("long")
     def nearest(v: pd.Series) -> pd.Series:
         if not len(v):
             return pd.Series([], dtype="int64")
-        M = np.stack(v.to_numpy())
-        sims = (M @ C.T) / (np.linalg.norm(M, axis=1, keepdims=True) * Cn[None, :])
+        sims = _seq_sims(np.stack(v.to_numpy()), C, Cn)
         return pd.Series(cids[np.argmax(sims, axis=1)])
 
     return nearest
@@ -146,8 +161,7 @@ def _probe_centroids_udf(rows: list[tuple[int, list[float]]], nprobe: int):
     def probes(v: pd.Series) -> pd.Series:
         if not len(v):
             return pd.Series([], dtype="object")
-        M = np.stack(v.to_numpy())
-        sims = (M @ C.T) / (np.linalg.norm(M, axis=1, keepdims=True) * Cn[None, :])
+        sims = _seq_sims(np.stack(v.to_numpy()), C, Cn)
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([cids[i].tolist() for i in idx])
 
@@ -159,32 +173,63 @@ def _with_norm(vecs: DataFrame) -> DataFrame:
 
 
 def kmeans_centroids(vecs: DataFrame, iters: int = 3) -> DataFrame:
-    """Lloyd's k-means over the embedding column, all DataFrame ops.
+    """Lloyd's k-means over the embedding column, all DataFrame ops,
+    FULLY DETERMINISTIC (and therefore oracle-reproducible).
 
     Init: deterministic stride sample. Each iteration: assign every
-    vector to its nearest centroid (centroid literals folded into the
-    scan -- a pure map, no shuffle), then recompute centroids as
-    element-wise means (64 column aggregates -> one map-side-combined
-    shuffle keyed by centroid). The driver only runs the loop and holds
-    the N_CENTROIDS centroid rows; vectors never leave the executors.
-    Fixed iteration count keeps runtime deterministic (classic k-means
-    converges most of the way in 2-3 rounds).
-    """
+    vector to its nearest centroid by cosine (Arrow-batched, the
+    bit-portable sequential-cumsum arithmetic of _seq_sims; ties to
+    the smallest centroid id), then recompute each centroid as the
+    element-wise mean of its ORIGINAL float32 member vectors. The mean
+    uses the exact-decimal trick from q_embedding_label_centroids:
+    component -> float32 shortest-repr string -> DECIMAL(28,18)
+    (exact for unit-scale float32s), decimal sum (order-independent),
+    decimal -> string -> double, divide by count -- so the centroid
+    doubles are identical regardless of partitioning AND identical in
+    DuckDB, which is what lets q_ann_ivf_kmeans_topk carry an exact
+    oracle with the iterations unrolled in SQL.
+
+    The driver only runs the loop and holds the N_CENTROIDS centroid
+    rows; vectors never leave the executors. One shuffle per round
+    keyed (centroid, component) with map-side partial sums, plus a
+    tiny regroup to reassemble arrays. Fixed iteration count keeps
+    runtime deterministic (classic k-means converges most of the way
+    in 2-3 rounds). Empty clusters drop out of the groupBy on both
+    engines."""
     first = vecs.select("v").first()
     if first is None:  # empty corpus -> no centroids, search yields nothing
         return vecs.select(
             F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
         )
-    dim = len(first["v"])
     centroids = _stride_centroids(vecs)
     for _ in range(iters):
         rows = _centroid_rows(centroids)
         assigned = vecs.select(
             "vec_id", "v", _nearest_centroid_udf(rows)(F.col("v")).alias("centroid_id")
         )
-        centroids = (
-            assigned.groupBy("centroid_id")
-            .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("cv"))
+        per_comp = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                # v is the double-cast of a float32: casting back to
+                # float is exact and its shortest-repr string has <= 9
+                # significant digits, so DECIMAL(28,18) holds the value
+                # exactly (the q_embedding_label_centroids contract)
+                F.sum(
+                    F.col("x").cast("float").cast("string").cast("decimal(28,18)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select(
+                "centroid_id",
+                "pos",
+                (F.col("s").cast("string").cast("double") / F.col("cnt")).alias("m"),
+            )
+        )
+        centroids = per_comp.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
         )
         centroids = centroids.transform(cut_lineage)  # cut lineage per round
     return centroids
@@ -323,6 +368,49 @@ def lsh_code(vcol: Column) -> Column:
     return F.aggregate(bits, F.lit(0), lambda a, x: a + x).cast("int")
 
 
+def lsh_code_arrow():
+    """Arrow-batched twin of :func:`lsh_code`: identical 16-bit sign
+    codes, BIT-IDENTICAL arithmetic. ``np.cumsum`` emits every prefix,
+    so its summation order is forced to sequential left-to-right --
+    the same fold as the interpreted ``aggregate`` expression and
+    DuckDB's ``list_sum`` -- which keeps the oracle contract intact
+    while replacing ~n_planes x dim interpreted lambda evaluations per
+    vector with one vectorized C pass (measured bit-equal to the
+    expression form across the fixture ladder; guarded by
+    tests/test_extensions.py::test_arrow_lsh_twins_bit_identical)."""
+    P = np.array(_hyperplanes(), dtype="float64")
+    W = np.array([1 << j for j in range(N_PLANES)], dtype="int64")
+
+    @F.pandas_udf("int")
+    def code(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        M = np.stack(v.to_numpy())
+        dots = np.cumsum(M[:, None, :] * P[None, :, :], axis=2)[:, :, -1]
+        return pd.Series(((dots >= 0) * W).sum(axis=1).astype("int32"))
+
+    return code
+
+
+def seq_dot_arrow():
+    """Arrow-batched sequential dot product of two double-array
+    columns -- bit-identical to the ``aggregate(zip_with(...))`` fold
+    (and to DuckDB's ``list_sum``) because ``np.cumsum`` sums strictly
+    left-to-right; element-wise products are exact IEEE ops in any
+    order. The vectorized escape hatch for candidate-verification hot
+    paths that must keep oracle bit-equality."""
+
+    @F.pandas_udf("double")
+    def dot(u: pd.Series, v: pd.Series) -> pd.Series:
+        if not len(u):
+            return pd.Series([], dtype="float64")
+        U = np.stack(u.to_numpy())
+        V = np.stack(v.to_numpy())
+        return pd.Series(np.cumsum(U * V, axis=1)[:, -1])
+
+    return dot
+
+
 def lsh_band_keys(code: Column) -> Column:
     """array of LSH_BANDS band keys (band index folded in, so keys from
     different bands never collide)."""
@@ -446,14 +534,13 @@ def _ann_ivf_oracle() -> str:
     (argmax over cosine, first-max tie-break = smallest centroid_id),
     probe lists (stable argsort -> centroid_id-ascending ties), and the
     final candidate scoring (JVM sequential arithmetic, same _COS_SQL
-    contract as the brute-force oracle). The one cross-engine risk is
-    numpy's pairwise-summation matmul vs DuckDB's sequential list_sum
-    producing ULP-different similarities that flip an argmax/argsort
-    decision -- measured on the fixtures: zero assignment or probe
-    mismatches at sf0.001/0.01/0.1 with a minimum top1-top2 margin of
-    1.3e-6, ten orders of magnitude above ULP noise (the embeddings are
-    random floats; exact centroid ties cannot occur). A regression test
-    re-checks the margin at sf0.01."""
+    contract as the brute-force oracle). The centroid similarities are
+    computed with the bit-portable sequential-cumsum arithmetic
+    (_seq_sims), so the assignment/probe decisions reproduce in DuckDB
+    unconditionally -- exact float ties break to the smallest centroid
+    id on both sides (numpy first-max == row_number's (sim DESC, cid)
+    order). A fixture margin test additionally shows top1-top2 argmax
+    margins >= 1e-6, nine orders above any summation-order noise."""
     return f"""
         WITH e AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -462,16 +549,35 @@ def _ann_ivf_oracle() -> str:
         cent AS (
           SELECT vec_id AS centroid_id, v AS cv
           FROM e, stride WHERE vec_id % stride.s = 0),
-        sims AS (
-          SELECT e.vec_id, cent.centroid_id,
+        {_ivf_search_sql("cent")}
+    """
+
+
+def _centroid_sims_sql(cent_cte: str, alias: str, where: str = "") -> str:
+    """corpus-x-centroid cosine similarities against the ``cent_cte``
+    centroid relation -- sequential list_sum arithmetic, bit-identical
+    to the Spark side's _seq_sims cumsum fold."""
+    return f"""
+        {alias} AS (
+          SELECT e.vec_id, cc.centroid_id,
                  list_sum(list_transform(generate_series(1, len(e.v)),
-                                         i -> e.v[i] * cent.cv[i])) /
+                                         i -> e.v[i] * cc.cv[i])) /
                  (sqrt(list_sum(list_transform(generate_series(1, len(e.v)),
                                                i -> e.v[i] * e.v[i]))) *
-                  sqrt(list_sum(list_transform(generate_series(1, len(cent.cv)),
-                                               i -> cent.cv[i] * cent.cv[i]))))
+                  sqrt(list_sum(list_transform(generate_series(1, len(cc.cv)),
+                                               i -> cc.cv[i] * cc.cv[i]))))
                    AS sim
-          FROM e, cent),
+          FROM e, {cent_cte} cc {where})
+    """
+
+
+def _ivf_search_sql(cent_cte: str) -> str:
+    """The IVF assignment/probe/search/rank tail, shared by the stride
+    and k-means oracles: expects CTEs ``e`` (vec_id, v double list) and
+    ``cent_cte`` (centroid_id, cv double list) to be in scope, emits
+    the final SELECT."""
+    return f"""
+        {_centroid_sims_sql(cent_cte, "sims")},
         assign AS (
           SELECT vec_id, centroid_id FROM (
             SELECT vec_id, centroid_id,
@@ -502,6 +608,59 @@ def _ann_ivf_oracle() -> str:
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
     """
+
+
+def _ann_ivf_kmeans_oracle(iters: int = 3) -> str:
+    """Exact DuckDB twin of q_ann_ivf_kmeans_topk: Lloyd's iterations
+    unrolled as CTE pairs (assignment -> decimal-exact centroid
+    recompute), then the shared IVF search tail over the final
+    centroids. Reproducible because every step is: sequential-fold
+    cosine (bit-identical to _seq_sims' cumsum), first-max/smallest-id
+    tie-breaks (row_number OVER (sim DESC, centroid_id)), and
+    order-independent decimal sums of float32 shortest-repr strings
+    for the means (the q_embedding_label_centroids contract). The
+    centroid doubles after every iteration are therefore bit-equal
+    across engines, and so are the final search results."""
+    parts = [
+        f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        comp AS (SELECT vec_id,
+                        CAST(CAST(x AS VARCHAR) AS DECIMAL(28,18)) AS xdec,
+                        pos
+                 FROM (SELECT vec_id,
+                              unnest(embedding) AS x,
+                              generate_subscripts(embedding, 1) AS pos
+                       FROM embeddings)),
+        stride AS (SELECT greatest(1, count(*) // {N_CENTROIDS}) AS s FROM e),
+        c0 AS (
+          SELECT vec_id AS centroid_id, v AS cv
+          FROM e, stride WHERE vec_id % stride.s = 0)
+        """
+    ]
+    for it in range(iters):
+        parts.append("," + _centroid_sims_sql(f"c{it}", f"sims{it}"))
+        parts.append(
+            f""",
+        a{it} AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM sims{it}) WHERE rn = 1),
+        c{it + 1} AS (
+          SELECT centroid_id, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.centroid_id, comp.pos,
+                   CAST(CAST(sum(comp.xdec) AS VARCHAR) AS DOUBLE)
+                     / count(*) AS m
+            FROM a{it} a JOIN comp USING (vec_id)
+            GROUP BY 1, 2)
+          GROUP BY 1)
+            """
+        )
+    parts.append("," + _ivf_search_sql(f"c{iters}"))
+    return "".join(parts)
 
 
 def _ann_lsh_oracle() -> str:
@@ -545,6 +704,7 @@ def _ann_lsh_oracle() -> str:
 
 SIMILARITY_ORACLES: dict[str, str] = {
     "q_ann_ivf_topk": _ann_ivf_oracle(),
+    "q_ann_ivf_kmeans_topk": _ann_ivf_kmeans_oracle(),
     "q_ann_lsh_topk": _ann_lsh_oracle(),
     "q_embedding_label_centroids": """
         WITH comp AS (
@@ -585,8 +745,8 @@ SIMILARITY_ORACLES: dict[str, str] = {
 SIMILARITY_QUERIES = {
     "q_ann_bruteforce_topk": q_ann_bruteforce_topk,
     "q_ann_ivf_topk": q_ann_ivf_topk,  # oracle-checked (deterministic stride IVF)
-    "q_ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # rows-only: k-means centroids
-    # are float avgs whose shuffle-order summation is not cross-engine portable
+    "q_ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # oracle-checked (decimal-exact
+    # centroid means + bit-portable cumsum sims; iterations unrolled in SQL)
     "q_ann_lsh_topk": q_ann_lsh_topk,  # oracle-checked (bit-portable LSH)
     "q_embedding_label_centroids": q_embedding_label_centroids,
 }

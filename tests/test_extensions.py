@@ -59,6 +59,42 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert len(bf & ivf) / len(bf) >= 0.3
 
 
+def test_arrow_lsh_twins_bit_identical(spark, sf_dir):
+    """The vectorized Arrow twins (lsh_code_arrow, seq_dot_arrow) must
+    reproduce the interpreted expression forms BIT-FOR-BIT -- they back
+    oracle-checked queries, so any summation-order drift (e.g. numpy
+    pairwise sum sneaking in for cumsum) breaks the driver hash."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+    from kafka_clickhouse_pipeline_spark.operators.similarity import (
+        _dot,
+        lsh_code,
+        lsh_code_arrow,
+        seq_dot_arrow,
+    )
+
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    dot = seq_dot_arrow()
+    both = vecs.select(
+        lsh_code(F.col("v")).alias("c_expr"),
+        lsh_code_arrow()(F.col("v")).alias("c_arrow"),
+        _dot(F.col("v"), F.col("v")).alias("d_expr"),
+        dot(F.col("v"), F.col("v")).alias("d_arrow"),
+    )
+    diff = both.filter(
+        (F.col("c_expr") != F.col("c_arrow"))
+        | (F.col("d_expr") != F.col("d_arrow"))  # float equality: bit test
+    ).count()
+    assert diff == 0
+
+
 def test_ivf_assignment_margin_dominates_ulp_noise(spark, sf_dir):
     """Guards the q_ann_ivf_topk DuckDB oracle's determinism argument:
     the oracle reproduces the numpy argmax/argsort decisions only if no
