@@ -195,19 +195,9 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TPC-H orders hold <= 7 items) -- linear in lineitem, never
     quadratic in the catalog -- followed by an edge-dedup shuffle."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # One groupBy shuffle + map-side pair expansion instead of a
-    # self-join on orderkey: same distinct edge set, but the join's
-    # matched-row shuffle goes away (measured 3.0 s -> 1.6 s at sf0.1).
-    # collect_set buffers <= 7 items per order (TPC-H fanout bound);
-    # its element order is nondeterministic but the pair expansion +
-    # distinct is order-insensitive.
-    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    edges = (
-        sets.select(F.explode("ps").alias("src"), "ps")
-        .select("src", F.explode("ps").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    # grouped pair expansion, not a self-join: measured 3.0 s -> 1.6 s
+    # at sf0.1 (see co_purchase_edges)
+    edges = co_purchase_edges(li)
     ranks = pagerank_fixed_point(edges)
     return (
         # 8-dp display rank via integer half-up then exact double divide
@@ -220,6 +210,66 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rank_scaled").desc(), "partkey")
         .limit(20)
+    )
+
+
+def co_purchase_edges(li: DataFrame) -> DataFrame:
+    """Distinct directed co-purchase edges (src, dst): two parts are
+    linked when they share an order. One groupBy shuffle + map-side
+    pair expansion (collect_set buffers <= 7 items per order, the
+    TPC-H fanout bound) instead of a lineitem self-join -- same edge
+    set, no matched-row join shuffle. collect_set's element order is
+    nondeterministic but pair expansion + distinct is
+    order-insensitive."""
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    return (
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the co-purchase graph: triangle count,
+    wedge (open-triad) count, and the global clustering coefficient
+    3*triangles/wedges -- the standard graph-analytics cohesion
+    diagnostic (how often two products co-bought with a common third
+    are also co-bought with each other).
+
+    Plan: orient each undirected edge low->high id, then ONE two-hop
+    join e1(a,b) |> e2(b,c) |> e3(a,c) with a<b<c, so every triangle is
+    enumerated exactly once. Wedges come from the degree aggregate
+    (sum of C(d,2)), no join. At scale the classic refinement is to
+    orient by (degree, id) instead of id so the join fans out from the
+    low-degree endpoint; id orientation keeps the oracle trivial and
+    the fixture degrees are bounded by order fanout anyway. Exact
+    integer counts + one final double divide -> bit-portable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    und = edges.filter(F.col("src") < F.col("dst"))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    # directed edge list has both orientations, so out-degree = degree
+    wedges = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
+    )
+    return triangles.crossJoin(wedges).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("clustering_coefficient"),
     )
 
 
@@ -276,6 +326,26 @@ _PAGERANK_SQL = f"""
 
 GRAPH_ORACLES: dict[str, str] = {
     "q_pagerank_copurchase": _PAGERANK_SQL,
+    "q_triangle_count_copurchase": """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        und AS (SELECT src, dst FROM e WHERE src < dst),
+        tri AS (
+          SELECT count(*) AS n_triangles
+          FROM und e1
+          JOIN und e2 ON e2.src = e1.dst
+          JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        wed AS (
+          SELECT sum(d * (d - 1) // 2) AS n_wedges
+          FROM (SELECT count(*) AS d FROM e GROUP BY src))
+        SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+               CAST(n_wedges AS BIGINT) AS n_wedges,
+               round(CAST(3 AS DOUBLE) * n_triangles / n_wedges, 6)
+                 AS clustering_coefficient
+        FROM tri, wed
+    """,
     "q_dedup_clusters": f"""
         {_PAIRS_SQL},
         edges AS (
@@ -297,4 +367,5 @@ GRAPH_ORACLES: dict[str, str] = {
 GRAPH_QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_pagerank_copurchase": q_pagerank_copurchase,
+    "q_triangle_count_copurchase": q_triangle_count_copurchase,
 }
