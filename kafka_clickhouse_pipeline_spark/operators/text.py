@@ -264,6 +264,71 @@ def q_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring -- the order-2 upgrade of
+    ``q_perplexity_unigram`` (KenLM-filter stand-in): train add-one-
+    smoothed bigram conditionals on the corpus itself,
+    p(cur|prev) = (c2(prev,cur) + 1) / (c1(prev) + V), then score each
+    document by mean negative log-probability over its bigram
+    occurrences. Documents shorter than two tokens have no bigrams and
+    drop out (mirrored in the oracle).
+
+    Plan: bigrams via aligned array slices zipped into structs (no
+    per-index element_at lambdas), ONE explode; per-(doc,prev,cur)
+    counts shuffle once; corpus c2/c1 are second-stage aggregations of
+    the same shuffled data; V (corpus vocabulary) is a 1-row broadcast.
+    The model join is vocabulary-sized, not corpus-sized -- AQE
+    broadcasts it at 100 TB. Determinism: contributions rounded to 9 dp
+    and summed as DECIMAL(28,9), the unigram contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bigrams = docs.select("doc_id", F.explode(bg).alias("b")).select(
+        "doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+    )
+    tf2 = bigrams.groupBy("doc_id", "prev", "cur").agg(
+        F.count(F.lit(1)).alias("tf2")
+    )
+    c2 = tf2.groupBy("prev", "cur").agg(F.sum("tf2").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    contrib = (
+        tf2.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "tf2",
+            F.round(
+                F.col("tf2")
+                * F.log(
+                    (F.col("c1") + F.col("v")).cast("double") / (F.col("c2") + 1)
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("c"),
+        )
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("s"), F.sum("tf2").alias("n_bigrams")
+    )
+    avg = F.col("s").cast("double") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg, 6).alias("avg_neg_logp"),
+        F.round(F.exp(avg), 6).alias("ppl"),
+    ).orderBy("doc_id")
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source vocabulary overlap: per-source distinct vocabulary
     sizes and pairwise Jaccard similarity between source vocabularies --
@@ -606,6 +671,35 @@ TEXT_ORACLES["q_perplexity_unigram"] = """
     FROM agg ORDER BY doc_id
 """
 
+TEXT_ORACLES["q_perplexity_bigram"] = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    bigrams AS (
+      SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+      FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)),
+    tf2 AS (SELECT doc_id, prev, cur, count(*) AS tf2
+            FROM bigrams GROUP BY 1, 2, 3),
+    c2 AS (SELECT prev, cur, sum(tf2) AS c2 FROM tf2 GROUP BY 1, 2),
+    c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    vocab AS (
+      SELECT count(DISTINCT term) AS v
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)),
+    contrib AS (
+      SELECT doc_id, tf2,
+             CAST(round(tf2 * ln(CAST(c1 + v AS DOUBLE) / (c2 + 1)), 9)
+                  AS DECIMAL(28,9)) AS c
+      FROM tf2 JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+      CROSS JOIN vocab),
+    agg AS (SELECT doc_id, sum(c) AS s, sum(tf2) AS n_bigrams
+            FROM contrib GROUP BY 1)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_neg_logp,
+           round(exp(CAST(s AS DOUBLE) / n_bigrams), 6) AS ppl
+    FROM agg ORDER BY doc_id
+"""
+
 TEXT_ORACLES["q_source_vocab_overlap"] = """
     WITH exploded AS (
       SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS term
@@ -714,6 +808,7 @@ TEXT_QUERIES = {
     "q_repetition_filters": q_repetition_filters,
     "q_token_stats": q_token_stats,
     "q_perplexity_unigram": q_perplexity_unigram,
+    "q_perplexity_bigram": q_perplexity_bigram,
     "q_source_vocab_overlap": q_source_vocab_overlap,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
