@@ -59,6 +59,39 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert len(bf & ivf) / len(bf) >= 0.3
 
 
+def test_triangle_census_matches_python_bruteforce(spark, sf_dir):
+    """Independent check of q_triangle_count_copurchase: recount the
+    triangles and wedges from the raw edge list with a plain Python
+    adjacency-set sweep (no SQL on either side), so a shared
+    misconception in the Spark query and its DuckDB oracle (e.g. an
+    orientation bug double-counting triangles) cannot hide."""
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+    from kafka_clickhouse_pipeline_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = {
+        (r.src, r.dst)
+        for r in graph.co_purchase_edges(li).collect()
+        if r.src < r.dst
+    }
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    tri = sum(
+        1
+        for s, d in edges
+        for c in adj[s] & adj[d]
+        if c > d  # s < d < c: each triangle once
+    )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+
+    row = graph.q_triangle_count_copurchase(spark, sf_dir).collect()[0]
+    assert row.n_triangles == tri
+    assert row.n_wedges == wedges
+    assert 0.0 <= row.clustering_coefficient <= 1.0
+
+
 def test_arrow_lsh_twins_bit_identical(spark, sf_dir):
     """The vectorized Arrow twins (lsh_code_arrow, seq_dot_arrow) must
     reproduce the interpreted expression forms BIT-FOR-BIT -- they back
