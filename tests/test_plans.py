@@ -327,16 +327,18 @@ def test_shingle_df_cap_bounds_fanout(spark):
     assert kept == {"rare a", "rare b"}
 
 
-def test_window_plan_audit_no_row_python_no_cartesian(spark, sf_dir):
-    """Every driver-window query: zero row-at-a-time Python
-    (BatchEvalPython) and zero CartesianProduct (audited: even the
-    1-row constant cross-joins compile to BroadcastNestedLoopJoin)."""
+def test_registry_plan_audit_no_row_python_no_cartesian(spark, sf_dir):
+    """EVERY registered query (not just the 50-query driver window):
+    zero row-at-a-time Python (BatchEvalPython -- Arrow-batched
+    ArrowEvalPython is the sanctioned exception) and zero
+    CartesianProduct (audited: even the 1-row constant cross-joins
+    compile to BroadcastNestedLoopJoin)."""
     import __spark_entry__ as entry
 
     one_row_cross: set[str] = set()
     qs = entry.queries()
     violations = []
-    for name in list(qs)[:50]:
+    for name in qs:
         df = qs[name](spark, sf_dir)
         plan = plans.formatted_plan(df)
         if "BatchEvalPython" in plan:
