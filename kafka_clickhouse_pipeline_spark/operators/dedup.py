@@ -1011,8 +1011,85 @@ DEDUP_ORACLES: dict[str, str] = {
     """,
 }
 
+SUBSTRING_WINDOW_N = 8
+
+
+def q_dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication signal (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'): every
+    8-token SLIDING window of every document is checked against the
+    rest of the corpus; a window is shared when any other document
+    contains the same window verbatim. Finer-grained than
+    q_paragraph_dedup (disjoint chunks) and within-corpus rather than
+    corpus-vs-benchmark (q_decontaminate_*): this is the signal that
+    catches quoted blocks and templated boilerplate that whole-doc and
+    chunk dedup both miss.
+
+    Output per document (>= 8 tokens): window count, shared-window
+    count, shared fraction -- the threshold signal for a curation pass
+    (full suffix-array substring removal is the offline extreme; the
+    windowed form is the shuffle-friendly streaming equivalent).
+
+    Scale shape: windows are distinct-within-doc arrays built map-side
+    (aligned-slice zips, no per-index lambdas), ONE shuffle keyed by
+    window for the document-frequency count -- count(*) == distinct
+    doc count because windows are deduped within each doc -- and one
+    join back + per-doc rollup. At 100 TB, hash the window strings to
+    64-bit (xxhash64) before the shuffle to cut key bytes ~10x."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _shingle_arrays(docs, n=SUBSTRING_WINDOW_N).select(
+        "doc_id", F.explode("sh").alias("w")
+    )
+    dfw = ex.groupBy("w").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        ex.join(dfw, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared_windows",
+            F.round(
+                F.col("n_shared_windows").cast("double") / F.col("n_windows"), 6
+            ).alias("shared_window_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SUBSTR_CONCAT = " || ' ' || ".join(
+    f"toks[i+{k}]" for k in range(SUBSTRING_WINDOW_N)
+)
+
+DEDUP_ORACLES["q_dedup_substring_windows"] = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - {SUBSTRING_WINDOW_N - 1}, 0)),
+               i -> {_SUBSTR_CONCAT}))) AS w
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)),
+    dfw AS (SELECT w, count(*) AS nd FROM sh GROUP BY 1),
+    per AS (
+      SELECT doc_id, count(*) AS n_windows,
+             sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+      FROM sh JOIN dfw USING (w) GROUP BY 1)
+    SELECT doc_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_shared AS BIGINT) AS n_shared_windows,
+           round(CAST(n_shared AS DOUBLE) / n_windows, 6)
+             AS shared_window_frac
+    FROM per ORDER BY doc_id
+"""
+
 DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_substring_windows": q_dedup_substring_windows,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_containment": q_dedup_containment,
