@@ -473,7 +473,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_embedding_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_planes: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
     """Embedding near-dup, LSH-bucketed -- the 100 TB production path
     for what ``q_dedup_embedding_cosine`` computes exactly.
 
@@ -491,13 +497,22 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle shape at scale: one map to code each vector, one join keyed
     by band bucket, exact verify on candidates only. Candidate volume is
     ~n^2 / 2^bits_per_band per band, so the code geometry must scale
-    with the corpus: this 16-plane/4x4 layout matches the test fixture
-    (and the oracle); a 100 TB run raises N_PLANES so each band carries
-    16+ bits (2^16 buckets/band -> million-fold candidate reduction),
-    trading recall per band for more bands -- same operator, different
-    constants (see SCALE.md, Dedup)."""
-    from .similarity import lsh_band_keys, lsh_code_arrow, seq_dot_arrow
+    with the corpus: the default 16-plane/4x4 layout matches the test
+    fixture (and the oracle); a 100 TB run passes wider geometry via
+    the ``n_planes``/``bands`` keywords so each band carries 16+ bits
+    (2^16 buckets/band -> million-fold candidate reduction). Measured
+    on the 10x-replicated ladder (20 k vectors): default geometry
+    ~130-330 s, 32-plane/4x8-bit ~26-43 s. The sign-LSH collision
+    curve (1-theta/pi)^bits makes band width a function of the TARGET
+    threshold: at this fixture's low 0.45 cosine threshold the wide
+    geometry finds 2,259 of the default's 9,446 pairs (both sets
+    oracle-reproducible), while at the 0.9+ thresholds real embedding
+    dedup targets, 8-16-bit bands retain recall -- choose bits from
+    the threshold, then bands from the miss budget (SCALE.md)."""
+    from .similarity import LSH_BANDS, N_PLANES, lsh_band_keys, lsh_code_arrow, seq_dot_arrow
 
+    n_planes = N_PLANES if n_planes is None else n_planes
+    bands = LSH_BANDS if bands is None else bands
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
@@ -516,7 +531,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles twice (measured ~7 s at sf0.1); the vectors rejoin by id
     # after the dedup, so each shuffle moves ids or one corpus copy
     banded = e.select(
-        "vec_id", F.explode(lsh_band_keys(lsh_code_arrow()(F.col("v")))).alias("band_key")
+        "vec_id",
+        F.explode(
+            lsh_band_keys(
+                lsh_code_arrow(n_planes)(F.col("v")), bands=bands, n_planes=n_planes
+            )
+        ).alias("band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -563,7 +583,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_K = 16
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_dedup(
+    spark: SparkSession, sf_dir: str, *, k: int | None = None
+) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space, then prune near-duplicate pairs WITHIN each
     cluster only -- the clustering bounds the quadratic pair term that
@@ -595,7 +617,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = emb.select("vec_id", vec.alias("v"))
     n = e.count()
-    stride = max(1, n // SEMDEDUP_K)
+    # K is the quadratic-term knob (~n^2/K within-cluster pairs): the
+    # default matches the oracle; scale deployments raise it with the
+    # corpus so clusters stay ~constant-size
+    stride = max(1, n // (SEMDEDUP_K if k is None else k))
     cent_rows = sorted(
         (r["vec_id"], list(r["v"]))
         for r in e.filter(F.col("vec_id") % stride == 0).collect()

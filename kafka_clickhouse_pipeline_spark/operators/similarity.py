@@ -19,12 +19,14 @@ Two paths:
 
 The exact, oracle-checked operator (brute force) uses built-in
 higher-order array functions (``zip_with`` / ``aggregate``) -- JVM
-arithmetic, bit-identical to DuckDB. The approximate variants use
-Arrow-batched pandas UDFs (numpy matmul) for centroid scoring: built-in
-HOF expressions are interpreted (no whole-stage codegen), so
-n_centroids x dim lambda evaluations per row is the wrong hot path at
-scale, and approximate operators don't owe the oracle bit-equality.
-No row-at-a-time Python anywhere; no driver-side loops over data.
+arithmetic, bit-identical to DuckDB. The bucketed variants use
+Arrow-batched pandas UDFs for centroid/code scoring: built-in HOF
+expressions are interpreted (no whole-stage codegen), so n_centroids x
+dim lambda evaluations per row is the wrong hot path at scale. The
+UDFs use sequential-cumsum arithmetic (``_seq_sims``, ``seq_dot_arrow``)
+that is BIT-IDENTICAL to the JVM/DuckDB left-to-right fold, so even the
+bucketed operators keep exact oracles. No row-at-a-time Python
+anywhere; no driver-side loops over data.
 """
 
 from __future__ import annotations
@@ -317,16 +319,26 @@ def _ivf_search(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 N_PLANES = 16
-LSH_BANDS = 4  # 4 bands x 4 bits
+LSH_BANDS = 4  # 4 bands x (N_PLANES // LSH_BANDS)-bit keys
+
+#: Code geometry is THE corpus-size knob for sign-LSH (SCALE.md,
+#: Dedup): candidate volume per band is ~n^2 / 2^(bits per band), so a
+#: bigger corpus needs more planes (wider band keys), not more code.
+#: Every geometry-dependent helper below takes (n_planes, bands)
+#: parameters defaulting to the fixture/oracle geometry -- the
+#: defaults are contractual (oracles embed them); overrides are for
+#: scale deployments and the scaling-ladder measurements.
 
 
-def _hyperplanes(dim: int = 64, seed: int = 42) -> list[list[float]]:
+def _hyperplanes(
+    dim: int = 64, seed: int = 42, n_planes: int = N_PLANES
+) -> list[list[float]]:
     """Deterministic +-1 random hyperplanes (Python-side literals --
     no UDF, folded into the plan as constants)."""
     import random
 
     rng = random.Random(seed)
-    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(N_PLANES)]
+    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
 
 
 def lsh_planes_values_sql() -> str:
@@ -368,7 +380,7 @@ def lsh_code(vcol: Column) -> Column:
     return F.aggregate(bits, F.lit(0), lambda a, x: a + x).cast("int")
 
 
-def lsh_code_arrow():
+def lsh_code_arrow(n_planes: int = N_PLANES):
     """Arrow-batched twin of :func:`lsh_code`: identical 16-bit sign
     codes, BIT-IDENTICAL arithmetic. ``np.cumsum`` emits every prefix,
     so its summation order is forced to sequential left-to-right --
@@ -378,16 +390,16 @@ def lsh_code_arrow():
     vector with one vectorized C pass (measured bit-equal to the
     expression form across the fixture ladder; guarded by
     tests/test_extensions.py::test_arrow_lsh_twins_bit_identical)."""
-    P = np.array(_hyperplanes(), dtype="float64")
-    W = np.array([1 << j for j in range(N_PLANES)], dtype="int64")
+    P = np.array(_hyperplanes(n_planes=n_planes), dtype="float64")
+    W = np.array([1 << j for j in range(n_planes)], dtype="int64")
 
-    @F.pandas_udf("int")
+    @F.pandas_udf("long")
     def code(v: pd.Series) -> pd.Series:
         if not len(v):
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="int64")
         M = np.stack(v.to_numpy())
         dots = np.cumsum(M[:, None, :] * P[None, :, :], axis=2)[:, :, -1]
-        return pd.Series(((dots >= 0) * W).sum(axis=1).astype("int32"))
+        return pd.Series(((dots >= 0) * W).sum(axis=1))
 
     return code
 
@@ -411,13 +423,22 @@ def seq_dot_arrow():
     return dot
 
 
-def lsh_band_keys(code: Column) -> Column:
-    """array of LSH_BANDS band keys (band index folded in, so keys from
-    different bands never collide)."""
+def lsh_band_keys(
+    code: Column, bands: int = LSH_BANDS, n_planes: int = N_PLANES
+) -> Column:
+    """array of ``bands`` band keys, each (n_planes // bands) bits wide
+    (band index folded in, so keys from different bands never collide).
+    The default 4x4-bit geometry is the fixture/oracle contract; scale
+    deployments pass wider geometry (see module note)."""
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
     return F.array(
         *[
-            (F.shiftright(code, b * 4).bitwiseAND(F.lit(0xF)) + F.lit(b * 16))
-            for b in range(LSH_BANDS)
+            (
+                F.shiftright(code, b * bits).bitwiseAND(F.lit(mask))
+                + F.lit(b << bits)
+            )
+            for b in range(bands)
         ]
     )
 
