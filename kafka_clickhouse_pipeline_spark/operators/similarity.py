@@ -458,8 +458,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-free and insert-friendly (a new vector's bucket is a pure
     function of the vector)."""
     vecs = _vectors(spark, sf_dir)
+    # Arrow cumsum twin of lsh_code: bit-identical sign codes (guarded
+    # by test_arrow_lsh_twins_bit_identical), one vectorized pass
+    # instead of n_planes x dim interpreted lambdas per vector
     coded = _with_norm(vecs).select(
-        "vec_id", "v", "vn", lsh_code(F.col("v")).alias("code")
+        "vec_id", "v", "vn", lsh_code_arrow()(F.col("v")).alias("code")
     )
     band_keys = lsh_band_keys(F.col("code"))
     banded = coded.select(
