@@ -20,8 +20,23 @@ def test_rows_only_queries_are_documented():
 
 
 def test_all_queries_are_callables_with_two_args():
+    """The driver calls fn(spark, sf_dir) positionally: exactly two
+    positional parameters, and anything extra (scale knobs like
+    q_dedup_embedding_lsh's geometry) must be keyword-only WITH a
+    default."""
     import inspect
 
     for name, fn in entrymod.queries().items():
-        params = inspect.signature(fn).parameters
-        assert len(params) == 2, name
+        params = list(inspect.signature(fn).parameters.values())
+        positional = [
+            p
+            for p in params
+            if p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+        ]
+        assert len(positional) == 2, name
+        for p in params[2:]:
+            assert p.kind == p.KEYWORD_ONLY and p.default is not p.empty, (
+                name,
+                p.name,
+            )
