@@ -300,3 +300,92 @@ def test_incremental_dedup_invariants_on_random_data(spark, texts):
     assert {(r["fingerprint"], r["doc_id"]) for r in out} == {
         (k, v) for k, v in expect.items()
     }
+
+
+word_strategy = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+wordsoup_strategy = st.lists(word_strategy, min_size=0, max_size=24).map(" ".join)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(wordsoup_strategy, min_size=1, max_size=16))
+def test_substring_windows_parity_on_random_data(spark, tmp_path_factory, texts):
+    """q_dedup_substring_windows vs a plain-Python reference on random
+    small-vocab corpora (small vocab => shared windows actually occur)."""
+    import os
+
+    from kafka_clickhouse_pipeline_spark.operators.dedup import (
+        SUBSTRING_WINDOW_N,
+        q_dedup_substring_windows,
+    )
+
+    tmp = str(tmp_path_factory.mktemp("winfuzz"))
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.n_windows, r.n_shared_windows)
+        for r in q_dedup_substring_windows(spark, tmp).collect()
+    }
+
+    def windows(t):
+        toks = t.strip().split()
+        n = SUBSTRING_WINDOW_N
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+
+    per_doc = {i: windows(t) for i, t in enumerate(texts)}
+    counts: dict[str, int] = {}
+    for ws in per_doc.values():
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    expect = {
+        i: (len(ws), sum(1 for w in ws if counts[w] >= 2))
+        for i, ws in per_doc.items()
+        if ws
+    }
+    assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(wordsoup_strategy, min_size=1, max_size=12))
+def test_bigram_perplexity_invariants_on_random_data(spark, tmp_path_factory, texts):
+    """Structural invariants of q_perplexity_bigram on random corpora:
+    docs with < 2 tokens are absent, perplexities are >= 1, and a
+    corpus whose docs are all runs of ONE word has ppl exactly 1
+    (every conditional is (c+1)/(c+V) with V=1 => probability 1)."""
+    import os
+
+    from kafka_clickhouse_pipeline_spark.operators.text import q_perplexity_bigram
+
+    tmp = str(tmp_path_factory.mktemp("ppl"))
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+    out = {r.doc_id: r for r in q_perplexity_bigram(spark, tmp).collect()}
+    expect_ids = {i for i, t in enumerate(texts) if len(t.strip().split()) >= 2}
+    assert set(out) == expect_ids
+    for r in out.values():
+        assert r.ppl >= 1.0
+        assert r.n_bigrams >= 1
+
+    # degenerate single-word-vocabulary corpus
+    mono = [(i, " ".join(["zz"] * (i + 2)), "en", "s", 1) for i in range(3)]
+    tmp2 = str(tmp_path_factory.mktemp("pplmono"))
+    spark.createDataFrame(
+        mono, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(os.path.join(tmp2, "documents.parquet"))
+    for r in q_perplexity_bigram(spark, tmp2).collect():
+        assert r.ppl == 1.0 and r.avg_neg_logp == 0.0
