@@ -71,10 +71,6 @@ def money(col: Column | str, scale: int = 2) -> Column:
     return _c(col).cast(f"decimal(38,{scale})").cast("string")
 
 
-#: Alias emphasizing the string rendering (VERDICT r2 terminology).
-money_str = money
-
-
 def ts_str(col: Column | str) -> Column:
     """Canonical timestamp output: 'yyyy-MM-dd HH:mm:ss' string."""
     return F.date_format(_c(col), TS_FMT)

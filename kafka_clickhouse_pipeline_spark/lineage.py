@@ -43,5 +43,18 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
         configured = spark.conf.get(CKPT_DIR_CONF, None)
-        sc.setCheckpointDir(configured or tempfile.mkdtemp(prefix="graft-ckpt-"))
+        if configured is None:
+            # A driver-local temp dir is only a real checkpoint target
+            # when driver and executors share the filesystem (local
+            # mode). On a cluster, silently checkpointing to /tmp would
+            # recreate the exact executor-loss data hole reliable mode
+            # exists to close -- fail fast instead.
+            if not sc.master.startswith("local"):
+                raise ValueError(
+                    f"{RELIABLE_CONF}=true on a non-local master requires "
+                    f"{CKPT_DIR_CONF} to point at a shared filesystem "
+                    "(hdfs://... or s3://...)"
+                )
+            configured = tempfile.mkdtemp(prefix="graft-ckpt-")
+        sc.setCheckpointDir(configured)
     return df.checkpoint(eager=True)

@@ -670,7 +670,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY n_name
-        ORDER BY 2 DESC, n_name
+        ORDER BY CAST(revenue AS DECIMAL(28,4)) DESC, n_name
     """,
     "q3_shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,

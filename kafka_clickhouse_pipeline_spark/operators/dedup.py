@@ -523,6 +523,10 @@ def q_dedup_embedding_lsh(
     # oracle contract and cut it to ~2 s
     dot = seq_dot_arrow()
 
+    # NOT lineage-cut despite five consumers: measured at sf0.1 and the
+    # 10x ladder, eager materialization of the corpus-with-norm frame
+    # costs more than the recomputed scans it saves (the band join
+    # dominates)
     e = emb.select("vec_id", vec.alias("v")).withColumn(
         "n", F.sqrt(dot(F.col("v"), F.col("v")))
     )
@@ -625,6 +629,12 @@ def q_semantic_dedup(
         (r["vec_id"], list(r["v"]))
         for r in e.filter(F.col("vec_id") % stride == 0).collect()
     )
+    if not cent_rows:  # empty corpus -> no vectors, no output rows
+        return e.select(
+            "vec_id",
+            F.lit(0).cast("long").alias("cluster_id"),
+            F.lit(True).alias("kept"),
+        )
 
     # Arrow-batched assignment, BIT-IDENTICAL to the interpreted
     # argmin-of-folds form it replaced: (x-y)^2 is exact IEEE in any
@@ -646,6 +656,10 @@ def q_semantic_dedup(
     from .similarity import seq_dot_arrow
 
     dot = seq_dot_arrow()
+    # NOT lineage-cut: the assignment UDF subtree is re-executed by the
+    # plan's four consumers, but measured at sf0.1 AND the 10x ladder
+    # the eager materialization costs more than the recompute saves --
+    # the pair join, not the corpus scan, is the operator's cost
     assigned = e.select(
         "vec_id", "v", assign(F.col("v")).alias("cluster_id")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))

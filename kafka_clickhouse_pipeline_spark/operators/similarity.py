@@ -240,9 +240,10 @@ def kmeans_centroids(vecs: DataFrame, iters: int = 3) -> DataFrame:
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with k-means-trained centroids: the production variant of
     q_ann_ivf_topk (same bucketed search mechanics, better-placed
-    centroids -> higher recall at the same nprobe). Rows-only check:
-    approximate by design; recall measured against brute force in
-    tests."""
+    centroids -> higher recall at the same nprobe). Oracle-checked:
+    the deterministic k-means (see kmeans_centroids) unrolls as CTE
+    pairs in the DuckDB twin (_ann_ivf_kmeans_oracle); recall is
+    additionally measured against brute force in tests."""
     vecs = _vectors(spark, sf_dir)
     centroids = kmeans_centroids(vecs)
     return _ivf_search(vecs, centroids)

@@ -30,6 +30,25 @@ def _tokens():
     return F.split(F.trim(F.col("text")), r"\s+")
 
 
+def _ascii_split(text: str | None) -> list[str]:
+    """Python twin of ``split(trim(text), '\\s+')`` for the Arrow-batched
+    operators: Spark trim strips ASCII spaces, Java ``\\s`` is the ASCII
+    whitespace class (plain ``str.split()`` would also split on U+00A0
+    and friends and diverge from the JVM/oracle contract), and Java
+    split keeps leading empty fields but drops trailing ones. NULL is
+    treated as empty text (the fixture schema never produces it; the
+    pandas path must not crash if a corpus does)."""
+    import re
+
+    t = (text or "").strip(" ")
+    if t == "":
+        return [""]
+    toks = re.split("[ \t\n\x0b\f\r]+", t)
+    while toks and toks[-1] == "":
+        toks.pop()
+    return toks
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish sub-token count
     (alternating letter/digit boundaries), per document."""
@@ -416,8 +435,12 @@ def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dup3_slots": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                # match split(trim(text), '\s+'): empty text -> ['']
-                toks = text.strip().split() or [""]
+                # match split(trim(text), '\s+') EXACTLY: Java \s is
+                # the ASCII class (str.split() would also split on
+                # U+00A0 etc. and diverge from the oracle), Spark trim
+                # strips ASCII spaces, NULL flows through as empty,
+                # and empty text yields [''] like the JVM split
+                toks = _ascii_split(text) or [""]
                 n = len(toks)
                 out["doc_id"].append(doc_id)
                 out["n_tokens"].append(n)

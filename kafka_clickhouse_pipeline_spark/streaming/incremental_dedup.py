@@ -36,9 +36,7 @@ fingerprints ~ low-TB index):
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -57,12 +55,19 @@ def _read_index(spark, index_path: str) -> DataFrame:
     """The fingerprint index, or an empty frame before the first
     commit. Read through Spark (works on any filesystem the cluster
     sees -- ``_staging``/``_commits`` are underscore-prefixed, which
-    Spark's file listing treats as hidden); only a missing path needs
-    the empty-frame fallback."""
+    Spark's file listing treats as hidden); ONLY a missing path gets
+    the empty-frame fallback -- any other read failure (permissions, a
+    transient filesystem outage) must fail the batch, because treating
+    it as 'empty index' would silently publish historical duplicates
+    and append their fingerprints, corrupting the corpus permanently."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(INDEX_SCHEMA).parquet(index_path)
-    except Exception:  # noqa: BLE001 - PATH_NOT_FOUND before first commit
-        return spark.createDataFrame([], INDEX_SCHEMA)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return spark.createDataFrame([], INDEX_SCHEMA)
+        raise
 
 
 def dedup_batch_against_index(batch: DataFrame, index: DataFrame) -> DataFrame:
@@ -82,22 +87,15 @@ def incremental_dedup_writer(out_path: str, index_path: str, target_files: int =
     """foreachBatch function: effectively-once append of new-unique
     docs to ``out_path`` and their fingerprints to ``index_path``.
 
-    Same staged-commit protocol as sink.idempotent_batch_writer: a
-    replayed batch id with a commit marker is a no-op, and half-written
-    files from a crashed attempt are named by batch id so they are
-    swept before re-publish.
+    Staged-commit protocol shared with the near-dup writer (see
+    streaming/commit.py): a replayed batch id with a commit marker is a
+    no-op, and half-written files from a crashed attempt are named by
+    batch id so they are swept before re-publish.
     """
-
-    def _publish(staging: str, dest_dir: str, batch_id: int) -> None:
-        for stale in glob.glob(os.path.join(dest_dir, f"b{batch_id}-*")):
-            os.remove(stale)
-        os.makedirs(dest_dir, exist_ok=True)
-        for f in glob.glob(os.path.join(staging, "*.parquet")):
-            shutil.move(f, os.path.join(dest_dir, f"b{batch_id}-{os.path.basename(f)}"))
+    from .commit import already_committed, clean_staging, publish_staged, write_marker
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(out_path, "_commits", str(batch_id))
-        if os.path.exists(marker):
+        if already_committed(out_path, batch_id):
             return  # replay after successful publish
         spark = batch_df.sparkSession
         fresh = dedup_batch_against_index(batch_df, _read_index(spark, index_path))
@@ -112,13 +110,10 @@ def incremental_dedup_writer(out_path: str, index_path: str, target_files: int =
             .write.mode("overwrite")
             .parquet(idx_staging)
         )
-        _publish(doc_staging, out_path, batch_id)
-        _publish(idx_staging, index_path, batch_id)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("committed")
-        shutil.rmtree(os.path.dirname(doc_staging), ignore_errors=True)
-        shutil.rmtree(os.path.dirname(idx_staging), ignore_errors=True)
+        publish_staged(doc_staging, out_path, batch_id)
+        publish_staged(idx_staging, index_path, batch_id)
+        write_marker(out_path, batch_id)
+        clean_staging(doc_staging, idx_staging)
 
     return _write
 

@@ -37,9 +37,7 @@ staged-commit marker protocol makes replays no-ops.
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -155,28 +153,28 @@ def neardup_batch_against_index(batch: DataFrame, index: DataFrame) -> DataFrame
 
 
 def _read_index(spark, index_path: str) -> DataFrame:
+    """Empty-frame fallback ONLY for a missing path (before the first
+    commit); any other failure must fail the batch -- see
+    incremental_dedup._read_index for why."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(INDEX_SCHEMA).parquet(index_path)
-    except Exception:  # noqa: BLE001 - PATH_NOT_FOUND before first commit
-        return spark.createDataFrame([], INDEX_SCHEMA)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return spark.createDataFrame([], INDEX_SCHEMA)
+        raise
 
 
 def incremental_neardup_writer(out_path: str, index_path: str, target_files: int = 4):
     """foreachBatch function: effectively-once append of near-unique
     docs to ``out_path`` and their exploded band rows to
-    ``index_path`` (same staged-commit protocol as
-    incremental_dedup_writer)."""
-
-    def _publish(staging: str, dest_dir: str, batch_id: int) -> None:
-        for stale in glob.glob(os.path.join(dest_dir, f"b{batch_id}-*")):
-            os.remove(stale)
-        os.makedirs(dest_dir, exist_ok=True)
-        for f in glob.glob(os.path.join(staging, "*.parquet")):
-            shutil.move(f, os.path.join(dest_dir, f"b{batch_id}-{os.path.basename(f)}"))
+    ``index_path`` (staged-commit protocol shared with the exact
+    writer -- streaming/commit.py)."""
+    from .commit import already_committed, clean_staging, publish_staged, write_marker
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(out_path, "_commits", str(batch_id))
-        if os.path.exists(marker):
+        if already_committed(out_path, batch_id):
             return
         spark = batch_df.sparkSession
         fresh = neardup_batch_against_index(batch_df, _read_index(spark, index_path))
@@ -190,13 +188,10 @@ def incremental_neardup_writer(out_path: str, index_path: str, target_files: int
             .write.mode("overwrite")
             .parquet(idx_staging)
         )
-        _publish(doc_staging, out_path, batch_id)
-        _publish(idx_staging, index_path, batch_id)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("committed")
-        shutil.rmtree(os.path.dirname(doc_staging), ignore_errors=True)
-        shutil.rmtree(os.path.dirname(idx_staging), ignore_errors=True)
+        publish_staged(doc_staging, out_path, batch_id)
+        publish_staged(idx_staging, index_path, batch_id)
+        write_marker(out_path, batch_id)
+        clean_staging(doc_staging, idx_staging)
 
     return _write
 

@@ -95,6 +95,16 @@ EMPTY_SENSITIVE = [
     "q_embedding_label_centroids",
     "q_source_mixture_weights",
     "q_split_leakage_audit",
+    # round-3 late additions
+    "q_semantic_dedup",
+    "q_dedup_embedding_lsh",
+    "q_dedup_substring_windows",
+    "q_perplexity_bigram",
+    "q_bpe_pair_counts",
+    "q_paragraph_dedup",
+    "q_decontaminate_bloom",
+    "q_repetition_filters",
+    "q_dedup_incremental",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE
@@ -108,6 +118,7 @@ EMPTY_SCALAR = [
     "q_corr_purchase_click",
     "q_funnel_steps",
     "q_corpus_stats",
+    "q_triangle_count_copurchase",
 ]
 
 

@@ -335,7 +335,6 @@ def test_registry_plan_audit_no_row_python_no_cartesian(spark, sf_dir):
     compile to BroadcastNestedLoopJoin)."""
     import __spark_entry__ as entry
 
-    one_row_cross: set[str] = set()
     qs = entry.queries()
     violations = []
     for name in qs:
@@ -343,6 +342,6 @@ def test_registry_plan_audit_no_row_python_no_cartesian(spark, sf_dir):
         plan = plans.formatted_plan(df)
         if "BatchEvalPython" in plan:
             violations.append((name, "BatchEvalPython"))
-        if "CartesianProduct" in plan and name not in one_row_cross:
+        if "CartesianProduct" in plan:
             violations.append((name, "CartesianProduct"))
     assert not violations, violations
