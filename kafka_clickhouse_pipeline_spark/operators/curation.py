@@ -1346,7 +1346,76 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a temperature-balanced mixture (T=2): per-source
+    keep-rates proportional to sqrt(token_share) -- the standard
+    multilingual/multi-source rebalancing rule (sample mass follows
+    p^(1/T), down-weighting dominant sources) -- applied per document
+    with the portable md5 hash bucket from q_split_assign, so the kept
+    set is a pure deterministic function of (doc_id, corpus stats).
+
+    T is fixed at 2 so the scale step is a single correctly-rounded
+    sqrt (pow is not bit-portable across engines); thresholds are
+    floored into integer 1/256 buckets, so the comparison is exact. The
+    largest-share source keeps rate 1; all others are down-sampled by
+    sqrt(share)/max sqrt(share).
+
+    One scan for the stats, a broadcast of per-source thresholds back
+    onto the corpus scan, zero shuffles of document rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_source = docs.groupBy("source").agg(
+        F.sum(n_tokens.cast("long")).alias("n_tokens")
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("tot"))
+    scaled = per_source.crossJoin(broadcast(tot)).select(
+        "source",
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("tot").cast("double")).alias(
+            "r"
+        ),
+    )
+    rmax = scaled.agg(F.max("r").alias("rmax"))
+    thr = scaled.crossJoin(broadcast(rmax)).select(
+        "source",
+        F.floor(F.col("r") / F.col("rmax") * 256).cast("long").alias("keep_threshold"),
+    )
+    return (
+        docs.join(broadcast(thr), "source")
+        .select(
+            "doc_id",
+            "source",
+            "keep_threshold",
+            (_split_hash() < F.col("keep_threshold")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CURATION_ORACLES["q_temperature_sample"] = """
+    WITH per_source AS (
+      SELECT source,
+             sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+      FROM documents GROUP BY 1),
+    tot AS (SELECT sum(n_tokens) AS tot FROM per_source),
+    scaled AS (
+      SELECT source,
+             sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS r
+      FROM per_source, tot),
+    rmax AS (SELECT max(r) AS rmax FROM scaled),
+    thr AS (
+      SELECT source, CAST(floor(r / rmax * 256) AS BIGINT) AS keep_threshold
+      FROM scaled, rmax)
+    SELECT doc_id, d.source AS source, keep_threshold,
+           (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 256
+             < keep_threshold AS keep
+    FROM documents d JOIN thr ON d.source = thr.source
+    ORDER BY doc_id
+"""
+
+
 CURATION_QUERIES = {
+    "q_temperature_sample": q_temperature_sample,
     "q_curation_pipeline": q_curation_pipeline,
     "q_funnel_steps": q_funnel_steps,
     "q_retention_cohorts": q_retention_cohorts,

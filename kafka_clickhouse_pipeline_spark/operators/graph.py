@@ -273,6 +273,34 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in powers-of-two
+    buckets: (degree_bucket, n_nodes, min/max degree per bucket) -- the
+    first diagnostic one runs on any large graph (skew detection: a
+    heavy-tail bucket predicts hot keys in every downstream
+    edge-keyed shuffle).
+
+    Plan: edge build (shared helper), one degree aggregate keyed by
+    node, one tiny bucket aggregate. Bucket = floor(log2(degree)) via
+    bit length, exact integers throughout."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    deg = (
+        co_purchase_edges(li)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    bucket = F.floor(F.log2("d")).cast("long")
+    return (
+        deg.groupBy(bucket.alias("degree_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
 _PAIRS_SQL = f"""
         WITH RECURSIVE sh AS (
           SELECT doc_id,
@@ -364,8 +392,22 @@ GRAPH_ORACLES: dict[str, str] = {
     """,
 }
 
+GRAPH_ORACLES["q_degree_distribution"] = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)
+    SELECT CAST(floor(log2(d)) AS BIGINT) AS degree_bucket,
+           count(*) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1 ORDER BY 1
+"""
+
 GRAPH_QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_pagerank_copurchase": q_pagerank_copurchase,
     "q_triangle_count_copurchase": q_triangle_count_copurchase,
+    "q_degree_distribution": q_degree_distribution,
 }
