@@ -493,6 +493,74 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+KNN_K = 3
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction over the embedding corpus: for EVERY
+    vector, its KNN_K nearest band-candidate neighbors by exact cosine
+    -- the building block for graph-based clustering, HNSW-style index
+    bootstrap, and kNN-classification smoke checks. Differs from
+    q_ann_lsh_topk only in the query set (all vectors, not a 10-vector
+    probe set), which changes the scale shape: the candidate volume is
+    the full banded pair space (the q_dedup_embedding_lsh cost model
+    and geometry knob apply verbatim).
+
+    Bit-portable end to end (sign codes + sequential-cumsum dots), so
+    the oracle reproduces the exact neighbor lists. Vectors whose
+    band buckets contain no other vector produce no rows (isolated
+    under this geometry -- mirrored in the oracle)."""
+    vecs = _vectors(spark, sf_dir)
+    normed = _with_norm(vecs)
+    # band join + pair distinct on BARE IDS; vectors rejoin by id for
+    # scoring (the q_dedup_embedding_lsh shuffle-volume lesson --
+    # carrying both vectors through the pair distinct measured ~25 s
+    # vs ~5 s at sf0.1)
+    banded = normed.select(
+        "vec_id",
+        F.explode(lsh_band_keys(lsh_code_arrow()(F.col("v")))).alias("band_key"),
+    )
+    pairs = (
+        banded.select(F.col("vec_id").alias("query_id"), "band_key")
+        .join(
+            banded.select(F.col("vec_id").alias("neighbor_id"), "band_key"),
+            "band_key",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    dot = seq_dot_arrow()
+    scored = (
+        pairs.join(
+            normed.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("vn").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            normed.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+                F.col("vn").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("cosine"),
+        )
+    )
+    return grouped_topk(
+        scored, ["query_id"], [("cosine", False), ("neighbor_id", True)], KNN_K
+    ).orderBy("query_id", "rank")
+
+
 _COS_SQL = """
  list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])) /
  (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
@@ -727,7 +795,46 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+def _knn_graph_oracle() -> str:
+    """Exact DuckDB twin of q_knn_graph: q_ann_lsh_topk's oracle with
+    every vector as a query and rank <= KNN_K."""
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        coded AS (
+          SELECT e.vec_id,
+                 CAST(sum(CASE WHEN list_sum(list_transform(
+                            generate_series(1, len(e.v)),
+                            i -> e.v[i] * pl.p[i])) >= 0
+                          THEN pl.w ELSE 0 END) AS BIGINT) AS code
+          FROM e, (VALUES {lsh_planes_values_sql()}) AS pl(w, p)
+          GROUP BY e.vec_id),
+        banded AS (
+          SELECT vec_id, ((code >> (bb.b * 4)) & 15) + bb.b * 16 AS band_key
+          FROM coded, (VALUES (0), (1), (2), (3)) AS bb(b)),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM banded qb JOIN banded cb ON qb.band_key = cb.band_key
+          WHERE cb.vec_id <> qb.vec_id),
+        scored AS (
+          SELECT query_id, neighbor_id, round({_COS_SQL}, 6) AS cosine
+          FROM cand
+          JOIN e q ON q.vec_id = query_id
+          JOIN e c ON c.vec_id = neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {KNN_K}
+        ORDER BY query_id, rank
+    """
+
+
 SIMILARITY_ORACLES: dict[str, str] = {
+    "q_knn_graph": _knn_graph_oracle(),
     "q_ann_ivf_topk": _ann_ivf_oracle(),
     "q_ann_ivf_kmeans_topk": _ann_ivf_kmeans_oracle(),
     "q_ann_lsh_topk": _ann_lsh_oracle(),
@@ -773,5 +880,6 @@ SIMILARITY_QUERIES = {
     "q_ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # oracle-checked (decimal-exact
     # centroid means + bit-portable cumsum sims; iterations unrolled in SQL)
     "q_ann_lsh_topk": q_ann_lsh_topk,  # oracle-checked (bit-portable LSH)
+    "q_knn_graph": q_knn_graph,  # oracle-checked (bit-portable LSH, all queries)
     "q_embedding_label_centroids": q_embedding_label_centroids,
 }
