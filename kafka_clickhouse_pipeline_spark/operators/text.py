@@ -348,6 +348,115 @@ def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation extraction: the
+    top-``PMI_TOP_K`` adjacent token pairs by PMI with support >=
+    ``PMI_MIN_COUNT`` -- the classic phrase-detection statistic
+    (word2vec-era phrase merging, tokenizer multi-word-unit
+    candidates). PMI = ln(p(a,b) / (p(a) p(b))) with p(a,b) over the
+    corpus's adjacent-pair occurrences and p(t) over token occurrences.
+
+    Scale shape: one explode for unigram counts, one slice-zip explode
+    for pair counts (both map-side-combined single shuffles over
+    vocabulary-bounded key spaces), two broadcast-size total rows, one
+    vocabulary-sized join. Counts are exact integers; the PMI double
+    is computed with an expression shape mirrored exactly in the
+    oracle, then rounded to 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    uni = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u_tot = uni.agg(F.sum("c").alias("u"))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    pair = (
+        docs.select(F.explode(bg).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= PMI_MIN_COUNT)
+    )
+    p_tot = (
+        docs.select(m.cast("long").alias("n")).agg(F.sum("n").alias("p"))
+    )
+    ca = uni.select(F.col("t").alias("a"), F.col("c").alias("ca"))
+    cb = uni.select(F.col("t").alias("b"), F.col("c").alias("cb"))
+    pmi = F.log(
+        (F.col("c2").cast("double") / F.col("p"))
+        / (
+            (F.col("ca").cast("double") / F.col("u"))
+            * (F.col("cb").cast("double") / F.col("u"))
+        )
+    )
+    scored = (
+        pair.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(u_tot))
+        .crossJoin(F.broadcast(p_tot))
+        .select(
+            "a",
+            "b",
+            "c2",
+            "ca",
+            "cb",
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.col("pmi").desc(), "a", "b").limit(PMI_TOP_K)
+    w = Window.orderBy(F.col("pmi").desc(), "a", "b")
+    return top.select(
+        "a", "b", "c2", "ca", "cb", "pmi",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).orderBy("rank")
+
+
+TEXT_ORACLES_PMI = f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    uni AS (
+      SELECT tok AS t, count(*) AS c
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+    u_tot AS (SELECT sum(c) AS u FROM uni),
+    pair AS (
+      SELECT a, b, count(*) AS c2 FROM (
+        SELECT toks[i] AS a, toks[i + 1] AS b
+        FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS g(i))
+      GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}),
+    p_tot AS (
+      SELECT sum(greatest(len(toks) - 1, 0)) AS p FROM t),
+    scored AS (
+      SELECT a, b, c2, ua.c AS ca, ub.c AS cb,
+             round(ln((CAST(c2 AS DOUBLE) / p) /
+                      ((CAST(ua.c AS DOUBLE) / u) *
+                       (CAST(ub.c AS DOUBLE) / u))), 6) AS pmi
+      FROM pair
+      JOIN uni ua ON ua.t = a
+      JOIN uni ub ON ub.t = b
+      CROSS JOIN u_tot CROSS JOIN p_tot),
+    ranked AS (
+      SELECT a, b, c2, ca, cb, pmi,
+             row_number() OVER (ORDER BY pmi DESC, a, b) AS rank
+      FROM scored)
+    SELECT a, b, CAST(c2 AS BIGINT) AS c2, CAST(ca AS BIGINT) AS ca,
+           CAST(cb AS BIGINT) AS cb, pmi, rank
+    FROM ranked WHERE rank <= {PMI_TOP_K} ORDER BY rank
+"""
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source vocabulary overlap: per-source distinct vocabulary
     sizes and pairwise Jaccard similarity between source vocabularies --
@@ -825,9 +934,12 @@ TEXT_ORACLES["q_bpe_pair_counts"] = f"""
     FROM ranked WHERE rank <= {BPE_TOP_K} ORDER BY rank
 """
 
+TEXT_ORACLES["q_pmi_collocations"] = TEXT_ORACLES_PMI
+
 TEXT_QUERIES = {
     "q_corpus_stats": q_corpus_stats,
     "q_bpe_pair_counts": q_bpe_pair_counts,
+    "q_pmi_collocations": q_pmi_collocations,
     "q_repetition_filters": q_repetition_filters,
     "q_token_stats": q_token_stats,
     "q_perplexity_unigram": q_perplexity_unigram,
