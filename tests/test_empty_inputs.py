@@ -105,6 +105,10 @@ EMPTY_SENSITIVE = [
     "q_decontaminate_bloom",
     "q_repetition_filters",
     "q_dedup_incremental",
+    "q_knn_graph",
+    "q_pmi_collocations",
+    "q_temperature_sample",
+    "q_degree_distribution",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE
