@@ -50,6 +50,7 @@ HEADLINE = [
     "q_triangle_count_copurchase",
     "q_split_leakage_audit",
     "q_ann_bruteforce_topk",
+    "q_knn_graph",
     "q_ann_ivf_topk",
     "q_ann_pq_topk",
     "q_fingerprint_winnow",
