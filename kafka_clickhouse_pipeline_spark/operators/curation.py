@@ -1346,13 +1346,30 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash256(col: str = "doc_id"):
+    """UNIFORM 0..255 bucket from the doc id's md5: the first two hex
+    chars decoded as a hex number (the _bloom_positions digit decode).
+    Distinct from ``_split_hash``, which sums raw ascii codes and is
+    deliberately kept as-is for split stability but spans only 48..246
+    non-uniformly -- fine for a stable arbitrary partition, wrong for
+    any operator whose keep-RATE must be proportional to a threshold."""
+    h = F.md5(F.col(col).cast("string"))
+    v = F.lit(0)
+    for j in range(2):
+        a = F.ascii(F.substring(h, j + 1, 1))
+        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    return v
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize a temperature-balanced mixture (T=2): per-source
     keep-rates proportional to sqrt(token_share) -- the standard
     multilingual/multi-source rebalancing rule (sample mass follows
     p^(1/T), down-weighting dominant sources) -- applied per document
-    with the portable md5 hash bucket from q_split_assign, so the kept
-    set is a pure deterministic function of (doc_id, corpus stats).
+    with a UNIFORM portable md5 hex bucket (_hash256; q_split_assign's
+    ascii-sum hash is non-uniform and would skew the rates), so the
+    kept set is a pure deterministic function of (doc_id, corpus
+    stats) and the realized keep fraction tracks the threshold.
 
     T is fixed at 2 so the scale step is a single correctly-rounded
     sqrt (pow is not bit-portable across engines); thresholds are
@@ -1385,7 +1402,7 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "keep_threshold",
-            (_split_hash() < F.col("keep_threshold")).alias("keep"),
+            (_hash256() < F.col("keep_threshold")).alias("keep"),
         )
         .orderBy("doc_id")
     )
@@ -1406,8 +1423,12 @@ CURATION_ORACLES["q_temperature_sample"] = """
       SELECT source, CAST(floor(r / rmax * 256) AS BIGINT) AS keep_threshold
       FROM scaled, rmax)
     SELECT doc_id, d.source AS source, keep_threshold,
-           (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
-            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 256
+           ((CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) >= 97
+                  THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 87
+                  ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48 END) * 16
+            + (CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) >= 97
+                    THEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 87
+                    ELSE ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48 END))
              < keep_threshold AS keep
     FROM documents d JOIN thr ON d.source = thr.source
     ORDER BY doc_id

@@ -281,15 +281,17 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-keyed shuffle).
 
     Plan: edge build (shared helper), one degree aggregate keyed by
-    node, one tiny bucket aggregate. Bucket = floor(log2(degree)) via
-    bit length, exact integers throughout."""
+    node, one tiny bucket aggregate. Bucket = floor(log2(degree))
+    computed as the ACTUAL bit length (binary-string length - 1), not
+    float log2: libm exactness at power-of-two boundaries is not
+    contractual across engines, integer string length is."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     deg = (
         co_purchase_edges(li)
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    bucket = F.floor(F.log2("d")).cast("long")
+    bucket = (F.length(F.conv(F.col("d").cast("string"), 10, 2)) - 1).cast("long")
     return (
         deg.groupBy(bucket.alias("degree_bucket"))
         .agg(
@@ -398,7 +400,7 @@ GRAPH_ORACLES["q_degree_distribution"] = """
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
     deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)
-    SELECT CAST(floor(log2(d)) AS BIGINT) AS degree_bucket,
+    SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS degree_bucket,
            count(*) AS n_nodes,
            CAST(min(d) AS BIGINT) AS min_degree,
            CAST(max(d) AS BIGINT) AS max_degree

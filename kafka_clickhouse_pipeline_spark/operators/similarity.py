@@ -515,11 +515,19 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band join + pair distinct on BARE IDS; vectors rejoin by id for
     # scoring (the q_dedup_embedding_lsh shuffle-volume lesson --
     # carrying both vectors through the pair distinct measured ~25 s
-    # vs ~5 s at sf0.1)
+    # vs ~3 s warm at sf0.1)
     banded = normed.select(
         "vec_id",
         F.explode(lsh_band_keys(lsh_code_arrow()(F.col("v")))).alias("band_key"),
     )
+    # DIRECTED pairs, each scored independently. The tempting
+    # score-each-unordered-pair-once-then-mirror refactor was measured
+    # SLOWER (5.9 s vs 3.1 s warm at sf0.1): mirroring needs either an
+    # eager materialization of the scored pairs (whose checkpoint cost
+    # exceeds the saved Arrow dots) or a union that re-executes the
+    # join+UDF subtree per branch (same total work plus union
+    # overhead). The symmetric double-scoring is the cheaper shape in
+    # this engine.
     pairs = (
         banded.select(F.col("vec_id").alias("query_id"), "band_key")
         .join(

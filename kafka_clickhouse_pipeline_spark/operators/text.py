@@ -30,6 +30,21 @@ def _tokens():
     return F.split(F.trim(F.col("text")), r"\s+")
 
 
+def _adjacent_pairs(first: str, second: str):
+    """Adjacent-token pairs of ``_tokens()`` as an array of structs
+    with the given field names: aligned-slice zip (no per-index
+    element_at lambdas), empty/one-token docs yield an empty array via
+    the greatest(...,0) guard. Shared by the bigram-LM and PMI
+    operators so the subtle alignment lives in exactly one place."""
+    toks = _tokens()
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.struct(a.alias(first), b.alias(second)),
+    )
+
+
 def _ascii_split(text: str | None) -> list[str]:
     """Python twin of ``split(trim(text), '\\s+')`` for the Arrow-batched
     operators: Spark trim strips ASCII spaces, Java ``\\s`` is the ASCII
@@ -300,13 +315,7 @@ def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it at 100 TB. Determinism: contributions rounded to 9 dp
     and summed as DECIMAL(28,9), the unigram contract."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    m = F.greatest(F.size(toks) - 1, F.lit(0))
-    bg = F.zip_with(
-        F.slice(toks, 1, m),
-        F.slice(toks, 2, m),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-    )
+    bg = _adjacent_pairs("prev", "cur")
     bigrams = docs.select("doc_id", F.explode(bg).alias("b")).select(
         "doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
     )
@@ -315,7 +324,7 @@ def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c2 = tf2.groupBy("prev", "cur").agg(F.sum("tf2").alias("c2"))
     c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
-    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+    vocab = docs.select(F.explode(_tokens()).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
     contrib = (
@@ -374,12 +383,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     u_tot = uni.agg(F.sum("c").alias("u"))
-    m = F.greatest(F.size(toks) - 1, F.lit(0))
-    bg = F.zip_with(
-        F.slice(toks, 1, m),
-        F.slice(toks, 2, m),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    )
+    bg = _adjacent_pairs("a", "b")
     pair = (
         docs.select(F.explode(bg).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -387,9 +391,8 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c2"))
         .filter(F.col("c2") >= PMI_MIN_COUNT)
     )
-    p_tot = (
-        docs.select(m.cast("long").alias("n")).agg(F.sum("n").alias("p"))
-    )
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0)).cast("long")
+    p_tot = docs.select(n_pairs.alias("n")).agg(F.sum("n").alias("p"))
     ca = uni.select(F.col("t").alias("a"), F.col("c").alias("ca"))
     cb = uni.select(F.col("t").alias("b"), F.col("c").alias("cb"))
     pmi = F.log(

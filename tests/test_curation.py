@@ -194,3 +194,24 @@ def test_paragraph_dedup_marks_whole_duplicates(spark, sf_dir):
         assert rows[d]["dup_chunk_frac"] == 1.0, (d, rows[d])
     # sanity: the signal is not vacuously all-duplicate
     assert any(rows[d]["n_dup_chunks"] < rows[d]["n_chunks"] for d in canon)
+
+
+def test_hash256_is_uniform(spark):
+    """Guards q_temperature_sample's proportionality contract: the
+    _hash256 bucket must cover all 256 values ~uniformly so realized
+    keep fractions track keep_threshold/256 (the ascii-sum _split_hash
+    spans only 48..246 and would silently erase small sources)."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.operators.curation import _hash256
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    buckets = df.select(_hash256().alias("b"))
+    stats = buckets.agg(
+        F.countDistinct("b").alias("nd"),
+        F.min("b").alias("lo"),
+        F.max("b").alias("hi"),
+        F.avg((F.col("b") < 64).cast("double")).alias("frac_q1"),
+    ).collect()[0]
+    assert stats.nd == 256 and stats.lo == 0 and stats.hi == 255
+    assert abs(stats.frac_q1 - 0.25) < 0.02, stats.frac_q1
