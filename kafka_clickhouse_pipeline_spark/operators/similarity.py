@@ -430,7 +430,17 @@ def lsh_band_keys(
     """array of ``bands`` band keys, each (n_planes // bands) bits wide
     (band index folded in, so keys from different bands never collide).
     The default 4x4-bit geometry is the fixture/oracle contract; scale
-    deployments pass wider geometry (see module note)."""
+    deployments pass wider geometry (see module note).
+
+    ``n_planes`` must divide evenly into ``bands``: integer division
+    would otherwise silently discard the top ``n_planes % bands`` code
+    bits -- planes computed and paid for but never influencing banding
+    (ADVICE r3)."""
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by bands ({bands}); "
+            f"{n_planes % bands} code bits would be silently dropped"
+        )
     bits = n_planes // bands
     mask = (1 << bits) - 1
     return F.array(

@@ -49,19 +49,18 @@ def _ascii_split(text: str | None) -> list[str]:
     """Python twin of ``split(trim(text), '\\s+')`` for the Arrow-batched
     operators: Spark trim strips ASCII spaces, Java ``\\s`` is the ASCII
     whitespace class (plain ``str.split()`` would also split on U+00A0
-    and friends and diverge from the JVM/oracle contract), and Java
-    split keeps leading empty fields but drops trailing ones. NULL is
-    treated as empty text (the fixture schema never produces it; the
-    pandas path must not crash if a corpus does)."""
+    and friends and diverge from the JVM/oracle contract), and Spark's
+    split uses ``Pattern.split(input, -1)``, which keeps BOTH leading
+    and trailing empty fields ('a\\tb\\t' -> ['a','b',''], '\\t' ->
+    ['','']) -- DuckDB string_split_regex agrees. NULL is treated as
+    empty text (the fixture schema never produces it; the pandas path
+    must not crash if a corpus does)."""
     import re
 
     t = (text or "").strip(" ")
     if t == "":
         return [""]
-    toks = re.split("[ \t\n\x0b\f\r]+", t)
-    while toks and toks[-1] == "":
-        toks.pop()
-    return toks
+    return re.split("[ \t\n\x0b\f\r]+", t)
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

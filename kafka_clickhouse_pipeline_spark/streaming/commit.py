@@ -27,6 +27,23 @@ def already_committed(out_path: str, batch_id: int) -> bool:
     return os.path.exists(marker_path(out_path, batch_id))
 
 
+def sweep_uncommitted(batch_id: int, *dest_dirs: str) -> None:
+    """Remove ``b{batch_id}-*`` files from every destination directory.
+
+    MUST run at the top of a replayed batch (commit marker absent),
+    BEFORE the batch reads any of those directories: a crash between
+    ``publish_staged`` and ``write_marker`` leaves the batch's own
+    half-published files visible, and an incremental-dedup replay that
+    reads its own published index entries would classify every batch
+    document as a historical duplicate and silently drop the batch.
+    Any ``b{batch_id}-*`` file seen while the marker is absent is by
+    definition a leftover of a crashed uncommitted attempt, so sweeping
+    is always safe."""
+    for dest_dir in dest_dirs:
+        for stale in glob.glob(os.path.join(dest_dir, f"b{batch_id}-*")):
+            os.remove(stale)
+
+
 def publish_staged(staging: str, dest_dir: str, batch_id: int) -> None:
     """Move a staging directory's parquet files into ``dest_dir`` under
     batch-id-prefixed names, sweeping any half-published files from a

@@ -65,9 +65,24 @@ def _read_index(spark, index_path: str) -> DataFrame:
     try:
         return spark.read.schema(INDEX_SCHEMA).parquet(index_path)
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc):
+        if _is_path_not_found(exc):
             return spark.createDataFrame([], INDEX_SCHEMA)
         raise
+
+
+def _is_path_not_found(exc) -> bool:
+    """Detect a missing-path AnalysisException by error class, with a
+    message-substring fallback for Spark versions that phrase the error
+    differently ('Path does not exist' in 3.x)."""
+    for accessor in ("getCondition", "getErrorClass"):
+        try:
+            if getattr(exc, accessor)() == "PATH_NOT_FOUND":
+                return True
+            break  # accessor worked; no need to try the older name
+        except Exception:
+            continue
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 
 
 def dedup_batch_against_index(batch: DataFrame, index: DataFrame) -> DataFrame:
@@ -92,11 +107,22 @@ def incremental_dedup_writer(out_path: str, index_path: str, target_files: int =
     no-op, and half-written files from a crashed attempt are named by
     batch id so they are swept before re-publish.
     """
-    from .commit import already_committed, clean_staging, publish_staged, write_marker
+    from .commit import (
+        already_committed,
+        clean_staging,
+        publish_staged,
+        sweep_uncommitted,
+        write_marker,
+    )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if already_committed(out_path, batch_id):
             return  # replay after successful publish
+        # Marker absent: any b{batch_id}-* files are leftovers of a
+        # crashed attempt that published but never committed. Sweep
+        # them BEFORE reading the index, or the replay would see its
+        # own half-published fingerprints and drop the whole batch.
+        sweep_uncommitted(batch_id, out_path, index_path)
         spark = batch_df.sparkSession
         fresh = dedup_batch_against_index(batch_df, _read_index(spark, index_path))
         doc_staging = os.path.join(out_path, "_staging", str(batch_id))

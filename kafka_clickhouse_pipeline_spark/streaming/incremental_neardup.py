@@ -158,10 +158,12 @@ def _read_index(spark, index_path: str) -> DataFrame:
     incremental_dedup._read_index for why."""
     from pyspark.errors import AnalysisException
 
+    from .incremental_dedup import _is_path_not_found
+
     try:
         return spark.read.schema(INDEX_SCHEMA).parquet(index_path)
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc):
+        if _is_path_not_found(exc):
             return spark.createDataFrame([], INDEX_SCHEMA)
         raise
 
@@ -171,11 +173,20 @@ def incremental_neardup_writer(out_path: str, index_path: str, target_files: int
     docs to ``out_path`` and their exploded band rows to
     ``index_path`` (staged-commit protocol shared with the exact
     writer -- streaming/commit.py)."""
-    from .commit import already_committed, clean_staging, publish_staged, write_marker
+    from .commit import (
+        already_committed,
+        clean_staging,
+        publish_staged,
+        sweep_uncommitted,
+        write_marker,
+    )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if already_committed(out_path, batch_id):
             return
+        # Sweep this batch id's half-published files before reading the
+        # index -- see incremental_dedup and commit.sweep_uncommitted.
+        sweep_uncommitted(batch_id, out_path, index_path)
         spark = batch_df.sparkSession
         fresh = neardup_batch_against_index(batch_df, _read_index(spark, index_path))
         doc_staging = os.path.join(out_path, "_staging", str(batch_id))

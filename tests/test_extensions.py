@@ -312,6 +312,50 @@ def test_embedding_lsh_pairs_subset_of_exact_with_recall(spark, sf_dir):
         assert recall > 0.2, recall
 
 
+def test_ascii_split_matches_spark_and_duckdb_on_edge_whitespace(spark):
+    """The Python split twin must agree token-for-token with Spark's
+    ``split(trim(text), '\\s+')`` (Pattern.split limit=-1 keeps
+    trailing empties) AND DuckDB's string_split_regex on edge cases:
+    trailing tab/newline, lone whitespace, leading whitespace, empty.
+    ADVICE r3: the old twin popped trailing empties and diverged on
+    any document ending in \\t/\\n/\\r."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.operators.text import _ascii_split
+
+    cases = [
+        "a\tb\t",
+        "a b\n",
+        "\t",
+        " \t ",
+        "",
+        "  a  ",
+        "\na b\r\n",
+        "x",
+        None,
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], "text string").select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    spark_toks = [r["toks"] for r in sdf.collect()]
+    con = duckdb.connect()
+    for case, stoks in zip(cases, spark_toks):
+        py = _ascii_split(case)
+        if case is None:
+            # Spark split(NULL) is NULL; the twin's contract is
+            # NULL-as-empty-text so the pandas path never crashes
+            assert py == [""]
+            continue
+        assert py == stoks, (case, py, stoks)
+        dtoks = con.execute(
+            "SELECT string_split_regex(trim(?, ' '), '[ \t\n\x0b\f\r]+')",
+            [case],
+        ).fetchone()[0]
+        assert py == dtoks, (case, py, dtoks)
+    con.close()
+
+
 def test_repetition_filters_parity_and_bounds(spark, oracle, sf_dir):
     """Gopher repetition signals: oracle parity at smoke SF plus the
     definitional bounds (every fraction in [0, 1]; n-gram columns NULL

@@ -94,6 +94,58 @@ def test_writer_replay_is_noop(spark, tmp_path):
     assert os.path.exists(os.path.join(out, "_commits", "8"))
 
 
+def test_replay_after_publish_before_marker_keeps_batch(spark, tmp_path):
+    """ADVICE r3 (high): a crash AFTER publish_staged but BEFORE
+    write_marker must not lose the batch on replay. Without the
+    pre-read sweep, the replayed batch reads the index including its
+    own half-published fingerprints, classifies every document as a
+    historical duplicate, and permanently publishes an empty output."""
+    out, idx = str(tmp_path / "docs"), str(tmp_path / "index")
+    writer = incremental_dedup_writer(out, idx)
+    batch = _docs(spark, [(1, "alpha", "s"), (2, "beta", "s")])
+
+    # simulate the crashed attempt: run the writer fully, then delete
+    # the commit marker -- the on-disk state is exactly 'published but
+    # uncommitted' (doc files + index files present, marker absent)
+    writer(batch, 3)
+    os.remove(os.path.join(out, "_commits", "3"))
+
+    writer(batch, 3)  # the replay
+    kept = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert kept == {(1, "alpha"), (2, "beta")}
+    assert spark.read.parquet(idx).count() == 2
+    assert os.path.exists(os.path.join(out, "_commits", "3"))
+
+    # and a subsequent batch still dedups against the recovered index
+    writer(_docs(spark, [(9, "alpha", "s"), (10, "delta", "s")]), 4)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 10}
+
+
+def test_neardup_replay_after_publish_before_marker_keeps_batch(spark, tmp_path):
+    """Same replay window for the near-dup writer (shared protocol)."""
+    from kafka_clickhouse_pipeline_spark.streaming.incremental_neardup import (
+        incremental_neardup_writer,
+    )
+
+    out, idx = str(tmp_path / "ndocs"), str(tmp_path / "nindex")
+    writer = incremental_neardup_writer(out, idx)
+    batch = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "s"),
+            (2, "completely different sentence about parquet shuffles", "s"),
+        ],
+    )
+    writer(batch, 5)
+    os.remove(os.path.join(out, "_commits", "5"))
+
+    writer(batch, 5)  # replay of the 'crashed' attempt
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2}
+    assert os.path.exists(os.path.join(out, "_commits", "5"))
+
+
 def test_batch_twin_matches_streaming_writer(spark, sf_dir, tmp_path):
     """q_dedup_incremental (the oracle-checked batch twin) must produce
     exactly the docs the streaming writer would keep when the same
