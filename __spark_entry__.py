@@ -60,41 +60,50 @@ PRIORITY: tuple[str, ...] = (
     # reference parity core (SURVEY.md section 2.7 + MV transform)
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # TPC-H-style joins / windows / sessions
+    # TPC-H-style joins / windows / sessions (r4 rotation: q18's
+    # IN-subquery semi-join class stays represented by q4's EXISTS;
+    # q18 moves below the window, strict-checked locally)
     "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
     "q5_revenue_by_nation", "q10_top_returning_customers",
-    "q18_large_volume_customers", "q_window_running_revenue",
+    "q_window_running_revenue",
     "q_sessionize", "q_range_join_quantity_bands",
-    # text analysis
+    # text analysis (r4 rotation: +q_repetition_filters and
+    # q_bpe_pair_counts from round 3; q_perplexity_unigram yields its
+    # slot -- the LM-scoring class stays via tfidf/quality, and both
+    # perplexity variants remain strict-checked below the window)
     "q_token_stats", "q_quality_score", "q_lang_id",
-    "q_perplexity_unigram", "q_tfidf_top_terms", "q_fingerprint_winnow",
+    "q_tfidf_top_terms", "q_fingerprint_winnow",
+    "q_repetition_filters", "q_bpe_pair_counts",
     # semi-structured
     "q_json_extract_stats", "q_value_percentiles",
-    # reshape / sampling
-    "q_pivot_user_event_values", "q_unpivot_lineitem_measures",
-    "q_ntile_acctbal_quartiles", "q_sample_hash_per_source",
-    # advanced analytics (q_moving_avg_7d moved below the window in r3
-    # to make room for the flagship composition q_curation_pipeline;
-    # its range-frame window class stays represented in-window by
-    # q_window_running_revenue, and it remains strict-checked locally)
-    "q_rollup_revenue", "q_cube_revenue", "q_asof_last_signup",
+    # reshape / sampling (r4: pivot keeps the reshape slot; unpivot
+    # and ntile rotate below the window -- same execution class as
+    # pivot and the window-function champions respectively)
+    "q_pivot_user_event_values", "q_sample_hash_per_source",
+    # advanced analytics (r4: rollup keeps the grouping-sets slot,
+    # cube rotates out)
+    "q_rollup_revenue", "q_asof_last_signup",
     "q_gapfill_hourly", "q_hypertable_rollup", "q_curation_pipeline",
-    # curation (q_chunk_documents replaced q_ann_ivf_topk in r3: the
-    # IVF query has no DuckDB oracle so it could never be fully green
-    # in the window -- VERDICT r2 #2; IVF stays registered below and
-    # keeps its pytest recall tests, and ANN remains represented here
-    # by the brute-force and label-centroid entries)
-    "q_funnel_steps", "q_retention_cohorts", "q_quality_gopher",
+    # curation (r4 rotation: +q_decontaminate_bloom and
+    # q_paragraph_dedup from round 3; q_retention_cohorts yields to
+    # keep funnel as the behavioral-analytics champion)
+    "q_funnel_steps", "q_quality_gopher",
     "q_pack_sequences", "q_decontaminate_shingle_overlap",
+    "q_decontaminate_bloom", "q_paragraph_dedup",
     "q_chunk_documents",
-    # multimodal
-    "q_multimodal_features", "q_multimodal_frames", "q_multimodal_resize",
-    # similarity search (exact + label centroids)
+    # multimodal (r4: features is the family champion; frames/resize
+    # share the same mapInPandas plumbing and rotate below the window)
+    "q_multimodal_features",
+    # similarity search (r4: +q_knn_graph from round 3)
     "q_ann_bruteforce_topk", "q_embedding_label_centroids",
-    # dedup + keyed compaction + graph (the heavy tail)
+    "q_knn_graph",
+    # dedup + keyed compaction + graph (the heavy tail; r4:
+    # +q_dedup_embedding_lsh, q_semantic_dedup,
+    # q_triangle_count_copurchase from round 3)
     "q_dedup_exact", "q_upsert_latest_wins", "q_dedup_quality_canonical",
-    "q_dedup_minhash_lsh", "q_dedup_clusters", "q_pagerank_copurchase",
-    "q_dedup_simhash",
+    "q_dedup_minhash_lsh", "q_dedup_embedding_lsh", "q_semantic_dedup",
+    "q_dedup_clusters", "q_pagerank_copurchase",
+    "q_triangle_count_copurchase", "q_dedup_simhash",
 )
 
 

@@ -477,6 +477,7 @@ def q_dedup_embedding_lsh(
     spark: SparkSession,
     sf_dir: str,
     *,
+    threshold: float | None = None,
     n_planes: int | None = None,
     bands: int | None = None,
 ) -> DataFrame:
@@ -508,11 +509,28 @@ def q_dedup_embedding_lsh(
     geometry finds 2,259 of the default's 9,446 pairs (both sets
     oracle-reproducible), while at the 0.9+ thresholds real embedding
     dedup targets, 8-16-bit bands retain recall -- choose bits from
-    the threshold, then bands from the miss budget (SCALE.md)."""
-    from .similarity import LSH_BANDS, N_PLANES, lsh_band_keys, lsh_code_arrow, seq_dot_arrow
+    the threshold, then bands from the miss budget (SCALE.md).
 
+    ``threshold`` automates that choice (VERDICT r3 #4): passing a
+    target cosine WITHOUT explicit geometry routes through
+    ``similarity.choose_geometry`` (the (1-theta/pi)^bits rule) to pick
+    (n_planes, bands) holding per-pair miss <= 1% at that similarity,
+    and filters pairs at the given threshold. No arguments = the
+    contractual fixture geometry + COSINE_THRESHOLD (the oracle)."""
+    from .similarity import (
+        LSH_BANDS,
+        N_PLANES,
+        choose_geometry,
+        lsh_band_keys,
+        lsh_code_arrow,
+        seq_dot_arrow,
+    )
+
+    if threshold is not None and n_planes is None and bands is None:
+        n_planes, bands = choose_geometry(threshold)
     n_planes = N_PLANES if n_planes is None else n_planes
     bands = LSH_BANDS if bands is None else bands
+    cos_threshold = COSINE_THRESHOLD if threshold is None else threshold
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
@@ -576,7 +594,7 @@ def q_dedup_embedding_lsh(
     cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
     return (
         candidates.select("v1", "v2", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .filter(F.col("cosine") >= cos_threshold)
         .orderBy("v1", "v2")
     )
 
@@ -737,6 +755,51 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-visible (and oracle-checked) twin of the streaming
+    incremental NEAR-dup (streaming/incremental_neardup.py, VERDICT r3
+    #5): documents with doc_id < INCR_HISTORY_BOUNDARY flow through the
+    writer's pure transform as 'batch 0' against an empty index, their
+    survivors' MinHash band signatures form the persistent index, and
+    the remaining documents are 'the incoming batch' -- dropped when
+    any smaller-id batch doc OR any indexed survivor agrees on >=
+    MIN_MATCHING_HASHES of the 16 minhashes. Output is the batch
+    survivors, exactly what the second streaming micro-batch would
+    publish (cross-checked against the real writer in pytest).
+
+    Oracle: the signature decision (est-Jaccard >= 13/16) stands in
+    for exact Jaccard >= 0.8; the DuckDB twin replays the same greedy
+    one-level process with EXACT shingle Jaccard. The oracle is exact
+    as long as no fixture pair's signature estimate disagrees with its
+    true Jaccard across the threshold -- the same fixture property the
+    green q_dedup_minhash_lsh oracle already relies on, here without
+    the exact-verify safety net (the streaming index keeps signatures
+    only, never text), so this entry doubles as a drift CANARY: a
+    borderline pair would fail the driver gate loudly."""
+    from ..streaming.incremental_neardup import (
+        INDEX_SCHEMA,
+        minhash_sig_bands,
+        neardup_batch_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    history = docs.filter(F.col("doc_id") < INCR_HISTORY_BOUNDARY)
+    batch = docs.filter(F.col("doc_id") >= INCR_HISTORY_BOUNDARY)
+    survivors0 = neardup_batch_against_index(
+        history, spark.createDataFrame([], INDEX_SCHEMA)
+    )
+    index = minhash_sig_bands(survivors0).select(
+        "bucket", "band", "doc_id", "sig"
+    )
+    return (
+        neardup_batch_against_index(batch, index)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 _SHINGLE_SQL = """
         SELECT doc_id,
                unnest(list_distinct(list_transform(
@@ -855,6 +918,45 @@ def _embedding_lsh_oracle() -> str:
 
 DEDUP_ORACLES: dict[str, str] = {
     "q_dedup_embedding_lsh": _embedding_lsh_oracle(),
+    # Exact-Jaccard replay of the signature decision (est >= 13/16 ~
+    # j >= 0.8): one-level greedy -- history survivors are docs with no
+    # smaller-id history near-dup; batch docs drop on any smaller-id
+    # batch near-dup (surviving or not) or any surviving-history
+    # near-dup. >= 13/16 matching minhashes guarantees a fully-matching
+    # band (pigeonhole: <= 3 mismatches over 8 bands), so candidate
+    # generation never loses a qualifying pair and the signature
+    # decision is the only estimate in play.
+    "q_dedup_incremental_near": f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2
+          FROM inter
+          JOIN sizes s1 ON d1 = s1.doc_id
+          JOIN sizes s2 ON d2 = s2.doc_id
+          WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6)
+                >= {JACCARD_THRESHOLD}),
+        surv0 AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id < {INCR_HISTORY_BOUNDARY}
+            AND doc_id NOT IN (
+              SELECT d2 FROM pairs
+              WHERE d1 < {INCR_HISTORY_BOUNDARY}
+                AND d2 < {INCR_HISTORY_BOUNDARY})),
+        dropped AS (
+          SELECT DISTINCT d2 AS doc_id FROM pairs
+          WHERE d2 >= {INCR_HISTORY_BOUNDARY}
+            AND (d1 >= {INCR_HISTORY_BOUNDARY}
+                 OR d1 IN (SELECT doc_id FROM surv0)))
+        SELECT doc_id, source FROM documents
+        WHERE doc_id >= {INCR_HISTORY_BOUNDARY}
+          AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        ORDER BY doc_id
+    """,
     "q_dedup_incremental": f"""
         WITH fp AS (
           SELECT doc_id, source,
@@ -1130,6 +1232,7 @@ DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_substring_windows": q_dedup_substring_windows,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_incremental_near": q_dedup_incremental_near,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_containment": q_dedup_containment,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -230,46 +230,130 @@ def co_purchase_edges(li: DataFrame) -> DataFrame:
     )
 
 
-def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Oriented edges per shuffle task for the triangle 2-hop join. The
+#: 2-path intermediate is the memory hot spot; ~50k edges/task keeps
+#: each task's path fanout comfortably in-memory even on skewed
+#: inputs (degree orientation bounds per-source fanout to O(sqrt(m))).
+_TRIANGLE_EDGES_PER_TASK = 50_000
+
+
+def q_triangle_count_copurchase(
+    spark: SparkSession, sf_dir: str, *, edge_sample: float | None = None
+) -> DataFrame:
     """Global triangle census of the co-purchase graph: triangle count,
     wedge (open-triad) count, and the global clustering coefficient
     3*triangles/wedges -- the standard graph-analytics cohesion
     diagnostic (how often two products co-bought with a common third
     are also co-bought with each other).
 
-    Plan: orient each undirected edge low->high id, then ONE two-hop
-    join e1(a,b) |> e2(b,c) |> e3(a,c) with a<b<c, so every triangle is
-    enumerated exactly once. Wedges come from the degree aggregate
-    (sum of C(d,2)), no join. At scale the classic refinement is to
-    orient by (degree, id) instead of id so the join fans out from the
-    low-degree endpoint; id orientation keeps the oracle trivial and
-    the fixture degrees are bounded by order fanout anyway. Exact
-    integer counts + one final double divide -> bit-portable."""
+    Plan (VERDICT r3 #3 rework): orient each undirected edge by
+    **(degree, id) rank** -- low-rank -> high-rank. The orientation is
+    an acyclic tournament on every triangle, so exactly one vertex
+    (the minimum-rank one) has out-degree 2 and each triangle is
+    counted exactly once; the global count is orientation-invariant,
+    so the id-oriented DuckDB oracle is unchanged. Degree orientation
+    is the classic skew fix (Chiba-Nishizeki / Schank-Wagner):
+    out-degree is bounded by O(sqrt(m)), so hub vertices never fan out
+    a d^2 path set -- id orientation is degree-blind and dies on
+    power-law graphs.
+
+    Counting uses the compact-forward/adjacency-intersection shape
+    rather than a 2-path self-join: group out-neighbors into one
+    sorted array per node, attach both endpoints' arrays to each edge
+    (two hash joins), and sum ``size(array_intersect(...))``. The
+    2-path intermediate (sum of d_out^2 rows -- the thing that
+    outgrew 32 fixed partitions in the r3 ladder, 102.9 s at 10x)
+    never materializes as shuffled rows; the same element volume rides
+    array-packed inside codegen'd intersections (measured 3.5 s vs
+    5.9 s warm at sf0.1 against the tuned 2-hop join, identical
+    counts). Shuffle width still scales with the input: the oriented
+    edge count (one cheap count over the already-materialized edge
+    list) sizes explicit repartitions at ~50k edges/task, so a 10x
+    corpus gets ~10x tasks instead of the session default. Wedges come
+    from the degree aggregate (sum of C(d,2)), no join. Exact integer
+    counts + one final double divide -> bit-portable.
+
+    ``edge_sample`` (rows-only mode, not the oracle contract) is the
+    DOULION knob (Tsourakakis et al. 2009) for the 100 TB regime: keep
+    each undirected edge with probability p via a deterministic md5
+    coin, count on the sparsified graph, and scale -- triangles by
+    1/p^3, wedges by 1/p^2 (each survives iff all its edges do). Output
+    schema is unchanged; values become unbiased estimates."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = co_purchase_edges(li).transform(cut_lineage)
-    und = edges.filter(F.col("src") < F.col("dst"))
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    triangles = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
     # directed edge list has both orientations, so out-degree = degree
-    wedges = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    und = edges.filter(F.col("src") < F.col("dst"))
+    if edge_sample is not None:
+        if not 0.0 < edge_sample <= 1.0:
+            raise ValueError(f"edge_sample must be in (0, 1], got {edge_sample}")
+        # deterministic uniform coin in [0, 2^32) from the edge key
+        coin = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        und = und.filter(coin < F.lit(int(edge_sample * 2**32)))
+    # orient by (degree, id): lo = the lower-(d, id) endpoint
+    ranked = und.join(
+        deg.select(F.col("src").alias("s_"), F.col("d").alias("ds")),
+        F.col("src") == F.col("s_"),
+    ).join(
+        deg.select(F.col("src").alias("d_"), F.col("d").alias("dd")),
+        F.col("dst") == F.col("d_"),
     )
+    src_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = ranked.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    ).transform(cut_lineage)
+    n_edges = oriented.count()  # bounded driver scalar: sizes the shuffle
+    parts = max(
+        spark.sparkContext.defaultParallelism,
+        min(4096, n_edges // _TRIANGLE_EDGES_PER_TASK + 1),
+    )
+    # out-neighbor adjacency arrays, one per node; materialized once
+    # (both joins consume it). Array length = out-degree, bounded
+    # O(sqrt(m)) by the orientation, so no group buffer can blow up.
+    adj = (
+        oriented.repartition(parts, "lo")
+        .groupBy("lo")
+        .agg(F.array_sort(F.collect_list("hi")).alias("nbrs"))
+        .transform(cut_lineage)
+    )
+    # explicit hash repartitions matching each join's required
+    # distribution: no extra exchange is inserted, and the width grows
+    # with the data instead of the session's fixed default
+    with_nu = oriented.repartition(parts, "lo").join(
+        adj.select(F.col("lo").alias("u_"), F.col("nbrs").alias("nu")),
+        F.col("lo") == F.col("u_"),
+    )
+    triangles = (
+        with_nu.repartition(parts, "hi")
+        .join(
+            adj.select(F.col("lo").alias("v_"), F.col("nbrs").alias("nv")),
+            F.col("hi") == F.col("v_"),
+        )
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t"))
+    )
+    wedges = (
+        und.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("w"))
+    )
+    p = 1.0 if edge_sample is None else edge_sample
+    t_est = (F.col("t") / F.lit(p**3)).cast("long") if edge_sample else F.col("t")
+    w_est = (F.col("w") / F.lit(p**2)).cast("long") if edge_sample else F.col("w")
     return triangles.crossJoin(wedges).select(
-        F.col("n_triangles").cast("long").alias("n_triangles"),
-        F.col("n_wedges").cast("long").alias("n_wedges"),
-        F.round(
-            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
-        ).alias("clustering_coefficient"),
+        t_est.cast("long").alias("n_triangles"),
+        w_est.cast("long").alias("n_wedges"),
+        F.round(F.lit(3.0) * t_est / w_est, 6).alias("clustering_coefficient"),
     )
 
 

@@ -331,6 +331,49 @@ LSH_BANDS = 4  # 4 bands x (N_PLANES // LSH_BANDS)-bit keys
 #: scale deployments and the scaling-ladder measurements.
 
 
+def choose_geometry(
+    threshold: float, *, miss_budget: float = 0.01, max_bands: int = 16
+) -> tuple[int, int]:
+    """(n_planes, bands) for sign-LSH targeting cosine ``threshold``
+    with per-pair miss probability <= ``miss_budget`` -- the SCALE.md
+    selection rule made executable (VERDICT r3 #4).
+
+    Sign-random-projection collision math: two vectors at angle theta
+    agree on one hyperplane with p = 1 - theta/pi, on a ``bits``-wide
+    band with p^bits, and survive ``bands`` independent bands with miss
+    (1 - p^bits)^bands. The knob tension: more bits per band prune
+    candidates harder (volume ~ bands * n^2 / 2^bits) but need more
+    bands to hold recall. This picks the WIDEST band (max pruning)
+    whose required band count stays within ``max_bands``:
+
+        bits  = max b such that ceil(log(miss)/log(1 - p^b)) <= max_bands
+        bands = that ceil at the chosen bits
+
+    High thresholds earn wide bands (0.9 -> 8-bit bands: p=0.856,
+    p^8=0.29 survives per band); low thresholds cannot (0.45 -> 3-bit
+    bands) -- the speedup is a function of the TARGET similarity, never
+    free. Returns n_planes = bits * bands (always divisible, satisfying
+    lsh_band_keys)."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0.0 < miss_budget < 1.0:
+        raise ValueError(f"miss_budget must be in (0, 1), got {miss_budget}")
+    p = 1.0 - math.acos(threshold) / math.pi
+    for bits in range(63, 0, -1):
+        p_band = p**bits
+        if p_band <= 0.0 or p_band >= 1.0:
+            continue
+        bands = math.ceil(math.log(miss_budget) / math.log(1.0 - p_band))
+        if bands <= max_bands:
+            return bits * bands, bands
+    raise ValueError(
+        f"no geometry meets miss_budget={miss_budget} within "
+        f"max_bands={max_bands} at threshold={threshold}; raise max_bands"
+    )
+
+
 def _hyperplanes(
     dim: int = 64, seed: int = 42, n_planes: int = N_PLANES
 ) -> list[list[float]]:
@@ -506,7 +549,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 3
 
 
-def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    target_cosine: float | None = None,
+    n_planes: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
     """k-NN graph construction over the embedding corpus: for EVERY
     vector, its KNN_K nearest band-candidate neighbors by exact cosine
     -- the building block for graph-based clustering, HNSW-style index
@@ -514,12 +564,19 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ann_lsh_topk only in the query set (all vectors, not a 10-vector
     probe set), which changes the scale shape: the candidate volume is
     the full banded pair space (the q_dedup_embedding_lsh cost model
-    and geometry knob apply verbatim).
+    and geometry knob apply verbatim -- ``n_planes``/``bands``
+    override the contractual default, or pass ``target_cosine`` alone
+    to derive them from :func:`choose_geometry`: neighbors at or above
+    that similarity are retained with >= 99% probability per pair).
 
     Bit-portable end to end (sign codes + sequential-cumsum dots), so
     the oracle reproduces the exact neighbor lists. Vectors whose
     band buckets contain no other vector produce no rows (isolated
     under this geometry -- mirrored in the oracle)."""
+    if target_cosine is not None and n_planes is None and bands is None:
+        n_planes, bands = choose_geometry(target_cosine)
+    n_planes = N_PLANES if n_planes is None else n_planes
+    bands = LSH_BANDS if bands is None else bands
     vecs = _vectors(spark, sf_dir)
     normed = _with_norm(vecs)
     # band join + pair distinct on BARE IDS; vectors rejoin by id for
@@ -528,7 +585,13 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs ~3 s warm at sf0.1)
     banded = normed.select(
         "vec_id",
-        F.explode(lsh_band_keys(lsh_code_arrow()(F.col("v")))).alias("band_key"),
+        F.explode(
+            lsh_band_keys(
+                lsh_code_arrow(n_planes)(F.col("v")),
+                bands=bands,
+                n_planes=n_planes,
+            )
+        ).alias("band_key"),
     )
     # DIRECTED pairs, each scored independently. The tempting
     # score-each-unordered-pair-once-then-mirror refactor was measured

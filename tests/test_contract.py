@@ -40,3 +40,45 @@ def test_all_queries_are_callables_with_two_args():
                 name,
                 p.name,
             )
+
+
+def test_window_is_50_oracle_backed_with_round3_operators():
+    """Driver window contract after the r4 rotation: exactly the first
+    50 queries() entries form the attested window, every one is
+    oracle-backed, and the round-3 operator cohort VERDICT r3 #1 named
+    is inside it."""
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    window = list(q)[:50]
+    assert tuple(window) == entrymod.PRIORITY
+    assert all(n in o for n in window), [n for n in window if n not in o]
+    rotated_in = {
+        "q_knn_graph",
+        "q_semantic_dedup",
+        "q_dedup_embedding_lsh",
+        "q_decontaminate_bloom",
+        "q_repetition_filters",
+        "q_bpe_pair_counts",
+        "q_paragraph_dedup",
+        "q_triangle_count_copurchase",
+    }
+    assert rotated_in <= set(window), rotated_in - set(window)
+
+
+def test_strict_sweep_agrees_with_latest_driver_correctness():
+    """Window-rotation safety net (VERDICT r3 #8): the committed
+    STRICT_CHECK.json (latest local sweep) must not diverge from the
+    latest driver CORRECTNESS file on the queries both covered —
+    strict-ok + driver-fail would mean the local sweep cannot be
+    trusted to predict window rotations."""
+    import json
+    import os
+
+    from tools.strict_check import diff_vs_latest_correctness
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    strict_path = os.path.join(root, "STRICT_CHECK.json")
+    if not os.path.exists(strict_path):
+        return  # no local sweep committed yet; nothing to diff
+    with open(strict_path) as f:
+        strict_report = json.load(f)
+    assert diff_vs_latest_correctness(strict_report, root) == []

@@ -5,7 +5,12 @@ from __future__ import annotations
 
 import pytest
 
-from kafka_clickhouse_pipeline_spark.operators import dedup, multimodal, similarity
+from kafka_clickhouse_pipeline_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+)
 
 
 def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
@@ -292,6 +297,65 @@ def test_pq_topk_recall_and_determinism(spark, sf_dir):
             assert r.cosine == bf[key]
 
 
+def test_choose_geometry_rule():
+    """The (1-theta/pi)^bits selection rule (VERDICT r3 #4): high
+    thresholds earn wide bands, low thresholds cannot; the returned
+    geometry always satisfies lsh_band_keys' divisibility contract and
+    the analytic miss bound."""
+    import math
+
+    from kafka_clickhouse_pipeline_spark.operators.similarity import (
+        choose_geometry,
+    )
+
+    hi_planes, hi_bands = choose_geometry(0.9)
+    lo_planes, lo_bands = choose_geometry(0.45)
+    assert hi_planes % hi_bands == 0 and lo_planes % lo_bands == 0
+    hi_bits, lo_bits = hi_planes // hi_bands, lo_planes // lo_bands
+    # 0.9 -> 8-bit bands (wide = hard pruning); 0.45 -> narrow bands
+    assert hi_bits >= 8, (hi_planes, hi_bands)
+    assert hi_bits > lo_bits
+    # analytic miss bound holds at the target threshold for both
+    for thr, (planes, bands) in ((0.9, (hi_planes, hi_bands)), (0.45, (lo_planes, lo_bands))):
+        p = 1.0 - math.acos(thr) / math.pi
+        miss = (1.0 - p ** (planes // bands)) ** bands
+        assert miss <= 0.01, (thr, planes, bands, miss)
+    # invalid inputs fail loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        choose_geometry(1.5)
+    with pytest.raises(ValueError):
+        choose_geometry(0.9, miss_budget=0.0)
+
+
+def test_threshold_knob_preserves_recall_vs_exact_twin(spark, sf_dir):
+    """q_dedup_embedding_lsh(threshold=...) with auto-chosen geometry
+    must retain (per the 1% miss budget) the pairs the exact O(n^2)
+    twin finds at the same threshold -- the deterministic fixture run
+    should therefore find every pair."""
+    from kafka_clickhouse_pipeline_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        q_dedup_embedding_cosine,
+        q_dedup_embedding_lsh,
+    )
+
+    exact = {
+        (r["v1"], r["v2"])
+        for r in q_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    auto = {
+        (r["v1"], r["v2"])
+        for r in q_dedup_embedding_lsh(
+            spark, sf_dir, threshold=COSINE_THRESHOLD
+        ).collect()
+    }
+    assert auto <= exact
+    if exact:
+        recall = len(auto) / len(exact)
+        assert recall >= 0.9, (recall, len(auto), len(exact))
+
+
 def test_embedding_lsh_pairs_subset_of_exact_with_recall(spark, sf_dir):
     """q_dedup_embedding_lsh verifies candidates with the exact cosine,
     so its pairs must be a strict subset of q_dedup_embedding_cosine's;
@@ -310,6 +374,36 @@ def test_embedding_lsh_pairs_subset_of_exact_with_recall(spark, sf_dir):
         # random unclustered fixture vectors are the hard case; the
         # mechanism guard is non-trivial recall, not production recall
         assert recall > 0.2, recall
+
+
+def test_triangle_doulion_sampling_knob(spark, sf_dir):
+    """The DOULION edge-sampling knob: p=1.0 must reproduce the exact
+    census bit-for-bit (every edge kept, scale factor 1), p<1 must
+    produce a same-schema estimate in a sane range, and p outside
+    (0, 1] fails loudly."""
+    import pytest
+
+    exact = graph.q_triangle_count_copurchase(spark, sf_dir).collect()[0]
+    full = graph.q_triangle_count_copurchase(
+        spark, sf_dir, edge_sample=1.0
+    ).collect()[0]
+    assert (full.n_triangles, full.n_wedges) == (
+        exact.n_triangles,
+        exact.n_wedges,
+    )
+    est = graph.q_triangle_count_copurchase(
+        spark, sf_dir, edge_sample=0.5
+    ).collect()[0]
+    assert est.n_wedges > 0
+    # unbiased estimator, deterministic hash coin: same call -> same
+    # estimate; magnitude within a loose factor of the exact census
+    est2 = graph.q_triangle_count_copurchase(
+        spark, sf_dir, edge_sample=0.5
+    ).collect()[0]
+    assert est.n_triangles == est2.n_triangles
+    assert 0 <= est.n_triangles <= 10 * max(exact.n_triangles, 1)
+    with pytest.raises(ValueError):
+        graph.q_triangle_count_copurchase(spark, sf_dir, edge_sample=0.0)
 
 
 def test_ascii_split_matches_spark_and_duckdb_on_edge_whitespace(spark):

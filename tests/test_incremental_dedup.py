@@ -146,6 +146,41 @@ def test_neardup_replay_after_publish_before_marker_keeps_batch(spark, tmp_path)
     assert os.path.exists(os.path.join(out, "_commits", "5"))
 
 
+def test_neardup_batch_twin_matches_streaming_writer(spark, sf_dir, tmp_path):
+    """q_dedup_incremental_near (the oracle-checked batch twin, VERDICT
+    r3 #5) must produce exactly the docs the real near-dup streaming
+    writer keeps when history flows through as batch 0 and the rest as
+    batch 1."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+    from kafka_clickhouse_pipeline_spark.operators.dedup import (
+        INCR_HISTORY_BOUNDARY,
+        q_dedup_incremental_near,
+    )
+    from kafka_clickhouse_pipeline_spark.streaming.incremental_neardup import (
+        incremental_neardup_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out, idx = str(tmp_path / "ndocs"), str(tmp_path / "nindex")
+    writer = incremental_neardup_writer(out, idx)
+    writer(docs.filter(F.col("doc_id") < INCR_HISTORY_BOUNDARY), 0)
+    writer(docs.filter(F.col("doc_id") >= INCR_HISTORY_BOUNDARY), 1)
+
+    streamed = {
+        r["doc_id"]
+        for r in spark.read.parquet(out).collect()
+        if r["doc_id"] >= INCR_HISTORY_BOUNDARY
+    }
+    batch_twin = {
+        r["doc_id"] for r in q_dedup_incremental_near(spark, sf_dir).collect()
+    }
+    assert streamed == batch_twin
+
+
 def test_batch_twin_matches_streaming_writer(spark, sf_dir, tmp_path):
     """q_dedup_incremental (the oracle-checked batch twin) must produce
     exactly the docs the streaming writer would keep when the same

@@ -1,0 +1,123 @@
+"""Salted replication ladder: measure how an operator's wall-clock
+grows when the corpus is replicated 1x/4x/10x.
+
+Round 3 measured this ad hoc (SCALE.md "Round-3 replication ladder");
+this tool makes the methodology reproducible. Replicas are id-offset
+and content-salted so cross-replica rows never collide (a per-replica
+token prefix for documents, rolled vectors for embeddings, offset
+order/part keys for lineitem) -- growth curves measure the operator,
+not artificial duplication.
+
+Usage:
+    python tools/ladder.py [--sf /root/testdata/sf0.1] \
+        [--replicas 1 4 10] [--runs 2] q_name [q_name...]
+
+Prints one line per (query, replication) with min-of-N seconds, plus a
+JSON summary. Replicated corpora are built once per replication level
+under --workdir (default /tmp/spark_graft_ladder) and reused.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: Large id offset per replica: keeps replica key spaces disjoint for
+#: every integer-keyed table (fixture ids are far below 10^9).
+OFFSET = 1_000_000_000
+
+SALTED_TABLES = ("lineitem", "documents", "embeddings")
+
+
+def build_replicated(spark, sf_dir: str, n: int, out_dir: str) -> None:
+    """Write an n-times salted replication of sf_dir into out_dir.
+    Non-salted tables are passed through unchanged (symlinked)."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.catalog import load_table, table_path
+    from kafka_clickhouse_pipeline_spark.schemas import FIXTURE_TABLES
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in FIXTURE_TABLES:
+        src = table_path(sf_dir, name)
+        if not os.path.exists(src):
+            continue
+        dst = table_path(out_dir, name)
+        if os.path.exists(dst):
+            continue
+        if name not in SALTED_TABLES or n == 1:
+            os.symlink(src, dst)
+            continue
+        base = load_table(spark, sf_dir, name)
+        parts = []
+        for r in range(n):
+            off = F.lit(r * OFFSET)
+            if name == "lineitem":
+                rep = base.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + off
+                ).withColumn("l_partkey", F.col("l_partkey") + off)
+            elif name == "documents":
+                rep = base.withColumn("doc_id", F.col("doc_id") + off)
+                if r:
+                    rep = rep.withColumn(
+                        "text", F.concat(F.lit(f"replica{r} "), F.col("text"))
+                    )
+            else:  # embeddings: roll the vector r positions
+                rep = base.withColumn("vec_id", F.col("vec_id") + off)
+                if r:
+                    dim = len(base.select("embedding").first()[0])
+                    k = r % dim
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", k + 1, dim - k),
+                            F.slice("embedding", 1, k),
+                        ),
+                    )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicas", type=int, nargs="+", default=[1, 4, 10])
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--workdir", default="/tmp/spark_graft_ladder")
+    ap.add_argument("names", nargs="+")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from kafka_clickhouse_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    results: dict[str, dict[int, float]] = {n: {} for n in args.names}
+    for n in args.replicas:
+        level_dir = os.path.join(args.workdir, f"{os.path.basename(args.sf)}_x{n}")
+        build_replicated(spark, args.sf, n, level_dir)
+        for name in args.names:
+            best = None
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                qs[name](spark, level_dir).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results[name][n] = round(best, 2)
+            print(f"{name:42s} x{n:<3d} {best:7.2f}s", flush=True)
+    print(json.dumps(results))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

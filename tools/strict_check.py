@@ -183,8 +183,76 @@ def main() -> int:
     print(json.dumps({"failed": n_fail, "total": len(names)}))
     with open("STRICT_CHECK.json", "w") as f:
         json.dump(report, f, indent=1)
+    divergences = diff_vs_latest_correctness(report)
+    for d in divergences:
+        print(f"DIVERGENCE {d}", flush=True)
+        n_fail += 1
     spark.stop()
     return 1 if n_fail else 0
+
+
+def latest_correctness_path(repo_root: str | None = None) -> str | None:
+    """Highest-numbered CORRECTNESS_r{N}.json in the repo root."""
+    import glob as _glob
+    import re
+
+    root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = _glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    if not paths:
+        return None
+
+    def _round(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    return max(paths, key=_round)
+
+
+def diff_vs_latest_correctness(
+    strict_report: dict[str, dict], repo_root: str | None = None
+) -> list[str]:
+    """Divergences between a strict sweep and the latest driver
+    CORRECTNESS file, on the queries both covered.
+
+    Strict is by construction stricter than the driver's hash gate, so
+    strict-ok + driver-fail means strict is NOT a trustworthy window-
+    rotation predictor (the serious direction); driver-green +
+    strict-FAIL means strict raises alarms the driver does not (noisy,
+    but policy bans are intentional extra strictness, so only
+    non-policy reasons count as divergence there). Either direction
+    fails the sweep so it gets investigated. (VERDICT r3 #8.)"""
+    path = latest_correctness_path(repo_root)
+    if path is None:
+        return []
+    with open(path) as f:
+        driver = json.load(f)
+    out: list[str] = []
+    for name, drec in driver.items():
+        srec = strict_report.get(name)
+        if srec is None:
+            continue  # sweep was filtered to other names
+        driver_green = bool(
+            drec.get("rows_match")
+            and drec.get("schema_match")
+            and drec.get("hash_match")
+            and not drec.get("err")
+        )
+        strict_ok = bool(srec.get("ok"))
+        if strict_ok and not driver_green:
+            out.append(
+                f"{name}: strict ok but driver NOT green in "
+                f"{os.path.basename(path)} ({drec}) — strict is not a "
+                "trustworthy predictor for this query"
+            )
+        elif driver_green and not strict_ok:
+            reason = str(srec.get("reason", ""))
+            if not reason.startswith("policy["):
+                out.append(
+                    f"{name}: driver green in {os.path.basename(path)} but "
+                    f"strict FAILs ({reason}) — adjudicate before trusting "
+                    "local sweeps"
+                )
+    return out
 
 
 def _unlarge(t: pa.DataType) -> pa.DataType:
