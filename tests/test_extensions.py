@@ -204,9 +204,93 @@ def test_ann_scores_sorted_and_bounded(spark, sf_dir):
         assert all(-1.0 <= c <= 1.0 for c in cosines)
 
 
-def test_multimodal_real_decode_is_stubbed():
+def _golden_png(width: int, height: int) -> bytes:
+    """A complete, valid PNG built with stdlib only (zlib/struct)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _golden_gif(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def _golden_jpeg(width: int, height: int) -> bytes:
+    import struct
+
+    # SOI, APP0 (JFIF), SOF0 frame header carrying height then width
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_real_decoder_seam_decodes_golden_images():
+    """The decoder seam against REAL image bytes (VERDICT r3 #7): a
+    valid PNG/GIF/JPEG built with stdlib only must decode to its true
+    dimensions through real_decode (PIL if present, pure-stdlib header
+    parse otherwise); junk bytes must fail loudly."""
+    assert multimodal.real_decode(_golden_png(17, 9)) == ("png", 17, 9)
+    assert multimodal.real_decode(_golden_gif(320, 200)) == ("gif", 320, 200)
+    assert multimodal.real_decode(_golden_jpeg(64, 48)) == ("jpeg", 64, 48)
     with pytest.raises(NotImplementedError):
-        multimodal.real_decode(b"\x89PNG...")
+        multimodal.real_decode(b"not an image at all")
+    # the header parser alone agrees (it is the no-PIL fallback)
+    assert multimodal.decode_image_header(_golden_png(5, 1000)) == ("png", 5, 1000)
+    assert multimodal.decode_image_header(b"\x89PNG\r\n\x1a\nXXXXIDAT") is None
+
+
+def test_extract_features_with_injected_decoder(spark):
+    """The injected decoder flows through the Spark plumbing unchanged
+    (schema, Arrow batching, executor-side execution): real image
+    payloads come back with their true decoded dimensions while
+    n_bytes/checksum still describe the raw payload."""
+    import hashlib
+
+    payloads = [
+        (1, _golden_png(17, 9)),
+        (2, _golden_gif(320, 200)),
+        (3, _golden_jpeg(64, 48)),
+    ]
+    media = spark.createDataFrame(
+        [(i, p, "image/test", len(p)) for i, p in payloads],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.real_decode
+        ).collect()
+    }
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("png", 17, 9)
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"]) == ("gif", 320, 200)
+    assert (rows[3]["format"], rows[3]["width"], rows[3]["height"]) == ("jpeg", 64, 48)
+    for doc_id, payload in payloads:
+        assert rows[doc_id]["n_bytes"] == len(payload)
+        assert rows[doc_id]["checksum"] == hashlib.md5(payload).hexdigest()
 
 
 def test_multimodal_frame_explosion(spark, sf_dir):
