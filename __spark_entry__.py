@@ -21,6 +21,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     curation,
     dedup,
     graph,
+    linkage,
     multimodal,
     pipeline_queries,
     pq,
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(graph.GRAPH_QUERIES)
     q.update(reshape.RESHAPE_QUERIES)
     q.update(curation.CURATION_QUERIES)
+    q.update(linkage.LINKAGE_QUERIES)
     missing = [n for n in PRIORITY if n not in q]
     assert not missing, f"PRIORITY names not registered: {missing}"
     ordered = {n: q[n] for n in PRIORITY}
@@ -155,4 +157,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(graph.GRAPH_ORACLES)
     o.update(reshape.RESHAPE_ORACLES)
     o.update(curation.CURATION_ORACLES)
+    o.update(linkage.LINKAGE_ORACLES)
     return o

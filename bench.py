@@ -70,6 +70,13 @@ HEADLINE = [
     "q_paragraph_dedup",
     "q_perplexity_unigram",
     "q_upsert_latest_wins",
+    # round-4 additions
+    "q_fuzzy_match_parts",
+    "q_label_propagation",
+    "q_bpe_train_merges",
+    "q_embedding_int8_quantize",
+    "q_hard_negatives",
+    "q_dedup_incremental_near",
 ]
 
 

@@ -801,6 +801,55 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier scoring -- the
+    mechanism behind CCNet/RedPajama-class quality filters, where a
+    linear model over hashed token features scores every document and
+    a threshold keeps the 'wikipedia-like' tail. Here the weight table
+    is a deterministic hash (md5 -> [-1, 1)) instead of trained
+    parameters: the distributed mechanics -- per-token feature
+    hashing, O(1) weight lookup with NO vocabulary join, sequential
+    mean, threshold -- are exactly what a trained filter runs at
+    corpus scale, and a production build swaps the hash for a
+    broadcast weight array without touching the plan.
+
+    Scale shape: pure map over the scan (hash + fold per document), no
+    shuffle, no UDF, no vocabulary state -- the reason feature hashing
+    beats an embedding-table join for trillion-token filtering. Score
+    arithmetic is the shared sequential fold, so the oracle reproduces
+    it bit-for-bit; keep-decisions compare the ROUNDED score on both
+    engines so the boundary is contract-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    weights = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        / F.lit(2147483648.0)
+        - F.lit(1.0),
+    )
+    score = F.round(
+        F.aggregate(weights, F.lit(0.0), lambda a, x: a + x) / F.size(toks), 6
+    )
+    return (
+        docs.select("doc_id", "source", score.alias("score"))
+        .withColumn("keep", F.col("score") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _hex8_sql(h: str) -> str:
+    """DuckDB twin of ``conv(substring(md5(x),1,8),16,10)``: fold the
+    first 8 hex chars of ``h`` into an integer."""
+    e = "CAST(0 AS BIGINT)"
+    for idx in range(1, 9):
+        hv = (
+            f"(ascii(substr({h}, {idx}, 1)) - CASE WHEN "
+            f"ascii(substr({h}, {idx}, 1)) >= 97 THEN 87 ELSE 48 END)"
+        )
+        e = f"(({e}) * 16 + {hv})"
+    return e
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split NEAR-duplicate leakage audit: near-dup pairs
     (exact 3-gram Jaccard >= 0.8) whose two documents land in
@@ -1408,6 +1457,22 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATION_ORACLES["q_quality_classifier_hashed"] = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             round(list_sum(list_transform(
+               toks,
+               tk -> {_hex8_sql("md5(tk)")} / 2147483648.0 - 1.0))
+               / len(toks), 6) AS score
+      FROM t)
+    SELECT doc_id, source, score, score > 0 AS keep
+    FROM s ORDER BY doc_id
+"""
+
 CURATION_ORACLES["q_temperature_sample"] = """
     WITH per_source AS (
       SELECT source,
@@ -1455,4 +1520,5 @@ CURATION_QUERIES = {
     "q_paragraph_dedup": q_paragraph_dedup,
     "q_source_mixture_weights": q_source_mixture_weights,
     "q_split_leakage_audit": q_split_leakage_audit,
+    "q_quality_classifier_hashed": q_quality_classifier_hashed,
 }

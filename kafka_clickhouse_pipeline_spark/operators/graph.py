@@ -357,6 +357,57 @@ def q_triangle_count_copurchase(
     )
 
 
+#: Synchronous label-propagation rounds. Fixed (like PAGERANK_ITERS)
+#: so the oracle can unroll the exact computation.
+LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph by deterministic
+    synchronous label propagation (Raghavan et al. 2007, made
+    order-independent): every node starts with its own id as label;
+    each round, every node adopts the most frequent label among its
+    neighbors, ties broken by smallest label. LPA_ROUNDS fixed rounds
+    (not convergence-tested) keep it oracle-unrollable, the same
+    contract as the PageRank operator.
+
+    Scale shape: per round, ONE join of the edge list with the O(nodes)
+    label frame and one two-level aggregate (count per (node, label),
+    then argmax per node as a min(struct) -- no window sort). Labels
+    are lineage-cut per round, so the plan never grows with rounds;
+    edge list materialized once. Classic async LPA is
+    order-dependent and unreproducible on a cluster; the synchronous
+    min-tie-break variant trades convergence speed for determinism --
+    the right trade when results must be auditable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(LPA_ROUNDS):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select("src", "label")
+        counts = nbr.groupBy("src", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("src").alias("node"), F.col("m.l").alias("label"))
+            .transform(cut_lineage)
+        )
+    return labels.select(
+        F.col("node").alias("partkey"), F.col("label").alias("community")
+    ).orderBy("partkey")
+
+
 def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-purchase graph in powers-of-two
     buckets: (degree_bucket, n_nodes, min/max degree per bucket) -- the
@@ -438,8 +489,37 @@ _PAGERANK_SQL = f"""
 """
 
 
+def _lpa_iter_sql(i: int) -> str:
+    """One unrolled synchronous-LPA round: most frequent neighbor
+    label, smallest label on ties (mirrors the min(struct) argmax)."""
+    return f"""
+        l{i} AS (
+          SELECT src AS node, label FROM (
+            SELECT e.src, l.label,
+                   row_number() OVER (PARTITION BY e.src
+                                      ORDER BY count(*) DESC, l.label ASC)
+                     AS rn
+            FROM e JOIN l{i - 1} l ON e.dst = l.node
+            GROUP BY e.src, l.label) t
+          WHERE rn = 1)"""
+
+
+_LPA_SQL = f"""
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        {",".join(_lpa_iter_sql(i) for i in range(1, LPA_ROUNDS + 1))}
+        SELECT node AS partkey, label AS community
+        FROM l{LPA_ROUNDS}
+        ORDER BY partkey
+"""
+
+
 GRAPH_ORACLES: dict[str, str] = {
     "q_pagerank_copurchase": _PAGERANK_SQL,
+    "q_label_propagation": _LPA_SQL,
     "q_triangle_count_copurchase": """
         WITH e AS (
           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -496,4 +576,5 @@ GRAPH_QUERIES = {
     "q_pagerank_copurchase": q_pagerank_copurchase,
     "q_triangle_count_copurchase": q_triangle_count_copurchase,
     "q_degree_distribution": q_degree_distribution,
+    "q_label_propagation": q_label_propagation,
 }

@@ -914,7 +914,235 @@ def _knn_graph_oracle() -> str:
     """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each vector, the single most similar LSH band-candidate with a
+    DIFFERENT label -- the negative a contrastive loss learns most
+    from (dataset curation for retrieval/embedding finetunes mines
+    exactly this at corpus scale). Vectors whose candidate buckets
+    hold no other-label vector produce no row (no hard negative under
+    this geometry), mirrored in the oracle.
+
+    Plan shape = q_knn_graph with a label anti-filter before scoring:
+    band join + pair distinct on bare ids, labels joined by id (two
+    O(n) joins, no vectors through the distinct), exact cosine on the
+    filtered candidates only, map-side-pruned top-1 per query. Same
+    bit-portable arithmetic (sign codes + sequential-cumsum dots), so
+    the oracle reproduces the exact winners."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    normed = _with_norm(_vectors(spark, sf_dir))
+    banded = normed.select(
+        "vec_id",
+        F.explode(lsh_band_keys(lsh_code_arrow()(F.col("v")))).alias("band_key"),
+    )
+    pairs = (
+        banded.select(F.col("vec_id").alias("query_id"), "band_key")
+        .join(
+            banded.select(F.col("vec_id").alias("neighbor_id"), "band_key"),
+            "band_key",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .join(
+            labels.select(F.col("vec_id").alias("query_id"), "label"),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neg_label"),
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("neg_label") != F.col("label"))
+    )
+    dot = seq_dot_arrow()
+    scored = (
+        pairs.join(
+            normed.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("vn").alias("qn"),
+            ),
+            "query_id",
+        )
+        .join(
+            normed.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+                F.col("vn").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "label",
+            F.col("neighbor_id").alias("negative_id"),
+            "neg_label",
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+            ).alias("cosine"),
+        )
+    )
+    return (
+        grouped_topk(
+            scored, ["query_id"], [("cosine", False), ("negative_id", True)], 1
+        )
+        .select("query_id", "label", "negative_id", "neg_label", "cosine")
+        .orderBy("query_id")
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    """q_knn_graph's oracle with a label anti-filter and rank 1."""
+    return f"""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        coded AS (
+          SELECT e.vec_id,
+                 CAST(sum(CASE WHEN list_sum(list_transform(
+                            generate_series(1, len(e.v)),
+                            i -> e.v[i] * pl.p[i])) >= 0
+                          THEN pl.w ELSE 0 END) AS BIGINT) AS code
+          FROM e, (VALUES {lsh_planes_values_sql()}) AS pl(w, p)
+          GROUP BY e.vec_id),
+        banded AS (
+          SELECT vec_id, ((code >> (bb.b * 4)) & 15) + bb.b * 16 AS band_key
+          FROM coded, (VALUES (0), (1), (2), (3)) AS bb(b)),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM banded qb JOIN banded cb ON qb.band_key = cb.band_key
+          WHERE cb.vec_id <> qb.vec_id),
+        labeled AS (
+          SELECT query_id, neighbor_id, ql.label AS label,
+                 cl.label AS neg_label
+          FROM cand
+          JOIN e ql ON ql.vec_id = query_id
+          JOIN e cl ON cl.vec_id = neighbor_id
+          WHERE ql.label <> cl.label),
+        scored AS (
+          SELECT query_id, labeled.label, neighbor_id AS negative_id,
+                 neg_label, round({_COS_SQL}, 6) AS cosine
+          FROM labeled
+          JOIN e q ON q.vec_id = query_id
+          JOIN e c ON c.vec_id = neighbor_id),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, negative_id)
+                   AS rank
+          FROM scored)
+        SELECT query_id, label, negative_id, neg_label, cosine
+        FROM ranked WHERE rank = 1
+        ORDER BY query_id
+    """
+
+
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization with
+    reconstruction-error audit -- the standard 4x storage/bandwidth
+    reduction for an embedding corpus (float32 -> int8 + one scale per
+    vector). Output per vector: the scale, the exact integer sum of
+    the quantized codes (an integrity checksum), the max absolute
+    reconstruction error, and the MSE.
+
+    Portable arithmetic by construction: quantize as
+    ``floor(x / scale + 0.5)`` (floor is IEEE-exact; round() tie
+    semantics differ subtly across engines), scale = max|x| / 127
+    (max and divide exact), error sums via the sequential
+    left-to-right fold both engines share (the cumsum-portability
+    contract). Zero vectors quantize to all-zero codes with scale 0.
+
+    Scale shape: pure map over the scan -- no shuffle, no UDF, no
+    state; the one-row-per-vector output is the audit artifact, the
+    codes themselves would be written columnar next to the scale."""
+    vecs = _vectors(spark, sf_dir)
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    with_scale = vecs.select(
+        "vec_id", "v", (amax / F.lit(127.0)).alias("scale")
+    )
+    q = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"),
+        )
+    )
+    quant = with_scale.select("vec_id", "v", "scale", q.alias("q"))
+    err = F.zip_with(
+        F.col("q"),
+        F.col("v"),
+        lambda qq, x: F.abs(qq.cast("double") * F.col("scale") - x),
+    )
+    sq = F.zip_with(
+        F.col("q"),
+        F.col("v"),
+        lambda qq, x: F.pow(qq.cast("double") * F.col("scale") - x, F.lit(2.0)),
+    )
+    # two projection steps: the final one renames 'scale' to its
+    # rounded form, so the error lambdas (which need the UNROUNDED
+    # scale) must live in an earlier select -- a same-select alias
+    # would shadow the input column for later expressions
+    stats = quant.select(
+        "vec_id",
+        "scale",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_max(err).alias("mx"),
+        (F.aggregate(sq, F.lit(0.0), lambda a, x: a + x) / F.size("v")).alias(
+            "ms"
+        ),
+    )
+    return stats.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        "q_sum",
+        F.round(F.col("mx"), 6).alias("max_abs_err"),
+        F.round(F.col("ms"), 6).alias("mse"),
+    ).orderBy("vec_id")
+
+
+_INT8_QUANT_SQL = """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+    q AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale = 0
+               THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(
+                      v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+             END AS q
+      FROM s)
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           round(list_max(list_transform(
+             generate_series(1, len(v)),
+             i -> abs(CAST(q[i] AS DOUBLE) * scale - v[i]))), 6)
+             AS max_abs_err,
+           round(list_sum(list_transform(
+             generate_series(1, len(v)),
+             i -> pow(CAST(q[i] AS DOUBLE) * scale - v[i], 2.0))) / len(v), 6)
+             AS mse
+    FROM q ORDER BY vec_id
+"""
+
+
 SIMILARITY_ORACLES: dict[str, str] = {
+    "q_embedding_int8_quantize": _INT8_QUANT_SQL,
+    "q_hard_negatives": _hard_negatives_oracle(),
     "q_knn_graph": _knn_graph_oracle(),
     "q_ann_ivf_topk": _ann_ivf_oracle(),
     "q_ann_ivf_kmeans_topk": _ann_ivf_kmeans_oracle(),
@@ -963,4 +1191,6 @@ SIMILARITY_QUERIES = {
     "q_ann_lsh_topk": q_ann_lsh_topk,  # oracle-checked (bit-portable LSH)
     "q_knn_graph": q_knn_graph,  # oracle-checked (bit-portable LSH, all queries)
     "q_embedding_label_centroids": q_embedding_label_centroids,
+    "q_embedding_int8_quantize": q_embedding_int8_quantize,
+    "q_hard_negatives": q_hard_negatives,
 }

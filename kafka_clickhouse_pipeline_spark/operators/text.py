@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..lineage import cut_lineage
 
 #: Tiny deterministic stopword list used by quality scoring and the
 #: language-ID heuristic (must stay in sync with the oracle SQL).
@@ -692,6 +693,112 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+#: Merge rounds for the iterative BPE trainer (fixed so the oracle can
+#: unroll the exact computation, like PAGERANK_ITERS / LPA_ROUNDS).
+BPE_MERGES = 4
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE vocabulary induction (Sennrich et al. 2016), the
+    full trainer built on the q_bpe_pair_counts primitive: BPE_MERGES
+    greedy rounds of count-adjacent-symbol-pairs -> merge the most
+    frequent pair corpus-wide (ties -> lexicographically smallest).
+    Output is the merge table: (round, left_sym, right_sym, merged,
+    n_occurrences) -- exactly what a tokenizer ships.
+
+    Scale shape: training runs over the WORD VOCABULARY with counts
+    (one corpus-sized aggregate up front; every round then touches
+    vocab-sized data only, the standard fast-BPE formulation). Per
+    round: one map-side pair expansion + one map-side-combined count
+    shuffle + a LIMIT-1 argmax; the single merged pair (one row) is
+    the only thing the driver sees -- model metadata, same bound as
+    the k-means centroid collects. The merge itself is a codegen'd
+    left-to-right array fold (greedy leftmost non-overlapping, the
+    BPE contract); the vocab frame is lineage-cut per round so the
+    plan stays flat. Words restricted to ^[a-z]+$ keep the symbol
+    alphabet printable for the oracle's wrapped-string encoding
+    (DuckDB has no array fold; '<a><b>' -> replace '<a><b>' with
+    '<ab>' is non-overlapping-leftmost too, so both engines compute
+    the identical merge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split(F.col("w"), "").alias("syms"), "cnt")
+        .transform(cut_lineage)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, BPE_MERGES + 1):
+        m = F.greatest(F.size("syms") - 1, F.lit(0))
+        pair = F.zip_with(
+            F.slice("syms", 1, m),
+            F.slice("syms", 2, m),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        best = (
+            vocab.select(F.explode(pair).alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((rnd, a, b, a + b, n))
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+        vocab = vocab.select(
+            F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lm)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+            "cnt",
+        ).transform(cut_lineage)
+    return spark.createDataFrame(
+        merges,
+        "round INT, left_sym STRING, right_sym STRING, merged STRING, "
+        "n_occurrences BIGINT",
+    ).orderBy("round")
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE round over the wrapped-string word vocabulary:
+    pair counts -> LIMIT-1 argmax -> non-overlapping leftmost
+    replace."""
+    return f"""
+        p{i} AS (
+          SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS n
+          FROM (
+            SELECT cnt, unnest(list_transform(
+                     generate_series(1, len(sy) - 1),
+                     j -> [sy[j], sy[j + 1]])) AS pr
+            FROM (SELECT cnt,
+                         string_split(substr(ws, 2, length(ws) - 2), '><')
+                           AS sy
+                  FROM w{i - 1}))
+          GROUP BY 1, 2),
+        m{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
+        w{i} AS (
+          SELECT replace(ws,
+                         '<' || (SELECT a FROM m{i}) || '><'
+                             || (SELECT b FROM m{i}) || '>',
+                         '<' || (SELECT a FROM m{i})
+                             || (SELECT b FROM m{i}) || '>') AS ws,
+                 cnt
+          FROM w{i - 1})"""
+
+
 TEXT_ORACLES: dict[str, str] = {
     "q_token_stats": """
         SELECT doc_id,
@@ -938,9 +1045,29 @@ TEXT_ORACLES["q_bpe_pair_counts"] = f"""
 
 TEXT_ORACLES["q_pmi_collocations"] = TEXT_ORACLES_PMI
 
+TEXT_ORACLES["q_bpe_train_merges"] = f"""
+    WITH w0 AS (
+      SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS ws, cnt
+      FROM (SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+                  FROM documents)
+            WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+            GROUP BY w)),
+    {",".join(_bpe_round_sql(i) for i in range(1, BPE_MERGES + 1))}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT CAST({i} AS INTEGER) AS round, a AS left_sym, "
+          f"b AS right_sym, a || b AS merged, "
+          f"CAST(n AS BIGINT) AS n_occurrences FROM m{i}"
+          for i in range(1, BPE_MERGES + 1)
+      )})
+    ORDER BY round
+"""
+
 TEXT_QUERIES = {
     "q_corpus_stats": q_corpus_stats,
     "q_bpe_pair_counts": q_bpe_pair_counts,
+    "q_bpe_train_merges": q_bpe_train_merges,
     "q_pmi_collocations": q_pmi_collocations,
     "q_repetition_filters": q_repetition_filters,
     "q_token_stats": q_token_stats,

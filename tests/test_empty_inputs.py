@@ -109,6 +109,15 @@ EMPTY_SENSITIVE = [
     "q_pmi_collocations",
     "q_temperature_sample",
     "q_degree_distribution",
+    # round-4 additions
+    "q_fuzzy_match_parts",
+    "q_fuzzy_canonical_parts",
+    "q_label_propagation",
+    "q_bpe_train_merges",
+    "q_embedding_int8_quantize",
+    "q_hard_negatives",
+    "q_dedup_incremental_near",
+    "q_quality_classifier_hashed",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE
