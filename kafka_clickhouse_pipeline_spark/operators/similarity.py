@@ -1041,6 +1041,61 @@ def _hard_negatives_oracle() -> str:
     """
 
 
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall self-audit of the approximate index: per query vector,
+    how many of the TRUE top-K (brute force) the LSH index returned --
+    the sample-audit SCALE.md prescribes for every approximate
+    operator at 100 TB (run the cheap index corpus-wide, brute-force a
+    query sample, report recall@K; a recall regression is the signal
+    the LSH geometry no longer fits the corpus).
+
+    Pure composition of two oracle-checked operators (exact top-k +
+    LSH top-k) joined on (query, neighbor) -- so the audit itself is
+    oracle-checked end to end, and its cost is the query-sample brute
+    force, not a corpus scan."""
+    bf = q_ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = q_ann_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("lq"), F.col("neighbor_id").alias("ln")
+    )
+    return (
+        bf.join(
+            lsh,
+            (F.col("query_id") == F.col("lq"))
+            & (F.col("neighbor_id") == F.col("ln")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.count("ln").cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_recall_audit_oracle() -> str:
+    return f"""
+        WITH bf AS ({SIMILARITY_ORACLES["q_ann_bruteforce_topk"]}),
+        lsh AS ({_ann_lsh_oracle()})
+        SELECT bf.query_id,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(count(lsh.neighbor_id) AS BIGINT) AS n_hit,
+               round(count(lsh.neighbor_id) * 1.0 / count(*), 6) AS recall
+        FROM bf LEFT JOIN lsh
+          ON bf.query_id = lsh.query_id
+         AND bf.neighbor_id = lsh.neighbor_id
+        GROUP BY bf.query_id ORDER BY bf.query_id
+    """
+
+
 def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization with
     reconstruction-error audit -- the standard 4x storage/bandwidth
@@ -1193,4 +1248,9 @@ SIMILARITY_QUERIES = {
     "q_embedding_label_centroids": q_embedding_label_centroids,
     "q_embedding_int8_quantize": q_embedding_int8_quantize,
     "q_hard_negatives": q_hard_negatives,
+    "q_ann_recall_audit": q_ann_recall_audit,
 }
+
+# composed AFTER the dict exists: the audit oracle embeds the
+# brute-force oracle verbatim
+SIMILARITY_ORACLES["q_ann_recall_audit"] = _ann_recall_audit_oracle()

@@ -772,6 +772,46 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+def q_tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION -- the consumer side of
+    q_bpe_train_merges: re-train the BPE_MERGES merge table (the
+    bounded-metadata step), then apply the merges in rank order to
+    every document and report per-document BPE token counts. Closes
+    the tokenize loop a data pipeline actually runs: train once,
+    encode the whole corpus, budget by token count.
+
+    Encoding uses the wrapped-string representation on BOTH engines:
+    each char becomes ``<c>``, each merge is one literal ``replace``
+    of ``<a><b>`` with ``<ab>`` -- non-overlapping leftmost, the BPE
+    greedy contract, applied in rank order (lower-rank merges first).
+    String replace is whole-stage-codegen'd; the array-fold
+    formulation measured 30 s vs ~3 s at sf0.001 (interpreted HOF per
+    char -- the winnowing lesson again) and was rejected.
+    Out-of-alphabet words count 1 symbol per character; whitespace
+    tokens delimit words."""
+    # the merge table is model metadata (BPE_MERGES rows) -- collected
+    # once, folded into the plan as literals, same bound as centroids
+    merges = [
+        (r["left_sym"], r["right_sym"], r["merged"])
+        for r in q_bpe_train_merges(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    ws = F.regexp_replace(F.col("w"), "(.)", "<$1>")
+    for a, b, _m in merges:
+        ws = F.replace(ws, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    n_syms = F.size(F.split(F.substring(ws, 2, F.length(ws) - 2), "><"))
+    per_word = words.select("doc_id", n_syms.alias("n_syms"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _bpe_round_sql(i: int) -> str:
     """One unrolled BPE round over the wrapped-string word vocabulary:
     pair counts -> LIMIT-1 argmax -> non-overlapping leftmost
@@ -1045,6 +1085,43 @@ TEXT_ORACLES["q_bpe_pair_counts"] = f"""
 
 TEXT_ORACLES["q_pmi_collocations"] = TEXT_ORACLES_PMI
 
+def _bpe_apply_round_sql(i: int) -> str:
+    """Apply merge ``i`` (from the training CTE m{i}) to the wrapped
+    document words."""
+    return f"""
+        enc{i} AS (
+          SELECT doc_id,
+                 replace(ws,
+                         '<' || (SELECT a FROM m{i}) || '><'
+                             || (SELECT b FROM m{i}) || '>',
+                         '<' || (SELECT a FROM m{i})
+                             || (SELECT b FROM m{i}) || '>') AS ws
+          FROM enc{i - 1})"""
+
+
+TEXT_ORACLES["q_tokenize_bpe_apply"] = f"""
+    WITH w0 AS (
+      SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS ws, cnt
+      FROM (SELECT w, count(*) AS cnt
+            FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+                  FROM documents)
+            WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+            GROUP BY w)),
+    {",".join(_bpe_round_sql(i) for i in range(1, BPE_MERGES + 1))},
+    enc0 AS (
+      SELECT doc_id, regexp_replace(w, '(.)', '<\\1>', 'g') AS ws
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)),
+    {",".join(_bpe_apply_round_sql(i) for i in range(1, BPE_MERGES + 1))}
+    SELECT doc_id,
+           CAST(sum(len(string_split(substr(ws, 2, length(ws) - 2), '><')))
+             AS BIGINT) AS n_bpe_tokens,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM enc{BPE_MERGES}
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
 TEXT_ORACLES["q_bpe_train_merges"] = f"""
     WITH w0 AS (
       SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS ws, cnt
@@ -1068,6 +1145,7 @@ TEXT_QUERIES = {
     "q_corpus_stats": q_corpus_stats,
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_bpe_train_merges": q_bpe_train_merges,
+    "q_tokenize_bpe_apply": q_tokenize_bpe_apply,
     "q_pmi_collocations": q_pmi_collocations,
     "q_repetition_filters": q_repetition_filters,
     "q_token_stats": q_token_stats,

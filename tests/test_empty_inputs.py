@@ -118,6 +118,8 @@ EMPTY_SENSITIVE = [
     "q_hard_negatives",
     "q_dedup_incremental_near",
     "q_quality_classifier_hashed",
+    "q_tokenize_bpe_apply",
+    "q_ann_recall_audit",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE

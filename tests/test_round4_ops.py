@@ -149,6 +149,45 @@ def test_hard_negatives_labels_differ_and_bounded_by_exact(spark, sf_dir):
         assert r["cosine"] <= exact_best + 1e-6
 
 
+def test_bpe_apply_counts_bounded_by_chars(spark, sf_dir):
+    """Applying merges can only shrink the symbol stream: per document,
+    n_bpe_tokens is at most the raw character count of its words and
+    at least n_words (every word is >= 1 symbol)."""
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+
+    rows = {r["doc_id"]: r for r in text.q_tokenize_bpe_apply(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert rows
+    for d in docs[:50]:
+        r = rows[d["doc_id"]]
+        words = d["text"].strip().split()
+        n_chars = sum(len(w) for w in words) if words else 1
+        assert r["n_words"] >= 1
+        assert r["n_words"] <= r["n_bpe_tokens"] <= max(n_chars, 1), (
+            d["doc_id"],
+            r,
+        )
+
+
+def test_ann_recall_audit_consistency(spark, sf_dir):
+    """The audit's per-query recall must equal the overlap computed
+    independently from the two top-k results, and n_true equals the
+    brute-force row count per query."""
+    audit = {r["query_id"]: r for r in similarity.q_ann_recall_audit(spark, sf_dir).collect()}
+    bf: dict[int, set] = {}
+    for r in similarity.q_ann_bruteforce_topk(spark, sf_dir).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    lsh: dict[int, set] = {}
+    for r in similarity.q_ann_lsh_topk(spark, sf_dir).collect():
+        lsh.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(audit) == set(bf)
+    for q, row in audit.items():
+        hits = len(bf[q] & lsh.get(q, set()))
+        assert row["n_true"] == len(bf[q])
+        assert row["n_hit"] == hits
+        assert abs(row["recall"] - hits / len(bf[q])) < 1e-6
+
+
 def test_quality_classifier_score_semantics(spark, sf_dir):
     """Hashed linear scores are means of [-1, 1) weights, so they stay
     in [-1, 1]; keep is exactly the positive-score predicate; scoring
