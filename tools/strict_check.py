@@ -181,8 +181,12 @@ def main() -> int:
         print(f"{tag} {name:42s} {dt:7.2f}s{oracle_tag}{extra}", flush=True)
 
     print(json.dumps({"failed": n_fail, "total": len(names)}))
-    with open("STRICT_CHECK.json", "w") as f:
-        json.dump(report, f, indent=1)
+    if not args.names:
+        # only a FULL sweep may replace the committed report: filtered
+        # runs would clobber it with a partial view and break the
+        # contract test that diffs it against the driver CORRECTNESS
+        with open("STRICT_CHECK.json", "w") as f:
+            json.dump(report, f, indent=1)
     divergences = diff_vs_latest_correctness(report)
     for d in divergences:
         print(f"DIVERGENCE {d}", flush=True)
