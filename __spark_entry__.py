@@ -42,69 +42,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry ordering contract: the driver's correctness run covers the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r01 stopped at exactly
-#: 50 in dict order), so this priority list packs at least one champion
-#: from every operator family -- reference serving parity, MV
-#: transform, TPC-H joins/windows/sessionization, text analysis, dedup
-#: (exact/MinHash-LSH/SimHash/quality/upsert), graph clustering +
-#: PageRank, ANN (exact + IVF + label centroids; PQ/LSH variants sit
-#: just outside), multimodal, advanced analytics
-#: (rollup/cube/as-of/gapfill/hypertable), semi-structured, reshape
-#: (pivot/unpivot/ntile/sampling), curation, and the composed
-#: end-to-end curation pipeline -- into the verified window. Everything after entry 50 is a variant of an
-#: already-covered family.
+#: 50 in dict order). Rotation policy (VERDICT r3 #1): driver
+#: attestation is the hard signal, so every never-attested operator
+#: cohort -- the round-3 additions plus the round-4 additions
+#: (linkage, label propagation, BPE train/apply, int8 quantize, hard
+#: negatives / triplets, recall audit, hashed classifier, incremental
+#: near-dup twin, DSIR, OOV rate, cluster topics) -- sits inside the
+#: window, while entries attested green in r1+r2+r3 whose execution
+#: class stays represented by a window champion rotate below it (all
+#: 130+ registered queries remain covered by tools/strict_check.py,
+#: which diffs against the latest CORRECTNESS file).
 #: Within the window, cheap families run first and the iterative/heavy
-#: operators (MinHash, SimHash, clustering, PageRank) close it out --
-#: hedges a hypothetical time-budgeted driver window (count-capped is
-#: what r1 evidence shows, but ordering costs nothing) so a cut-off
-#: still leaves every cheap family verified.
+#: operators (kmeans topics, clustering, PageRank, LPA, linkage) close
+#: it out -- hedges a hypothetical time-budgeted driver window
+#: (count-capped is what r1 evidence shows, but ordering costs
+#: nothing) so a cut-off still leaves every cheap family verified.
 PRIORITY: tuple[str, ...] = (
     # reference parity core (SURVEY.md section 2.7 + MV transform)
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # TPC-H-style joins / windows / sessions (r4 rotation: q18's
-    # IN-subquery semi-join class stays represented by q4's EXISTS;
-    # q18 moves below the window, strict-checked locally)
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-    "q5_revenue_by_nation", "q10_top_returning_customers",
+    # TPC-H-style joins / windows / sessions (r4 second rotation: q4
+    # and q5 -- both attested green in r1/r2/r3 -- yield their slots
+    # to never-attested operators; the agg / join+topk / multi-join
+    # classes stay represented by q1/q3/q10)
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q10_top_returning_customers",
     "q_window_running_revenue",
     "q_sessionize", "q_range_join_quantity_bands",
-    # text analysis (r4 rotation: +q_repetition_filters and
-    # q_bpe_pair_counts from round 3; q_perplexity_unigram yields its
-    # slot -- the LM-scoring class stays via tfidf/quality, and both
-    # perplexity variants remain strict-checked below the window)
-    "q_token_stats", "q_quality_score", "q_lang_id",
-    "q_tfidf_top_terms", "q_fingerprint_winnow",
-    "q_repetition_filters", "q_bpe_pair_counts",
+    # text analysis (token_stats and tfidf -- 3x-attested scan-map /
+    # explode-count classes -- rotate below the window; +q_oov_rate,
+    # new this round)
+    "q_quality_score", "q_lang_id", "q_fingerprint_winnow",
+    "q_repetition_filters", "q_bpe_pair_counts", "q_oov_rate",
     # semi-structured
-    "q_json_extract_stats", "q_value_percentiles",
-    # reshape / sampling (r4: pivot keeps the reshape slot; unpivot
-    # and ntile rotate below the window -- same execution class as
-    # pivot and the window-function champions respectively)
-    "q_pivot_user_event_values", "q_sample_hash_per_source",
-    # advanced analytics (r4: rollup keeps the grouping-sets slot,
-    # cube rotates out)
-    "q_rollup_revenue", "q_asof_last_signup",
-    "q_gapfill_hourly", "q_hypertable_rollup", "q_curation_pipeline",
-    # curation (r4 rotation: +q_decontaminate_bloom and
-    # q_paragraph_dedup from round 3; q_retention_cohorts yields to
-    # keep funnel as the behavioral-analytics champion)
-    "q_funnel_steps", "q_quality_gopher",
-    "q_pack_sequences", "q_decontaminate_shingle_overlap",
+    "q_json_extract_stats",
+    # reshape
+    "q_pivot_user_event_values",
+    # advanced analytics (gapfill/hypertable -- 3x-attested time-bucket
+    # classes -- rotate out; as-of join stays as the time-align champion)
+    "q_rollup_revenue", "q_asof_last_signup", "q_curation_pipeline",
+    # curation (+q_quality_classifier_hashed and q_dsir_importance:
+    # the round-4 selection/filter cohort)
+    "q_quality_gopher", "q_pack_sequences",
     "q_decontaminate_bloom", "q_paragraph_dedup",
-    "q_chunk_documents",
-    # multimodal (r4: features is the family champion; frames/resize
-    # share the same mapInPandas plumbing and rotate below the window)
+    "q_quality_classifier_hashed", "q_dsir_importance",
+    # multimodal
     "q_multimodal_features",
-    # similarity search (r4: +q_knn_graph from round 3)
-    "q_ann_bruteforce_topk", "q_embedding_label_centroids",
-    "q_knn_graph",
-    # dedup + keyed compaction + graph (the heavy tail; r4:
-    # +q_dedup_embedding_lsh, q_semantic_dedup,
-    # q_triangle_count_copurchase from round 3)
-    "q_dedup_exact", "q_upsert_latest_wins", "q_dedup_quality_canonical",
+    # tokenizer training loop (round 4, never attested)
+    "q_bpe_train_merges", "q_tokenize_bpe_apply",
+    # similarity / embedding ops (round-4 cohort: recall audit, hard
+    # negatives, triplets, int8 quantization, cluster topic labeling)
+    "q_ann_bruteforce_topk", "q_knn_graph", "q_ann_recall_audit",
+    "q_hard_negatives", "q_triplet_mining",
+    "q_embedding_int8_quantize", "q_cluster_topics",
+    # dedup (simhash/upsert -- 3x-attested -- rotate out; incremental
+    # near-dup batch twin rotates in)
+    "q_dedup_exact", "q_dedup_quality_canonical",
     "q_dedup_minhash_lsh", "q_dedup_embedding_lsh", "q_semantic_dedup",
-    "q_dedup_clusters", "q_pagerank_copurchase",
-    "q_triangle_count_copurchase", "q_dedup_simhash",
+    "q_dedup_clusters", "q_dedup_incremental_near",
+    # graph (+q_label_propagation from round 4)
+    "q_pagerank_copurchase", "q_triangle_count_copurchase",
+    "q_label_propagation",
+    # record linkage (round 4, never attested)
+    "q_fuzzy_match_parts", "q_fuzzy_canonical_parts",
 )
 
 

@@ -77,6 +77,9 @@ HEADLINE = [
     "q_embedding_int8_quantize",
     "q_hard_negatives",
     "q_dedup_incremental_near",
+    "q_dsir_importance",
+    "q_triplet_mining",
+    "q_cluster_topics",
 ]
 
 

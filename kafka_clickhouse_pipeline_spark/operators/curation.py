@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.canon import date_str
@@ -80,6 +81,14 @@ PII_NUMBER = r"[0-9]+"
 #: what makes the operator embarrassingly parallel at corpus scale).
 PACK_CAPACITY = 256
 PACK_SHARD_DOCS = 100_000
+
+#: DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+#: hashed-feature buckets, target distribution = this lang's docs, and
+#: how many raw-pool docs the selection keeps. The bucket count is the
+#: memory knob -- the n-gram LM is B floats regardless of corpus size.
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+DSIR_KEEP = 100
 
 
 def funnel_steps(ev: DataFrame) -> DataFrame:
@@ -837,6 +846,89 @@ def q_quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): score every raw-pool
+    document by how much it resembles a target distribution, using
+    hashed token features -- two unigram LMs over B hash buckets --
+    then keep the top-N by importance weight. This is the selection
+    mechanism behind targeted pretraining mixes (e.g. 'more
+    Wikipedia-like web text'); here target = ``lang = 'en'`` documents
+    and raw pool = everything else.
+
+    log w(d) = sum_b count_d(b) * ln( p_target(b) / p_raw(b) ) with
+    Laplace +1 smoothing over the B buckets. Feature hashing keeps the
+    model state at B floats TOTAL regardless of corpus size -- the
+    reason DSIR runs on trillion-token pools where a full-vocabulary
+    LM join would not.
+
+    Scale shape: explode -> per-(doc,bucket) counts (shuffle 1, the
+    only corpus-sized shuffle) -> B-row bucket LM (shuffle 2, tiny,
+    partial-agg friendly) -> broadcast the B-row weight table back
+    (AQE turns this join into a broadcast automatically; B = 64 rows)
+    -> per-doc decimal fold (shuffle 3, one row per doc) -> global
+    top-N via TakeOrderedAndProject (no full sort). Nothing collects.
+
+    Determinism contract: bucket = md5-hex8 % B (integer, portable);
+    per-bucket log-ratio args are associativity-pinned doubles; the
+    per-doc sum uses the round(.,9)-as-DECIMAL(28,9) trick from
+    q_perplexity_unigram, so cross-row addition is order-independent
+    and the oracle reproduces every weight bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    db = (
+        terms.select("doc_id", "lang", bucket.alias("bucket"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    is_target = F.col("lang") == DSIR_TARGET_LANG
+    bstats = db.groupBy("bucket").agg(
+        F.sum(F.when(is_target, F.col("cnt")).otherwise(F.lit(0))).alias("t_cnt"),
+        F.sum(F.when(~is_target, F.col("cnt")).otherwise(F.lit(0))).alias("r_cnt"),
+    )
+    tot = bstats.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    weights = bstats.crossJoin(broadcast(tot)).select(
+        "bucket",
+        F.log(
+            ((F.col("t_cnt") + 1).cast("double")
+             / (F.col("t_tot") + DSIR_BUCKETS).cast("double"))
+            * ((F.col("r_tot") + DSIR_BUCKETS).cast("double")
+               / (F.col("r_cnt") + 1).cast("double"))
+        ).alias("w"),
+    )
+    contrib = (
+        db.filter(~is_target)
+        .join(broadcast(weights), "bucket")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("cnt") * F.col("w"), 9)
+            .cast("decimal(28,9)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id", "lang").agg(
+        F.round(F.sum("c").cast("double"), 6).alias("log_weight")
+    )
+    selected = scored.orderBy(
+        F.col("log_weight").desc(), F.col("doc_id")
+    ).limit(DSIR_KEEP)
+    w = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id"))
+    return selected.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).orderBy("rank")
+
+
 def _hex8_sql(h: str) -> str:
     """DuckDB twin of ``conv(substring(md5(x),1,8),16,10)``: fold the
     first 8 hex chars of ``h`` into an integer."""
@@ -1473,6 +1565,43 @@ CURATION_ORACLES["q_quality_classifier_hashed"] = f"""
     FROM s ORDER BY doc_id
 """
 
+CURATION_ORACLES["q_dsir_importance"] = f"""
+    WITH terms AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    db AS (
+      SELECT doc_id, lang, ({_hex8_sql("md5(term)")}) % {DSIR_BUCKETS} AS bucket,
+             count(*) AS cnt
+      FROM terms GROUP BY 1, 2, 3),
+    bstats AS (
+      SELECT bucket,
+             sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN cnt ELSE 0 END) AS t_cnt,
+             sum(CASE WHEN lang <> '{DSIR_TARGET_LANG}' THEN cnt ELSE 0 END) AS r_cnt
+      FROM db GROUP BY 1),
+    tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM bstats),
+    w AS (
+      SELECT bucket,
+             ln((CAST(t_cnt + 1 AS DOUBLE) / CAST(t_tot + {DSIR_BUCKETS} AS DOUBLE))
+                * (CAST(r_tot + {DSIR_BUCKETS} AS DOUBLE)
+                   / CAST(r_cnt + 1 AS DOUBLE))) AS w
+      FROM bstats, tot),
+    contrib AS (
+      SELECT doc_id, lang, CAST(round(cnt * w, 9) AS DECIMAL(28,9)) AS c
+      FROM db JOIN w USING (bucket)
+      WHERE lang <> '{DSIR_TARGET_LANG}'),
+    agg AS (
+      SELECT doc_id, lang, round(CAST(sum(c) AS DOUBLE), 6) AS log_weight
+      FROM contrib GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, lang, log_weight,
+             row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rank
+      FROM agg)
+    SELECT doc_id, lang, log_weight, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {DSIR_KEEP}
+    ORDER BY rank
+"""
+
 CURATION_ORACLES["q_temperature_sample"] = """
     WITH per_source AS (
       SELECT source,
@@ -1521,4 +1650,5 @@ CURATION_QUERIES = {
     "q_source_mixture_weights": q_source_mixture_weights,
     "q_split_leakage_audit": q_split_leakage_audit,
     "q_quality_classifier_hashed": q_quality_classifier_hashed,
+    "q_dsir_importance": q_dsir_importance,
 }

@@ -249,6 +249,118 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(vecs, centroids)
 
 
+#: Topic terms surfaced per embedding cluster.
+CLUSTER_TOPIC_TERMS = 3
+
+
+def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-describe corpus cartography: k-means over the
+    embedding corpus, then label every cluster with its most
+    distinctive terms (cluster-level TF-IDF: term count in the
+    cluster's documents x ln(n_clusters / clusters-containing-term)).
+    This is the standard corpus-map/auto-topic step of embedding-based
+    curation (SemDeDup-style cluster pruning, data maps, mixture
+    audits) -- the human-readable answer to 'what IS in this cluster?'.
+
+    Composition: the deterministic kmeans_centroids model (decimal-
+    exact means, bit-portable assignment -> oracle-reproducible), one
+    doc->cluster assignment map (pure Arrow-batched map, no shuffle),
+    a doc-id join to the text corpus, then two counting aggregations
+    bounded by (clusters x vocabulary), NOT corpus size. The heavy
+    passes are the same explode/count shapes as q_tfidf_top_terms;
+    top-terms use the map-side-pruned grouped_topk, and the per-
+    cluster size table (<= N_CENTROIDS rows) broadcasts back.
+
+    n_clusters is read off the (bounded, <= N_CENTROIDS-row) size
+    aggregate -- model metadata, like the centroid collect that
+    kmeans_centroids itself performs."""
+    vecs = _vectors(spark, sf_dir)
+    centroids = kmeans_centroids(vecs)
+    rows = _centroid_rows(centroids)
+    if not rows:  # empty corpus
+        rows = [(0, [0.0])]
+    assigned = vecs.select(
+        "vec_id", _nearest_centroid_udf(rows)(F.col("v")).alias("cluster_id")
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_clusters = sizes.count()  # bounded by N_CENTROIDS
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.join(
+        assigned, docs["doc_id"] == assigned["vec_id"]
+    ).select(
+        "cluster_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    ctf = terms.groupBy("cluster_id", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cdf = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
+    scored = ctf.join(cdf, "term").select(
+        "cluster_id",
+        "term",
+        "cnt",
+        F.round(
+            F.col("cnt")
+            * F.log(F.lit(float(n_clusters)) / F.col("cdf").cast("double")),
+            6,
+        ).alias("score"),
+    )
+    top = grouped_topk(
+        scored,
+        ["cluster_id"],
+        [("score", False), ("term", True)],
+        CLUSTER_TOPIC_TERMS,
+        rank_col="rnk",
+    )
+    return (
+        top.join(broadcast(sizes), "cluster_id")
+        .select("cluster_id", "n_docs", "term", "cnt", "score", "rnk")
+        .orderBy("cluster_id", "rnk")
+    )
+
+
+def _cluster_topics_oracle(iters: int = 3) -> str:
+    """Exact DuckDB twin of q_cluster_topics: the shared unrolled
+    k-means prefix, one more assignment round over the final
+    centroids, then the cluster-TF-IDF scoring."""
+    return f"""
+        {_kmeans_ctes(iters)},
+        {_centroid_sims_sql(f"c{iters}", "simsf")},
+        af AS (
+          SELECT vec_id, centroid_id AS cluster_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM simsf) WHERE rn = 1),
+        terms AS (
+          SELECT af.cluster_id,
+                 unnest(string_split_regex(trim(d.text), '\\s+')) AS term
+          FROM documents d JOIN af ON d.doc_id = af.vec_id),
+        ctf AS (SELECT cluster_id, term, count(*) AS cnt
+                FROM terms GROUP BY 1, 2),
+        cdfc AS (SELECT term, count(*) AS cdf FROM ctf GROUP BY 1),
+        nc AS (SELECT count(DISTINCT cluster_id) AS n_clusters FROM af),
+        sizes AS (SELECT cluster_id, count(*) AS n_docs
+                  FROM af GROUP BY 1),
+        scored AS (
+          SELECT cluster_id, ctf.term AS term, cnt,
+                 round(cnt * ln(CAST(n_clusters AS DOUBLE) / cdf), 6)
+                   AS score
+          FROM ctf JOIN cdfc ON ctf.term = cdfc.term CROSS JOIN nc),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM scored)
+        SELECT r.cluster_id, s.n_docs, r.term, r.cnt, r.score,
+               CAST(r.rnk AS BIGINT) AS rnk
+        FROM ranked r JOIN sizes s ON r.cluster_id = s.cluster_id
+        WHERE r.rnk <= {CLUSTER_TOPIC_TERMS}
+        ORDER BY r.cluster_id, r.rnk
+    """
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -784,17 +896,16 @@ def _ivf_search_sql(cent_cte: str) -> str:
     """
 
 
-def _ann_ivf_kmeans_oracle(iters: int = 3) -> str:
-    """Exact DuckDB twin of q_ann_ivf_kmeans_topk: Lloyd's iterations
-    unrolled as CTE pairs (assignment -> decimal-exact centroid
-    recompute), then the shared IVF search tail over the final
-    centroids. Reproducible because every step is: sequential-fold
+def _kmeans_ctes(iters: int = 3) -> str:
+    """The unrolled-Lloyd's CTE prefix shared by the k-means oracles:
+    ``WITH e/comp/stride/c0`` through the final centroid relation
+    ``c{iters}``. Reproducible because every step is: sequential-fold
     cosine (bit-identical to _seq_sims' cumsum), first-max/smallest-id
     tie-breaks (row_number OVER (sim DESC, centroid_id)), and
     order-independent decimal sums of float32 shortest-repr strings
     for the means (the q_embedding_label_centroids contract). The
     centroid doubles after every iteration are therefore bit-equal
-    across engines, and so are the final search results."""
+    across engines."""
     parts = [
         f"""
         WITH e AS (SELECT vec_id,
@@ -833,8 +944,14 @@ def _ann_ivf_kmeans_oracle(iters: int = 3) -> str:
           GROUP BY 1)
             """
         )
-    parts.append("," + _ivf_search_sql(f"c{iters}"))
     return "".join(parts)
+
+
+def _ann_ivf_kmeans_oracle(iters: int = 3) -> str:
+    """Exact DuckDB twin of q_ann_ivf_kmeans_topk: the shared unrolled
+    k-means prefix (_kmeans_ctes), then the IVF search tail over the
+    final centroids."""
+    return _kmeans_ctes(iters) + "," + _ivf_search_sql(f"c{iters}")
 
 
 def _ann_lsh_oracle() -> str:
@@ -993,6 +1110,176 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "label", "negative_id", "neg_label", "cosine")
         .orderBy("query_id")
     )
+
+
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for contrastive
+    training: per anchor vector, the most similar SAME-label LSH
+    band-candidate (hardest easy positive) and the most similar
+    DIFFERENT-label candidate (hard negative), emitted only when both
+    exist -- exactly the triplets a margin/InfoNCE loss consumes, and
+    the margin column (pos - neg cosine) is the curriculum signal
+    (small/negative margin = the informative triplet).
+
+    Plan shape: ONE band join + bare-id pair distinct + ONE scoring
+    pass over the candidates (vectors rejoin by id), then two map-side
+    pruned top-1 reductions (grouped_topk) split by label match, and a
+    final anchor-keyed join of the two 1-row-per-anchor sides. Compared
+    to running q_hard_negatives twice, the candidate generation and
+    cosine scoring are shared -- at corpus scale those passes are the
+    whole cost. Bit-portable arithmetic throughout (sign codes +
+    sequential-cumsum dots), so the oracle reproduces the exact
+    winners."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    normed = _with_norm(_vectors(spark, sf_dir))
+    banded = normed.select(
+        "vec_id",
+        F.explode(lsh_band_keys(lsh_code_arrow()(F.col("v")))).alias("band_key"),
+    )
+    dot = seq_dot_arrow()
+    scored = (
+        banded.select(F.col("vec_id").alias("anchor_id"), "band_key")
+        .join(
+            banded.select(F.col("vec_id").alias("other_id"), "band_key"),
+            "band_key",
+        )
+        .filter(F.col("other_id") != F.col("anchor_id"))
+        .select("anchor_id", "other_id")
+        .distinct()
+        .join(
+            labels.select(F.col("vec_id").alias("anchor_id"), "label"),
+            "anchor_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("other_id"),
+                F.col("label").alias("other_label"),
+            ),
+            "other_id",
+        )
+        .join(
+            normed.select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("v").alias("qv"),
+                F.col("vn").alias("qn"),
+            ),
+            "anchor_id",
+        )
+        .join(
+            normed.select(
+                F.col("vec_id").alias("other_id"),
+                F.col("v").alias("ov"),
+                F.col("vn").alias("on_"),
+            ),
+            "other_id",
+        )
+        .select(
+            "anchor_id",
+            "label",
+            "other_id",
+            "other_label",
+            F.round(
+                dot(F.col("qv"), F.col("ov")) / (F.col("qn") * F.col("on_")), 6
+            ).alias("cosine"),
+        )
+    )
+    pos = grouped_topk(
+        scored.filter(F.col("other_label") == F.col("label")),
+        ["anchor_id"],
+        [("cosine", False), ("other_id", True)],
+        1,
+    ).select(
+        "anchor_id",
+        "label",
+        F.col("other_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
+    neg = grouped_topk(
+        scored.filter(F.col("other_label") != F.col("label")),
+        ["anchor_id"],
+        [("cosine", False), ("other_id", True)],
+        1,
+    ).select(
+        "anchor_id",
+        F.col("other_id").alias("negative_id"),
+        F.col("other_label").alias("neg_label"),
+        F.col("cosine").alias("neg_cosine"),
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "label",
+            "positive_id",
+            "pos_cosine",
+            "negative_id",
+            "neg_label",
+            "neg_cosine",
+            F.round(F.col("pos_cosine") - F.col("neg_cosine"), 6).alias(
+                "margin"
+            ),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+def _triplet_mining_oracle() -> str:
+    """q_hard_negatives' oracle generalized: one scored candidate set,
+    two rank-1 branches (same-label / different-label), inner join."""
+    return f"""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        coded AS (
+          SELECT e.vec_id,
+                 CAST(sum(CASE WHEN list_sum(list_transform(
+                            generate_series(1, len(e.v)),
+                            i -> e.v[i] * pl.p[i])) >= 0
+                          THEN pl.w ELSE 0 END) AS BIGINT) AS code
+          FROM e, (VALUES {lsh_planes_values_sql()}) AS pl(w, p)
+          GROUP BY e.vec_id),
+        banded AS (
+          SELECT vec_id, ((code >> (bb.b * 4)) & 15) + bb.b * 16 AS band_key
+          FROM coded, (VALUES (0), (1), (2), (3)) AS bb(b)),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS anchor_id, cb.vec_id AS other_id
+          FROM banded qb JOIN banded cb ON qb.band_key = cb.band_key
+          WHERE cb.vec_id <> qb.vec_id),
+        scored AS (
+          SELECT anchor_id, ql.label AS label, other_id,
+                 cl.label AS other_label,
+                 round({_COS_SQL.replace("q.v", "qe.v").replace("c.v", "ce.v")}, 6)
+                   AS cosine
+          FROM cand
+          JOIN e ql ON ql.vec_id = anchor_id
+          JOIN e cl ON cl.vec_id = other_id
+          JOIN e qe ON qe.vec_id = anchor_id
+          JOIN e ce ON ce.vec_id = other_id),
+        pos AS (
+          SELECT anchor_id, label, other_id AS positive_id,
+                 cosine AS pos_cosine
+          FROM (SELECT *,
+                       row_number() OVER (PARTITION BY anchor_id
+                                          ORDER BY cosine DESC, other_id)
+                         AS rn
+                FROM scored WHERE other_label = label)
+          WHERE rn = 1),
+        neg AS (
+          SELECT anchor_id, other_id AS negative_id,
+                 other_label AS neg_label, cosine AS neg_cosine
+          FROM (SELECT *,
+                       row_number() OVER (PARTITION BY anchor_id
+                                          ORDER BY cosine DESC, other_id)
+                         AS rn
+                FROM scored WHERE other_label <> label)
+          WHERE rn = 1)
+        SELECT p.anchor_id, p.label, p.positive_id, p.pos_cosine,
+               n.negative_id, n.neg_label, n.neg_cosine,
+               round(p.pos_cosine - n.neg_cosine, 6) AS margin
+        FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+        ORDER BY p.anchor_id
+    """
 
 
 def _hard_negatives_oracle() -> str:
@@ -1198,9 +1485,11 @@ _INT8_QUANT_SQL = """
 SIMILARITY_ORACLES: dict[str, str] = {
     "q_embedding_int8_quantize": _INT8_QUANT_SQL,
     "q_hard_negatives": _hard_negatives_oracle(),
+    "q_triplet_mining": _triplet_mining_oracle(),
     "q_knn_graph": _knn_graph_oracle(),
     "q_ann_ivf_topk": _ann_ivf_oracle(),
     "q_ann_ivf_kmeans_topk": _ann_ivf_kmeans_oracle(),
+    "q_cluster_topics": _cluster_topics_oracle(),
     "q_ann_lsh_topk": _ann_lsh_oracle(),
     "q_embedding_label_centroids": """
         WITH comp AS (
@@ -1244,10 +1533,12 @@ SIMILARITY_QUERIES = {
     "q_ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # oracle-checked (decimal-exact
     # centroid means + bit-portable cumsum sims; iterations unrolled in SQL)
     "q_ann_lsh_topk": q_ann_lsh_topk,  # oracle-checked (bit-portable LSH)
+    "q_cluster_topics": q_cluster_topics,  # oracle-checked (kmeans + cluster TF-IDF)
     "q_knn_graph": q_knn_graph,  # oracle-checked (bit-portable LSH, all queries)
     "q_embedding_label_centroids": q_embedding_label_centroids,
     "q_embedding_int8_quantize": q_embedding_int8_quantize,
     "q_hard_negatives": q_hard_negatives,
+    "q_triplet_mining": q_triplet_mining,
     "q_ann_recall_audit": q_ann_recall_audit,
 }
 

@@ -31,6 +31,58 @@ def _tokens():
     return F.split(F.trim(F.col("text")), r"\s+")
 
 
+#: Frozen-vocabulary size for the OOV-coverage audit (small enough that
+#: the fixture corpus, ~31 distinct tokens, has a real OOV tail).
+OOV_VOCAB_N = 12
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: freeze the top-N corpus
+    terms as the vocabulary, then measure each source's out-of-
+    vocabulary token rate -- the coverage check run before committing a
+    tokenizer vocab (high OOV on a source means the tokenizer will
+    shred it into bytes/UNKs and training sees degraded text).
+
+    Scale shape: one explode -> term counts (shuffle, partial-agg
+    friendly; the term relation is bounded by distinct vocabulary, not
+    corpus size) -> top-N via orderBy+limit = TakeOrderedAndProject
+    (no global sort) -> broadcast the N-row vocab as a LEFT join probe
+    -> per-source conditional counts (tiny shuffle). Nothing collects;
+    the only corpus-sized pass is the explode scan.
+
+    Exact integer counts + a round(6) division -- oracle matches
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("source", F.explode(_tokens()).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        freq.orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(OOV_VOCAB_N)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        terms.join(broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def _adjacent_pairs(first: str, second: str):
     """Adjacent-token pairs of ``_tokens()`` as an array of structs
     with the given field names: aligned-slice zip (no per-index
@@ -1141,8 +1193,29 @@ TEXT_ORACLES["q_bpe_train_merges"] = f"""
     ORDER BY round
 """
 
+TEXT_ORACLES["q_oov_rate"] = f"""
+    WITH terms AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    freq AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+    vocab AS (
+      SELECT term FROM freq
+      ORDER BY cnt DESC, term LIMIT {OOV_VOCAB_N}),
+    joined AS (
+      SELECT source,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM terms t LEFT JOIN vocab v ON t.term = v.term)
+    SELECT source, count(*) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM joined GROUP BY source
+    ORDER BY source
+"""
+
 TEXT_QUERIES = {
     "q_corpus_stats": q_corpus_stats,
+    "q_oov_rate": q_oov_rate,
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_bpe_train_merges": q_bpe_train_merges,
     "q_tokenize_bpe_apply": q_tokenize_bpe_apply,

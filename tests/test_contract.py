@@ -42,16 +42,19 @@ def test_all_queries_are_callables_with_two_args():
             )
 
 
-def test_window_is_50_oracle_backed_with_round3_operators():
+def test_window_is_50_oracle_backed_with_new_operators():
     """Driver window contract after the r4 rotation: exactly the first
     50 queries() entries form the attested window, every one is
-    oracle-backed, and the round-3 operator cohort VERDICT r3 #1 named
-    is inside it."""
+    oracle-backed, and both never-attested cohorts -- the round-3
+    operators VERDICT r3 #1 named and the round-4 additions -- are
+    inside it."""
     q, o = entrymod.queries(), entrymod.oracle_sql()
     window = list(q)[:50]
+    assert len(window) == 50
     assert tuple(window) == entrymod.PRIORITY
     assert all(n in o for n in window), [n for n in window if n not in o]
     rotated_in = {
+        # round-3 cohort (VERDICT r3 #1)
         "q_knn_graph",
         "q_semantic_dedup",
         "q_dedup_embedding_lsh",
@@ -60,6 +63,21 @@ def test_window_is_50_oracle_backed_with_round3_operators():
         "q_bpe_pair_counts",
         "q_paragraph_dedup",
         "q_triangle_count_copurchase",
+        # round-4 cohort
+        "q_fuzzy_match_parts",
+        "q_fuzzy_canonical_parts",
+        "q_label_propagation",
+        "q_bpe_train_merges",
+        "q_tokenize_bpe_apply",
+        "q_embedding_int8_quantize",
+        "q_hard_negatives",
+        "q_triplet_mining",
+        "q_ann_recall_audit",
+        "q_quality_classifier_hashed",
+        "q_dedup_incremental_near",
+        "q_dsir_importance",
+        "q_oov_rate",
+        "q_cluster_topics",
     }
     assert rotated_in <= set(window), rotated_in - set(window)
 
