@@ -1031,7 +1031,14 @@ def _knn_graph_oracle() -> str:
     """
 
 
-def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    target_cosine: float | None = None,
+    n_planes: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
     """Hard-negative mining for contrastive/embedding training: for
     each vector, the single most similar LSH band-candidate with a
     DIFFERENT label -- the negative a contrastive loss learns most
@@ -1045,13 +1052,26 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n) joins, no vectors through the distinct), exact cosine on the
     filtered candidates only, map-side-pruned top-1 per query. Same
     bit-portable arithmetic (sign codes + sequential-cumsum dots), so
-    the oracle reproduces the exact winners."""
+    the oracle reproduces the exact winners. Same geometry knob as
+    q_knn_graph/q_triplet_mining: ``n_planes``/``bands`` override the
+    contractual default, ``target_cosine`` alone derives them via
+    :func:`choose_geometry`."""
+    if target_cosine is not None and n_planes is None and bands is None:
+        n_planes, bands = choose_geometry(target_cosine)
+    n_planes = N_PLANES if n_planes is None else n_planes
+    bands = LSH_BANDS if bands is None else bands
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", "label")
     normed = _with_norm(_vectors(spark, sf_dir))
     banded = normed.select(
         "vec_id",
-        F.explode(lsh_band_keys(lsh_code_arrow()(F.col("v")))).alias("band_key"),
+        F.explode(
+            lsh_band_keys(
+                lsh_code_arrow(n_planes)(F.col("v")),
+                bands=bands,
+                n_planes=n_planes,
+            )
+        ).alias("band_key"),
     )
     pairs = (
         banded.select(F.col("vec_id").alias("query_id"), "band_key")
@@ -1112,7 +1132,14 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_triplet_mining(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    target_cosine: float | None = None,
+    n_planes: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
     """(anchor, positive, negative) triplet mining for contrastive
     training: per anchor vector, the most similar SAME-label LSH
     band-candidate (hardest easy positive) and the most similar
@@ -1129,13 +1156,31 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine scoring are shared -- at corpus scale those passes are the
     whole cost. Bit-portable arithmetic throughout (sign codes +
     sequential-cumsum dots), so the oracle reproduces the exact
-    winners."""
+    winners.
+
+    Scale: candidate volume is the banded pair space (~bands x n^2 /
+    2^bits) -- quadratic at FIXED geometry (measured 5.3/22.4/82.7 s
+    on the 1x/4x/10x salted ladder), linear-ish once geometry scales
+    with the corpus. ``n_planes``/``bands`` override the contractual
+    default; ``target_cosine`` alone derives them via
+    :func:`choose_geometry` (triplet partners at or above that
+    similarity retained with >= 99% probability per pair)."""
+    if target_cosine is not None and n_planes is None and bands is None:
+        n_planes, bands = choose_geometry(target_cosine)
+    n_planes = N_PLANES if n_planes is None else n_planes
+    bands = LSH_BANDS if bands is None else bands
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", "label")
     normed = _with_norm(_vectors(spark, sf_dir))
     banded = normed.select(
         "vec_id",
-        F.explode(lsh_band_keys(lsh_code_arrow()(F.col("v")))).alias("band_key"),
+        F.explode(
+            lsh_band_keys(
+                lsh_code_arrow(n_planes)(F.col("v")),
+                bands=bands,
+                n_planes=n_planes,
+            )
+        ).alias("band_key"),
     )
     dot = seq_dot_arrow()
     scored = (

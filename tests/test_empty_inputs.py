@@ -120,6 +120,11 @@ EMPTY_SENSITIVE = [
     "q_quality_classifier_hashed",
     "q_tokenize_bpe_apply",
     "q_ann_recall_audit",
+    # round-4 second batch
+    "q_dsir_importance",
+    "q_oov_rate",
+    "q_triplet_mining",
+    "q_cluster_topics",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE

@@ -110,6 +110,17 @@ def test_triplet_mining_labels_and_margin(spark, sf_dir):
         assert (r["negative_id"], r["neg_cosine"]) == (h["negative_id"], h["cosine"])
 
 
+def test_triplet_mining_geometry_knob(spark, sf_dir):
+    """The scale knob: target_cosine routes through choose_geometry
+    (wider bands, fewer candidates) and the label/margin invariants
+    hold under the derived geometry exactly as under the contractual
+    default."""
+    rows = similarity.q_triplet_mining(spark, sf_dir, target_cosine=0.45).collect()
+    for r in rows:
+        assert r["neg_label"] != r["label"]
+        assert abs(r["margin"] - round(r["pos_cosine"] - r["neg_cosine"], 6)) < 1e-9
+
+
 def test_cluster_topics_shape(spark, sf_dir):
     """Every cluster gets <= CLUSTER_TOPIC_TERMS dense-ranked terms
     with non-increasing scores; cluster sizes sum to the corpus; every
