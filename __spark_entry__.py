@@ -78,14 +78,18 @@ PRIORITY: tuple[str, ...] = (
     "q_json_extract_stats",
     # reshape
     "q_pivot_user_event_values",
-    # advanced analytics (gapfill/hypertable -- 3x-attested time-bucket
-    # classes -- rotate out; as-of join stays as the time-align champion)
-    "q_rollup_revenue", "q_asof_last_signup", "q_curation_pipeline",
-    # curation (+q_quality_classifier_hashed and q_dsir_importance:
-    # the round-4 selection/filter cohort)
-    "q_quality_gopher", "q_pack_sequences",
+    # advanced analytics (gapfill/hypertable/rollup -- 3x-attested
+    # time-bucket / grouping-set classes -- rotate out; as-of join
+    # stays as the time-align champion)
+    "q_asof_last_signup", "q_curation_pipeline",
+    # curation (+q_quality_classifier_hashed, q_dsir_importance and
+    # q_quota_sample: the round-4 selection/filter cohort; gopher --
+    # 3x-attested -- rotates out, its filter class stays represented
+    # by the classifier and repetition entries)
+    "q_pack_sequences",
     "q_decontaminate_bloom", "q_paragraph_dedup",
     "q_quality_classifier_hashed", "q_dsir_importance",
+    "q_quota_sample",
     # multimodal
     "q_multimodal_features",
     # tokenizer training loop (round 4, never attested)
@@ -95,6 +99,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_bruteforce_topk", "q_knn_graph", "q_ann_recall_audit",
     "q_hard_negatives", "q_triplet_mining",
     "q_embedding_int8_quantize", "q_cluster_topics",
+    "q_embedding_top_pc",
     # dedup (simhash/upsert -- 3x-attested -- rotate out; incremental
     # near-dup batch twin rotates in)
     "q_dedup_exact", "q_dedup_quality_canonical",

@@ -80,6 +80,8 @@ HEADLINE = [
     "q_dsir_importance",
     "q_triplet_mining",
     "q_cluster_topics",
+    "q_quota_sample",
+    "q_embedding_top_pc",
 ]
 
 

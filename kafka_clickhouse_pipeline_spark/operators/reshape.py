@@ -80,6 +80,78 @@ def q_sample_hash_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("source", "doc_id", "h", "rnk").orderBy("source", "rnk")
 
 
+#: Overall sampling budget for the quota sampler, as an exact integer
+#: fraction of the corpus: numerator/denominator (40%). A fraction --
+#: not an absolute count -- so per-source quotas can never exceed the
+#: source's size at any scale factor.
+QUOTA_NUM, QUOTA_DEN = 2, 5
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact largest-remainder (Hamilton) quota sampling: allocate a
+    global 40% document budget across sources exactly proportionally
+    -- floor quotas first, then the leftover seats to the largest
+    fractional remainders -- and fill each source's quota with its
+    md5-smallest documents. This is how a training-mixture budget is
+    actually apportioned when 'sample 40%, keep source proportions
+    EXACT' matters: per-source modulus/Bernoulli sampling
+    (q_stratified_rebalance, q_temperature_sample) only hits the
+    target in expectation; Hamilton allocation hits it exactly.
+
+    All quota arithmetic is INTEGER (cnt * B div total and its
+    remainder), so both engines agree bit-for-bit with no float
+    anywhere; the fill order is the md5(doc_id) hash -- the same
+    reproducible uniform order q_sample_hash_per_source uses.
+
+    Scale shape: per-source counts (tiny agg), quota math on the
+    #sources-row frame (the only unpartitioned window, bounded by the
+    source vocabulary -- model metadata, like a centroid table), one
+    bounded collect of max(quota) to size the map-side prune, then
+    grouped_topk keeps <= max-quota rows per source per Arrow batch
+    before the rank shuffle -- the corpus never shuffles whole."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    from .topk import grouped_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.agg(F.sum("cnt").alias("total"))
+    q0 = (
+        per.crossJoin(broadcast(tot))
+        .withColumn("b", F.expr(f"(total * {QUOTA_NUM}) div {QUOTA_DEN}"))
+        .withColumn("base", F.expr("(cnt * b) div total"))
+        .withColumn("rem", F.expr("(cnt * b) % total"))
+    )
+    ex = q0.agg((F.first("b") - F.sum("base")).alias("extra"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    quotas = (
+        q0.crossJoin(broadcast(ex))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "quota", F.expr("base + if(rk <= extra, 1, 0)").cast("long")
+        )
+        .select("source", "quota")
+    )
+    max_quota = quotas.agg(F.max("quota")).first()[0] or 0
+    keyed = docs.select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    top = grouped_topk(
+        keyed,
+        ["source"],
+        [("h", True), ("doc_id", True)],
+        max(int(max_quota), 1),
+        rank_col="pick_rank",
+    )
+    return (
+        top.join(broadcast(quotas), "source")
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select("source", "doc_id", "pick_rank", "quota")
+        .orderBy("source", "pick_rank")
+    )
+
+
 def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide->long): quantity/extendedprice/discount melted
     into (measure, val) rows, then aggregated per measure. Unpivot is
@@ -183,6 +255,36 @@ RESHAPE_ORACLES: dict[str, str] = {
         SELECT source, doc_id, h, rnk FROM r WHERE rnk <= {SAMPLE_K}
         ORDER BY source, rnk
     """,
+    "q_quota_sample": f"""
+        WITH per AS (SELECT source, count(*) AS cnt
+                     FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM per),
+        q0 AS (
+          SELECT source, cnt, total,
+                 (total * {QUOTA_NUM}) // {QUOTA_DEN} AS b,
+                 (cnt * ((total * {QUOTA_NUM}) // {QUOTA_DEN})) // total AS base,
+                 (cnt * ((total * {QUOTA_NUM}) // {QUOTA_DEN})) % total AS rem
+          FROM per, tot),
+        ex AS (SELECT b, b - sum(base) AS extra FROM q0 GROUP BY b),
+        qf AS (
+          SELECT source,
+                 CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                      AS BIGINT) AS quota
+          FROM (SELECT source, base, rem,
+                       row_number() OVER (ORDER BY rem DESC, source) AS rk
+                FROM q0), ex),
+        rankd AS (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS pick_rank
+          FROM documents)
+        SELECT r.source, r.doc_id, CAST(r.pick_rank AS BIGINT) AS pick_rank,
+               q.quota
+        FROM rankd r JOIN qf q ON r.source = q.source
+        WHERE r.pick_rank <= q.quota
+        ORDER BY r.source, r.pick_rank
+    """,
 }
 
 RESHAPE_QUERIES = {
@@ -191,4 +293,5 @@ RESHAPE_QUERIES = {
     "q_ntile_acctbal_quartiles": q_ntile_acctbal_quartiles,
     "q_pivot_user_event_values": q_pivot_user_event_values,
     "q_sample_systematic": q_sample_systematic,
+    "q_quota_sample": q_quota_sample,
 }

@@ -1428,6 +1428,205 @@ def _ann_recall_audit_oracle() -> str:
     """
 
 
+#: Power-iteration rounds for the top-principal-component operator.
+#: Fixed (not convergence-tested) so runtime is deterministic and the
+#: oracle can unroll the loop; 6 rounds from a constant start vector
+#: put the Rayleigh quotient within a fraction of a percent of the
+#: dominant eigenvalue on any spectrum with a visible gap.
+PCA_POWER_ITERS = 6
+
+
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration, emitted as each vector's projection score -- the
+    whitening / drift-diagnostic / curriculum axis of embedding
+    curation (e.g. removing the dominant 'common-crawl direction'
+    before similarity search, or ordering a corpus along its main
+    variance axis).
+
+    Distributed part (the corpus-sized work):
+      1. per-component mean -- decimal-exact, the
+         q_embedding_label_centroids contract (one shuffle keyed pos);
+      2. centered covariance -- upper-triangle outer-product cells
+         accumulated as 1e12-scaled long fixed-point (order-
+         independent exact integer addition, partial-agg friendly:
+         the shuffle carries ~tasks x dim^2 partial cells, not
+         n x dim^2 products);
+      3. per-vector projection -- Arrow-batched sequential-cumsum dot
+         against the finished component (pure map).
+    Driver part: the power iteration itself runs on the COLLECTED
+    dim x dim covariance -- bounded model metadata (dim^2 doubles,
+    like a centroid table), with every sum a cumsum fold so each
+    iterate is bit-identical to the oracle's ``list_sum(list(...
+    ORDER BY ...))`` unrolled CTE chain. No float ever crosses
+    engines un-pinned, so the projections match bit-for-bit."""
+    import math
+
+    vecs = _vectors(spark, sf_dir)
+    comp = vecs.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    mean_rows = (
+        comp.groupBy("pos")
+        .agg(
+            F.sum(
+                F.col("x").cast("float").cast("string").cast("decimal(28,18)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "pos",
+            (F.col("s").cast("string").cast("double") / F.col("n")).alias("m"),
+            "n",
+        )
+        .collect()
+    )
+    if not mean_rows:  # empty corpus -> empty projection table
+        return vecs.select("vec_id", F.lit(0.0).alias("proj")).limit(0)
+    d = len(mean_rows)
+    n = mean_rows[0]["n"]
+    m = np.zeros(d)
+    for r in mean_rows:
+        m[r["pos"]] = r["m"]
+
+    # Centered components as a long frame, then the outer product as a
+    # vec_id-keyed self-join restricted to the upper triangle (the
+    # matrix is symmetric; the lower half is mirrored after collect):
+    # ~d^2/2 product rows per vector, immediately reduced by map-side
+    # partial aggregation so the shuffle carries ~tasks x dim^2
+    # partials, not n x dim^2 products.
+    #
+    # Order-independent exact accumulation WITHOUT per-row decimals:
+    # each product is scaled by 1e12/n and HALF_UP-rounded to a LONG
+    # fixed-point contribution, summed as plain codegen'd long
+    # arithmetic (measured 20 s -> ~4 s vs the round-to-DECIMAL(38,12)
+    # form at sf0.1). Pre-dividing by n bounds every cell's sum by
+    # max|product| x 1e12 REGARDLESS of corpus size, so the long
+    # accumulator cannot overflow at any n; the +-0.5e-12 per-cell
+    # quantization is ~9 orders below the covariance values and, like
+    # every constant here, is reproduced exactly by the oracle.
+    mean_df = spark.createDataFrame(
+        [(int(r["pos"]), float(r["m"])) for r in mean_rows], "i int, m double"
+    )
+    comp2 = (
+        vecs.select("vec_id", F.posexplode("v").alias("i", "x"))
+        .join(broadcast(mean_df), "i")
+        .select("vec_id", "i", (F.col("x") - F.col("m")).alias("ci"))
+    )
+    cov_rows = (
+        comp2.join(
+            comp2.select(
+                "vec_id", F.col("i").alias("j"), F.col("ci").alias("cj")
+            ),
+            "vec_id",
+        )
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("ci") * F.col("cj") * F.lit(1e12 / n)
+                ).cast("long")
+            ).alias("k")
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("k").cast("double") / F.lit(1e12)).alias("c"),
+        )
+        .collect()  # bounded: dim^2/2 cells of model metadata
+    )
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["c"]
+        C[r["j"], r["i"]] = r["c"]
+
+    v = np.full(d, 1.0 / math.sqrt(d))
+    for _ in range(PCA_POWER_ITERS):
+        u = np.cumsum(C * v[None, :], axis=1)[:, -1]  # fold over j asc
+        nm = math.sqrt(np.cumsum(u * u)[-1])  # fold over i asc
+        v = u / nm
+    vc = v.copy()
+    mc = m.copy()
+
+    @F.pandas_udf("double")
+    def proj(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="float64")
+        M = np.stack(vs.to_numpy())
+        return pd.Series(np.cumsum((M - mc[None, :]) * vc[None, :], axis=1)[:, -1])
+
+    return vecs.select(
+        "vec_id", F.round(proj(F.col("v")), 6).alias("proj")
+    ).orderBy("vec_id")
+
+
+def _embedding_top_pc_oracle(iters: int = PCA_POWER_ITERS) -> str:
+    """Exact DuckDB twin of q_embedding_top_pc: decimal-exact mean,
+    long-fixed-point covariance (upper triangle + mirror), and the
+    power iteration unrolled as (u_k, norm_k, v_k) CTE triples whose
+    sums are all sequential list folds -- bit-identical to the
+    driver-side cumsum iteration. Heavy CTEs are MATERIALIZED: DuckDB
+    inlines CTEs by default, and the iteration chain would otherwise
+    re-inline the covariance subtree ~2^iters times."""
+    parts = [
+        """
+        WITH comp AS (
+          SELECT vec_id, pos,
+                 CAST(CAST(x AS VARCHAR) AS DECIMAL(28,18)) AS xdec,
+                 CAST(x AS DOUBLE) AS xd
+          FROM (SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings)),
+        mean AS (
+          SELECT pos, CAST(CAST(sum(xdec) AS VARCHAR) AS DOUBLE)
+                        / count(*) AS m,
+                 count(*) AS n
+          FROM comp GROUP BY pos),
+        nn AS (SELECT max(n) AS n FROM mean),
+        cx AS MATERIALIZED (
+          SELECT c.vec_id, c.pos AS i, c.xd - m.m AS cxv
+          FROM comp c JOIN mean m ON c.pos = m.pos),
+        covh AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(sum(CAST(round(a.cxv * b.cxv
+                                     * (1000000000000.0
+                                        / (SELECT n FROM nn)))
+                               AS BIGINT)) AS DOUBLE)
+                   / 1000000000000.0 AS c
+          FROM cx a JOIN cx b ON a.vec_id = b.vec_id AND b.i >= a.i
+          GROUP BY 1, 2),
+        cov AS MATERIALIZED (
+          SELECT i, j, c FROM covh
+          UNION ALL
+          SELECT j AS i, i AS j, c FROM covh WHERE i <> j),
+        dims AS (SELECT count(*) AS dim FROM mean),
+        v0 AS (SELECT pos AS i, 1.0 / sqrt(dim) AS vv FROM mean, dims)
+        """
+    ]
+    for k in range(iters):
+        parts.append(
+            f""",
+        u{k} AS MATERIALIZED (
+          SELECT cov.i, list_sum(list(cov.c * vk.vv ORDER BY cov.j)) AS u
+          FROM cov JOIN v{k} vk ON cov.j = vk.i
+          GROUP BY cov.i),
+        nrm{k} AS (SELECT sqrt(list_sum(list(u * u ORDER BY i))) AS nm
+                   FROM u{k}),
+        v{k + 1} AS (SELECT i, u / nm AS vv FROM u{k}, nrm{k})
+            """
+        )
+    parts.append(
+        f""",
+        pc AS (
+          SELECT c.vec_id, c.i, c.cxv * vf.vv AS contrib
+          FROM cx c JOIN v{iters} vf ON c.i = vf.i)
+        SELECT vec_id,
+               round(list_sum(list(contrib ORDER BY i)), 6) AS proj
+        FROM pc GROUP BY vec_id ORDER BY vec_id
+        """
+    )
+    return "".join(parts)
+
+
 def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization with
     reconstruction-error audit -- the standard 4x storage/bandwidth
@@ -1535,6 +1734,7 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "q_ann_ivf_topk": _ann_ivf_oracle(),
     "q_ann_ivf_kmeans_topk": _ann_ivf_kmeans_oracle(),
     "q_cluster_topics": _cluster_topics_oracle(),
+    "q_embedding_top_pc": _embedding_top_pc_oracle(),
     "q_ann_lsh_topk": _ann_lsh_oracle(),
     "q_embedding_label_centroids": """
         WITH comp AS (
@@ -1582,6 +1782,7 @@ SIMILARITY_QUERIES = {
     "q_knn_graph": q_knn_graph,  # oracle-checked (bit-portable LSH, all queries)
     "q_embedding_label_centroids": q_embedding_label_centroids,
     "q_embedding_int8_quantize": q_embedding_int8_quantize,
+    "q_embedding_top_pc": q_embedding_top_pc,
     "q_hard_negatives": q_hard_negatives,
     "q_triplet_mining": q_triplet_mining,
     "q_ann_recall_audit": q_ann_recall_audit,

@@ -78,6 +78,8 @@ def test_window_is_50_oracle_backed_with_new_operators():
         "q_dsir_importance",
         "q_oov_rate",
         "q_cluster_topics",
+        "q_quota_sample",
+        "q_embedding_top_pc",
     }
     assert rotated_in <= set(window), rotated_in - set(window)
 

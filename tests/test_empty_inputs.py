@@ -125,6 +125,8 @@ EMPTY_SENSITIVE = [
     "q_oov_rate",
     "q_triplet_mining",
     "q_cluster_topics",
+    "q_quota_sample",
+    "q_embedding_top_pc",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE

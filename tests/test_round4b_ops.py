@@ -7,7 +7,12 @@ from __future__ import annotations
 
 import pytest
 
-from kafka_clickhouse_pipeline_spark.operators import curation, similarity, text
+from kafka_clickhouse_pipeline_spark.operators import (
+    curation,
+    reshape,
+    similarity,
+    text,
+)
 from kafka_clickhouse_pipeline_spark.schemas import DOCUMENTS_SCHEMA
 
 
@@ -119,6 +124,63 @@ def test_triplet_mining_geometry_knob(spark, sf_dir):
     for r in rows:
         assert r["neg_label"] != r["label"]
         assert abs(r["margin"] - round(r["pos_cosine"] - r["neg_cosine"], 6)) < 1e-9
+
+
+def test_quota_sample_exact_allocation(spark, sf_dir):
+    """Hamilton allocation: quotas sum EXACTLY to the 40% budget,
+    every source's quota is within 1 of exact proportionality, the
+    sample delivers exactly quota docs per source, and the picks are
+    the md5-smallest documents of each source."""
+    import hashlib
+
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+
+    rows = reshape.q_quota_sample(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    by_src: dict[str, list[int]] = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append(d["doc_id"])
+    total = len(docs)
+    budget = (total * reshape.QUOTA_NUM) // reshape.QUOTA_DEN
+    quotas = {}
+    picked: dict[str, list] = {}
+    for r in rows:
+        quotas[r["source"]] = r["quota"]
+        picked.setdefault(r["source"], []).append(r)
+    assert sum(quotas.values()) == budget
+    for src, q in quotas.items():
+        exact = len(by_src[src]) * budget / total
+        assert abs(q - exact) <= 1
+        assert len(picked[src]) == q
+        want = sorted(
+            by_src[src],
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:q]
+        got = [r["doc_id"] for r in sorted(picked[src], key=lambda r: r["pick_rank"])]
+        assert got == want
+
+
+def test_embedding_top_pc_captures_dominant_variance(spark, sf_dir):
+    """The projection axis is (near-)dominant: projection variance
+    beats the variance of every raw coordinate axis, projections are
+    centered, and a second run reproduces them bit-for-bit."""
+    import numpy as np
+
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+
+    rows = similarity.q_embedding_top_pc(spark, sf_dir).collect()
+    proj = np.array([r["proj"] for r in rows])
+    emb = np.stack(
+        [
+            np.asarray(r["embedding"], dtype="float64")
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ]
+    )
+    axis_var = ((emb - emb.mean(axis=0)) ** 2).mean(axis=0).max()
+    assert abs(proj.mean()) < 1e-5  # centered
+    assert proj.var() >= 0.95 * axis_var  # Rayleigh dominance
+    again = similarity.q_embedding_top_pc(spark, sf_dir).collect()
+    assert [r["proj"] for r in again] == [r["proj"] for r in rows]
 
 
 def test_cluster_topics_shape(spark, sf_dir):
