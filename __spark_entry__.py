@@ -78,10 +78,10 @@ PRIORITY: tuple[str, ...] = (
     "q_json_extract_stats",
     # reshape
     "q_pivot_user_event_values",
-    # advanced analytics (gapfill/hypertable/rollup -- 3x-attested
-    # time-bucket / grouping-set classes -- rotate out; as-of join
-    # stays as the time-align champion)
-    "q_asof_last_signup", "q_curation_pipeline",
+    # advanced analytics (gapfill/hypertable/rollup/as-of -- all
+    # 3x-attested time-bucket / grouping-set / time-align classes --
+    # rotate out in favor of never-attested operators)
+    "q_curation_pipeline",
     # curation (+q_quality_classifier_hashed, q_dsir_importance and
     # q_quota_sample: the round-4 selection/filter cohort; gopher --
     # 3x-attested -- rotates out, its filter class stays represented
@@ -105,9 +105,10 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_exact", "q_dedup_quality_canonical",
     "q_dedup_minhash_lsh", "q_dedup_embedding_lsh", "q_semantic_dedup",
     "q_dedup_clusters", "q_dedup_incremental_near",
-    # graph (+q_label_propagation from round 4)
+    # graph (+q_label_propagation and the mutual-kNN k-core from
+    # round 4)
     "q_pagerank_copurchase", "q_triangle_count_copurchase",
-    "q_label_propagation",
+    "q_label_propagation", "q_kcore_mutual_knn",
     # record linkage (round 4, never attested)
     "q_fuzzy_match_parts", "q_fuzzy_canonical_parts",
 )

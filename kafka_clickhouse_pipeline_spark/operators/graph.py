@@ -456,6 +456,126 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Minimum within-core degree for the mutual-kNN k-core.
+KCORE_K = 2
+
+
+def kcore_edges(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """Maximal subgraph in which every node has degree >= k, by
+    iterative peeling: drop sub-k nodes, recompute degrees, repeat to
+    fixpoint. ``edges`` must be symmetric (both directions present);
+    returns the surviving symmetric edge list.
+
+    Driver runs only the loop + one count per round (the convergence
+    witness: the edge count strictly decreases until fixpoint). Each
+    round is one degree aggregate plus two key joins against the
+    O(surviving-nodes) keep-set -- no collect, no broadcast of
+    anything corpus-sized; lineage is cut per round so plans stay one
+    round deep no matter the peel depth. Peel depth is bounded by the
+    graph's degeneracy ordering; on bounded-degree graphs (like a
+    kNN graph, degree <= 2k) it is a small constant."""
+    sym = edges.select("src", "dst").transform(cut_lineage)
+    prev = None
+    for _ in range(max_iter):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        sym = (
+            sym.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .transform(cut_lineage)
+        )
+        n_edges = sym.count()
+        if prev is not None and n_edges == prev:
+            break
+        prev = n_edges
+    return sym
+
+
+def q_kcore_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense semantic regions of the embedding corpus: the
+    {KCORE_K}-core of the MUTUAL k-NN graph (edges kept only where
+    both endpoints rank each other in their top-K). Mutuality prunes
+    hub-induced asymmetric edges; the k-core then keeps exactly the
+    nodes embedded in cyclically-dense neighborhoods -- the standard
+    recipe for locating over-represented semantic clumps to
+    down-weight (or mine) in a training corpus. Output: every core
+    member with its within-core mutual degree.
+
+    Composition: q_knn_graph's banded candidate construction (the
+    corpus-scale path, geometry knob and all), a pair-keyed self-join
+    for mutuality, then the kcore_edges peel. The oracle replays the
+    identical kNN oracle, mutual join, and peel -- the peel unrolls as
+    a recursive CTE whose per-round state is the surviving node list,
+    terminating exactly when the list stops shrinking (bit-identical
+    membership, since the kNN edges themselves are bit-portable).
+
+    Fixture shape: the mutual 3-NN graph peels in ~8 rounds to a core
+    of roughly 60% of vectors at every SF -- deep enough to exercise
+    the loop, non-trivial enough to mean something."""
+    from .similarity import q_knn_graph
+
+    knn = q_knn_graph(spark, sf_dir).select("query_id", "neighbor_id")
+    mutual = (
+        knn.alias("a")
+        .join(
+            knn.alias("b"),
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("src"),
+            F.col("a.neighbor_id").alias("dst"),
+        )
+    )
+    core = kcore_edges(mutual, KCORE_K)
+    return (
+        core.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("src").alias("vec_id"), "core_degree")
+        .orderBy("vec_id")
+    )
+
+
+def _kcore_mutual_knn_oracle() -> str:
+    """DuckDB twin: the kNN oracle as a nested CTE, the mutual join,
+    and the peel as a recursive CTE carrying the surviving node list
+    per round (MATERIALIZED edge list -- DuckDB would otherwise
+    re-inline it into every round's correlated subquery)."""
+    from .similarity import _knn_graph_oracle
+
+    return f"""
+        WITH RECURSIVE knn AS MATERIALIZED ({_knn_graph_oracle()}),
+        und AS MATERIALIZED (
+          SELECT a.query_id AS src, a.neighbor_id AS dst
+          FROM knn a JOIN knn b
+            ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id),
+        walk(iter, nodes) AS (
+          SELECT 0, (SELECT list(DISTINCT src ORDER BY src) FROM und)
+          UNION ALL
+          SELECT iter + 1, surv FROM (
+            SELECT iter, nodes,
+                   (SELECT coalesce(list(src ORDER BY src), [])
+                    FROM (SELECT src FROM und
+                          WHERE list_contains(w.nodes, src)
+                            AND list_contains(w.nodes, dst)
+                          GROUP BY src
+                          HAVING count(*) >= {KCORE_K})) AS surv
+            FROM walk w) WHERE surv <> nodes),
+        core AS (
+          SELECT unnest(nodes) AS vec_id
+          FROM (SELECT nodes FROM walk ORDER BY iter DESC LIMIT 1)),
+        deg AS (
+          SELECT u.src AS vec_id, count(*) AS core_degree
+          FROM und u
+          JOIN core c1 ON u.src = c1.vec_id
+          JOIN core c2 ON u.dst = c2.vec_id
+          GROUP BY 1)
+        SELECT vec_id, CAST(core_degree AS BIGINT) AS core_degree
+        FROM deg ORDER BY vec_id
+    """
+
+
 _PAIRS_SQL = f"""
         WITH RECURSIVE sh AS (
           SELECT doc_id,
@@ -595,4 +715,7 @@ GRAPH_QUERIES = {
     "q_triangle_count_copurchase": q_triangle_count_copurchase,
     "q_degree_distribution": q_degree_distribution,
     "q_label_propagation": q_label_propagation,
+    "q_kcore_mutual_knn": q_kcore_mutual_knn,
 }
+
+GRAPH_ORACLES["q_kcore_mutual_knn"] = _kcore_mutual_knn_oracle()

@@ -80,6 +80,7 @@ def test_window_is_50_oracle_backed_with_new_operators():
         "q_cluster_topics",
         "q_quota_sample",
         "q_embedding_top_pc",
+        "q_kcore_mutual_knn",
     }
     assert rotated_in <= set(window), rotated_in - set(window)
 

@@ -127,6 +127,7 @@ EMPTY_SENSITIVE = [
     "q_cluster_topics",
     "q_quota_sample",
     "q_embedding_top_pc",
+    "q_kcore_mutual_knn",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE

@@ -183,6 +183,33 @@ def test_embedding_top_pc_captures_dominant_variance(spark, sf_dir):
     assert [r["proj"] for r in again] == [r["proj"] for r in rows]
 
 
+def test_kcore_mutual_knn_invariants(spark, sf_dir):
+    """k-core contract: every member's within-core degree >= K, the
+    reported degrees equal the mutual-edge counts restricted to the
+    core, and the core is a FIXPOINT (one more peel changes nothing)."""
+    from kafka_clickhouse_pipeline_spark.operators import graph
+
+    rows = similarity.q_knn_graph(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    knn = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    mutual = {(a, b) for (a, b) in knn if (b, a) in knn}
+    core_rows = graph.q_kcore_mutual_knn(spark, sf_dir).collect()
+    assert core_rows, "fixture core should be non-empty"
+    core = {r["vec_id"] for r in core_rows}
+    deg = {r["vec_id"]: r["core_degree"] for r in core_rows}
+    for v, d in deg.items():
+        assert d >= graph.KCORE_K
+        want = sum(1 for (a, b) in mutual if a == v and b in core)
+        assert d == want
+    # fixpoint: peeling the reported core once more removes nobody
+    survivors = {
+        v for v in core
+        if sum(1 for (a, b) in mutual if a == v and b in core) >= graph.KCORE_K
+    }
+    assert survivors == core
+
+
 def test_cluster_topics_shape(spark, sf_dir):
     """Every cluster gets <= CLUSTER_TOPIC_TERMS dense-ranked terms
     with non-increasing scores; cluster sizes sum to the corpus; every
