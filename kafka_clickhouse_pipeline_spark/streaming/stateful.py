@@ -58,17 +58,27 @@ def hourly_rollup_stream(
     parsed: DataFrame,
     watermark: str = "1 hour",
     window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Streaming hourly rollup of the parsed sales stream: tumbling
-    window sums of quantity and total (the streaming twin of
-    sales_by_hour, SURVEY.md section 2.7.1).
+    """Streaming hourly rollup of the parsed sales stream: windowed
+    sums of quantity and total (the streaming twin of sales_by_hour,
+    SURVEY.md section 2.7.1). Tumbling by default; pass ``slide``
+    (e.g. "15 minutes") for overlapping sliding windows -- each event
+    then contributes to window/slide windows, state scales by the
+    same factor, and the watermark still evicts every window whose
+    end has passed.
 
     Late rows beyond the watermark are dropped; each window finalizes
     (append mode) once the watermark passes its end.
     """
+    win = (
+        F.window("event_time", window, slide)
+        if slide
+        else F.window("event_time", window)
+    )
     return (
         parsed.withWatermark("event_time", watermark)
-        .groupBy(F.window("event_time", window).alias("win"))
+        .groupBy(win.alias("win"))
         .agg(
             F.sum("quantity").alias("total_quantity"),
             F.sum("total").alias("revenue"),

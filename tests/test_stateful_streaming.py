@@ -91,6 +91,33 @@ def test_windowed_rollup_finalizes_and_drops_late(spark, tmp_path):
     assert got.get("2024-01-15T16:00:00") == (1, "3.00"), got
 
 
+def test_sliding_window_rollup_overlapping_membership(spark, tmp_path):
+    """Sliding windows (1 h every 30 min): each event lands in exactly
+    window/slide = 2 overlapping windows, per-window sums count it in
+    both, and finalization still follows the watermark."""
+    batches = [
+        [
+            _sale("a", "2024-01-15 10:00:00", quantity=1, total=1.0),
+            _sale("b", "2024-01-15 10:45:00", quantity=2, total=2.0),
+            _sale("w", "2024-01-15 13:00:00", quantity=1, total=9.0),
+        ],
+        [_sale("x", "2024-01-15 15:00:00", quantity=1, total=9.0)],
+        [_sale("y", "2024-01-15 17:00:00", quantity=1, total=9.0)],
+    ]
+    rows = _run_batches(
+        spark,
+        tmp_path,
+        batches,
+        lambda df: hourly_rollup_stream(df, slide="30 minutes"),
+        "append",
+        "sliding_sink",
+    )
+    got = {r.hour.isoformat(): (r.total_quantity, str(r.revenue)) for r in rows}
+    assert got.get("2024-01-15T09:30:00") == (1, "1.00"), got  # a only
+    assert got.get("2024-01-15T10:00:00") == (3, "3.00"), got  # a + b
+    assert got.get("2024-01-15T10:30:00") == (2, "2.00"), got  # b only
+
+
 def test_dedup_stream_drops_duplicates_across_batches(spark, tmp_path):
     batches = [
         [_sale("x", "2024-01-15 10:00:00"), _sale("y", "2024-01-15 10:01:00")],
