@@ -492,7 +492,14 @@ def kcore_edges(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     return sym
 
 
-def q_kcore_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kcore_mutual_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    target_cosine: float | None = None,
+    n_planes: int | None = None,
+    bands: int | None = None,
+) -> DataFrame:
     """Dense semantic regions of the embedding corpus: the
     {KCORE_K}-core of the MUTUAL k-NN graph (edges kept only where
     both endpoints rank each other in their top-K). Mutuality prunes
@@ -512,10 +519,23 @@ def q_kcore_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fixture shape: the mutual 3-NN graph peels in ~8 rounds to a core
     of roughly 60% of vectors at every SF -- deep enough to exercise
-    the loop, non-trivial enough to mean something."""
+    the loop, non-trivial enough to mean something.
+
+    Scale: the ladder (9.2/33.3/102.3 s at 1x/4x/10x) shows the cost
+    is the kNN candidate stage, which grows ~n^2 at FIXED band
+    geometry -- the peel itself is linear in surviving edges. The
+    geometry kwargs forward to q_knn_graph (``target_cosine`` via
+    choose_geometry), which is the documented counter; the
+    no-argument call keeps the contractual fixture geometry."""
     from .similarity import q_knn_graph
 
-    knn = q_knn_graph(spark, sf_dir).select("query_id", "neighbor_id")
+    knn = q_knn_graph(
+        spark,
+        sf_dir,
+        target_cosine=target_cosine,
+        n_planes=n_planes,
+        bands=bands,
+    ).select("query_id", "neighbor_id")
     mutual = (
         knn.alias("a")
         .join(

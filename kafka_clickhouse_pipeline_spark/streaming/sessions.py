@@ -98,6 +98,41 @@ def _sessionize_group(
         )
 
 
+def sessionize_stream_native(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """The built-in counterpart: ``F.session_window`` gap sessions --
+    Spark's native dynamic-gap window, state managed by the engine's
+    streaming aggregation (no Python in the loop at all). Prefer this
+    form when the per-session output is expressible as aggregates;
+    ``sessionize_stream`` (applyInPandasWithState) remains the escape
+    hatch for arbitrary per-key state machines.
+
+    Semantics difference to the custom operator, inherent to
+    session_window: the reported window end is last_event + gap (the
+    session's timeout horizon), not the last event's timestamp; starts,
+    event counts, and sums are identical."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "revenue",
+        )
+    )
+
+
 def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """events(user_id, event_id, ts, value) stream -> closed-session
     summaries. Requires an event-time watermark (drives both late-data
