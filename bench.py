@@ -82,6 +82,7 @@ HEADLINE = [
     "q_cluster_topics",
     "q_quota_sample",
     "q_embedding_top_pc",
+    "q_embedding_debias_abtt",
     "q_kcore_mutual_knn",
 ]
 

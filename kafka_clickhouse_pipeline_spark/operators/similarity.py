@@ -1460,6 +1460,27 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterate is bit-identical to the oracle's ``list_sum(list(...
     ORDER BY ...))`` unrolled CTE chain. No float ever crosses
     engines un-pinned, so the projections match bit-for-bit."""
+    vecs, mc, vc = _top_pc_model(spark, sf_dir)
+    if mc is None:  # empty corpus -> empty projection table
+        return vecs.select("vec_id", F.lit(0.0).alias("proj")).limit(0)
+
+    @F.pandas_udf("double")
+    def proj(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="float64")
+        M = np.stack(vs.to_numpy())
+        return pd.Series(np.cumsum((M - mc[None, :]) * vc[None, :], axis=1)[:, -1])
+
+    return vecs.select(
+        "vec_id", F.round(proj(F.col("v")), 6).alias("proj")
+    ).orderBy("vec_id")
+
+
+def _top_pc_model(spark: SparkSession, sf_dir: str):
+    """(vecs, mean, component) -- the distributed mean/covariance pass
+    plus the driver-side bit-portable power iteration shared by
+    q_embedding_top_pc and q_embedding_debias_abtt. Returns
+    (vecs, None, None) on an empty corpus."""
     import math
 
     vecs = _vectors(spark, sf_dir)
@@ -1479,8 +1500,8 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    if not mean_rows:  # empty corpus -> empty projection table
-        return vecs.select("vec_id", F.lit(0.0).alias("proj")).limit(0)
+    if not mean_rows:
+        return vecs, None, None
     d = len(mean_rows)
     n = mean_rows[0]["n"]
     m = np.zeros(d)
@@ -1544,29 +1565,95 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         u = np.cumsum(C * v[None, :], axis=1)[:, -1]  # fold over j asc
         nm = math.sqrt(np.cumsum(u * u)[-1])  # fold over i asc
         v = u / nm
-    vc = v.copy()
-    mc = m.copy()
+    return vecs, m.copy(), v.copy()
 
-    @F.pandas_udf("double")
-    def proj(vs: pd.Series) -> pd.Series:
+
+def q_embedding_debias_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-But-The-Top embedding post-processing audit (Mu &
+    Viswanath 2018): center the corpus and remove the top principal
+    component -- the standard isotropy fix applied to embedding spaces
+    before similarity search (the dominant direction is usually
+    frequency/corpus artifact, not meaning). Emits, per vector, the
+    removed projection and the centered norm before/after removal --
+    the audit a pipeline stores alongside the corrected corpus (the
+    corrected vectors themselves would be written columnar; arrays are
+    hash-unsafe driver outputs).
+
+    Same model pass as q_embedding_top_pc (shared _top_pc_model); the
+    apply step is one Arrow-batched map computing all three statistics
+    with sequential-cumsum folds, so the oracle -- the shared
+    power-iteration CTE prefix plus two ordered list folds over the
+    centered components -- matches bit-for-bit. The residual uses the
+    RAW (unrounded) projection, mirrored in SQL."""
+    vecs, mc, vc = _top_pc_model(spark, sf_dir)
+    if mc is None:
+        return vecs.select(
+            "vec_id",
+            F.lit(0.0).alias("proj"),
+            F.lit(0.0).alias("norm_before"),
+            F.lit(0.0).alias("norm_after"),
+        ).limit(0)
+
+    @F.pandas_udf("proj double, norm_before double, norm_after double")
+    def abtt(vs: pd.Series) -> pd.DataFrame:
         if not len(vs):
-            return pd.Series([], dtype="float64")
-        M = np.stack(vs.to_numpy())
-        return pd.Series(np.cumsum((M - mc[None, :]) * vc[None, :], axis=1)[:, -1])
+            return pd.DataFrame(
+                {"proj": [], "norm_before": [], "norm_after": []}
+            )
+        M = np.stack(vs.to_numpy()) - mc[None, :]
+        P = np.cumsum(M * vc[None, :], axis=1)[:, -1]
+        nb = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        R = M - P[:, None] * vc[None, :]
+        na = np.sqrt(np.cumsum(R * R, axis=1)[:, -1])
+        return pd.DataFrame({"proj": P, "norm_before": nb, "norm_after": na})
 
-    return vecs.select(
-        "vec_id", F.round(proj(F.col("v")), 6).alias("proj")
+    out = vecs.select("vec_id", abtt(F.col("v")).alias("s"))
+    return out.select(
+        "vec_id",
+        F.round(F.col("s.proj"), 6).alias("proj"),
+        F.round(F.col("s.norm_before"), 6).alias("norm_before"),
+        F.round(F.col("s.norm_after"), 6).alias("norm_after"),
     ).orderBy("vec_id")
 
 
-def _embedding_top_pc_oracle(iters: int = PCA_POWER_ITERS) -> str:
-    """Exact DuckDB twin of q_embedding_top_pc: decimal-exact mean,
-    long-fixed-point covariance (upper triangle + mirror), and the
-    power iteration unrolled as (u_k, norm_k, v_k) CTE triples whose
-    sums are all sequential list folds -- bit-identical to the
-    driver-side cumsum iteration. Heavy CTEs are MATERIALIZED: DuckDB
-    inlines CTEs by default, and the iteration chain would otherwise
-    re-inline the covariance subtree ~2^iters times."""
+def _embedding_debias_abtt_oracle(iters: int = PCA_POWER_ITERS) -> str:
+    """DuckDB twin of q_embedding_debias_abtt: shared prefix, raw
+    projection fold, then the residual folds ordered by component."""
+    return f"""
+        {_top_pc_ctes(iters)},
+        pc0 AS MATERIALIZED (
+          SELECT c.vec_id,
+                 list_sum(list(c.cxv * vf.vv ORDER BY c.i)) AS proj
+          FROM cx c JOIN v{iters} vf ON c.i = vf.i
+          GROUP BY c.vec_id),
+        resid AS (
+          SELECT c.vec_id, c.i,
+                 c.cxv AS cxv,
+                 c.cxv - (p.proj * vf.vv) AS r
+          FROM cx c
+          JOIN v{iters} vf ON c.i = vf.i
+          JOIN pc0 p ON p.vec_id = c.vec_id)
+        SELECT vec_id,
+               round(any_value(proj), 6) AS proj,
+               round(sqrt(list_sum(list(cxv * cxv ORDER BY i))), 6)
+                 AS norm_before,
+               round(sqrt(list_sum(list(r * r ORDER BY i))), 6)
+                 AS norm_after
+        FROM resid JOIN pc0 USING (vec_id)
+        GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+def _top_pc_ctes(iters: int = PCA_POWER_ITERS) -> str:
+    """Shared CTE prefix for the power-iteration oracles: decimal-exact
+    mean, long-fixed-point covariance (upper triangle + mirror), and
+    the power iteration unrolled as (u_k, norm_k, v_k) CTE triples
+    whose sums are all sequential list folds -- bit-identical to the
+    driver-side cumsum iteration. Ends with the final component
+    relation ``v{iters}(i, vv)``; ``cx(vec_id, i, cxv)`` stays in
+    scope for consumers. Heavy CTEs are MATERIALIZED: DuckDB inlines
+    CTEs by default, and the iteration chain would otherwise re-inline
+    the covariance subtree ~2^iters times."""
     parts = [
         """
         WITH comp AS (
@@ -1614,17 +1701,21 @@ def _embedding_top_pc_oracle(iters: int = PCA_POWER_ITERS) -> str:
         v{k + 1} AS (SELECT i, u / nm AS vv FROM u{k}, nrm{k})
             """
         )
-    parts.append(
-        f""",
+    return "".join(parts)
+
+
+def _embedding_top_pc_oracle(iters: int = PCA_POWER_ITERS) -> str:
+    """Exact DuckDB twin of q_embedding_top_pc: the shared prefix plus
+    the per-vector projection fold."""
+    return f"""
+        {_top_pc_ctes(iters)},
         pc AS (
           SELECT c.vec_id, c.i, c.cxv * vf.vv AS contrib
           FROM cx c JOIN v{iters} vf ON c.i = vf.i)
         SELECT vec_id,
                round(list_sum(list(contrib ORDER BY i)), 6) AS proj
         FROM pc GROUP BY vec_id ORDER BY vec_id
-        """
-    )
-    return "".join(parts)
+    """
 
 
 def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1735,6 +1826,7 @@ SIMILARITY_ORACLES: dict[str, str] = {
     "q_ann_ivf_kmeans_topk": _ann_ivf_kmeans_oracle(),
     "q_cluster_topics": _cluster_topics_oracle(),
     "q_embedding_top_pc": _embedding_top_pc_oracle(),
+    "q_embedding_debias_abtt": _embedding_debias_abtt_oracle(),
     "q_ann_lsh_topk": _ann_lsh_oracle(),
     "q_embedding_label_centroids": """
         WITH comp AS (
@@ -1783,6 +1875,7 @@ SIMILARITY_QUERIES = {
     "q_embedding_label_centroids": q_embedding_label_centroids,
     "q_embedding_int8_quantize": q_embedding_int8_quantize,
     "q_embedding_top_pc": q_embedding_top_pc,
+    "q_embedding_debias_abtt": q_embedding_debias_abtt,
     "q_hard_negatives": q_hard_negatives,
     "q_triplet_mining": q_triplet_mining,
     "q_ann_recall_audit": q_ann_recall_audit,

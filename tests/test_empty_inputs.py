@@ -128,6 +128,7 @@ EMPTY_SENSITIVE = [
     "q_quota_sample",
     "q_embedding_top_pc",
     "q_kcore_mutual_knn",
+    "q_embedding_debias_abtt",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE

@@ -183,6 +183,27 @@ def test_embedding_top_pc_captures_dominant_variance(spark, sf_dir):
     assert [r["proj"] for r in again] == [r["proj"] for r in rows]
 
 
+def test_abtt_pythagoras_and_isotropy(spark, sf_dir):
+    """ABTT invariants: removing the top component never increases the
+    centered norm, norms satisfy nb^2 = na^2 + proj^2 (the component
+    removal is an orthogonal projection), and the removed direction
+    carries positive total energy."""
+    rows = similarity.q_embedding_debias_abtt(spark, sf_dir).collect()
+    assert rows
+    energy = 0.0
+    for r in rows:
+        assert r["norm_after"] <= r["norm_before"] + 1e-6
+        assert abs(
+            r["norm_before"] ** 2 - (r["norm_after"] ** 2 + r["proj"] ** 2)
+        ) < 1e-3
+        energy += r["proj"] ** 2
+    assert energy > 0
+    # consistency with the standalone projection operator
+    pc = {r["vec_id"]: r["proj"] for r in similarity.q_embedding_top_pc(spark, sf_dir).collect()}
+    for r in rows:
+        assert abs(r["proj"] - pc[r["vec_id"]]) < 2e-6
+
+
 def test_kcore_mutual_knn_invariants(spark, sf_dir):
     """k-core contract: every member's within-core degree >= K, the
     reported degrees equal the mutual-edge counts restricted to the
