@@ -106,6 +106,7 @@ def compare_tables(spark_tbl: pa.Table, duck_tbl: pa.Table) -> str | None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    # accept the bare scale factor ("0.01" / "sf0.01") as shorthand
     ap.add_argument(
         "--plain",
         action="store_true",
@@ -115,6 +116,8 @@ def main() -> int:
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    if "/" not in args.sf:
+        args.sf = "/root/testdata/sf" + args.sf.removeprefix("sf")
 
     import __spark_entry__ as entry
     from kafka_clickhouse_pipeline_spark.catalog import table_path
