@@ -84,6 +84,7 @@ HEADLINE = [
     "q_embedding_top_pc",
     "q_embedding_debias_abtt",
     "q_kcore_mutual_knn",
+    "q_dedup_recall_audit",
 ]
 
 

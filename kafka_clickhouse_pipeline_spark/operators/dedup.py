@@ -1207,6 +1207,24 @@ _SUBSTR_CONCAT = " || ' ' || ".join(
     f"toks[i+{k}]" for k in range(SUBSTRING_WINDOW_N)
 )
 
+def _dedup_recall_audit_oracle() -> str:
+    """Exact-pairs LEFT JOIN lsh-pairs over the two embedded
+    sub-oracles; string bands; bigint counts."""
+    return f"""
+        WITH ex AS ({{EXACT}}),
+        got AS ({{LSH}}),
+        j AS (
+          SELECT CASE WHEN ex.jaccard >= 0.9 THEN 'j_0.90_plus'
+                      ELSE 'j_0.80_0.90' END AS band,
+                 CASE WHEN g.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM ex LEFT JOIN got g ON ex.d1 = g.d1 AND ex.d2 = g.d2)
+        SELECT band, count(*) AS n_exact,
+               CAST(sum(hit) AS BIGINT) AS n_found,
+               round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+        FROM j GROUP BY band ORDER BY band
+    """
+
+
 DEDUP_ORACLES["q_dedup_substring_windows"] = f"""
     WITH sh AS (
       SELECT doc_id,
@@ -1228,8 +1246,58 @@ DEDUP_ORACLES["q_dedup_substring_windows"] = f"""
     FROM per ORDER BY doc_id
 """
 
+DEDUP_ORACLES["q_dedup_recall_audit"] = (
+    _dedup_recall_audit_oracle()
+    .replace("{EXACT}", DEDUP_ORACLES["q_dedup_ngram_jaccard"])
+    .replace("{LSH}", DEDUP_ORACLES["q_dedup_minhash_lsh"])
+)
+
+
+def q_dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall self-audit of the MinHash-LSH near-dup index against the
+    exact n-gram-Jaccard ground truth -- the dedup twin of
+    q_ann_recall_audit: per similarity band, how many of the TRUE
+    near-dup pairs the banded index surfaced. This is the measurement
+    a pipeline runs before trusting a probabilistic dedup pass at
+    corpus scale (the analytic banding miss bound, <= 3e-4 per pair at
+    j >= 0.8 under the contractual 8x2 geometry, predicts recall 1.0
+    here -- the audit CONFIRMS it on data instead of assuming it).
+
+    Pure composition of two existing oracle-checked operators: exact
+    pairs LEFT JOIN lsh pairs on the (d1, d2) key, string similarity
+    bands (no float bucketing arithmetic to diverge on), one tiny
+    aggregate. Adds one pair-keyed join on top of passes the pipeline
+    already runs; at scale both inputs are the banded/DF-capped
+    constructions, never all-pairs."""
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2", "jaccard")
+    found = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("d1").alias("f1"), F.col("d2").alias("f2"), F.lit(1).alias("hit")
+    )
+    band = F.when(F.col("jaccard") >= 0.9, F.lit("j_0.90_plus")).otherwise(
+        F.lit("j_0.80_0.90")
+    )
+    joined = exact.join(
+        found,
+        (F.col("d1") == F.col("f1")) & (F.col("d2") == F.col("f2")),
+        "left",
+    )
+    return (
+        joined.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_found"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_found").cast("double") / F.col("n_exact"), 6),
+        )
+        .orderBy("band")
+    )
+
+
 DEDUP_QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_dedup_recall_audit": q_dedup_recall_audit,
     "q_dedup_substring_windows": q_dedup_substring_windows,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_incremental_near": q_dedup_incremental_near,

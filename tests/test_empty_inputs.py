@@ -129,6 +129,7 @@ EMPTY_SENSITIVE = [
     "q_embedding_top_pc",
     "q_kcore_mutual_knn",
     "q_embedding_debias_abtt",
+    "q_dedup_recall_audit",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE

@@ -183,6 +183,20 @@ def test_embedding_top_pc_captures_dominant_variance(spark, sf_dir):
     assert [r["proj"] for r in again] == [r["proj"] for r in rows]
 
 
+def test_dedup_recall_audit_confirms_banding_bound(spark, sf_dir):
+    """The LSH dedup index must surface every exact near-dup pair on
+    the fixture (analytic banding miss probability <= 3e-4 per pair at
+    j >= 0.8): recall == 1.0 in every band, counts reconcile."""
+    from kafka_clickhouse_pipeline_spark.operators import dedup
+
+    rows = dedup.q_dedup_recall_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["band"] in ("j_0.80_0.90", "j_0.90_plus")
+        assert 0 <= r["n_found"] <= r["n_exact"]
+        assert r["recall"] == 1.0
+
+
 def test_abtt_pythagoras_and_isotropy(spark, sf_dir):
     """ABTT invariants: removing the top component never increases the
     centered norm, norms satisfy nb^2 = na^2 + proj^2 (the component
