@@ -1502,6 +1502,29 @@ def _hash256(col: str = "doc_id"):
     return v
 
 
+def temperature_thresholds(per_source: DataFrame) -> DataFrame:
+    """(source, n_tokens) -> (source, keep_threshold): the T=2
+    temperature-scaling math shared by q_temperature_sample and the
+    incremental streaming maintainer (streaming/mixture.py) -- keeping
+    it in exactly one place is what makes the streaming state a true
+    twin of the batch operator. keep_threshold is an integer 1/256
+    bucket of sqrt(share)/max sqrt(share)."""
+    tot = per_source.agg(F.sum("n_tokens").alias("tot"))
+    scaled = per_source.crossJoin(broadcast(tot)).select(
+        "source",
+        F.sqrt(
+            F.col("n_tokens").cast("double") / F.col("tot").cast("double")
+        ).alias("r"),
+    )
+    rmax = scaled.agg(F.max("r").alias("rmax"))
+    return scaled.crossJoin(broadcast(rmax)).select(
+        "source",
+        F.floor(F.col("r") / F.col("rmax") * 256).cast("long").alias(
+            "keep_threshold"
+        ),
+    )
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize a temperature-balanced mixture (T=2): per-source
     keep-rates proportional to sqrt(token_share) -- the standard
@@ -1525,18 +1548,7 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = docs.groupBy("source").agg(
         F.sum(n_tokens.cast("long")).alias("n_tokens")
     )
-    tot = per_source.agg(F.sum("n_tokens").alias("tot"))
-    scaled = per_source.crossJoin(broadcast(tot)).select(
-        "source",
-        F.sqrt(F.col("n_tokens").cast("double") / F.col("tot").cast("double")).alias(
-            "r"
-        ),
-    )
-    rmax = scaled.agg(F.max("r").alias("rmax"))
-    thr = scaled.crossJoin(broadcast(rmax)).select(
-        "source",
-        F.floor(F.col("r") / F.col("rmax") * 256).cast("long").alias("keep_threshold"),
-    )
+    thr = temperature_thresholds(per_source)
     return (
         docs.join(broadcast(thr), "source")
         .select(
