@@ -108,6 +108,35 @@ _TEMPLATE_PATH = os.path.join(
 )
 
 
+#: Ad-hoc SQL endpoint result cap (the dashboard contract is charts,
+#: not bulk export; bigger extracts belong in a batch job).
+SQL_ROW_CAP = 1000
+
+
+def get_sql_payload(spark: SparkSession, sf_dir: str, sql_text: str) -> dict:
+    """POST /api/sql -- run a ClickHouse-dialect query verbatim against
+    the registered tables (the ad-hoc query path a reference user has
+    against ClickHouse itself). Relative-time predicates anchor at the
+    serving ANCHOR so results are reproducible over static fixtures;
+    rows are capped at SQL_ROW_CAP."""
+    from .catalog import register_views
+    from .functions.clickhouse_dialect import run_clickhouse_sql
+
+    register_views(spark, sf_dir)
+    df = run_clickhouse_sql(spark, sql_text, anchor=serving.ANCHOR)
+    rows = df.limit(SQL_ROW_CAP).collect()
+
+    def jv(v):
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        return str(v)  # Decimal / datetime -> canonical strings
+
+    return {
+        "columns": df.columns,
+        "rows": [[jv(v) for v in r] for r in rows],
+    }
+
+
 def get_dashboard_html() -> bytes:
     with open(_TEMPLATE_PATH, "rb") as f:
         return f.read()
@@ -137,6 +166,26 @@ def make_handler(spark: SparkSession, sf_dir: str):
             except Exception as exc:  # graceful degradation, app.py:74-77
                 body = json.dumps({"error": str(exc)}).encode()
                 self.send_response(500)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802 (stdlib API name)
+            if self.path != "/api/sql":
+                self.send_response(404)
+                self.end_headers()
+                self.wfile.write(b'{"error": "not found"}')
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            sql_text = self.rfile.read(length).decode("utf-8", "replace")
+            try:
+                payload = get_sql_payload(spark, sf_dir, sql_text)
+                body = json.dumps(payload).encode()
+                self.send_response(200)
+            except Exception as exc:  # bad SQL -> client error, not a crash
+                body = json.dumps({"error": str(exc).splitlines()[0]}).encode()
+                self.send_response(400)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()

@@ -93,3 +93,38 @@ def test_api_recent_time_format_matches_reference(server):
     _, payload = _get(server, "/api/recent")
     for row in payload["sales"]:
         assert re.fullmatch(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", row["time"])
+
+
+def test_api_sql_clickhouse_dialect(server):
+    """POST /api/sql accepts ClickHouse-dialect SQL verbatim (the ad-hoc
+    path a reference user has against ClickHouse): toStartOfHour /
+    count() / INTERVAL arithmetic all translate; bad SQL returns a 400
+    JSON error instead of crashing the server."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    sql = (
+        "SELECT toStartOfHour(ts) as hour, count() as n FROM events "
+        "WHERE ts >= now() - INTERVAL 1 DAY GROUP BY hour ORDER BY hour"
+    )
+    req = urllib.request.Request(
+        server + "/api/sql", data=sql.encode(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        payload = _json.loads(resp.read())
+    assert payload["columns"] == ["hour", "n"]
+    assert payload["rows"], "anchored 24h window should contain events"
+    for hour, n in payload["rows"]:
+        assert hour.endswith(":00:00") and n > 0
+
+    bad = urllib.request.Request(
+        server + "/api/sql", data=b"SELECT FROM nowhere", method="POST"
+    )
+    try:
+        urllib.request.urlopen(bad, timeout=120)
+        raise AssertionError("bad SQL must return 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in _json.loads(e.read())
