@@ -32,6 +32,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     text,
     tpch_extra,
     tpch_subq,
+    zorder,
 )
 
 
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(reshape.RESHAPE_QUERIES)
     q.update(curation.CURATION_QUERIES)
     q.update(linkage.LINKAGE_QUERIES)
+    q.update(zorder.ZORDER_QUERIES)
     missing = [n for n in PRIORITY if n not in q]
     assert not missing, f"PRIORITY names not registered: {missing}"
     ordered = {n: q[n] for n in PRIORITY}
@@ -164,4 +166,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(reshape.RESHAPE_ORACLES)
     o.update(curation.CURATION_ORACLES)
     o.update(linkage.LINKAGE_ORACLES)
+    o.update(zorder.ZORDER_ORACLES)
     return o

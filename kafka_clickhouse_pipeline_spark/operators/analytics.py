@@ -798,3 +798,136 @@ ANALYTICS_QUERIES = {
     "q_null_functions": q_null_functions,
     "q_sessionize": q_sessionize,
 }
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered pair of consecutive events (by ts,
+    event_id within a user), count (prev_type -> next_type) and the
+    row-normalized transition probability. The sequence-analytics
+    primitive behind next-action prediction and funnel-drop diagnosis;
+    the reference's event stream (SURVEY.md section 2.7 events surface)
+    has no sequence operator, so this extends it.
+
+    Scale shape: ONE shuffle on user_id for the lag window (the same
+    partitioning sessionization uses, so a multi-operator pipeline
+    reuses the exchange); the transition count table is at most
+    |event_types|^2 rows, so the groupBy and the row-normalizing
+    window are metadata-sized. Probability is an exact-integer ratio
+    evaluated as one double division then rounded -- bit-identical in
+    both engines."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions")
+                / F.sum("n_transitions").over(row_total),
+                6,
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    user's event stream into status-change intervals -- a row per
+    (user, status) run with [valid_from, valid_to) validity, a dense
+    version number, and an is_current flag. The warehouse-history
+    operator a reference user would run to turn the append-only events
+    table into a point-in-time dimension.
+
+    Scale shape: both window passes partition by user_id -- one
+    shuffle, reused across the change-detection lag and the interval
+    lead (Spark plans a single Exchange; the second Window reuses the
+    sort). No join, no driver-side state; output rows = number of
+    status changes."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            "ts",
+            F.lag("event_type").over(w).alias("prev_status"),
+        )
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("status"))
+        )
+        .drop("prev_status")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        changes.select(
+            "user_id",
+            "status",
+            F.row_number().over(w2).cast("long").alias("version"),
+            F.col("ts").alias("valid_from_ts"),
+            F.lead("ts").over(w2).alias("valid_to_ts"),
+        )
+        .select(
+            "user_id",
+            "status",
+            "version",
+            ts_str("valid_from_ts").alias("valid_from"),
+            ts_str("valid_to_ts").alias("valid_to"),
+            F.when(F.col("valid_to_ts").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+ANALYTICS_ORACLES["q_event_transitions"] = """
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_type AS next_type
+      FROM events),
+    counts AS (
+      SELECT prev_type, next_type, count(*) AS n_transitions
+      FROM pairs WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type)
+    SELECT prev_type, next_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE) /
+                 sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS p
+    FROM counts ORDER BY prev_type, next_type
+"""
+
+ANALYTICS_ORACLES["q_scd2_user_status"] = """
+    WITH changes AS (
+      SELECT user_id, event_type AS status, ts
+      FROM (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_status
+        FROM events)
+      WHERE prev_status IS NULL OR prev_status <> event_type)
+    SELECT user_id, status,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ORDER BY user_id, version
+"""
+
+ANALYTICS_QUERIES["q_event_transitions"] = q_event_transitions
+ANALYTICS_QUERIES["q_scd2_user_status"] = q_scd2_user_status

@@ -1664,3 +1664,143 @@ CURATION_QUERIES = {
     "q_quality_classifier_hashed": q_quality_classifier_hashed,
     "q_dsir_importance": q_dsir_importance,
 }
+
+
+#: Boilerplate 5-grams: the span length CCNet-style template detection
+#: uses -- long enough that chance repetition within one source is
+#: meaningful, short enough to catch header/footer fragments that
+#: whole-paragraph dedup (q_paragraph_dedup) misses.
+BOILERPLATE_NGRAM = 5
+#: A gram is boilerplate within its source when it appears in at least
+#: max(2, ceil(10% of the source's docs)) DISTINCT documents. The
+#: threshold is integer arithmetic ((n + 9) // 10) so both engines
+#: compute it identically.
+BOILERPLATE_MIN_DOCS = 2
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE boilerplate detection (the CCNet/C4 cleanup step
+    between exact dedup and quality filtering): a 5-token shingle that
+    occurs in >= max(2, 10% of a source's documents) distinct docs of
+    that source is template text (nav bars, footers, licence blurbs);
+    report per document how much of it is boilerplate. Differs from
+    q_paragraph_dedup (global duplicate passages, min-owner keeps one
+    copy) in being FREQUENCY-thresholded and source-scoped: boilerplate
+    is dropped from every doc, no canonical owner.
+
+    Output per doc: distinct-gram count, boilerplate-gram count, and
+    the boilerplate fraction a filter would threshold on.
+
+    Scale shape: shingling is map-only codegen (split + sequence +
+    slice + md5); presence is ONE distinct on (source, gram_fp,
+    doc_id); document frequency is a partial-agg count on (source,
+    gram_fp); the flag joins back on the same key (co-partitioned --
+    Spark reuses the exchange) and the per-doc rollup shuffles (doc_id,
+    flag) pairs only. Source doc counts are a tiny dimension joined by
+    broadcast. No UDF, no window, nothing driver-side; every stage is
+    keyed on content hashes, so skew is bounded by true template
+    frequency -- exactly the rows you want to find."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = BOILERPLATE_NGRAM
+    grams = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (n - 1))).alias("start"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), n))).alias(
+                "gram_fp"
+            ),
+        )
+        .distinct()
+    )
+    src_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    df_counts = grams.groupBy("source", "gram_fp").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    flagged = (
+        grams.join(df_counts, ["source", "gram_fp"])
+        .join(F.broadcast(src_docs), "source")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("df")
+                >= F.greatest(
+                    F.lit(BOILERPLATE_MIN_DOCS).cast("long"),
+                    F.expr("(n_docs + 9) div 10"),
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_bp"),
+        )
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("is_bp").cast("long").alias("n_boilerplate"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_boilerplate", F.lit(0)).cast("long").alias("n_boilerplate"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_boilerplate").cast("double") / F.col("n_grams"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boilerplate_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CURATION_ORACLES["q_boilerplate_ngrams"] = f"""
+    WITH t AS (SELECT doc_id, source,
+                      string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             md5(array_to_string(
+               toks[start:start + {BOILERPLATE_NGRAM - 1}], ' ')) AS gram_fp
+      FROM (SELECT doc_id, source, toks,
+                   unnest(generate_series(
+                     1, len(toks) - {BOILERPLATE_NGRAM - 1})) AS start
+            FROM t WHERE len(toks) >= {BOILERPLATE_NGRAM})),
+    src_docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    dfc AS (SELECT source, gram_fp, count(*) AS df
+            FROM grams GROUP BY 1, 2),
+    flagged AS (
+      SELECT g.doc_id,
+             CASE WHEN dfc.df >= greatest({BOILERPLATE_MIN_DOCS},
+                                          (s.n_docs + 9) // 10)
+                  THEN 1 ELSE 0 END AS is_bp
+      FROM grams g
+      JOIN dfc ON g.source = dfc.source AND g.gram_fp = dfc.gram_fp
+      JOIN src_docs s ON g.source = s.source),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_grams, sum(is_bp) AS n_boilerplate
+      FROM flagged GROUP BY 1)
+    SELECT d.doc_id, d.source,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+           CASE WHEN coalesce(p.n_grams, 0) > 0
+                THEN round(CAST(p.n_boilerplate AS DOUBLE) / p.n_grams, 6)
+                ELSE 0.0 END AS boilerplate_frac
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+"""
+
+CURATION_QUERIES["q_boilerplate_ngrams"] = q_boilerplate_ngrams

@@ -739,3 +739,72 @@ GRAPH_QUERIES = {
 }
 
 GRAPH_ORACLES["q_kcore_mutual_knn"] = _kcore_mutual_knn_oracle()
+
+
+#: BFS truncation depth. Hop-bounded neighborhoods are the scalable
+#: form: the co-purchase graph's effective diameter is tiny (dense
+#: overlap through popular parts), so an unbounded BFS would visit
+#: everything and say nothing; 3 hops is the "substitutable parts"
+#: radius an analyst actually queries.
+BFS_MAX_HOPS = 3
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop distance from the
+    seed set (graph nodes with partkey % 100 == 1 -- a deterministic 1%
+    sample of nodes) over the undirected co-purchase graph, truncated
+    at BFS_MAX_HOPS. Output (node, hops) for every reached node.
+
+    Scale shape: frontier iteration -- per hop ONE join of the edge
+    list against the (shrinking-then-growing) frontier plus an
+    anti-join against the visited set, all keyed on node id; the
+    driver runs only loop control (a fixed hop count, no convergence
+    collect). Lineage is cut per round so the plan stays one round
+    deep. This is the textbook Pregel-without-Pregel BFS on DataFrames:
+    at 100 TB the per-round cost is |frontier x avg-degree| shuffled
+    rows, never the whole graph re-derived (the edge list is
+    checkpointed once up front).
+
+    Oracle: recursive CTE computing min hop distance with the same
+    depth cap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    visited = (
+        edges.select("src")
+        .filter(F.col("src") % 100 == 1)
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("hops"))
+        .transform(cut_lineage)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("hops"))
+            .transform(cut_lineage)
+        )
+        visited = visited.unionByName(nxt).transform(cut_lineage)
+        frontier = nxt.select("node")
+    return visited.select(F.col("node").cast("long").alias("node"), "hops").orderBy(
+        "node"
+    )
+
+
+GRAPH_QUERIES["q_bfs_hops"] = q_bfs_hops
+GRAPH_ORACLES["q_bfs_hops"] = f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    walk(node, d) AS (
+      SELECT DISTINCT src, 0 FROM e WHERE src % 100 = 1
+      UNION
+      SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+      WHERE w.d < {BFS_MAX_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS hops
+    FROM walk GROUP BY node ORDER BY node
+"""

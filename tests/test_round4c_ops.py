@@ -1,0 +1,177 @@
+"""Behavioral tests for the round-4 third-batch operators (event
+transitions, SCD2 history, BFS hops, Z-order layout audit, boilerplate
+n-grams). Oracle parity is covered by the strict sweep; these pin the
+semantics the oracle alone can't prove."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_clickhouse_pipeline_spark.operators import analytics, curation, graph, zorder
+from kafka_clickhouse_pipeline_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def crafted_events_dir(spark, tmp_path_factory):
+    """User 1: view -> view -> cart -> view. User 2: cart -> cart."""
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, ts(0), 1, "view", 1.0, "{}"),
+        (2, ts(1), 1, "view", 1.0, "{}"),
+        (3, ts(2), 1, "cart", 1.0, "{}"),
+        (4, ts(3), 1, "view", 1.0, "{}"),
+        (5, ts(0), 2, "cart", 1.0, "{}"),
+        (6, ts(5), 2, "cart", 1.0, "{}"),
+    ]
+    return _write_events(spark, tmp_path_factory.mktemp("crafted_events"), rows)
+
+
+def test_event_transitions_counts_and_probs(spark, crafted_events_dir):
+    rows = {
+        (r["prev_type"], r["next_type"]): r
+        for r in analytics.q_event_transitions(spark, crafted_events_dir).collect()
+    }
+    # user 1 contributes view->view, view->cart, cart->view;
+    # user 2 contributes cart->cart
+    assert rows[("view", "view")]["n_transitions"] == 1
+    assert rows[("view", "cart")]["n_transitions"] == 1
+    assert rows[("cart", "view")]["n_transitions"] == 1
+    assert rows[("cart", "cart")]["n_transitions"] == 1
+    assert rows[("cart", "view")]["p"] == 0.5
+    assert rows[("cart", "cart")]["p"] == 0.5
+    assert rows[("view", "view")]["p"] == 0.5
+
+
+def test_event_transitions_rows_normalize(spark, sf_dir):
+    rows = analytics.q_event_transitions(spark, sf_dir).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["p"]
+    for prev, total in by_prev.items():
+        assert total == pytest.approx(1.0, abs=1e-4), prev
+
+
+def test_scd2_collapses_runs_and_versions(spark, crafted_events_dir):
+    rows = analytics.q_scd2_user_status(spark, crafted_events_dir).collect()
+    u1 = [r for r in rows if r["user_id"] == 1]
+    u2 = [r for r in rows if r["user_id"] == 2]
+    # user 1: view, cart, view (consecutive duplicate view collapsed)
+    assert [r["status"] for r in u1] == ["view", "cart", "view"]
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    # intervals abut: valid_to of row k == valid_from of row k+1
+    for a, b in zip(u1, u1[1:]):
+        assert a["valid_to"] == b["valid_from"]
+    # exactly one open (current) interval per user
+    assert [r["is_current"] for r in u1] == [0, 0, 1]
+    # user 2: consecutive carts collapse to a single current run
+    assert [(r["status"], r["is_current"]) for r in u2] == [("cart", 1)]
+
+
+def test_scd2_one_current_per_user(spark, sf_dir):
+    rows = analytics.q_scd2_user_status(spark, sf_dir).collect()
+    current: dict[int, int] = {}
+    for r in rows:
+        current[r["user_id"]] = current.get(r["user_id"], 0) + r["is_current"]
+    assert current and all(v == 1 for v in current.values())
+
+
+@pytest.fixture(scope="module")
+def crafted_graph_dir(spark, tmp_path_factory):
+    """Co-purchase path graph 1-2-3-4-5-6 plus isolated pair 7-8:
+    orders are the edges (each order holds the two endpoint parts).
+    Part 1 is the only seed (1 % 100 == 1)."""
+    d = tmp_path_factory.mktemp("crafted_graph")
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (7, 8)]
+    rows = []
+    for ok, (a, b) in enumerate(pairs):
+        rows.append((ok, a))
+        rows.append((ok, b))
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).write.parquet(f"{d}/lineitem.parquet")
+    return str(d)
+
+
+def test_bfs_hops_distances_and_truncation(spark, crafted_graph_dir):
+    rows = {
+        r["node"]: r["hops"]
+        for r in graph.q_bfs_hops(spark, crafted_graph_dir).collect()
+    }
+    # seed at 0 hops; path distances; node 5 is 4 hops away -> cut at 3;
+    # the 7-8 component is unreachable
+    assert rows == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_zorder_blocks_bound_both_dimensions(spark, sf_dir):
+    rows = {r["layout"]: r for r in zorder.q_zorder_layout(spark, sf_dir).collect()}
+    z, rm = rows["zorder"], rows["rowmajor"]
+    # a 64-cell Z block is an 8x8 tile: both spans bounded by 7
+    assert z["max_x_span"] <= 7 and z["max_y_span"] <= 7
+    # a 64-cell row-major block is a 64x1 strip: y perfectly clustered,
+    # x unbounded up to 63
+    assert rm["max_y_span"] == 0
+    assert rm["max_x_span"] > 7
+    # balanced pruning: the worse dimension of Z-order beats the worse
+    # dimension of row-major
+    assert max(z["avg_x_span"], z["avg_y_span"]) < rm["avg_x_span"]
+
+
+def test_morton_interleave_formula(spark):
+    df = spark.range(1).select(
+        zorder.morton_interleave(F.lit(0b1010), F.lit(0b0110)).alias("z")
+    )
+    # x=0b1010 even bits, y=0b0110 odd bits -> z = 0b01101100
+    assert df.first()["z"] == 0b01101100
+
+
+@pytest.fixture(scope="module")
+def crafted_boiler_dir(spark, tmp_path_factory):
+    """Source A: 3 docs, two share the 5-gram 'the quick brown fox
+    jumps' (df=2 >= max(2, ceil(0.3))) -> boilerplate. Source B: 1 doc
+    with the SAME phrase -- but alone in its source, not boilerplate.
+    Doc 3 is too short to shingle."""
+    d = tmp_path_factory.mktemp("crafted_boiler")
+    phrase = "the quick brown fox jumps"
+    rows = [
+        (0, f"{phrase} over things", "en", "A", 0),
+        (1, f"intro words {phrase}", "en", "A", 0),
+        (2, "totally unrelated content here now", "en", "A", 0),
+        (3, "too short", "en", "A", 0),
+        (4, f"{phrase} again", "en", "B", 0),
+    ]
+    spark.createDataFrame(rows, DOCUMENTS_SCHEMA).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    return str(d)
+
+
+def test_boilerplate_is_source_scoped_frequency(spark, crafted_boiler_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in curation.q_boilerplate_ngrams(spark, crafted_boiler_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4}
+    # docs 0 and 1 each contain the shared gram once among their grams
+    assert rows[0]["n_boilerplate"] == 1 and rows[0]["n_grams"] == 3
+    assert rows[1]["n_boilerplate"] == 1 and rows[1]["n_grams"] == 3
+    # unrelated doc: nothing flagged
+    assert rows[2]["n_boilerplate"] == 0
+    # short doc: zero grams, frac 0.0 (not NULL)
+    assert rows[3]["n_grams"] == 0 and rows[3]["boilerplate_frac"] == 0.0
+    # same phrase in source B is NOT boilerplate there (df=1 in B)
+    assert rows[4]["n_boilerplate"] == 0
+    assert rows[0]["boilerplate_frac"] == pytest.approx(1 / 3, abs=1e-6)
