@@ -85,6 +85,13 @@ HEADLINE = [
     "q_embedding_debias_abtt",
     "q_kcore_mutual_knn",
     "q_dedup_recall_audit",
+    # round-4 fifth batch
+    "q_event_transitions",
+    "q_scd2_user_status",
+    "q_bfs_hops",
+    "q_zorder_layout",
+    "q_boilerplate_ngrams",
+    "q_media_phash_neardup",
 ]
 
 

@@ -379,3 +379,158 @@ MULTIMODAL_QUERIES = {
     "q_multimodal_resize": q_multimodal_resize,
     "q_dedup_media_exact": q_dedup_media_exact,
 }
+
+
+#: Perceptual hash geometry: PHASH_SAMPLES luminance samples give
+#: PHASH_BITS gradient bits (dHash); PHASH_BANDS bands of
+#: PHASH_BITS/PHASH_BANDS bits make banding LOSSLESS for hamming
+#: distance <= PHASH_BANDS - 1 (<= PHASH_HAMMING_MAX differing bits
+#: cannot touch every band, pigeonhole), so the banded candidate set
+#: provably contains every matching pair and the brute-force oracle is
+#: exactly equivalent -- same argument as q_dedup_simhash.
+PHASH_SAMPLES = 61
+PHASH_BITS = 60
+PHASH_BANDS = 6
+PHASH_HAMMING_MAX = PHASH_BANDS - 1
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """64-ish-bit dHash over an opaque binary payload: sample
+    PHASH_SAMPLES bytes at evenly spaced offsets (the 1-D analog of
+    the 9x8 grayscale grid real dHash uses), emit one bit per adjacent
+    sample gradient. Arrow-batched mapInPandas -- payload bytes stay
+    executor-side, only (doc_id, 8-byte hash) comes out, which is what
+    makes perceptual dedup viable on a 100 TB media corpus: the
+    expensive decode+hash pass is map-only, and every later stage
+    moves 8-byte hashes. A production build swaps the byte sampler for
+    a real pixel pipeline (decode -> gray -> 9x8 resize) behind the
+    same signature."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for b in pdf["payload"]:
+                data = bytes(b)
+                n = len(data)
+                if n == 0:
+                    vals.append(0)
+                    continue
+                samples = [data[(j * n) // PHASH_SAMPLES] for j in range(PHASH_SAMPLES)]
+                h = 0
+                for j in range(PHASH_BITS):
+                    if samples[j] < samples[j + 1]:
+                        h |= 1 << j
+                vals.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.Series(vals, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        _hash,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("phash", LongType())]
+        ),
+    )
+
+
+def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate discovery over binary media payloads
+    (the pHash/PDQ step of an image curation pipeline): pairs of
+    payloads whose dHash differs in <= PHASH_HAMMING_MAX of PHASH_BITS
+    gradient bits. Complements q_dedup_media_exact (byte-identical
+    only): re-encoded or slightly-edited media keep a near-identical
+    gradient signature while their md5 changes completely.
+
+    Scale shape: hash pass is map-only (see perceptual_hash); candidate
+    generation explodes each hash into PHASH_BANDS band keys and
+    self-joins band buckets on (band_idx, band_bits) -- never all
+    pairs; hamming verification is one bit_count(xor) per candidate.
+    Banding is lossless at this threshold (pigeonhole over
+    PHASH_BANDS bands), so the output EXACTLY equals the brute-force
+    all-pairs oracle."""
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    ph = perceptual_hash(media)
+    width = PHASH_BITS // PHASH_BANDS
+    mask = (1 << width) - 1
+    bands = ph.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", width * k).bitwiseAND(F.lit(mask))
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    h1 = ph.select(F.col("doc_id").alias("d1"), F.col("phash").alias("ph1"))
+    h2 = ph.select(F.col("doc_id").alias("d2"), F.col("phash").alias("ph2"))
+    ham = F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2")))
+    return (
+        cand.join(h1, "d1")
+        .join(h2, "d2")
+        .filter(ham <= PHASH_HAMMING_MAX)
+        .select("d1", "d2", ham.cast("long").alias("hamming"))
+        .orderBy("d1", "d2")
+    )
+
+
+# ASCII fixture text => payload byte j == ascii(char j+1), so the
+# brute-force oracle reproduces the sampled-gradient hash in SQL;
+# equality with the banded Spark plan is exact because banding is
+# lossless at the threshold (module constant docstring).
+_PHASH_SQL = f"""
+    ph AS (
+      SELECT doc_id,
+             CASE WHEN n = 0 THEN 0 ELSE
+               list_sum(list_transform(generate_series(0, {PHASH_BITS - 1}), j ->
+                 CASE WHEN ascii(substr(text, CAST((j * n) // {PHASH_SAMPLES} AS INTEGER) + 1, 1)) <
+                           ascii(substr(text, CAST(((j + 1) * n) // {PHASH_SAMPLES} AS INTEGER) + 1, 1))
+                      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END))
+             END AS phash
+      FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents))
+"""
+
+MULTIMODAL_ORACLES["q_media_phash_neardup"] = f"""
+    WITH {_PHASH_SQL}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+    ORDER BY d1, d2
+"""
+
+MULTIMODAL_QUERIES["q_media_phash_neardup"] = q_media_phash_neardup
+
+
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload perceptual hash (the map-only first stage of
+    q_media_phash_neardup, exposed as its own contract): (doc_id,
+    60-bit dHash). Attests the byte-sampling gradient hash bit-exactly
+    against the SQL twin at every scale -- including scales where no
+    two payloads are perceptually close and the pair query is
+    legitimately empty."""
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return perceptual_hash(media).orderBy("doc_id")
+
+
+MULTIMODAL_ORACLES["q_media_phash"] = f"""
+    WITH {_PHASH_SQL}
+    SELECT doc_id, CAST(phash AS BIGINT) AS phash FROM ph ORDER BY doc_id
+"""
+
+MULTIMODAL_QUERIES["q_media_phash"] = q_media_phash

@@ -175,3 +175,48 @@ def test_boilerplate_is_source_scoped_frequency(spark, crafted_boiler_dir):
     # same phrase in source B is NOT boilerplate there (df=1 in B)
     assert rows[4]["n_boilerplate"] == 0
     assert rows[0]["boilerplate_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def crafted_media_dir(spark, tmp_path_factory):
+    """Payloads with known gradient structure: 0 and 1 are
+    byte-identical (hamming 0), 2 is monotonically increasing
+    (all-ones hash), 3 monotonically decreasing (all-zeros hash)."""
+    d = tmp_path_factory.mktemp("crafted_media")
+    inc = "".join(chr(33 + i) for i in range(61))
+    dec = "".join(chr(33 + 60 - i) for i in range(61))
+    rows = [
+        (0, "shared identical payload text here", "en", "A", 0),
+        (1, "shared identical payload text here", "en", "A", 0),
+        (2, inc, "en", "A", 0),
+        (3, dec, "en", "A", 0),
+    ]
+    spark.createDataFrame(rows, DOCUMENTS_SCHEMA).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    return str(d)
+
+
+def test_phash_gradient_extremes(spark, crafted_media_dir):
+    from kafka_clickhouse_pipeline_spark.operators import multimodal as mm
+
+    rows = {r["doc_id"]: r["phash"] for r in mm.q_media_phash(spark, crafted_media_dir).collect()}
+    # 61 strictly increasing bytes sample to themselves: every adjacent
+    # gradient bit fires -> all PHASH_BITS ones
+    assert rows[2] == (1 << mm.PHASH_BITS) - 1
+    # strictly decreasing: no gradient bit fires
+    assert rows[3] == 0
+    assert rows[0] == rows[1]
+    assert 0 <= rows[0] < (1 << mm.PHASH_BITS)
+
+
+def test_phash_neardup_finds_identical_not_distant(spark, crafted_media_dir):
+    from kafka_clickhouse_pipeline_spark.operators import multimodal as mm
+
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in mm.q_media_phash_neardup(spark, crafted_media_dir).collect()
+    }
+    # identical payloads matched at distance 0; the all-ones/all-zeros
+    # pair (distance 60) and every cross pair stay out
+    assert pairs == {(0, 1): 0}
