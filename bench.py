@@ -92,6 +92,11 @@ HEADLINE = [
     "q_zorder_layout",
     "q_boilerplate_ngrams",
     "q_media_phash_neardup",
+    "q_trend_by_type",
+    "q_chi2_type_hour",
+    "q_benford_totalprice",
+    "q_constraint_audit",
+    "q_psi_value_drift",
 ]
 
 

@@ -18,8 +18,11 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
@@ -518,3 +521,388 @@ ADVANCED_QUERIES = {
     "q_day_over_day": q_day_over_day,
     "q_division_every_year": q_division_every_year,
 }
+
+
+#: OLS time anchor: seconds are measured from this fixed instant so
+#: the integer x values are small, deterministic, and identical in
+#: both engines (same reasoning as serving.ANCHOR -- no data-dependent
+#: two-pass centering).
+TREND_ANCHOR = "2024-01-01 00:00:00"
+
+
+def q_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend: slope and intercept of value over
+    time by least squares -- the seasonal-drift screen a metrics
+    pipeline runs before alerting on a moving average. Built from
+    EXACT integer/decimal moments (n, Σx, Σy, Σxy, Σx²) combined as
+    doubles only in the final expression -- the same order-insensitive
+    formulation as q_corr_purchase_click; native regr_slope/regr_
+    intercept accumulate float moments in partition order and are not
+    reproducible across engines.
+
+    Scale shape: ONE map-side-combined aggregate per event_type (the
+    moment tuple is 5 numbers per group); no window, no join, no
+    second pass. x = whole seconds since a fixed anchor, so Σx² stays
+    within decimal(38) headroom for centuries of data."""
+    events = load_table(spark, sf_dir, "events")
+    x = (
+        F.col("ts").cast("timestamp").cast("long")
+        - F.lit(TREND_ANCHOR).cast("timestamp").cast("long")
+    )
+    y = F.col("value").cast(DEC)
+    m = (
+        events.select(F.col("event_type"), x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sums: exact and overflow-safe at any corpus size
+            # (BIGINT sums would wrap at ~1e12 rows of x^2 ~ 1e13);
+            # DuckDB's BIGINT sums promote to HUGEINT, same values
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(
+                (F.col("x").cast("decimal(20,0)") * F.col("y")).cast("decimal(38,2)")
+            ).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        "n",
+        # report per-day so the rounded magnitude keeps useful digits
+        # at the repo-standard round(6) output convention
+        F.round(slope * 86400, 6).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+ADVANCED_ORACLES["q_trend_by_type"] = f"""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x) AS sx,
+             sum(y) AS sy,
+             sum(CAST(CAST(x AS DECIMAL(20,0)) * y AS DECIMAL(38,2))) AS sxy,
+             sum(x * x) AS sxx
+      FROM (SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) -
+                   CAST(floor(epoch(TIMESTAMP '{TREND_ANCHOR}')) AS BIGINT) AS x,
+                   CAST(value AS DECIMAL(18,2)) AS y
+            FROM events)
+      GROUP BY event_type)
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 86400, 6)
+             AS slope_per_day,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM m ORDER BY event_type
+"""
+
+ADVANCED_QUERIES["q_trend_by_type"] = q_trend_by_type
+
+
+def q_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and
+    hour-of-day -- the drift/seasonality screen that tells an
+    event-pipeline owner whether traffic composition varies by hour
+    (and so whether per-hour mixture monitoring is warranted).
+
+    Correctness at scale: observed counts are exact integers from ONE
+    map-side-combined aggregate; the contingency spine (|types| x 24
+    cells) is rebuilt as a broadcast cross of the two tiny margins so
+    EMPTY cells contribute their full expected mass (dropping them
+    understates the statistic); per-cell terms are evaluated as one
+    identical double expression and folded through the
+    round(.,9)-as-DECIMAL(28,9) trick, so the sum is order-independent
+    and bit-equal in both engines. Everything after the first
+    aggregate is metadata-sized."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.col("event_type"), F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rowm = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colm = cells.groupBy("hr").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    spine = rowm.crossJoin(broadcast(colm))
+    full = (
+        spine.join(cells, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            "rt",
+            "ct",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+        .crossJoin(broadcast(tot))
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast(
+        "double"
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    contrib = full.select(
+        "n",
+        F.round(term, 9).cast("decimal(28,9)").alias("c"),
+        F.col("event_type"),
+        F.col("hr"),
+    )
+    return contrib.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("hr").cast("long").alias("n_hours"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("hr") - 1)
+        ).cast("long").alias("dof"),
+        F.round(F.sum("c").cast("double"), 6).alias("chi2"),
+    )
+
+
+ADVANCED_ORACLES["q_chi2_type_hour"] = """
+    WITH cells AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS o
+      FROM events GROUP BY 1, 2),
+    rowm AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+    colm AS (SELECT hr, sum(o) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM cells),
+    grid AS (
+      SELECT r.event_type, c.hr, r.rt, c.ct, coalesce(cl.o, 0) AS o, n
+      FROM rowm r CROSS JOIN colm c
+      LEFT JOIN cells cl ON cl.event_type = r.event_type AND cl.hr = c.hr
+      CROSS JOIN tot),
+    contrib AS (
+      SELECT n, event_type, hr,
+             CAST(round(
+               (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
+               9) AS DECIMAL(28,9)) AS c
+      FROM grid)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT hr) AS BIGINT) AS n_hours,
+           CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT hr) - 1)
+                AS BIGINT) AS dof,
+           round(CAST(sum(c) AS DOUBLE), 6) AS chi2
+    FROM contrib
+"""
+
+ADVANCED_QUERIES["q_chi2_type_hour"] = q_chi2_type_hour
+
+
+#: Benford expected leading-digit frequencies, precomputed once in
+#: Python and inlined as LITERALS into both engines' plans -- log10
+#: evaluated by two different libm implementations is not guaranteed
+#: bit-identical; a shared literal is.
+BENFORD_EXPECTED = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+def q_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals -- the classic synthetic- or
+    tampered-data screen: compare the leading-digit distribution of
+    o_totalprice against log10(1 + 1/d). Leading digits extracted from
+    the fixed-scale DECIMAL string rendering (portable across engines;
+    float log10-based extraction is not), counts exact, one
+    map-side-combined aggregate; output is 9 rows.
+
+    TPC-H-generated totals are NOT Benford-distributed (uniform-ish
+    component prices), which is exactly what the audit should say --
+    the deviation column carries the signal."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("long")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    tot = counts.agg(F.sum("n_orders").alias("n"))
+    expected = F.create_map(
+        *[F.lit(v) for kv in BENFORD_EXPECTED.items() for v in kv]
+    )[F.col("digit")]
+    obs = F.col("n_orders").cast("double") / F.col("n").cast("double")
+    return (
+        counts.crossJoin(broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(obs, 6).alias("obs_freq"),
+            expected.alias("exp_freq"),
+            F.round(obs - expected, 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_expected_sql() -> str:
+    rows = ", ".join(f"({d}, CAST({v!r} AS DOUBLE))" for d, v in BENFORD_EXPECTED.items())
+    return f"(VALUES {rows}) AS exp_t(digit, exp_freq)"
+
+
+ADVANCED_ORACLES["q_benford_totalprice"] = f"""
+    WITH counts AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1),
+    tot AS (SELECT sum(n_orders) AS n FROM counts)
+    SELECT digit, n_orders,
+           round(CAST(n_orders AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_freq,
+           exp_freq,
+           round(CAST(n_orders AS DOUBLE) / CAST(n AS DOUBLE) - exp_freq, 6)
+             AS deviation
+    FROM counts CROSS JOIN tot
+    JOIN {_benford_expected_sql()} USING (digit)
+    ORDER BY digit
+"""
+
+ADVANCED_QUERIES["q_benford_totalprice"] = q_benford_totalprice
+
+
+#: PSI drift audit: fixed value bins (data-independent, so the bin
+#: function is a pure per-row expression in both engines) and a fixed
+#: time boundary splitting the fixture's 30-day window in half.
+PSI_BOUNDARY = "2024-01-16 00:00:00"
+PSI_BINS: list[tuple[float | None, float | None, str]] = [
+    (None, 10.0, "lt_10"),
+    (10.0, 25.0, "10_25"),
+    (25.0, 50.0, "25_50"),
+    (50.0, 100.0, "50_100"),
+    (100.0, None, "gte_100"),
+]
+
+
+def _psi_bin_spark() -> F.Column:
+    c = F.col("value")
+    expr = None
+    for lo, hi, label in PSI_BINS:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= lo)
+        if hi is not None:
+            cond = cond & (c < hi)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr
+
+
+def _psi_bin_sql() -> str:
+    parts = []
+    for lo, hi, label in PSI_BINS:
+        conds = []
+        if lo is not None:
+            conds.append(f"value >= {lo}")
+        if hi is not None:
+            conds.append(f"value < {hi}")
+        parts.append(f"WHEN {' AND '.join(conds)} THEN '{label}'")
+    return "CASE " + " ".join(parts) + " END"
+
+
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution
+    between the first and second half of the observation window -- the
+    standard model-monitoring drift metric (PSI < 0.1 stable, > 0.25
+    drifted). Laplace-smoothed bin shares so empty bins are defined;
+    per-bin contribution (p - q) * ln(p / q) reported alongside the
+    counts, so the total PSI is one trivial sum away and the
+    per-bin detail shows WHERE the distribution moved.
+
+    Scale shape: binning is a per-row CASE inside codegen; ONE
+    map-side-combined aggregate produces both halves' counts
+    (conditional sums -- no second scan, no join for the halves); the
+    literal bin spine joins back by broadcast so bins with zero events
+    in both halves still emit a row. ln(p/q) evaluates on
+    exact-integer-derived doubles with an identical expression in both
+    engines (the DSIR-proven pattern)."""
+    events = load_table(spark, sf_dir, "events")
+    is_first = F.col("ts").cast("timestamp") < F.lit(PSI_BOUNDARY).cast("timestamp")
+    counts = (
+        events.filter(F.col("value").isNotNull())
+        .select(_psi_bin_spark().alias("bin"), is_first.alias("first_half"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("first_half"), 1).otherwise(0)).alias("n_first"),
+            F.sum(F.when(~F.col("first_half"), 1).otherwise(0)).alias("n_second"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [(label,) for _, _, label in PSI_BINS], "bin string"
+    )
+    b = len(PSI_BINS)
+    full = (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            F.coalesce("n_second", F.lit(0)).cast("long").alias("n_second"),
+        )
+        .crossJoin(
+            broadcast(
+                counts.agg(
+                    F.sum("n_first").alias("t_first"),
+                    F.sum("n_second").alias("t_second"),
+                )
+            )
+        )
+    )
+    p = (F.col("n_first") + 1).cast("double") / (F.col("t_first") + b).cast("double")
+    q = (F.col("n_second") + 1).cast("double") / (F.col("t_second") + b).cast(
+        "double"
+    )
+    return full.select(
+        "bin",
+        "n_first",
+        "n_second",
+        F.round(p, 6).alias("p_first"),
+        F.round(q, 6).alias("p_second"),
+        F.round((p - q) * F.log(p / q), 9).alias("psi_contrib"),
+    ).orderBy("bin")
+
+
+ADVANCED_ORACLES["q_psi_value_drift"] = f"""
+    WITH counts AS (
+      SELECT {_psi_bin_sql()} AS bin,
+             sum(CASE WHEN ts < TIMESTAMP '{PSI_BOUNDARY}' THEN 1 ELSE 0 END)
+               AS n_first,
+             sum(CASE WHEN ts < TIMESTAMP '{PSI_BOUNDARY}' THEN 0 ELSE 1 END)
+               AS n_second
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    tot AS (SELECT sum(n_first) AS t_first, sum(n_second) AS t_second
+            FROM counts),
+    spine(bin) AS (VALUES {", ".join(f"('{label}')" for _, _, label in PSI_BINS)}),
+    grid AS (
+      SELECT s.bin,
+             CAST(coalesce(c.n_first, 0) AS BIGINT) AS n_first,
+             CAST(coalesce(c.n_second, 0) AS BIGINT) AS n_second,
+             t_first, t_second
+      FROM spine s LEFT JOIN counts c ON s.bin = c.bin CROSS JOIN tot)
+    SELECT bin, n_first, n_second,
+           round(CAST(n_first + 1 AS DOUBLE)
+                 / CAST(t_first + {len(PSI_BINS)} AS DOUBLE), 6) AS p_first,
+           round(CAST(n_second + 1 AS DOUBLE)
+                 / CAST(t_second + {len(PSI_BINS)} AS DOUBLE), 6) AS p_second,
+           round((CAST(n_first + 1 AS DOUBLE)
+                  / CAST(t_first + {len(PSI_BINS)} AS DOUBLE)
+                  - CAST(n_second + 1 AS DOUBLE)
+                    / CAST(t_second + {len(PSI_BINS)} AS DOUBLE))
+                 * ln((CAST(n_first + 1 AS DOUBLE)
+                       / CAST(t_first + {len(PSI_BINS)} AS DOUBLE))
+                      / (CAST(n_second + 1 AS DOUBLE)
+                         / CAST(t_second + {len(PSI_BINS)} AS DOUBLE))), 9)
+             AS psi_contrib
+    FROM grid ORDER BY bin
+"""
+
+ADVANCED_QUERIES["q_psi_value_drift"] = q_psi_value_drift

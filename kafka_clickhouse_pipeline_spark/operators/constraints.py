@@ -1,0 +1,188 @@
+"""Data-contract constraint auditing (the Deequ/Great-Expectations
+layer of a production pipeline): declarative uniqueness, completeness,
+range, and referential-integrity checks evaluated in full over the
+fixture warehouse, one result row per check.
+
+Why this is an engine operator: at 100 TB "validate before publish" is
+a distributed job, not a notebook cell -- each check must be a single
+map-side-combinable aggregate (uniqueness = count vs count distinct,
+completeness/range = conditional counts) or a keyed anti-join (FK
+orphans), never a collect. The audit's output is metadata-sized (one
+row per constraint), so it can gate a publish step cheaply no matter
+the input size.
+
+Scale notes per check kind:
+- uniqueness: count(*) vs count(DISTINCT key) -- two partial-agg
+  passes fused into one shuffle; for approximate gating at extreme
+  scale swap in approx_count_distinct (documented trade-off).
+- completeness / range: conditional sums, purely map-side until the
+  final 1-row combine.
+- referential integrity: LEFT ANTI join fact->dim on the key;
+  dimension sides (customer) broadcast, fact-fact (lineitem->orders)
+  shuffles on the join key where AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load_table
+
+
+def _check(name: str, checked: F.Column, violations: F.Column):
+    return (
+        F.lit(name).alias("check_name"),
+        checked.cast("long").alias("n_checked"),
+        violations.cast("long").alias("n_violations"),
+    )
+
+
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over the warehouse: key uniqueness, FK
+    integrity, completeness, and value-range contracts. Output one row
+    per constraint: (constraint, n_checked, n_violations, passed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    uniq_orders = orders.agg(
+        *_check(
+            "orders.o_orderkey unique",
+            F.count(F.lit(1)),
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+        )
+    )
+    uniq_cust = customer.agg(
+        *_check(
+            "customer.c_custkey unique",
+            F.count(F.lit(1)),
+            F.count(F.lit(1)) - F.countDistinct("c_custkey"),
+        )
+    )
+    fk_orders_cust = (
+        orders.join(
+            broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .crossJoin(broadcast(orders.agg(F.count(F.lit(1)).alias("n"))))
+        .select(
+            *_check(
+                "orders.o_custkey -> customer.c_custkey",
+                F.col("n"),
+                F.col("orphans"),
+            )
+        )
+    )
+    fk_li_orders = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .crossJoin(broadcast(lineitem.agg(F.count(F.lit(1)).alias("n"))))
+        .select(
+            *_check(
+                "lineitem.l_orderkey -> orders.o_orderkey",
+                F.col("n"),
+                F.col("orphans"),
+            )
+        )
+    )
+    ev_complete = events.agg(
+        *_check(
+            "events.value complete",
+            F.count(F.lit(1)),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)),
+        )
+    )
+    ev_range = events.agg(
+        *_check(
+            "events.value >= 0",
+            F.count(F.lit(1)),
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0)),
+        )
+    )
+    doc_nonempty = docs.agg(
+        *_check(
+            "documents.text non-empty",
+            F.count(F.lit(1)),
+            F.sum(
+                F.when(
+                    F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0),
+                    1,
+                ).otherwise(0)
+            ),
+        )
+    )
+    out = (
+        uniq_orders.unionByName(uniq_cust)
+        .unionByName(fk_orders_cust)
+        .unionByName(fk_li_orders)
+        .unionByName(ev_complete)
+        .unionByName(ev_range)
+        .unionByName(doc_nonempty)
+    )
+    return out.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("passed"),
+    ).orderBy("check_name")
+
+
+CONSTRAINT_ORACLES = {
+    "q_constraint_audit": """
+        WITH checks AS (
+          SELECT 'orders.o_orderkey unique' AS check_name,
+                 count(*) AS n_checked,
+                 count(*) - count(DISTINCT o_orderkey) AS n_violations
+          FROM orders
+          UNION ALL
+          SELECT 'customer.c_custkey unique', count(*),
+                 count(*) - count(DISTINCT c_custkey)
+          FROM customer
+          UNION ALL
+          SELECT 'orders.o_custkey -> customer.c_custkey',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey))
+          UNION ALL
+          SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey))
+          UNION ALL
+          SELECT 'events.value complete', count(*),
+                 sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+          FROM events
+          UNION ALL
+          SELECT 'events.value >= 0', count(*),
+                 sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+          FROM events
+          UNION ALL
+          SELECT 'documents.text non-empty', count(*),
+                 sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                          THEN 1 ELSE 0 END)
+          FROM documents)
+        SELECT check_name,
+               CAST(n_checked AS BIGINT) AS n_checked,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS passed
+        FROM checks ORDER BY check_name
+    """,
+}
+
+CONSTRAINT_QUERIES = {"q_constraint_audit": q_constraint_audit}

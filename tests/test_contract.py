@@ -81,6 +81,16 @@ def test_window_is_50_oracle_backed_with_new_operators():
         "q_quota_sample",
         "q_embedding_top_pc",
         "q_kcore_mutual_knn",
+        # round-4 fifth batch
+        "q_event_transitions",
+        "q_scd2_user_status",
+        "q_trend_by_type",
+        "q_chi2_type_hour",
+        "q_benford_totalprice",
+        "q_zorder_layout",
+        "q_boilerplate_ngrams",
+        "q_media_phash",
+        "q_bfs_hops",
     }
     assert rotated_in <= set(window), rotated_in - set(window)
 

@@ -220,3 +220,164 @@ def test_phash_neardup_finds_identical_not_distant(spark, crafted_media_dir):
     # identical payloads matched at distance 0; the all-ones/all-zeros
     # pair (distance 60) and every cross pair stay out
     assert pairs == {(0, 1): 0}
+
+
+@pytest.fixture(scope="module")
+def crafted_trend_dir(spark, tmp_path_factory):
+    """'linear' events follow value = 5 + 2*hours_since_anchor exactly;
+    'flat' events are constant."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)  # == advanced.TREND_ANCHOR
+    rows = []
+    eid = 0
+    for h in range(10):
+        rows.append((eid, t0 + datetime.timedelta(hours=h), 1, "linear", 5.0 + 2.0 * h, "{}"))
+        eid += 1
+        rows.append((eid, t0 + datetime.timedelta(hours=h), 1, "flat", 7.5, "{}"))
+        eid += 1
+    d = tmp_path_factory.mktemp("crafted_trend")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+def test_trend_recovers_exact_line(spark, crafted_trend_dir):
+    from kafka_clickhouse_pipeline_spark.operators import advanced
+
+    rows = {
+        r["event_type"]: r
+        for r in advanced.q_trend_by_type(spark, crafted_trend_dir).collect()
+    }
+    lin, flat = rows["linear"], rows["flat"]
+    # 2 per hour == 48 per day; intercept at the anchor == 5
+    assert lin["slope_per_day"] == pytest.approx(48.0, abs=1e-6)
+    assert lin["intercept"] == pytest.approx(5.0, abs=1e-6)
+    assert flat["slope_per_day"] == pytest.approx(0.0, abs=1e-9)
+    assert flat["intercept"] == pytest.approx(7.5, abs=1e-6)
+
+
+def test_chi2_zero_under_exact_independence(spark, tmp_path_factory):
+    from kafka_clickhouse_pipeline_spark.operators import advanced
+
+    # 2 types x 2 hours, equal counts everywhere -> observed == expected
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for etype in ("a", "b"):
+        for h in (3, 9):
+            for _ in range(5):
+                rows.append((eid, t0 + datetime.timedelta(hours=h), 1, etype, 1.0, "{}"))
+                eid += 1
+    d = tmp_path_factory.mktemp("chi2_indep")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    r = advanced.q_chi2_type_hour(spark, str(d)).first()
+    assert r["chi2"] == 0.0
+    assert r["n"] == 20 and r["n_types"] == 2 and r["n_hours"] == 2 and r["dof"] == 1
+
+
+def test_chi2_fixture_sane(spark, sf_dir):
+    from kafka_clickhouse_pipeline_spark.operators import advanced
+
+    r = advanced.q_chi2_type_hour(spark, sf_dir).first()
+    assert r["chi2"] >= 0.0
+    assert r["dof"] == (r["n_types"] - 1) * (r["n_hours"] - 1)
+
+
+def test_benford_frequencies_are_distributions(spark, sf_dir):
+    from kafka_clickhouse_pipeline_spark.operators import advanced
+
+    rows = advanced.q_benford_totalprice(spark, sf_dir).collect()
+    assert set(r["digit"] for r in rows) <= set(range(1, 10))
+    assert sum(r["obs_freq"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert r["exp_freq"] == advanced.BENFORD_EXPECTED[r["digit"]]
+        assert r["deviation"] == pytest.approx(r["obs_freq"] - r["exp_freq"], abs=2e-6)
+
+
+def test_constraint_audit_clean_fixture_passes(spark, sf_dir):
+    from kafka_clickhouse_pipeline_spark.operators import constraints
+
+    rows = constraints.q_constraint_audit(spark, sf_dir).collect()
+    assert len(rows) == 7
+    assert all(r["passed"] == 1 and r["n_violations"] == 0 for r in rows), [
+        (r["check_name"], r["n_violations"]) for r in rows if r["passed"] == 0
+    ]
+    assert all(r["n_checked"] > 0 for r in rows)
+
+
+def test_constraint_audit_detects_violations(spark, tmp_path_factory):
+    from kafka_clickhouse_pipeline_spark.operators import constraints
+
+    d = tmp_path_factory.mktemp("corrupt_wh")
+    # duplicate order key + orphan custkey 999
+    spark.createDataFrame(
+        [(1, 10, 100.0), (1, 999, 50.0)],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(10, "seg")], "c_custkey bigint, c_mktsegment string"
+    ).write.parquet(f"{d}/customer.parquet")
+    # orphan lineitem order 7
+    spark.createDataFrame(
+        [(1, 5), (7, 6)], "l_orderkey bigint, l_partkey bigint"
+    ).write.parquet(f"{d}/lineitem.parquet")
+    import datetime
+
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 2), 1, "view", None, "{}"),
+         (2, datetime.datetime(2024, 1, 3), 1, "view", -5.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [(0, "  ", "en", "A", 2)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    rows = {
+        r["check_name"]: r
+        for r in constraints.q_constraint_audit(spark, str(d)).collect()
+    }
+    assert rows["orders.o_orderkey unique"]["n_violations"] == 1
+    assert rows["orders.o_custkey -> customer.c_custkey"]["n_violations"] == 1
+    assert rows["lineitem.l_orderkey -> orders.o_orderkey"]["n_violations"] == 1
+    assert rows["events.value complete"]["n_violations"] == 1
+    assert rows["events.value >= 0"]["n_violations"] == 1
+    assert rows["documents.text non-empty"]["n_violations"] == 1
+    assert all(r["passed"] == 0 for n, r in rows.items()
+               if n != "customer.c_custkey unique")
+
+
+def test_psi_zero_for_identical_halves(spark, tmp_path_factory):
+    from kafka_clickhouse_pipeline_spark.operators import advanced
+
+    # same per-bin counts in both halves -> every contribution is 0
+    t_first = datetime.datetime(2024, 1, 5, 0, 0, 0)
+    t_second = datetime.datetime(2024, 1, 25, 0, 0, 0)
+    rows = []
+    eid = 0
+    for t in (t_first, t_second):
+        for v in (5.0, 5.0, 30.0, 75.0, 200.0):
+            rows.append((eid, t, 1, "view", v, "{}"))
+            eid += 1
+    d = tmp_path_factory.mktemp("psi_same")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    out = advanced.q_psi_value_drift(spark, str(d)).collect()
+    assert len(out) == len(advanced.PSI_BINS)
+    assert all(r["psi_contrib"] == 0.0 for r in out)
+    # the empty 10_25 bin still emits a row (smoothed, equal -> 0)
+    assert any(r["bin"] == "10_25" and r["n_first"] == 0 for r in out)
+
+
+def test_psi_fixture_is_distribution_and_finite(spark, sf_dir):
+    from kafka_clickhouse_pipeline_spark.operators import advanced
+
+    out = advanced.q_psi_value_drift(spark, sf_dir).collect()
+    assert len(out) == len(advanced.PSI_BINS)
+    assert sum(r["p_first"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["p_second"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    # PSI contributions are always >= 0 ((p-q) and ln(p/q) share sign)
+    assert all(r["psi_contrib"] >= 0.0 for r in out)
