@@ -837,6 +837,15 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("first_half"), 1).otherwise(0)).alias("n_second"),
         )
     )
+    return psi_table(counts)
+
+
+def psi_table(counts: DataFrame) -> DataFrame:
+    """The PSI core shared by the batch operator and the streaming
+    drift monitor (streaming/drift.py), so the two can never disagree:
+    (bin, n_first, n_second) counts -> the full smoothed PSI table.
+    Empty-state safe: zero totals still yield uniform smoothed shares."""
+    spark = counts.sparkSession
     spine = spark.createDataFrame(
         [(label,) for _, _, label in PSI_BINS], "bin string"
     )
@@ -851,8 +860,8 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(
             broadcast(
                 counts.agg(
-                    F.sum("n_first").alias("t_first"),
-                    F.sum("n_second").alias("t_second"),
+                    F.coalesce(F.sum("n_first"), F.lit(0)).alias("t_first"),
+                    F.coalesce(F.sum("n_second"), F.lit(0)).alias("t_second"),
                 )
             )
         )
