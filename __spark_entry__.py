@@ -21,6 +21,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     constraints,
     curation,
     dedup,
+    dialect_queries,
     graph,
     linkage,
     multimodal,
@@ -73,7 +74,12 @@ PRIORITY: tuple[str, ...] = (
     # lag/lead/row_number window class by the new event-sequence ops)
     "q1_pricing_summary",
     "q10_top_returning_customers",
-    "q_range_join_quantity_bands",
+    # dialect acceptance layer (round-4 eighth batch: the extended
+    # ClickHouse-SQL surface — sumIf/countIf/uniqExact/argMax/
+    # parametric quantile/multiIf — attested through translate();
+    # q_range_join_quantity_bands, 3x-attested, rotates below with its
+    # class still represented by the banded-join family)
+    "q_dialect_flags_report",
     # event-sequence analytics (round-4 fifth batch, never attested)
     "q_event_transitions", "q_scd2_user_status",
     # statistical audits (round-4 fifth batch, never attested)
@@ -145,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(linkage.LINKAGE_QUERIES)
     q.update(zorder.ZORDER_QUERIES)
     q.update(constraints.CONSTRAINT_QUERIES)
+    q.update(dialect_queries.DIALECT_QUERIES)
     missing = [n for n in PRIORITY if n not in q]
     assert not missing, f"PRIORITY names not registered: {missing}"
     ordered = {n: q[n] for n in PRIORITY}
@@ -172,4 +179,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(linkage.LINKAGE_ORACLES)
     o.update(zorder.ZORDER_ORACLES)
     o.update(constraints.CONSTRAINT_ORACLES)
+    o.update(dialect_queries.DIALECT_ORACLES)
     return o

@@ -97,6 +97,10 @@ HEADLINE = [
     "q_benford_totalprice",
     "q_constraint_audit",
     "q_psi_value_drift",
+    # round-4 eighth batch
+    "q_dialect_flags_report",
+    "q_heavy_hitters",
+    "q_ewma_hourly",
 ]
 
 

@@ -17,6 +17,42 @@ reference uses onto Spark SQL:
                                        runs over static data]
     count()                         -> count(*)
 
+Beyond the reference's own six functions, the layer accepts the wider
+ClickHouse surface a dashboard user would bring along (each mapped to
+the built-in Spark function with the same semantics):
+
+    sumIf(x, c) / countIf(c) /      -> sum(if(c, x, 0)) / sum(if(c,1,0))
+    avgIf / minIf / maxIf(x, c)        / agg(CASE WHEN c THEN x END)
+    uniqExact(x) , uniq(x)          -> count(DISTINCT x)   [uniq is
+                                       approximate in ClickHouse; the
+                                       exact count is a strict
+                                       refinement of its contract]
+    argMax(a, v) / argMin(a, v)     -> max_by(a, v) / min_by(a, v)
+    multiIf(c1,v1,...,e)            -> CASE WHEN c1 THEN v1 ... ELSE e END
+    quantile(p)(x), quantileExact   -> percentile(x, p)  [parametric
+                                       aggregate syntax]
+    arrayJoin(x)                    -> explode(x)
+    has(arr, v)                     -> array_contains(arr, v)
+    splitByChar('c', s)             -> split(s, <regex-escaped c>)
+    JSONExtractString/Int/Float     -> get_json_object + CAST
+    toDate / toDateTime             -> to_date / to_timestamp
+    toStartOfMinute/Day/Month/...   -> date_trunc('<unit>', x)
+    toHour/toMinute/toSecond/
+      toDayOfMonth/toMonth/toYear   -> hour/minute/second/day/month/year
+    toDayOfWeek(x)                  -> Monday=1..Sunday=7 arithmetic on
+                                       Spark's dayofweek (Sunday=1)
+    toInt*/toUInt*/toFloat*/        -> CAST(... AS <closest Spark type>)
+      toString                         (UInt64 maps to BIGINT: Spark has
+                                       no unsigned 64-bit type)
+    intDiv(a, b) / modulo(a, b)     -> (a DIV b) / (a % b)
+    formatDateTime(x, '%F %H:%i')   -> date_format with the %-tokens
+                                       transliterated to JVM patterns
+    ... PREWHERE c                  -> WHERE c  [ClickHouse PREWHERE is
+                                       a storage-pushdown hint; Spark's
+                                       Catalyst pushes WHERE predicates
+                                       to the scan automatically, so
+                                       plain WHERE carries the intent]
+
 Every rewrite mirrors the corresponding engine function in
 ``kafka_clickhouse_pipeline_spark.functions`` exactly (same format
 string, same decimal type, same coalesce order), so a translated query
@@ -34,6 +70,8 @@ translated text uses only built-in functions.
 """
 
 from __future__ import annotations
+
+import re
 
 from ..functions import EVENT_TIME_FORMAT
 
@@ -112,6 +150,165 @@ def _rewrite(sql: str, name: str, build) -> str:
             return sql
 
 
+def _rewrite_parametric(sql: str, name: str, build) -> str:
+    """Rewrite ClickHouse parametric-aggregate syntax ``name(params)(args)``
+    via ``build(params, args) -> str`` (e.g. ``quantile(0.5)(x)``)."""
+    while True:
+        calls = _find_calls(sql, name)
+        hit = None
+        for start, end, params in calls:
+            j = end
+            while j < len(sql) and sql[j].isspace():
+                j += 1
+            if j < len(sql) and sql[j] == "(":
+                # parse the second argument list with the same scanner
+                inner = _find_calls("f" + sql[j:], "f")
+                if inner and inner[0][0] == 0:
+                    _, iend, args = inner[0]
+                    hit = (start, j + iend - 1, params, args)
+                    break
+        if hit is None:
+            return sql
+        start, end, params, args = hit
+        sql = sql[:start] + build(params, args) + sql[end:]
+
+
+def _replace_keyword(sql: str, word: str, repl: str) -> str:
+    """Whole-word keyword replacement outside string literals."""
+    out, i, n = [], 0, len(sql)
+    lword = word.lower()
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if (
+            sql[i : i + len(word)].lower() == lword
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and (
+                i + len(word) >= n
+                or not (sql[i + len(word)].isalnum() or sql[i + len(word)] == "_")
+            )
+        ):
+            out.append(repl)
+            i += len(word)
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+#: ClickHouse cast helpers -> closest Spark SQL type. UInt64 maps to
+#: BIGINT (Spark has no unsigned 64-bit integer type); the narrower
+#: unsigned types map to the next-wider signed type so every value fits.
+_CAST_FUNCS = {
+    "toInt8": "TINYINT",
+    "toInt16": "SMALLINT",
+    "toInt32": "INT",
+    "toInt64": "BIGINT",
+    "toUInt8": "SMALLINT",
+    "toUInt16": "INT",
+    "toUInt32": "BIGINT",
+    "toUInt64": "BIGINT",
+    "toFloat32": "FLOAT",
+    "toFloat64": "DOUBLE",
+    "toString": "STRING",
+}
+
+#: toStartOf* -> date_trunc units (week deliberately absent: ClickHouse
+#: weeks start Sunday by default, Spark's start Monday -- a silent
+#: off-by-one-day is worse than an unsupported-function error).
+_TRUNC_FUNCS = {
+    "toStartOfMinute": "minute",
+    "toStartOfDay": "day",
+    "toStartOfMonth": "month",
+    "toStartOfQuarter": "quarter",
+    "toStartOfYear": "year",
+}
+
+#: Date-part extractors with identical semantics in both engines.
+_PART_FUNCS = {
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toSecond": "second",
+    "toDayOfMonth": "day",
+    "toMonth": "month",
+    "toYear": "year",
+}
+
+#: ClickHouse formatDateTime %-tokens -> JVM DateTimeFormatter patterns.
+#: Only tokens with identical rendering are mapped; anything else raises
+#: so a silent wrong-format never ships.
+_FMT_TOKENS = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%i": "mm",
+    "%S": "ss",
+    "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss",
+    "%%": "%",
+}
+
+
+def _format_pattern(ch_fmt: str) -> str:
+    """Transliterate a ClickHouse formatDateTime pattern (single-quoted
+    SQL literal, quotes included) to a JVM pattern literal."""
+    if not (ch_fmt.startswith("'") and ch_fmt.endswith("'")):
+        raise ValueError(
+            f"formatDateTime pattern must be a string literal, got {ch_fmt!r}"
+        )
+    body = ch_fmt[1:-1]
+    out, i = [], 0
+    while i < len(body):
+        if body[i] == "%":
+            tok = body[i : i + 2]
+            if tok not in _FMT_TOKENS:
+                raise ValueError(f"unsupported formatDateTime token {tok!r}")
+            out.append(_FMT_TOKENS[tok])
+            i += 2
+        else:
+            # literal run: quote it if it contains letters (JVM patterns
+            # treat bare letters as pattern chars)
+            j = i
+            while j < len(body) and body[j] != "%":
+                j += 1
+            lit = body[i:j]
+            out.append(f"'{lit}'" if re.search(r"[A-Za-z]", lit) else lit)
+            i = j
+    return "'" + "".join(out) + "'"
+
+
+def _split_regex_literal(sep: str) -> str:
+    """splitByChar separator literal -> regex-escaped Spark split literal."""
+    if not (sep.startswith("'") and sep.endswith("'")):
+        raise ValueError(f"splitByChar separator must be a string literal, got {sep!r}")
+    raw = sep[1:-1].replace("''", "'")
+    escaped = re.escape(raw).replace("'", "''")
+    return f"'{escaped}'"
+
+
+def _multi_if(args: list[str]) -> str:
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError("multiIf needs cond,value pairs plus an else branch")
+    parts = ["CASE"]
+    for c, v in zip(args[:-1:2], args[1:-1:2]):
+        parts.append(f"WHEN {c} THEN {v}")
+    parts.append(f"ELSE {args[-1]} END")
+    return " ".join(parts)
+
+
 def translate(sql: str, anchor: str | None = None) -> str:
     """ClickHouse SQL -> Spark SQL for the reference's query surface.
 
@@ -147,6 +344,77 @@ def translate(sql: str, anchor: str | None = None) -> str:
     sql = _rewrite(sql, "now", lambda a: now_expr)
     # ClickHouse count() == count(*)
     sql = _rewrite(sql, "count", lambda a: "count(*)" if not a else f"count({', '.join(a)})")
+
+    # ---- extended surface (see module docstring) ----
+    # parametric aggregates first: quantile(p)(x) would otherwise be
+    # seen as a plain call of quantile
+    for qname in ("quantileExact", "quantile"):
+        sql = _rewrite_parametric(
+            sql, qname, lambda p, a: f"percentile({a[0]}, {p[0]})"
+        )
+    sql = _rewrite(
+        sql, "sumIf", lambda a: f"sum(if(({a[1]}), ({a[0]}), 0))"
+    )
+    sql = _rewrite(sql, "countIf", lambda a: f"sum(if(({a[0]}), 1, 0))")
+    for cname, sname in (("avgIf", "avg"), ("minIf", "min"), ("maxIf", "max")):
+        sql = _rewrite(
+            sql,
+            cname,
+            lambda a, s=sname: f"{s}(CASE WHEN ({a[1]}) THEN ({a[0]}) END)",
+        )
+    for uname in ("uniqExact", "uniq"):
+        sql = _rewrite(
+            sql, uname, lambda a: f"count(DISTINCT {', '.join(a)})"
+        )
+    sql = _rewrite(sql, "argMax", lambda a: f"max_by({a[0]}, {a[1]})")
+    sql = _rewrite(sql, "argMin", lambda a: f"min_by({a[0]}, {a[1]})")
+    sql = _rewrite(sql, "multiIf", _multi_if)
+    sql = _rewrite(sql, "arrayJoin", lambda a: f"explode({a[0]})")
+    sql = _rewrite(sql, "has", lambda a: f"array_contains({a[0]}, {a[1]})")
+    sql = _rewrite(
+        sql,
+        "splitByChar",
+        lambda a: f"split({a[1]}, {_split_regex_literal(a[0])})",
+    )
+    sql = _rewrite(
+        sql,
+        "JSONExtractString",
+        lambda a: f"get_json_object({a[0]}, '$.' || {a[1]})"
+        if not (a[1].startswith("'") and a[1].endswith("'"))
+        else f"get_json_object({a[0]}, '$.{a[1][1:-1]}')",
+    )
+    sql = _rewrite(
+        sql,
+        "JSONExtractInt",
+        lambda a: f"CAST(get_json_object({a[0]}, '$.{a[1][1:-1]}') AS BIGINT)",
+    )
+    sql = _rewrite(
+        sql,
+        "JSONExtractFloat",
+        lambda a: f"CAST(get_json_object({a[0]}, '$.{a[1][1:-1]}') AS DOUBLE)",
+    )
+    sql = _rewrite(sql, "toDate", lambda a: f"to_date({a[0]})")
+    sql = _rewrite(sql, "toDateTime", lambda a: f"to_timestamp({a[0]})")
+    for fname, unit in _TRUNC_FUNCS.items():
+        sql = _rewrite(sql, fname, lambda a, u=unit: f"date_trunc('{u}', {a[0]})")
+    for fname, part in _PART_FUNCS.items():
+        sql = _rewrite(sql, fname, lambda a, p=part: f"{p}({a[0]})")
+    # ClickHouse: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
+    sql = _rewrite(
+        sql,
+        "toDayOfWeek",
+        lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
+    )
+    for fname, stype in _CAST_FUNCS.items():
+        sql = _rewrite(sql, fname, lambda a, t=stype: f"CAST({a[0]} AS {t})")
+    sql = _rewrite(sql, "intDiv", lambda a: f"(({a[0]}) DIV ({a[1]}))")
+    sql = _rewrite(sql, "modulo", lambda a: f"(({a[0]}) % ({a[1]}))")
+    sql = _rewrite(
+        sql,
+        "formatDateTime",
+        lambda a: f"date_format({a[0]}, {_format_pattern(a[1])})",
+    )
+    sql = _replace_keyword(sql, "PREWHERE", "WHERE")
     return sql
 
 

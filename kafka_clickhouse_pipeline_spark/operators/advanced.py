@@ -915,3 +915,101 @@ ADVANCED_ORACLES["q_psi_value_drift"] = f"""
 """
 
 ADVANCED_QUERIES["q_psi_value_drift"] = q_psi_value_drift
+
+
+# ---- exponentially-weighted moving average (recursive smoothing) ----
+
+#: EWMA smoothing factor; inlined as an explicit DOUBLE literal in both
+#: engines (bare 0.3 parses as DECIMAL in both Spark and DuckDB, which
+#: would change the arithmetic).
+EWMA_ALPHA = 0.3
+
+
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA of the hourly event count: e_1 = x_1,
+    e_i = a*x_i + (1-a)*e_{i-1} — the classic smoothing/alerting
+    baseline a monitoring stack keeps per series.
+
+    EWMA is inherently a left-to-right RECURSION, which a window sum
+    cannot express exactly (the closed form sum a*(1-a)^(i-j)*x_j is
+    order-independent only in exact arithmetic; in doubles its error
+    depends on the summation order, and the (1-a)^i factors overflow
+    the dynamic range for long series). So: aggregate to hourly counts
+    (one shuffle, partial-agg), collect each type's series into a
+    sorted array (~720 entries per type here; state is bounded by
+    SERIES length, never corpus size), and fold left-to-right with the
+    built-in `aggregate` HOF — JVM codegen, no Python. The DuckDB twin
+    runs the identical recursion as a recursive CTE over the
+    row-numbered series; both engines execute the same two-op double
+    sequence per step, so the outputs are bit-identical (rendered
+    round-6 at the boundary, same as every double output here).
+
+    Scale: one shuffle to hourly counts, one to per-type arrays. A
+    series too long to hold as an array (years of seconds) would chunk
+    into segments carrying (carry-in weight, partial fold) pairs --
+    the standard segmented-scan decomposition; at the hourly grain even
+    a decade is 88k entries, far under array limits."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct(ts_str("hour").alias("h"), "cnt"))
+        ).alias("xs")
+    )
+    folded = series.select(
+        "event_type",
+        F.expr(
+            f"""
+            aggregate(
+              xs,
+              cast(array() as array<struct<h:string, e:double>>),
+              (acc, x) -> array_append(acc, named_struct(
+                'h', x.h,
+                'e', if(size(acc) = 0,
+                        cast(x.cnt as double),
+                        cast({EWMA_ALPHA} as double) * x.cnt
+                          + cast({1 - EWMA_ALPHA} as double)
+                            * element_at(acc, -1).e)))
+            )
+            """
+        ).alias("es"),
+    )
+    return (
+        folded.select("event_type", F.explode("es").alias("p"))
+        .select(
+            "event_type",
+            F.col("p.h").alias("hour"),
+            F.round(F.col("p.e"), 6).alias("ewma"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ADVANCED_ORACLES["q_ewma_hourly"] = f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    numbered AS MATERIALIZED (
+      SELECT event_type, hour, cnt,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i
+      FROM hourly),
+    ewma AS (
+      SELECT event_type, hour, cnt, i, CAST(cnt AS DOUBLE) AS e
+      FROM numbered WHERE i = 1
+      UNION ALL
+      SELECT n.event_type, n.hour, n.cnt, n.i,
+             CAST({EWMA_ALPHA} AS DOUBLE) * n.cnt
+               + CAST({1 - EWMA_ALPHA} AS DOUBLE) * w.e
+      FROM numbered n JOIN ewma w
+        ON n.event_type = w.event_type AND n.i = w.i + 1)
+    SELECT event_type, hour, round(e, 6) AS ewma
+    FROM ewma ORDER BY event_type, hour
+"""
+
+ADVANCED_QUERIES["q_ewma_hourly"] = q_ewma_hourly

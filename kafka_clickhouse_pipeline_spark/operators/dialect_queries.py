@@ -1,0 +1,151 @@
+"""Oracle-checked queries routed through the ClickHouse-dialect SQL
+layer (functions/clickhouse_dialect.py) — the acceptance proof that the
+EXTENDED dialect surface (conditional aggregates, parametric quantiles,
+argMax, multiIf, arrayJoin/splitByChar, JSONExtract*, formatDateTime,
+PREWHERE) produces exactly what hand-written engine queries produce.
+
+The reference's own four dashboard queries are attested through the
+serving operators (operators/serving.py, app.py:57-160 parity); these
+three cover the wider ClickHouse vocabulary a migrating user brings.
+Each query text below is what a ClickHouse user would type; the wrapper
+only registers the parquet table as a view, translates, runs, and pins
+the output boundary to the canonical types (functions/canon.py).
+
+Plan quality: translation is purely syntactic, so Catalyst sees ordinary
+Spark SQL — partial aggregation below the shuffle for every aggregate,
+TakeOrderedAndProject for the ORDER+LIMIT word query, and the PREWHERE
+predicate pushed to the parquet scan like any WHERE clause.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..functions.canon import big, money
+from ..functions.clickhouse_dialect import run_clickhouse_sql
+
+#: Conditional aggregates (sumIf/countIf), exact distinct (uniqExact),
+#: argMax over a tie-free key (l_orderkey*8 + l_linenumber is unique:
+#: l_linenumber <= 7), parametric median, multiIf label.
+FLAGS_REPORT_CH = """
+    SELECT
+        l_returnflag AS flag,
+        multiIf(l_returnflag = 'R', 'returned',
+                l_returnflag = 'A', 'accepted', 'none') AS flag_label,
+        countIf(l_quantity > 25) AS n_large,
+        uniqExact(l_orderkey) AS n_orders,
+        sumIf(toDecimal32(l_extendedprice, 2), l_discount > 0.05) AS disc_revenue,
+        argMax(l_linestatus, l_orderkey * 8 + l_linenumber) AS last_status,
+        quantileExact(0.5)(l_quantity) AS med_qty
+    FROM lineitem
+    GROUP BY flag, flag_label
+    ORDER BY flag
+"""
+
+#: Date formatting/truncation, ISO weekday, approximate-distinct spelled
+#: uniq (mapped to the exact count — a strict refinement), JSON
+#: extraction from the props payload, IN-list via has(), PREWHERE.
+DAILY_EVENTS_CH = """
+    SELECT
+        formatDateTime(toStartOfDay(ts), '%F') AS day,
+        toDayOfWeek(toStartOfDay(ts)) AS dow,
+        uniq(user_id) AS users,
+        countIf(event_type = 'purchase') AS purchases,
+        sumIf(JSONExtractInt(props, 'k'),
+              has(array('click', 'view'), event_type)) AS k_engaged
+    FROM events
+    PREWHERE value > 0
+    GROUP BY day, dow
+    ORDER BY day
+"""
+
+#: arrayJoin + splitByChar row explosion with a deterministic
+#: ORDER BY (count, word) total order under the LIMIT.
+TOP_WORDS_CH = """
+    SELECT word, count() AS n
+    FROM (SELECT arrayJoin(splitByChar(' ', text)) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+"""
+
+
+def q_dialect_flags_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    out = run_clickhouse_sql(spark, FLAGS_REPORT_CH)
+    return out.select(
+        "flag",
+        "flag_label",
+        big("n_large").alias("n_large"),
+        big("n_orders").alias("n_orders"),
+        money("disc_revenue").alias("disc_revenue"),
+        "last_status",
+        "med_qty",
+    )
+
+
+def q_dialect_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    out = run_clickhouse_sql(spark, DAILY_EVENTS_CH)
+    return out.select(
+        "day",
+        big("dow").alias("dow"),
+        big("users").alias("users"),
+        big("purchases").alias("purchases"),
+        big("k_engaged").alias("k_engaged"),
+    )
+
+
+def q_dialect_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    out = run_clickhouse_sql(spark, TOP_WORDS_CH)
+    return out.select("word", big("n").alias("n"))
+
+
+DIALECT_QUERIES = {
+    "q_dialect_flags_report": q_dialect_flags_report,
+    "q_dialect_daily_events": q_dialect_daily_events,
+    "q_dialect_top_words": q_dialect_top_words,
+}
+
+DIALECT_ORACLES: dict[str, str] = {
+    "q_dialect_flags_report": """
+        SELECT
+            l_returnflag AS flag,
+            CASE WHEN l_returnflag = 'R' THEN 'returned'
+                 WHEN l_returnflag = 'A' THEN 'accepted'
+                 ELSE 'none' END AS flag_label,
+            CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+            CAST(CAST(SUM(CASE WHEN l_discount > 0.05
+                          THEN CAST(l_extendedprice AS DECIMAL(9,2))
+                          ELSE 0 END) AS DECIMAL(38,2)) AS VARCHAR) AS disc_revenue,
+            ARG_MAX(l_linestatus, l_orderkey * 8 + l_linenumber) AS last_status,
+            QUANTILE_CONT(l_quantity, 0.5) AS med_qty
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY flag
+    """,
+    "q_dialect_daily_events": """
+        SELECT
+            strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+            CAST(isodow(ts) AS BIGINT) AS dow,
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+            CAST(SUM(CASE WHEN event_type IN ('click', 'view')
+                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS k_engaged
+        FROM events
+        WHERE value > 0
+        GROUP BY 1, 2
+        ORDER BY day
+    """,
+    "q_dialect_top_words": """
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 20
+    """,
+}

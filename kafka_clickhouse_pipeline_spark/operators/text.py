@@ -1213,8 +1213,96 @@ TEXT_ORACLES["q_oov_rate"] = f"""
     ORDER BY source
 """
 
+#: Heavy-hitter threshold: a term is a heavy hitter when
+#: count * HH_K > N_total (share > 1/HH_K).
+HH_K = 64
+#: Per-partition Misra-Gries counter budget. Correctness needs only
+#: MG_CAPACITY + 1 >= HH_K (see q_heavy_hitters docstring); 4x headroom
+#: keeps the candidate list short without growing executor memory.
+MG_CAPACITY = 256
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent-terms (share > 1/HH_K) via bounded-memory
+    map-side candidate generation + exact rescore — the two-pass
+    Misra-Gries pattern for heavy hitters over a key space too large to
+    hash-aggregate in full.
+
+    Why not plain groupBy+HAVING: that shuffles one partial count per
+    DISTINCT term per mapper. At 100 TB of text the distinct-term
+    relation is billions of rows of shuffle for an answer of at most
+    HH_K rows. Here stage 1 streams each input partition through a
+    Misra-Gries summary of MG_CAPACITY counters (Arrow-batched pandas,
+    vectorized value_counts + the summary-merge trim: subtract the
+    (CAP+1)-th largest count, drop non-positives). MG guarantees local
+    undercount <= n_p/(CAP+1), so any term with local share > 1/HH_K
+    survives whenever CAP+1 >= HH_K; every GLOBAL heavy hitter has
+    local share > 1/HH_K in at least one partition (averages), hence
+    the union of partition summaries is a guaranteed SUPERSET of the
+    true heavy hitters — at most CAP rows per partition cross the wire.
+    Stage 2 rescores candidates exactly: broadcast the candidate list,
+    semi-join the token stream, aggregate real counts, filter with
+    integer arithmetic (cnt * HH_K > N). Result is EXACT, which is why
+    the brute-force SQL oracle matches it bit-for-bit.
+
+    Reference scope: ClickHouse's topK() returns approximate counts
+    (docs/en/sql-reference/aggregate-functions/reference/topk.md); this
+    operator upgrades the contract to exact values at the same
+    bounded-memory scale shape."""
+    import pandas as pd  # noqa: PLC0415 -- executor-side import
+
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(_tokens()).alias("term"))
+
+    def mg_candidates(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for term, c in pdf["term"].value_counts().items():
+                counters[term] = counters.get(term, 0) + int(c)
+            if len(counters) > MG_CAPACITY:
+                s = pd.Series(counters)
+                cut = s.nlargest(MG_CAPACITY + 1).iloc[-1]
+                s = s - cut
+                counters = s[s > 0].to_dict()
+        yield pd.DataFrame({"term": list(counters)})
+
+    candidates = terms.mapInPandas(mg_candidates, "term string").distinct()
+    total = terms.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        terms.join(broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(broadcast(total))
+        .filter(F.col("cnt") * HH_K > F.col("n_total"))
+        .select(
+            "term",
+            "cnt",
+            (F.col("cnt") / F.col("n_total")).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "term")
+    )
+
+
+TEXT_ORACLES["q_heavy_hitters"] = f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt,
+           COUNT(*) / (SELECT n_total FROM tot) AS share
+    FROM tok GROUP BY term
+    HAVING COUNT(*) * {HH_K} > (SELECT n_total FROM tot)
+    ORDER BY cnt DESC, term
+"""
+
+
 TEXT_QUERIES = {
     "q_corpus_stats": q_corpus_stats,
+    "q_heavy_hitters": q_heavy_hitters,
     "q_oov_rate": q_oov_rate,
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_bpe_train_merges": q_bpe_train_merges,

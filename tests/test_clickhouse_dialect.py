@@ -178,3 +178,107 @@ def test_translator_edge_cases():
     out = translate("SELECT toYYYYMM(parseDateTimeBestEffortOrNull(e)) FROM t")
     assert "year(coalesce(to_timestamp(e" in out
     assert "toYYYYMM" not in out and "parseDateTimeBestEffort" not in out
+
+
+# ---- extended dialect surface (round 4) ----
+
+
+def test_conditional_aggregates_and_argmax(sales_view):
+    """sumIf/countIf/uniqExact/argMax over the sales fixture: values
+    verified against hand computation."""
+    sql = """
+        SELECT
+            countIf(quantity >= 2) AS n_multi,
+            uniqExact(product_id) AS n_products,
+            sumIf(total, product_name = 'widget') AS widget_rev,
+            argMax(product_name, event_time) AS latest_product,
+            argMin(product_name, event_time) AS first_product
+        FROM sales
+    """
+    row = run_clickhouse_sql(sales_view, sql).collect()[0]
+    assert tuple(row) == (2, 3, Decimal("50.00"), "widget", "relic")
+
+
+def test_parametric_quantile_and_multiif(sales_view):
+    sql = """
+        SELECT
+            quantileExact(0.5)(quantity) AS med_q,
+            multiIf(count() > 3, 'big', count() > 1, 'mid', 'small') AS size
+        FROM sales
+    """
+    row = run_clickhouse_sql(sales_view, sql).collect()[0]
+    assert row["med_q"] == 1.5  # sorted quantities 1,1,2,3
+    assert row["size"] == "big"
+
+
+def test_arrayjoin_splitbychar_has(spark):
+    spark.createDataFrame(
+        [("a b", ["x", "y"]), ("c", ["y"])], "s STRING, arr ARRAY<STRING>"
+    ).createOrReplaceTempView("tokens_t")
+    got = sorted(
+        tuple(r)
+        for r in run_clickhouse_sql(
+            spark,
+            "SELECT arrayJoin(splitByChar(' ', s)) AS w, has(arr, 'x') AS hx "
+            "FROM tokens_t",
+        ).collect()
+    )
+    assert got == [("a", True), ("b", True), ("c", False)]
+
+
+def test_json_extract_and_datetime_functions(spark):
+    import datetime as dt
+
+    spark.createDataFrame(
+        [('{"k": 7, "s": "hi"}', dt.datetime(2024, 1, 15, 10, 30, 45))],
+        "props STRING, ts TIMESTAMP",
+    ).createOrReplaceTempView("jdt_t")
+    sql = """
+        SELECT
+            JSONExtractInt(props, 'k') AS k,
+            JSONExtractString(props, 's') AS s,
+            formatDateTime(ts, '%F %H:%i:%S') AS fmt,
+            formatDateTime(toStartOfMonth(ts), '%Y-%m') AS month,
+            toDayOfWeek(ts) AS dow,
+            toHour(ts) AS h,
+            intDiv(toMinute(ts), 10) AS m10,
+            modulo(toSecond(ts), 7) AS s7,
+            toUInt32(toYear(ts)) AS y
+        FROM jdt_t
+    """
+    row = run_clickhouse_sql(spark, sql).collect()[0]
+    # 2024-01-15 is a Monday -> ClickHouse toDayOfWeek == 1
+    assert tuple(row) == (
+        7, "hi", "2024-01-15 10:30:45", "2024-01", 1, 10, 3, 3, 2024
+    )
+
+
+def test_prewhere_and_literal_opacity(sales_view):
+    got = run_clickhouse_sql(
+        sales_view,
+        "SELECT count() FROM sales PREWHERE product_name = 'widget'",
+    ).collect()
+    assert got[0][0] == 2
+    # PREWHERE inside a string literal is data, not syntax
+    assert "PREWHERE x" in translate("SELECT 'PREWHERE x' AS s FROM t")
+
+
+def test_format_pattern_rejects_unknown_tokens():
+    import pytest as _pytest
+
+    from kafka_clickhouse_pipeline_spark.functions.clickhouse_dialect import (
+        _format_pattern,
+    )
+
+    with _pytest.raises(ValueError):
+        _format_pattern("'%Q'")
+    # literal letter runs are quoted so the JVM formatter treats them
+    # as text, not pattern chars
+    assert _format_pattern("'%Y at %H'") == "'yyyy' at 'HH'"
+
+
+def test_multiif_requires_else_branch():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        translate("SELECT multiIf(a, b) FROM t")

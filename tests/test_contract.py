@@ -91,6 +91,8 @@ def test_window_is_50_oracle_backed_with_new_operators():
         "q_boilerplate_ngrams",
         "q_media_phash",
         "q_bfs_hops",
+        # round-4 eighth batch: extended dialect acceptance
+        "q_dialect_flags_report",
     }
     assert rotated_in <= set(window), rotated_in - set(window)
 
