@@ -18,10 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_clickhouse_pipeline_spark.operators import (
     advanced,
     analytics,
+    association,
     constraints,
     curation,
     dedup,
     dialect_queries,
+    evaluation,
     graph,
     linkage,
     multimodal,
@@ -67,13 +69,11 @@ PRIORITY: tuple[str, ...] = (
     # reference parity core (SURVEY.md section 2.7 + MV transform)
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # TPC-H-style joins / windows (r4 third rotation: q3, the running-
-    # revenue window, and sessionize -- all attested green in r1/r2/r3
-    # -- yield slots to this session's never-attested operators; the
-    # agg / join+topk classes stay represented by q1/q10, and the
-    # lag/lead/row_number window class by the new event-sequence ops)
-    "q1_pricing_summary",
-    "q10_top_returning_customers",
+    # (r4 fourth rotation: q1/q10 -- attested green in r1+r2+r3 --
+    # rotate below with scan+agg represented by sales_by_hour /
+    # q_trend_by_type and join+topk by q_node_jaccard /
+    # q_fuzzy_match_parts; their slots go to the never-attested
+    # ninth-batch operators)
     # dialect acceptance layer (round-4 eighth batch: the extended
     # ClickHouse-SQL surface — sumIf/countIf/uniqExact/argMax/
     # parametric quantile/multiIf — attested through translate();
@@ -82,8 +82,15 @@ PRIORITY: tuple[str, ...] = (
     "q_dialect_flags_report",
     # event-sequence analytics (round-4 fifth batch, never attested)
     "q_event_transitions", "q_scd2_user_status",
-    # statistical audits (round-4 fifth batch, never attested)
+    # statistical audits (round-4 fifth + ninth batches, plus the
+    # seventh-batch PSI drift table, all never attested)
     "q_trend_by_type", "q_chi2_type_hour", "q_benford_totalprice",
+    "q_psi_value_drift", "q_ks_value_drift", "q_autocorr_hourly",
+    "q_gini_customer_revenue",
+    # governance (seventh batch) + the join-key skew planning audit
+    "q_constraint_audit", "q_key_skew_audit",
+    # market-basket association rules (ninth batch)
+    "q_basket_lift",
     # storage-layout audit (round-4 fifth batch, never attested)
     "q_zorder_layout",
     # text analysis (quality_score / lang_id / fingerprint_winnow --
@@ -91,34 +98,38 @@ PRIORITY: tuple[str, ...] = (
     # boilerplate n-grams are the new text-cleaning entry)
     "q_repetition_filters", "q_bpe_pair_counts", "q_oov_rate",
     "q_boilerplate_ngrams",
-    # advanced analytics
-    "q_curation_pipeline",
-    # curation cohort
+    # curation cohort (q_curation_pipeline -- the composed five-stage
+    # champion, attested green in r3 -- rotates below; its member
+    # stages decontaminate/paragraph-dedup stay in-window)
     "q_decontaminate_bloom", "q_paragraph_dedup",
     "q_quality_classifier_hashed", "q_dsir_importance",
     "q_quota_sample",
-    # multimodal (+ per-doc perceptual hash, never attested; the pair
-    # query q_media_phash_neardup stays below the window -- its sf0.01
-    # result is legitimately empty, so the per-doc hash is the
-    # informative driver entry)
-    "q_multimodal_features", "q_media_phash",
+    # classifier evaluation (ninth batch, never attested)
+    "q_classifier_auc", "q_calibration_bins",
+    # multimodal (q_multimodal_features -- r3-attested -- yields to
+    # the never-attested per-doc perceptual hash, same mapInPandas
+    # binary class; the pair query q_media_phash_neardup stays below
+    # the window -- its sf0.01 result is legitimately empty)
+    "q_media_phash",
     # tokenizer training loop (round 4, never attested)
     "q_bpe_train_merges", "q_tokenize_bpe_apply",
-    # similarity / embedding ops (round-4 cohort: recall audit, hard
-    # negatives, triplets, int8 quantization, cluster topic labeling)
-    "q_ann_bruteforce_topk", "q_knn_graph", "q_ann_recall_audit",
+    # similarity / embedding ops (q_ann_bruteforce_topk -- r3-attested
+    # -- rotates below; the ANN class stays via knn_graph/recall_audit)
+    "q_knn_graph", "q_ann_recall_audit",
     "q_hard_negatives", "q_triplet_mining",
     "q_embedding_int8_quantize", "q_cluster_topics",
     "q_embedding_top_pc",
-    # dedup (simhash/upsert -- 3x-attested -- rotate out; incremental
-    # near-dup batch twin rotates in)
-    "q_dedup_exact", "q_dedup_quality_canonical",
-    "q_dedup_minhash_lsh", "q_dedup_embedding_lsh", "q_semantic_dedup",
-    "q_dedup_clusters", "q_dedup_incremental_near",
-    # graph (+q_label_propagation and the mutual-kNN k-core from
-    # round 4; BFS hop distances from the fifth batch)
-    "q_pagerank_copurchase", "q_triangle_count_copurchase",
+    # dedup (exact/quality-canonical/minhash -- all r3-attested --
+    # rotate below; the banded/bucketed dedup class stays via the
+    # embedding-LSH, semantic, and incremental-near champions)
+    "q_dedup_embedding_lsh", "q_semantic_dedup",
+    "q_dedup_incremental_near",
+    # graph (PageRank and CC-clusters -- r3-attested -- rotate below;
+    # iterative-loop class stays via LPA/kcore/BFS, plus the
+    # never-attested common-neighbor link prediction)
+    "q_triangle_count_copurchase",
     "q_label_propagation", "q_kcore_mutual_knn", "q_bfs_hops",
+    "q_node_jaccard",
     # record linkage (round 4, never attested)
     "q_fuzzy_match_parts", "q_fuzzy_canonical_parts",
 )
@@ -152,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(zorder.ZORDER_QUERIES)
     q.update(constraints.CONSTRAINT_QUERIES)
     q.update(dialect_queries.DIALECT_QUERIES)
+    q.update(evaluation.EVALUATION_QUERIES)
+    q.update(association.ASSOCIATION_QUERIES)
     missing = [n for n in PRIORITY if n not in q]
     assert not missing, f"PRIORITY names not registered: {missing}"
     ordered = {n: q[n] for n in PRIORITY}
@@ -180,4 +193,6 @@ def oracle_sql() -> dict[str, str]:
     o.update(zorder.ZORDER_ORACLES)
     o.update(constraints.CONSTRAINT_ORACLES)
     o.update(dialect_queries.DIALECT_ORACLES)
+    o.update(evaluation.EVALUATION_ORACLES)
+    o.update(association.ASSOCIATION_ORACLES)
     return o

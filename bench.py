@@ -101,6 +101,18 @@ HEADLINE = [
     "q_dialect_flags_report",
     "q_heavy_hitters",
     "q_ewma_hourly",
+    # round-4 ninth batch
+    "q_basket_lift",
+    "q_ks_value_drift",
+    "q_autocorr_hourly",
+    "q_gini_customer_revenue",
+    "q_classifier_auc",
+    "q_calibration_bins",
+    "q_key_skew_audit",
+    # exact all-pairs common-neighbor similarity: the honest heavy
+    # entry (~45 s warm at sf0.1 -- 101M candidate pairs; see the
+    # max_degree knob in graph.q_node_jaccard for the capped regime)
+    "q_node_jaccard",
 ]
 
 

@@ -925,6 +925,40 @@ ADVANCED_QUERIES["q_psi_value_drift"] = q_psi_value_drift
 EWMA_ALPHA = 0.3
 
 
+def _ewma_folded(ev: DataFrame) -> DataFrame:
+    """Per-type sorted hourly series plus its EWMA fold: (event_type,
+    xs: array<struct<h,cnt>>, es: array<struct<h,e>>) -- the shared
+    core of q_ewma_hourly and q_ewma_backtest, so the smoother and its
+    evaluation can never disagree."""
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct(ts_str("hour").alias("h"), "cnt"))
+        ).alias("xs")
+    )
+    return series.select(
+        "event_type",
+        "xs",
+        F.expr(
+            f"""
+            aggregate(
+              xs,
+              cast(array() as array<struct<h:string, e:double>>),
+              (acc, x) -> array_append(acc, named_struct(
+                'h', x.h,
+                'e', if(size(acc) = 0,
+                        cast(x.cnt as double),
+                        cast({EWMA_ALPHA} as double) * x.cnt
+                          + cast({1 - EWMA_ALPHA} as double)
+                            * element_at(acc, -1).e)))
+            )
+            """
+        ).alias("es"),
+    )
+
+
 def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type EWMA of the hourly event count: e_1 = x_1,
     e_i = a*x_i + (1-a)*e_{i-1} — the classic smoothing/alerting
@@ -949,35 +983,7 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     into segments carrying (carry-in weight, partial fold) pairs --
     the standard segmented-scan decomposition; at the hourly grain even
     a decade is 88k entries, far under array limits."""
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy(
-            "event_type", F.date_trunc("hour", "ts").alias("hour")
-        ).agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    series = hourly.groupBy("event_type").agg(
-        F.sort_array(
-            F.collect_list(F.struct(ts_str("hour").alias("h"), "cnt"))
-        ).alias("xs")
-    )
-    folded = series.select(
-        "event_type",
-        F.expr(
-            f"""
-            aggregate(
-              xs,
-              cast(array() as array<struct<h:string, e:double>>),
-              (acc, x) -> array_append(acc, named_struct(
-                'h', x.h,
-                'e', if(size(acc) = 0,
-                        cast(x.cnt as double),
-                        cast({EWMA_ALPHA} as double) * x.cnt
-                          + cast({1 - EWMA_ALPHA} as double)
-                            * element_at(acc, -1).e)))
-            )
-            """
-        ).alias("es"),
-    )
+    folded = _ewma_folded(load_table(spark, sf_dir, "events"))
     return (
         folded.select("event_type", F.explode("es").alias("p"))
         .select(
@@ -1013,3 +1019,425 @@ ADVANCED_ORACLES["q_ewma_hourly"] = f"""
 """
 
 ADVANCED_QUERIES["q_ewma_hourly"] = q_ewma_hourly
+
+# ---- exact two-sample Kolmogorov-Smirnov drift test ----
+
+
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    event-value distributions of the window's first and second half --
+    the nonparametric companion to q_psi_value_drift: PSI depends on a
+    chosen binning; KS is binning-free (sup over the ECDF difference)
+    and catches shape changes PSI's coarse bins smear out.
+
+    Exactness: D = max over distinct values v of
+    |cum1(v)/n1 - cum2(v)/n2| is evaluated as the INTEGER
+    |cum1(v)*n2 - cum2(v)*n1| (decimal(38,0) -- products reach n^2),
+    so the max and its arg are exact and tie-broken by value; ONE
+    double division at the end. The argmax value is carried through
+    max(struct(d, v)) -- lexicographic struct comparison, identical in
+    both engines -- so the report also says WHERE the distributions
+    diverge most.
+
+    Scale shape: one map-side-combined groupBy compacts the corpus to
+    DISTINCT DECIMAL(18,2) values (the 2-decimal grid bounds the frame
+    by the value RANGE, not the row count); the cumulative window and
+    the final max run over that compacted frame. For a genuinely
+    unbounded-cardinality measure the same plan runs after a coarser
+    fixed-scale cast -- the operator's exactness contract is per-grid."""
+    events = load_table(spark, sf_dir, "events")
+    is_first = F.col("ts").cast("timestamp") < F.lit(PSI_BOUNDARY).cast("timestamp")
+    grid = (
+        events.filter(F.col("value").isNotNull())
+        .select(F.col("value").cast("decimal(18,2)").alias("v"), is_first.alias("fh"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("fh"), 1).otherwise(0)).cast("long").alias("c1"),
+            F.sum(F.when(~F.col("fh"), 1).otherwise(0)).cast("long").alias("c2"),
+        )
+    )
+    tot = grid.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "v",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    ).crossJoin(broadcast(tot))
+    d = F.abs(
+        F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+    ).cast("decimal(38,0)")
+    m = cum.select(
+        "n1", "n2", F.struct(d.alias("d"), F.col("v")).alias("dv")
+    ).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.max("dv").alias("best"),
+    )
+    return m.select(
+        F.col("n1").alias("n_first"),
+        F.col("n2").alias("n_second"),
+        "n_values",
+        F.round(
+            F.col("best.d").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+            6,
+        ).alias("ks_stat"),
+        money(F.col("best.v")).alias("ks_at_value"),
+    )
+
+
+ADVANCED_ORACLES["q_ks_value_drift"] = f"""
+    WITH grid AS (
+      SELECT CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{PSI_BOUNDARY}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '{PSI_BOUNDARY}'
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2 FROM grid),
+    cum AS (
+      SELECT v,
+             sum(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             sum(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             n1, n2
+      FROM grid CROSS JOIN tot),
+    m AS (
+      SELECT max(n1) AS n1, max(n2) AS n2,
+             CAST(count(*) AS BIGINT) AS n_values,
+             max(struct_pack(
+               d := CAST(abs(CAST(cum1 AS DECIMAL(38,0)) * n2
+                             - CAST(cum2 AS DECIMAL(38,0)) * n1)
+                         AS DECIMAL(38,0)),
+               v := v)) AS best
+      FROM cum)
+    SELECT n1 AS n_first, n2 AS n_second, n_values,
+           round(CAST((best).d AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_stat,
+           CAST(CAST((best).v AS DECIMAL(38,2)) AS VARCHAR) AS ks_at_value
+    FROM m
+"""
+
+ADVANCED_QUERIES["q_ks_value_drift"] = q_ks_value_drift
+
+
+# ---- autocorrelation of the hourly event series ----
+
+
+def q_autocorr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-24 Pearson autocorrelation of the global hourly
+    event-count series -- the seasonality screen (is traffic sticky
+    hour-over-hour? does it repeat daily?) a monitoring pipeline runs
+    before choosing alerting baselines (EWMA vs day-over-day).
+
+    Exactness: the series values are exact integer COUNTS, so every
+    moment (n, Sx, Sy, Sxy, Sxx, Syy per lag) is an exact decimal(38,0)
+    sum of integer products; the correlation is assembled in doubles
+    only at the end (sqrt is IEEE correctly-rounded, so bit-portable).
+    Lags pair only OBSERVED hours in series order (documented: a fully
+    dark hour is absent, not zero -- q_gapfill_hourly is the densifier
+    if zero-fill semantics are wanted).
+
+    Scale shape: the corpus compacts to the hourly frame in ONE
+    map-side-combined aggregate (bounded by the time range: a decade
+    is < 90k rows); the lag window and moment aggregate run over that
+    metadata-sized series."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("hour")
+    lagged = hourly.select(
+        "x",
+        F.lag("x", 1).over(w).alias("y1"),
+        F.lag("x", 24).over(w).alias("y24"),
+    )
+
+    def _moments(y: str) -> list:
+        # products in decimal BEFORE the multiply: hourly counts past
+        # ~3e9 would wrap a BIGINT square
+        has = F.col(y).isNotNull()
+        z = F.lit(0).cast("decimal(19,0)")
+        xd = F.col("x").cast("decimal(19,0)")
+        yd = F.col(y).cast("decimal(19,0)")
+        return [
+            F.sum(F.when(has, 1).otherwise(0)).cast("long").alias(f"n_{y}"),
+            F.sum(F.when(has, xd).otherwise(z)).cast("decimal(38,0)").alias(f"sx_{y}"),
+            F.sum(F.when(has, yd).otherwise(z)).cast("decimal(38,0)").alias(f"sy_{y}"),
+            F.sum(F.when(has, xd * yd).otherwise(z * z)).cast("decimal(38,0)").alias(f"sxy_{y}"),
+            F.sum(F.when(has, xd * xd).otherwise(z * z)).cast("decimal(38,0)").alias(f"sxx_{y}"),
+            F.sum(F.when(has, yd * yd).otherwise(z * z)).cast("decimal(38,0)").alias(f"syy_{y}"),
+        ]
+
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        *_moments("y1"),
+        *_moments("y24"),
+    )
+
+    def _corr(y: str):
+        n = F.col(f"n_{y}").cast("double")
+        sx = F.col(f"sx_{y}").cast("double")
+        sy = F.col(f"sy_{y}").cast("double")
+        sxy = F.col(f"sxy_{y}").cast("double")
+        sxx = F.col(f"sxx_{y}").cast("double")
+        syy = F.col(f"syy_{y}").cast("double")
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+
+    return m.select(
+        "n_hours",
+        F.col("n_y1").alias("n_pairs_lag1"),
+        F.col("n_y24").alias("n_pairs_lag24"),
+        _corr("y1").alias("autocorr_lag1"),
+        _corr("y24").alias("autocorr_lag24"),
+    )
+
+
+def _autocorr_moments_sql(y: str) -> str:
+    return f"""
+             CAST(sum(CASE WHEN {y} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_{y},
+             sum(CASE WHEN {y} IS NOT NULL THEN CAST(x AS DECIMAL(38,0))
+                      ELSE 0 END) AS sx_{y},
+             sum(CASE WHEN {y} IS NOT NULL THEN CAST({y} AS DECIMAL(38,0))
+                      ELSE 0 END) AS sy_{y},
+             CAST(sum(CASE WHEN {y} IS NOT NULL
+                      THEN CAST(x AS DECIMAL(19,0))
+                           * CAST({y} AS DECIMAL(19,0)) ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sxy_{y},
+             CAST(sum(CASE WHEN {y} IS NOT NULL
+                      THEN CAST(x AS DECIMAL(19,0))
+                           * CAST(x AS DECIMAL(19,0)) ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sxx_{y},
+             CAST(sum(CASE WHEN {y} IS NOT NULL
+                      THEN CAST({y} AS DECIMAL(19,0))
+                           * CAST({y} AS DECIMAL(19,0)) ELSE 0 END)
+                  AS DECIMAL(38,0)) AS syy_{y}"""
+
+
+def _autocorr_corr_sql(y: str) -> str:
+    n = f"CAST(n_{y} AS DOUBLE)"
+    return f"""round(
+           ({n} * CAST(sxy_{y} AS DOUBLE)
+            - CAST(sx_{y} AS DOUBLE) * CAST(sy_{y} AS DOUBLE))
+           / sqrt(({n} * CAST(sxx_{y} AS DOUBLE)
+                   - CAST(sx_{y} AS DOUBLE) * CAST(sx_{y} AS DOUBLE))
+                  * ({n} * CAST(syy_{y} AS DOUBLE)
+                     - CAST(sy_{y} AS DOUBLE) * CAST(sy_{y} AS DOUBLE))), 6)"""
+
+
+ADVANCED_ORACLES["q_autocorr_hourly"] = f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS x
+      FROM events GROUP BY 1),
+    lagged AS (
+      SELECT x,
+             lag(x, 1) OVER (ORDER BY hour) AS y1,
+             lag(x, 24) OVER (ORDER BY hour) AS y24
+      FROM hourly),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             {_autocorr_moments_sql("y1")},
+             {_autocorr_moments_sql("y24")}
+      FROM lagged)
+    SELECT n_hours,
+           n_y1 AS n_pairs_lag1,
+           n_y24 AS n_pairs_lag24,
+           {_autocorr_corr_sql("y1")} AS autocorr_lag1,
+           {_autocorr_corr_sql("y24")} AS autocorr_lag24
+    FROM m
+"""
+
+ADVANCED_QUERIES["q_autocorr_hourly"] = q_autocorr_hourly
+
+
+# ---- revenue concentration (Gini / Lorenz) ----
+
+
+def q_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue -- the concentration
+    audit ("do 1% of customers carry half the revenue?") that also
+    doubles as the source-balance check when run over per-source token
+    counts in a training-data mix.
+
+    Exactness: with revenues sorted ascending and ranked 1..n,
+    G = 2*sum(i*x_i) / (n*sum(x)) - (n+1)/n. Tied values make the rank
+    sum order-ambiguous ONLY in appearance: a tie block of c equal
+    values v occupying ranks R_prev+1 .. R_prev+c contributes exactly
+    v*(2*c*R_prev + c*(c+1)) to 2*sum(i*x_i) regardless of intra-tie
+    order, so grouping by DISTINCT revenue value both compacts the
+    frame and closes the tie question. All sums are exact decimals;
+    two double divisions at the end.
+
+    Scale shape: one shuffle to per-customer revenue (map-side
+    partials), one map-side-combined groupBy to the distinct-value
+    grid (revenue lives on the cent grid, so the frame is bounded by
+    the revenue RANGE), then the cumulative window + final fold over
+    that compacted frame. At a cardinality where even the distinct
+    grid is huge, the same rank algebra runs on a range-partitioned
+    sort (df.repartitionByRange) with per-partition offsets -- the
+    window here IS that plan's single-partition degenerate case."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(18,2)").alias("rev")
+    )
+    grid = rev.groupBy("rev").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = grid.withColumn("r_prev", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    m = blocks.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("rev") * F.col("c")).cast("decimal(38,2)").alias("t"),
+        # rank weight computed in decimal BEFORE the multiplies:
+        # c * r_prev reaches n^2, past BIGINT near 3e9 customers; the
+        # (20,0) weight cast holds to ~7e9 customers (2n^2 < 1e20) --
+        # widen it (Spark multiplies up to (38,2) losslessly) past that;
+        # the DuckDB twin keeps (20,0) because its multiply is
+        # width-limited to 38 and it only ever runs at test scale
+        F.sum(
+            (
+                F.col("rev")
+                * (
+                    F.lit(2)
+                    * F.col("c").cast("decimal(19,0)")
+                    * F.col("r_prev").cast("decimal(19,0)")
+                    + F.col("c").cast("decimal(19,0)")
+                    * (F.col("c") + 1).cast("decimal(19,0)")
+                ).cast("decimal(20,0)")
+            ).cast("decimal(38,2)")
+        ).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    gini = F.col("s2").cast("double") / (n * F.col("t").cast("double")) - (
+        n + F.lit(1.0)
+    ) / n
+    return m.select(
+        F.col("n").alias("n_customers"),
+        money(F.col("t")).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+ADVANCED_ORACLES["q_gini_customer_revenue"] = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1),
+    grid AS (SELECT rev, count(*) AS c FROM rev GROUP BY rev),
+    blocks AS (
+      SELECT rev, c,
+             coalesce(sum(c) OVER (ORDER BY rev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS r_prev
+      FROM grid),
+    m AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(rev * c) AS DECIMAL(38,2)) AS t,
+             CAST(sum(rev * CAST(2 * CAST(c AS DECIMAL(19,0))
+                                   * CAST(r_prev AS DECIMAL(19,0))
+                                 + CAST(c AS DECIMAL(19,0))
+                                   * CAST(c + 1 AS DECIMAL(19,0))
+                                 AS DECIMAL(20,0))) AS DECIMAL(38,2)) AS s2
+      FROM blocks)
+    SELECT n AS n_customers,
+           CAST(CAST(t AS DECIMAL(38,2)) AS VARCHAR) AS total_revenue,
+           round(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+    FROM m
+"""
+
+ADVANCED_QUERIES["q_gini_customer_revenue"] = q_gini_customer_revenue
+
+
+def q_ewma_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of the EWMA smoother: for every hour
+    i >= 2, predict x_i with e_{i-1} (the smoother's state BEFORE
+    seeing the hour) and report per-type MAE and mean error (bias) --
+    the evaluation a monitoring stack runs before trusting the EWMA as
+    its alerting baseline. Shares the fold with q_ewma_hourly
+    (_ewma_folded), so the evaluated model IS the deployed model.
+
+    Exactness: predictions come from the same bit-portable sequential
+    fold as q_ewma_hourly; each error term is rounded to 9 places and
+    summed as DECIMAL(28,9) (the order-independent fold), so both
+    engines produce identical aggregates. The per-type series array is
+    bounded by the TIME RANGE, not the corpus (module pattern)."""
+    folded = _ewma_folded(load_table(spark, sf_dir, "events"))
+    pairs = (
+        folded.withColumn(
+            "prevs",
+            F.slice(F.col("es"), 1, F.greatest(F.size("es") - 1, F.lit(0))),
+        )
+        .withColumn(
+            "curs",
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        )
+        .select("event_type", F.explode(F.arrays_zip("prevs", "curs")).alias("p"))
+        .select(
+            "event_type",
+            F.col("p.prevs.e").alias("pred"),
+            F.col("p.curs.cnt").cast("double").alias("actual"),
+        )
+    )
+    err = F.col("actual") - F.col("pred")
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_preds"),
+        F.sum(F.round(F.abs(err), 9).cast("decimal(28,9)")).alias("sae"),
+        F.sum(F.round(err, 9).cast("decimal(28,9)")).alias("se"),
+    )
+    return m.select(
+        "event_type",
+        "n_preds",
+        F.round(F.col("sae").cast("double") / F.col("n_preds"), 6).alias("mae"),
+        F.round(F.col("se").cast("double") / F.col("n_preds"), 6).alias("bias"),
+    ).orderBy("event_type")
+
+
+ADVANCED_ORACLES["q_ewma_backtest"] = f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    numbered AS MATERIALIZED (
+      SELECT event_type, hour, cnt,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i
+      FROM hourly),
+    ewma AS (
+      SELECT event_type, hour, cnt, i, CAST(cnt AS DOUBLE) AS e
+      FROM numbered WHERE i = 1
+      UNION ALL
+      SELECT n.event_type, n.hour, n.cnt, n.i,
+             CAST({EWMA_ALPHA} AS DOUBLE) * n.cnt
+               + CAST({1 - EWMA_ALPHA} AS DOUBLE) * w.e
+      FROM numbered n JOIN ewma w
+        ON n.event_type = w.event_type AND n.i = w.i + 1),
+    pairs AS MATERIALIZED (
+      SELECT n.event_type,
+             w.e AS pred,
+             CAST(n.cnt AS DOUBLE) AS actual
+      FROM numbered n JOIN ewma w
+        ON n.event_type = w.event_type AND n.i = w.i + 1),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_preds,
+             sum(CAST(round(abs(actual - pred), 9) AS DECIMAL(28,9))) AS sae,
+             sum(CAST(round(actual - pred, 9) AS DECIMAL(28,9))) AS se
+      FROM pairs GROUP BY 1)
+    SELECT event_type, n_preds,
+           round(CAST(sae AS DOUBLE) / n_preds, 6) AS mae,
+           round(CAST(se AS DOUBLE) / n_preds, 6) AS bias
+    FROM m ORDER BY event_type
+"""
+
+ADVANCED_QUERIES["q_ewma_backtest"] = q_ewma_backtest

@@ -186,3 +186,88 @@ CONSTRAINT_ORACLES = {
 }
 
 CONSTRAINT_QUERIES = {"q_constraint_audit": q_constraint_audit}
+
+
+# ---- join-key skew audit ----
+
+
+def _key_skew(df: DataFrame, table: str, key: str) -> DataFrame:
+    """One skew-profile row for (table, key): per-key counts from a
+    map-side-combined groupBy, then a metadata-sized fold."""
+    per_key = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    n_rows = F.col("n_rows").cast("double")
+    n_keys = F.col("n_keys").cast("double")
+    mx = F.col("max_cnt").cast("double")
+    return m.select(
+        F.lit(table).alias("table_name"),
+        F.lit(key).alias("key_name"),
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.round(n_rows / n_keys, 6).alias("avg_cnt"),
+        # hot-key amplification: how many times its fair share the
+        # hottest key carries -- >> 1 means salt this key before a
+        # shuffle join at scale
+        F.round(mx * n_keys / n_rows, 6).alias("skew_ratio"),
+        F.round(mx / n_rows, 6).alias("top1_share"),
+    )
+
+
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for the warehouse's three hottest shuffle
+    keys (lineitem.l_orderkey, orders.o_custkey, events.user_id) --
+    the planning audit that decides, BEFORE a 100 TB join, whether a
+    key needs salting / AQE skew handling: ``skew_ratio`` is the
+    hottest key's multiple of its fair share and ``top1_share`` the
+    fraction of all rows a single reducer would receive.
+
+    Scale shape: each profile is one map-side-combined groupBy(key)
+    followed by a metadata-sized fold; the three profiles union into a
+    3-row report. Exact integer counts, ratios divided once at the
+    boundary. (Approximate variant at extreme key cardinality: a CMS /
+    sample-based profile -- this exact form is itself cheap because
+    partial aggregation compacts per task before the shuffle.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        _key_skew(li, "lineitem", "l_orderkey")
+        .unionByName(_key_skew(orders, "orders", "o_custkey"))
+        .unionByName(_key_skew(events, "events", "user_id"))
+        .orderBy("table_name")
+    )
+
+
+def _key_skew_sql(table: str, key: str) -> str:
+    return f"""
+      SELECT '{table}' AS table_name, '{key}' AS key_name,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS avg_cnt,
+             round(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                   / CAST(sum(cnt) AS DOUBLE), 6) AS skew_ratio,
+             round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+               AS top1_share
+      FROM (SELECT CAST({key} AS VARCHAR) AS k, count(*) AS cnt
+            FROM {table} GROUP BY 1)"""
+
+
+CONSTRAINT_QUERIES["q_key_skew_audit"] = q_key_skew_audit
+CONSTRAINT_ORACLES["q_key_skew_audit"] = f"""
+    SELECT * FROM (
+      {_key_skew_sql("lineitem", "l_orderkey")}
+      UNION ALL
+      {_key_skew_sql("orders", "o_custkey")}
+      UNION ALL
+      {_key_skew_sql("events", "user_id")}
+    ) ORDER BY table_name
+"""

@@ -808,3 +808,233 @@ GRAPH_ORACLES["q_bfs_hops"] = f"""
     SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS hops
     FROM walk GROUP BY node ORDER BY node
 """
+
+
+#: Link-prediction output size (TakeOrderedAndProject, no full sort).
+NODE_JACCARD_TOPK = 20
+
+#: Wedge pairs per shuffle task for the pair aggregate (the same
+#: input-scaled sizing the triangle census uses for its 2-hop stage).
+_WEDGE_PAIRS_PER_TASK = 2_000_000
+
+#: Broadcast the (node, degree) frame below this node count (~16
+#: bytes/row -> ~80 MB at the bound; the LPA gate) and the undirected
+#: edge list below this edge count -- both joins probe the ~n^2-sized
+#: candidate-pair frame, so broadcasting the small side keeps that
+#: frame from re-shuffling three times.
+NODE_JACCARD_BROADCAST_MAX_NODES = 5_000_000
+NODE_JACCARD_BROADCAST_MAX_EDGES = 50_000_000
+
+
+def q_node_jaccard(
+    spark: SparkSession, sf_dir: str, *, max_degree: int | None = None
+) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph: for
+    node pairs that share at least one neighbor but are NOT directly
+    linked, the neighborhood Jaccard |N(u) n N(v)| / |N(u) u N(v)| --
+    the classic "products bought alongside the same things but never
+    together yet" recommender signal. Top-K pairs by similarity.
+
+    Plan: candidate pairs are generated by WEDGE EXPANSION from the
+    per-node adjacency array (the co_purchase_edges grouping reused:
+    one shuffle to adjacency, pair expansion map-side), counted per
+    pair to get |N(u) n N(v)| -- the wedge-center pass touches each
+    2-path exactly once, there is NO edge-list self-join, and the
+    wedge shuffle width scales with the EXACT wedge count sum d*(d-1)/2
+    (one bounded scalar off the degree frame, the triangle-census
+    sizing pattern). Everything DOWNSTREAM of the pair aggregate is
+    join-shuffle-free: the (node, degree) frame and the undirected
+    edge list are size-gated BROADCASTs (dense graphs make the
+    candidate-pair frame ~n^2-sized -- 101M pairs at sf0.1 -- so
+    re-shuffling it three times for degree/degree/anti joins is the
+    dominant cost; 8-byte-per-node broadcasts are not), and the top-K
+    is TakeOrderedAndProject (map-side heap, no full sort). Jaccard is
+    one exact integer ratio evaluated in doubles (IEEE-identical both
+    engines) with (u, v) tiebreak.
+
+    Scale: the wedge volume is sum_w C(d_w, 2) -- inherent to exact
+    common-neighbor discovery (it IS the candidate set). ``max_degree``
+    is the production knob (rows-only mode): drop wedge CENTERS above
+    the cap, the standard hub exclusion -- a node co-bought with
+    everything contributes near-zero similarity signal but dominates
+    the pair volume. Default None keeps the oracle contract exact.
+    Past the broadcast gates the degree/anti joins fall back to
+    shuffle joins on the pair key -- correct, just no longer free."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    adj = edges.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    if max_degree is not None:
+        adj = adj.filter(F.size("nbrs") <= max_degree)
+    # exact wedge count (bounded driver scalars) sizes the pair shuffle
+    # and decides the broadcast gates
+    sizes = adj.agg(
+        F.coalesce(
+            F.sum(
+                (
+                    F.size("nbrs").cast("long")
+                    * (F.size("nbrs") - 1).cast("long")
+                ).cast("long")
+            )
+            / 2,
+            F.lit(0),
+        ).alias("wedges"),
+        F.count(F.lit(1)).alias("nodes"),
+        F.coalesce(F.sum(F.size("nbrs").cast("long")), F.lit(0)).alias("m2"),
+    ).collect()[0]
+    parts = max(
+        spark.sparkContext.defaultParallelism,
+        min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
+    )
+    # wedge expansion: for each center, all u < v neighbor pairs
+    common = (
+        adj.select(F.explode("nbrs").alias("u"), "nbrs")
+        .select("u", F.explode("nbrs").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .repartition(parts, "u", "v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    linked = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    if sizes.m2 is not None and sizes.m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
+        linked = F.broadcast(linked)
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
+    if sizes.nodes <= NODE_JACCARD_BROADCAST_MAX_NODES:
+        du, dv = F.broadcast(du), F.broadcast(dv)
+    candidates = common.join(linked, ["u", "v"], "left_anti")
+    scored = (
+        candidates.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            "n_common",
+            (F.col("du") + F.col("dv") - F.col("n_common")).cast("long").alias(
+                "n_union"
+            ),
+        )
+    )
+    jac = F.round(
+        F.col("n_common").cast("double") / F.col("n_union").cast("double"), 6
+    )
+    return (
+        scored.select("u", "v", "n_common", "n_union", jac.alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(NODE_JACCARD_TOPK)
+    )
+
+
+GRAPH_QUERIES["q_node_jaccard"] = q_node_jaccard
+GRAPH_ORACLES["q_node_jaccard"] = f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    common AS (
+      SELECT e1.src AS u, e2.src AS v, count(*) AS n_common
+      FROM e e1 JOIN e e2
+        ON e1.dst = e2.dst AND e1.src < e2.src
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT c.* FROM common c
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.u AND e.dst = c.v))
+    SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(du.d + dv.d - c.n_common AS BIGINT) AS n_union,
+           round(CAST(c.n_common AS DOUBLE)
+                 / CAST(du.d + dv.d - c.n_common AS DOUBLE), 6) AS jaccard
+    FROM cand c
+    JOIN deg du ON du.src = c.u
+    JOIN deg dv ON dv.src = c.v
+    ORDER BY jaccard DESC, u, v
+    LIMIT {NODE_JACCARD_TOPK}
+"""
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of (degree(u), degree(v)) over edges (Newman 2002) --
+    positive means hubs link to hubs (assortative mixing), negative
+    means hub-and-spoke. The one-number structural summary that decides
+    whether degree-based partitioning/orientation tricks (triangle
+    census, wedge caps) will pay off on THIS graph.
+
+    Exactness: degrees are exact integers; using the DIRECTED edge
+    list (both orientations present) makes the statistic symmetric
+    without a union trick, and every moment (n, Sx, Sy, Sxy, Sxx, Syy)
+    is an exact decimal(38,0) sum of integer products (operands cast
+    to decimal first -- degree products pass BIGINT near d ~ 3e9).
+    One double assembly at the end, sqrt correctly rounded ->
+    bit-portable.
+
+    Scale shape: degree frame from one groupBy; the two edge-degree
+    attachments are size-gated BROADCAST joins (8 bytes/node, the
+    node-Jaccard gate) so the edge list -- the big frame -- never
+    re-shuffles; ONE map-side-combined aggregate folds the moments."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.count()  # bounded driver scalar: gates the broadcasts
+    du = deg.select(F.col("src").alias("s_"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("d_"), F.col("d").alias("dv"))
+    if n_nodes <= NODE_JACCARD_BROADCAST_MAX_NODES:
+        du, dv = F.broadcast(du), F.broadcast(dv)
+    paired = (
+        edges.join(du, F.col("src") == F.col("s_"))
+        .join(dv, F.col("dst") == F.col("d_"))
+        .select(
+            F.col("du").cast("decimal(19,0)").alias("x"),
+            F.col("dv").cast("decimal(19,0)").alias("y"),
+        )
+    )
+    m = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n_edges").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select("n_edges", F.round(r, 6).alias("assortativity"))
+
+
+GRAPH_QUERIES["q_degree_assortativity"] = q_degree_assortativity
+GRAPH_ORACLES["q_degree_assortativity"] = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    paired AS (
+      SELECT CAST(du.d AS DECIMAL(19,0)) AS x,
+             CAST(dv.d AS DECIMAL(19,0)) AS y
+      FROM e JOIN deg du ON du.src = e.src JOIN deg dv ON dv.src = e.dst),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+      FROM paired)
+    SELECT n_edges,
+           round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM m
+"""

@@ -93,6 +93,18 @@ def test_window_is_50_oracle_backed_with_new_operators():
         "q_bfs_hops",
         # round-4 eighth batch: extended dialect acceptance
         "q_dialect_flags_report",
+        # round-4 seventh batch (governance / drift)
+        "q_constraint_audit",
+        "q_psi_value_drift",
+        # round-4 ninth batch (stats, evaluation, association, graph)
+        "q_ks_value_drift",
+        "q_autocorr_hourly",
+        "q_gini_customer_revenue",
+        "q_classifier_auc",
+        "q_calibration_bins",
+        "q_basket_lift",
+        "q_node_jaccard",
+        "q_key_skew_audit",
     }
     assert rotated_in <= set(window), rotated_in - set(window)
 
