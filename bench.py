@@ -113,6 +113,13 @@ HEADLINE = [
     # entry (~45 s warm at sf0.1 -- 101M candidate pairs; see the
     # max_degree knob in graph.q_node_jaccard for the capped regime)
     "q_node_jaccard",
+    # round-4 tenth batch
+    "q_silhouette_kmeans",
+    "q_rfm_segments",
+    "q_pareto_revenue_share",
+    "q_entropy_by_source",
+    "q_degree_assortativity",
+    "q_ewma_backtest",
 ]
 
 

@@ -1441,3 +1441,311 @@ ADVANCED_ORACLES["q_ewma_backtest"] = f"""
 """
 
 ADVANCED_QUERIES["q_ewma_backtest"] = q_ewma_backtest
+
+
+# ---- RFM customer segmentation ----
+
+#: Fixed observation anchor for recency (the r4 ANCHOR convention:
+#: relative-time semantics pinned to a literal so both engines and
+#: every re-run agree; data spans 1995..2001).
+RFM_ANCHOR = "2002-01-01"
+
+
+def _quintile_bounds(grid: DataFrame, vcol: str):
+    """Four quintile boundary values of a (value, c) distinct-value
+    grid: t_i = the smallest value whose cumulative count reaches
+    ceil(i*n/5). The cumulative window runs over the COMPACTED grid
+    (bounded by the value range, not the row count) and the result is
+    a 1-row frame to broadcast -- the scalable replacement for a
+    global NTILE sort, with deterministic tie semantics (every equal
+    value gets the same score, which NTILE cannot promise)."""
+    w = Window.orderBy(vcol).rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(F.col(vcol).alias("v"), F.sum("c").over(w).alias("cum"))
+    tot = grid.agg(F.sum("c").cast("long").alias("n"))
+    g = cum.crossJoin(broadcast(tot))
+    return g.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.floor(
+                        (F.lit(i) * F.col("n") + F.lit(4)) / F.lit(5)
+                    ).cast("long"),
+                    F.col("v"),
+                )
+            ).alias(f"t{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since
+    last order at the fixed anchor), Frequency (order count), Monetary
+    (revenue), each scored 1-5 by exact quintile thresholds, then the
+    125-cell segment grid with counts and revenue -- the classic
+    CRM/marketing segmentation (ClickHouse-style behavioral
+    analytics), and structurally the source-prioritization scoring a
+    training-data mix applies to data sources.
+
+    Exactness + scale: quintile thresholds come from the
+    distinct-value-compaction rank algebra (_quintile_bounds) -- NOT a
+    global NTILE sort: NTILE splits ties across buckets by row order
+    (nondeterministic under shuffle), while threshold scoring gives
+    every tied value the same score in both engines. Integer/decimal
+    metrics, integer threshold ranks (ceil via (i*n+4) div 5), scores
+    as exact comparisons against broadcast 1-row threshold frames; the
+    output is the <= 125-row segment grid. Corpus-sized work: ONE
+    groupBy(custkey) pass; everything after runs on compacted frames.
+    Recency scores INVERT (recent = 5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).cast("long").alias("recency"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(18,2)").alias("monetary"),
+    )
+    bounds = {
+        m: _quintile_bounds(
+            per_cust.groupBy(m).agg(F.count(F.lit(1)).alias("c")), m
+        )
+        for m in ("recency", "frequency", "monetary")
+    }
+
+    def score(m: str):
+        t = [F.col(f"{m}_t{i}") for i in (1, 2, 3, 4)]
+        up = sum(
+            [(F.col(m) > ti).cast("long") for ti in t], F.lit(1).cast("long")
+        )
+        return (F.lit(6) - up) if m == "recency" else up
+
+    joined = per_cust
+    for m, b in bounds.items():
+        joined = joined.crossJoin(
+            broadcast(b.select(*[F.col(f"t{i}").alias(f"{m}_t{i}") for i in (1, 2, 3, 4)]))
+        )
+    scored = joined.select(
+        score("recency").alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"),
+        F.col("monetary"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            money(F.sum("monetary")).alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _rfm_bounds_sql(metric: str) -> str:
+    return f"""
+    {metric}_grid AS (
+      SELECT {metric} AS v, count(*) AS c FROM per_cust GROUP BY 1),
+    {metric}_cum AS (
+      SELECT v, sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM {metric}_grid),
+    {metric}_b AS (
+      SELECT {", ".join(
+          f"min(CASE WHEN cum >= ({i} * n + 4) // 5 THEN v END) AS t{i}"
+          for i in (1, 2, 3, 4))}
+      FROM {metric}_cum CROSS JOIN (SELECT CAST(sum(c) AS BIGINT) AS n
+                                    FROM {metric}_grid))"""
+
+
+def _rfm_score_sql(metric: str, alias: str) -> str:
+    up = " + ".join(
+        f"CASE WHEN p.{metric} > {alias}.t{i} THEN 1 ELSE 0 END"
+        for i in (1, 2, 3, 4)
+    )
+    expr = f"1 + {up}"
+    if metric == "recency":
+        expr = f"6 - ({expr})"
+    return f"CAST({expr} AS BIGINT)"
+
+
+ADVANCED_ORACLES["q_rfm_segments"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+                           DATE '{RFM_ANCHOR}') AS BIGINT) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS monetary
+      FROM orders GROUP BY 1),
+    {_rfm_bounds_sql("recency")},
+    {_rfm_bounds_sql("frequency")},
+    {_rfm_bounds_sql("monetary")},
+    scored AS (
+      SELECT {_rfm_score_sql("recency", "b_r")} AS r_score,
+             {_rfm_score_sql("frequency", "b_f")} AS f_score,
+             {_rfm_score_sql("monetary", "b_m")} AS m_score,
+             p.monetary
+      FROM per_cust p
+      CROSS JOIN recency_b b_r CROSS JOIN frequency_b b_f
+      CROSS JOIN monetary_b b_m)
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(monetary) AS DECIMAL(38,2)) AS VARCHAR)
+             AS total_monetary
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ADVANCED_QUERIES["q_rfm_segments"] = q_rfm_segments
+
+
+def q_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration report: the revenue share held by the top
+    1% / 10% / 20% of customers -- the '80/20' companion to
+    q_gini_customer_revenue (Gini summarizes the whole Lorenz curve;
+    these are the three points executives actually quote). Run over
+    per-source token counts it becomes the training-mix concentration
+    check.
+
+    Exactness: customers are ranked by the distinct-revenue-value
+    compaction (no global row sort); a top-N cutoff with ties takes
+    the part of the boundary VALUE block needed to fill N exactly
+    (largest-remainder on the tie block: revenue share counts
+    value*min(c, remaining)), so both engines agree even when the
+    boundary value ties across many customers. All sums decimal-exact;
+    three double divisions at the boundary.
+
+    Scale shape: identical to q_gini_customer_revenue -- one
+    groupBy(custkey) pass, then the compacted grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(18,2)").alias("rev")
+    )
+    grid = rev.groupBy("rev").agg(F.count(F.lit(1)).alias("c"))
+    # rank from the TOP: cumulative count of customers with rev
+    # strictly greater than this block
+    w = Window.orderBy(F.col("rev").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    blocks = grid.select(
+        "rev",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("above"),
+    )
+    tot = grid.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("rev") * F.col("c")).cast("decimal(38,2)").alias("t"),
+    )
+    g = blocks.crossJoin(broadcast(tot))
+
+    def share(pct: int):
+        # top-k customers with k = floor(pct*n/100), tie block clipped
+        k = F.floor((F.col("n") * pct) / F.lit(100)).cast("long")
+        take = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("c").cast("long"), k - F.col("above")),
+        )
+        got = F.sum(
+            (F.col("rev") * take.cast("decimal(19,0)")).cast("decimal(38,2)")
+        )
+        return F.round(
+            got.cast("double") / F.max(F.col("t")).cast("double"), 6
+        )
+
+    return g.agg(
+        F.max("n").alias("n_customers"),
+        money(F.max("t")).alias("total_revenue"),
+        share(1).alias("top1_pct_share"),
+        share(10).alias("top10_pct_share"),
+        share(20).alias("top20_pct_share"),
+    )
+
+
+ADVANCED_ORACLES["q_pareto_revenue_share"] = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1),
+    grid AS (SELECT rev, count(*) AS c FROM rev GROUP BY rev),
+    blocks AS (
+      SELECT rev, c,
+             coalesce(sum(c) OVER (ORDER BY rev DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS above
+      FROM grid),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(rev * c) AS DECIMAL(38,2)) AS t FROM grid),
+    g AS (SELECT * FROM blocks CROSS JOIN tot)
+    SELECT max(n) AS n_customers,
+           CAST(CAST(max(t) AS DECIMAL(38,2)) AS VARCHAR) AS total_revenue,
+           round(CAST(sum(CAST(rev * CAST(greatest(0, least(CAST(c AS BIGINT),
+                       CAST(floor((n * 1) / 100) AS BIGINT) - above))
+                     AS DECIMAL(19,0)) AS DECIMAL(38,2))) AS DOUBLE)
+                 / CAST(max(t) AS DOUBLE), 6) AS top1_pct_share,
+           round(CAST(sum(CAST(rev * CAST(greatest(0, least(CAST(c AS BIGINT),
+                       CAST(floor((n * 10) / 100) AS BIGINT) - above))
+                     AS DECIMAL(19,0)) AS DECIMAL(38,2))) AS DOUBLE)
+                 / CAST(max(t) AS DOUBLE), 6) AS top10_pct_share,
+           round(CAST(sum(CAST(rev * CAST(greatest(0, least(CAST(c AS BIGINT),
+                       CAST(floor((n * 20) / 100) AS BIGINT) - above))
+                     AS DECIMAL(19,0)) AS DECIMAL(38,2))) AS DOUBLE)
+                 / CAST(max(t) AS DOUBLE), 6) AS top20_pct_share
+    FROM g
+"""
+
+ADVANCED_QUERIES["q_pareto_revenue_share"] = q_pareto_revenue_share
+
+
+def ks_binned_table(counts: DataFrame) -> DataFrame:
+    """Binned Kolmogorov-Smirnov statistic over (bin, n_first,
+    n_second) PSI-bin counts -- the KS companion the STREAMING drift
+    monitor (streaming/drift.py:current_ks) reads from its persistent
+    bin-count state. A binned KS lower-bounds the exact KS (the sup is
+    only evaluated at bin edges); the exact-value form is the batch
+    operator q_ks_value_drift. Same integer cross-multiplied ECDF
+    arithmetic; bins ordered by their PSI_BINS ordinal (labels are not
+    lexicographic). Empty-state safe: zero totals report KS 0."""
+    spark = counts.sparkSession
+    spine = spark.createDataFrame(
+        [(label, i) for i, (_, _, label) in enumerate(PSI_BINS)],
+        "bin string, ord long",
+    )
+    full = spine.join(counts, "bin", "left").select(
+        "ord",
+        "bin",
+        F.coalesce("n_first", F.lit(0)).cast("long").alias("c1"),
+        F.coalesce("n_second", F.lit(0)).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)
+    tot = full.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    cum = full.select(
+        "ord",
+        "bin",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    ).crossJoin(broadcast(tot))
+    d = F.abs(
+        F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+    ).cast("decimal(38,0)")
+    m = cum.select(
+        "n1", "n2", F.struct(d.alias("d"), F.col("bin")).alias("dv")
+    ).agg(
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"), F.max("dv").alias("best")
+    )
+    return m.select(
+        F.col("n1").alias("n_first"),
+        F.col("n2").alias("n_second"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.round(
+                F.col("best.d").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("ks_binned"),
+        F.col("best.bin").alias("ks_at_bin"),
+    )

@@ -1884,3 +1884,113 @@ SIMILARITY_QUERIES = {
 # composed AFTER the dict exists: the audit oracle embeds the
 # brute-force oracle verbatim
 SIMILARITY_ORACLES["q_ann_recall_audit"] = _ann_recall_audit_oracle()
+
+
+# ---- silhouette audit of the k-means clustering ----
+
+
+def _silhouette_udf(rows: list[tuple[int, list[float]]]):
+    """Arrow-batched per-vector (assigned centroid, own-sim,
+    best-other-sim): one _seq_sims pass, stable argsort so ties break
+    to the smallest centroid id exactly like the SQL
+    row_number() OVER (ORDER BY sim DESC, centroid_id)."""
+    cids, C, Cn = _centroid_matrix(rows)
+
+    @F.pandas_udf("cid long, s1 double, s2 double")
+    def sil(v: pd.Series) -> pd.DataFrame:
+        if not len(v):
+            return pd.DataFrame({"cid": [], "s1": [], "s2": []})
+        sims = _seq_sims(np.stack(v.to_numpy()), C, Cn)
+        idx = np.argsort(-sims, axis=1, kind="stable")
+        r = np.arange(len(v))
+        s1 = sims[r, idx[:, 0]]
+        # K = 1 (all clusters collapsed): silhouette is undefined;
+        # s2 := s1 makes b == a -> s = 0, the neutral "no structure"
+        # convention (the oracle mirrors via coalesce(s2, s1))
+        s2 = sims[r, idx[:, 1]] if sims.shape[1] > 1 else s1
+        return pd.DataFrame({"cid": cids[idx[:, 0]], "s1": s1, "s2": s2})
+
+    return sil
+
+
+def q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette audit of the k-means clustering: per
+    cluster, the mean of s = (b - a) / max(a, b) where a is the cosine
+    distance to the OWN centroid and b the distance to the nearest
+    OTHER centroid -- the standard "are these clusters real"
+    validation (simplified silhouette: centroid distances instead of
+    all-pairs member distances, the form that scales, used by
+    sklearn's davies-bouldin/simplified-silhouette family). Run it
+    before trusting cluster-level decisions (SemDeDup pruning,
+    q_cluster_topics labels, IVF cell sizing).
+
+    Exactness: the model is the deterministic kmeans_centroids
+    (decimal-exact means); similarities are the bit-portable
+    sequential-cumsum fold (_seq_sims == DuckDB list_sum); ties in the
+    1st/2nd-nearest choice break to the smallest centroid id in both
+    engines; per-vector silhouettes are one fixed-shape double
+    expression and the per-cluster mean folds through
+    round(.,9)-as-DECIMAL(28,9) -- order-independent, bit-equal.
+
+    Scale shape: 3 Lloyd rounds (kmeans_centroids' contract: vectors
+    never leave executors, the driver holds only N_CENTROIDS rows)
+    plus ONE Arrow-batched assignment pass and one tiny groupBy over
+    centroid ids. No pairwise member distances -- the full silhouette
+    is O(n^2) and is exactly what this variant exists to avoid."""
+    vecs = _vectors(spark, sf_dir)
+    centroids = kmeans_centroids(vecs)
+    rows = _centroid_rows(centroids)
+    scored = vecs.select(
+        "vec_id", _silhouette_udf(rows)(F.col("v")).alias("m")
+    ).select(
+        F.col("m.cid").alias("centroid_id"),
+        (F.lit(1.0) - F.col("m.s1")).alias("a"),
+        (F.lit(1.0) - F.col("m.s2")).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (
+        scored.select(
+            "centroid_id", F.round(sil, 9).cast("decimal(28,9)").alias("s")
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                (F.sum("s") / F.count(F.lit(1))).cast("double"), 6
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def _silhouette_oracle(iters: int = 3) -> str:
+    return f"""
+    {_kmeans_ctes(iters)},
+    {_centroid_sims_sql(f"c{iters}", "simsf")},
+    ranked AS (
+      SELECT vec_id, centroid_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, centroid_id) AS rn
+      FROM simsf),
+    pervec AS (
+      SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+             max(CASE WHEN rn = 1 THEN sim END) AS s1,
+             coalesce(max(CASE WHEN rn = 2 THEN sim END),
+                      max(CASE WHEN rn = 1 THEN sim END)) AS s2
+      FROM ranked WHERE rn <= 2 GROUP BY vec_id),
+    sil AS (
+      SELECT centroid_id,
+             CAST(round(((1.0 - s2) - (1.0 - s1))
+                        / greatest(1.0 - s1, 1.0 - s2), 9)
+                  AS DECIMAL(28,9)) AS s
+      FROM pervec)
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(s) / count(*) AS DOUBLE), 6) AS mean_silhouette
+    FROM sil GROUP BY centroid_id ORDER BY centroid_id
+    """
+
+
+SIMILARITY_QUERIES["q_silhouette_kmeans"] = q_silhouette_kmeans
+SIMILARITY_ORACLES["q_silhouette_kmeans"] = _silhouette_oracle()

@@ -1319,3 +1319,79 @@ TEXT_QUERIES = {
     "q_fingerprint_winnow": q_fingerprint_winnow,
     "q_tfidf_top_terms": q_tfidf_top_terms,
 }
+
+
+def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution Shannon entropy (bits) plus the
+    normalized form (entropy / log2 of the vocab size) -- the lexical-
+    diversity audit of a training mix: a source whose entropy collapses
+    is template/boilerplate-heavy, one near 1.0 normalized is
+    vocabulary-rich. Complements q_source_vocab_overlap (BETWEEN
+    sources) with a WITHIN-source diversity number.
+
+    Exactness: term counts are exact integers from one
+    explode+groupBy; each -p*log2(p) contribution evaluates as a
+    fixed-shape double expression on exact-integer-derived doubles
+    and folds through round(.,9)-as-DECIMAL(28,9), so the sum is
+    order-independent and bit-equal in both engines.
+
+    Scale shape: the corpus-sized stage is the (source, term) count
+    (ONE shuffle, map-side combined); entropy folds over that
+    compacted frame; the output is one row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    tc = terms.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    totals = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    contrib = tc.join(totals, "source").select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        F.round(-p * F.log2(p), 9).cast("decimal(28,9)").alias("h"),
+    )
+    ent = F.sum("h").cast("double")
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("n_terms").alias("n_terms"),
+            F.round(ent, 6).alias("entropy_bits"),
+            F.round(
+                ent / F.log2(F.max("n_terms").cast("double")), 6
+            ).alias("entropy_normalized"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_QUERIES["q_entropy_by_source"] = q_entropy_by_source
+TEXT_ORACLES["q_entropy_by_source"] = """
+    WITH terms AS (
+      SELECT source,
+             unnest(string_split_regex(trim(text), '\\s+')) AS t
+      FROM documents),
+    tc AS (SELECT source, t, count(*) AS c FROM terms GROUP BY 1, 2),
+    totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM tc GROUP BY 1),
+    contrib AS (
+      SELECT tc.source, n_tokens, n_terms,
+             CAST(round(-(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                        * log2(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)),
+                        9) AS DECIMAL(28,9)) AS h
+      FROM tc JOIN totals USING (source))
+    SELECT source,
+           max(n_tokens) AS n_tokens,
+           max(n_terms) AS n_terms,
+           round(CAST(sum(h) AS DOUBLE), 6) AS entropy_bits,
+           round(CAST(sum(h) AS DOUBLE)
+                 / log2(CAST(max(n_terms) AS DOUBLE)), 6)
+             AS entropy_normalized
+    FROM contrib GROUP BY source ORDER BY source
+"""

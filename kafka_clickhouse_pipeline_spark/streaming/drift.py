@@ -115,3 +115,23 @@ def drift_stream(events_stream: DataFrame, state_path: str, checkpoint: str):
     return events_stream.writeStream.foreachBatch(
         drift_writer(state_path)
     ).option("checkpointLocation", checkpoint)
+
+
+def current_ks(spark, state_path: str, reference: DataFrame) -> DataFrame:
+    """Binned KS of the streamed distribution against the reference --
+    the binning-free-ish companion readout to ``current_psi`` over the
+    SAME persistent state (no extra stream pass, no extra state).
+    Shares ``ks_binned_table`` with the batch module so the monitor
+    and any batch re-check agree bin-for-bin."""
+    from ..operators.advanced import ks_binned_table
+
+    ref = reference.select("bin", F.col("n").cast("long").alias("n_first"))
+    cur = read_bin_counts(spark, state_path).select(
+        "bin", F.col("n").cast("long").alias("n_second")
+    )
+    counts = ref.join(cur, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_first", F.lit(0)).alias("n_first"),
+        F.coalesce("n_second", F.lit(0)).alias("n_second"),
+    )
+    return ks_binned_table(counts)
