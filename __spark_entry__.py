@@ -30,6 +30,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     pipeline_queries,
     pq,
     reshape,
+    search,
     semistructured,
     serving,
     similarity,
@@ -165,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(dialect_queries.DIALECT_QUERIES)
     q.update(evaluation.EVALUATION_QUERIES)
     q.update(association.ASSOCIATION_QUERIES)
+    q.update(search.SEARCH_QUERIES)
     missing = [n for n in PRIORITY if n not in q]
     assert not missing, f"PRIORITY names not registered: {missing}"
     ordered = {n: q[n] for n in PRIORITY}
@@ -195,4 +197,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(dialect_queries.DIALECT_ORACLES)
     o.update(evaluation.EVALUATION_ORACLES)
     o.update(association.ASSOCIATION_ORACLES)
+    o.update(search.SEARCH_ORACLES)
     return o

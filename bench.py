@@ -120,6 +120,10 @@ HEADLINE = [
     "q_entropy_by_source",
     "q_degree_assortativity",
     "q_ewma_backtest",
+    # round-4 eleventh batch
+    "q_bm25_search",
+    "q_modularity_lpa",
+    "q_interevent_times",
 ]
 
 

@@ -931,3 +931,102 @@ ANALYTICS_ORACLES["q_scd2_user_status"] = """
 
 ANALYTICS_QUERIES["q_event_transitions"] = q_event_transitions
 ANALYTICS_QUERIES["q_scd2_user_status"] = q_scd2_user_status
+
+
+def q_interevent_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: how long users
+    wait between consecutive events of the same type -- the input to
+    session-gap tuning (q_sessionize's GAP), cadence anomaly alerts,
+    and churn-risk heuristics. Per type: gap count, exact mean, and
+    exact p50/p95 gap seconds.
+
+    Exactness: gaps are integer SECONDS from a lag window on the same
+    (user_id) shuffle the sessionizer uses; the mean is an exact
+    decimal sum divided once; the percentiles use the
+    distinct-value-compaction rank algebra with INTEGER cross-multiply
+    (cum * 100 >= q * n -- percentile_disc semantics, no float rank),
+    so every output is bit-portable.
+
+    Scale shape: one user_id-partitioned window over the events scan,
+    one map-side-combined (type, gap) grid, then per-type cumulative
+    work on the compacted grid (bounded by distinct gap values)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        events.select(
+            "user_id",
+            "event_type",
+            (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    grid = gaps.groupBy("event_type", "gap").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("event_type").orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("c")).alias("s"),
+    )
+    cum = grid.select(
+        "event_type", "gap", F.sum("c").over(wc).alias("cum")
+    ).join(tot, "event_type")
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_gaps"),
+            F.round(
+                F.max("s").cast("double") / F.max("n").cast("double"), 6
+            ).alias("mean_gap_s"),
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(50) * F.col("n"), F.col("gap")
+                )
+            ).alias("p50_gap_s"),
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(95) * F.col("n"), F.col("gap")
+                )
+            ).alias("p95_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANALYTICS_ORACLES["q_interevent_times"] = """
+    WITH gaps AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap
+      FROM events),
+    g AS (SELECT * FROM gaps WHERE gap IS NOT NULL),
+    grid AS (SELECT event_type, gap, count(*) AS c
+             FROM g GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                   sum(CAST(gap AS DECIMAL(38,0)) * c) AS s
+            FROM grid GROUP BY 1),
+    cum AS (
+      SELECT grid.event_type, gap,
+             sum(c) OVER (PARTITION BY grid.event_type ORDER BY gap
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             n, s
+      FROM grid JOIN tot ON tot.event_type = grid.event_type)
+    SELECT event_type,
+           max(n) AS n_gaps,
+           round(CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+             AS mean_gap_s,
+           min(CASE WHEN cum * 100 >= 50 * n THEN gap END) AS p50_gap_s,
+           min(CASE WHEN cum * 100 >= 95 * n THEN gap END) AS p95_gap_s
+    FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+ANALYTICS_QUERIES["q_interevent_times"] = q_interevent_times

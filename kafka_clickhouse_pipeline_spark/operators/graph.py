@@ -391,6 +391,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the right trade when results must be auditable."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = co_purchase_edges(li).transform(cut_lineage)
+    return lpa_labels(edges).select(
+        F.col("node").alias("partkey"), F.col("label").alias("community")
+    ).orderBy("partkey")
+
+
+def lpa_labels(edges: DataFrame) -> DataFrame:
+    """The LPA loop shared by q_label_propagation and the modularity
+    audit: (src, dst) directed edges -> (node, label) after LPA_ROUNDS
+    synchronous rounds (see q_label_propagation for the contract)."""
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -401,9 +410,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = _lpa_round(edges, labels, broadcast_labels=small).transform(
             cut_lineage
         )
-    return labels.select(
-        F.col("node").alias("partkey"), F.col("label").alias("community")
-    ).orderBy("partkey")
+    return labels
 
 
 def _lpa_round(
@@ -1037,4 +1044,109 @@ GRAPH_ORACLES["q_degree_assortativity"] = """
                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
              AS assortativity
     FROM m
+"""
+
+
+def q_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity audit of the LPA communities: per community,
+    intra-edge count, degree mass, and its contribution
+    e_c/m - (d_c/(2m))^2 -- the "are these communities better than
+    random" score that validates q_label_propagation's output the way
+    q_silhouette_kmeans validates the k-means clusters. Q = sum of
+    contributions; Q near 0 means the partition explains nothing.
+
+    Exactness: e_c, d_c, m are exact integers off the shared LPA model
+    (lpa_labels -- the SAME loop the community operator runs, so the
+    audited partition IS the emitted one); each contribution is one
+    fixed-shape double expression, output per community (bounded by
+    community count), sorted by community id.
+
+    Scale shape: one label join onto the undirected edge list
+    (size-gated broadcast, the LPA-round pattern) + two map-side
+    combined aggregates. Nothing beyond the LPA loop's own cost."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    labels = lpa_labels(edges)
+    n_nodes = labels.count()
+    lab = (
+        F.broadcast(labels)
+        if n_nodes <= LPA_BROADCAST_MAX_NODES
+        else labels
+    )
+    und = edges.filter(F.col("src") < F.col("dst"))
+    intra = (
+        und.join(
+            lab.select(F.col("node").alias("src"), F.col("label").alias("ls")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("node").alias("dst"), F.col("label").alias("ld")),
+            "dst",
+        )
+        .filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dmass = (
+        deg.join(
+            lab.select(F.col("node").alias("src"), "label"), "src"
+        )
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("decimal(38,0)").alias("degree_sum"),
+        )
+    )
+    m_tot = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    full = dmass.join(intra, "community", "left").crossJoin(F.broadcast(m_tot))
+    e_c = F.coalesce("intra_edges", F.lit(0)).cast("double")
+    d_c = F.col("degree_sum").cast("double")
+    m = F.col("m").cast("double")
+    contrib = e_c / m - (d_c / (F.lit(2.0) * m)) * (d_c / (F.lit(2.0) * m))
+    return full.select(
+        F.col("community").cast("long").alias("community"),
+        "n_nodes",
+        F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+        F.col("degree_sum").cast("string").alias("degree_sum"),
+        F.round(contrib, 9).alias("q_contrib"),
+    ).orderBy("community")
+
+
+GRAPH_QUERIES["q_modularity_lpa"] = q_modularity_lpa
+GRAPH_ORACLES["q_modularity_lpa"] = f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    {",".join(_lpa_iter_sql(i) for i in range(1, LPA_ROUNDS + 1))},
+    labels AS (SELECT node, label FROM l{LPA_ROUNDS}),
+    und AS (SELECT src, dst FROM e WHERE src < dst),
+    m_tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+    intra AS (
+      SELECT ls.label AS community, CAST(count(*) AS BIGINT) AS intra_edges
+      FROM und
+      JOIN labels ls ON ls.node = und.src
+      JOIN labels ld ON ld.node = und.dst
+      WHERE ls.label = ld.label
+      GROUP BY 1),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    dmass AS (
+      SELECT l.label AS community,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS DECIMAL(38,0)) AS degree_sum
+      FROM deg JOIN labels l ON l.node = deg.src
+      GROUP BY 1)
+    SELECT CAST(d.community AS BIGINT) AS community,
+           d.n_nodes,
+           CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           CAST(d.degree_sum AS VARCHAR) AS degree_sum,
+           round(CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+                 - (CAST(d.degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                   * (CAST(d.degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))),
+                 9) AS q_contrib
+    FROM dmass d LEFT JOIN intra i ON i.community = d.community
+    CROSS JOIN m_tot
+    ORDER BY community
 """
