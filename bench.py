@@ -124,6 +124,9 @@ HEADLINE = [
     "q_bm25_search",
     "q_modularity_lpa",
     "q_interevent_times",
+    # round-4 twelfth batch
+    "q_histogram_value",
+    "q_ab_test_conversion",
 ]
 
 

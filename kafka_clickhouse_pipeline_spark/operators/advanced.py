@@ -1749,3 +1749,192 @@ def ks_binned_table(counts: DataFrame) -> DataFrame:
         ).otherwise(F.lit(0.0)).alias("ks_binned"),
         F.col("best.bin").alias("ks_at_bin"),
     )
+
+
+# ---- generic numeric histogram + A/B conversion test ----
+
+#: Histogram layout over the event-value range: [0, 500) in 20
+#: equal-width bins, integer-exact membership on the cent grid.
+HIST_BINS = 20
+HIST_WIDTH_CENTS = 2500  # 25.00 per bin
+
+
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of the event value -- the profiling
+    primitive behind dashboards and data-quality monitors (ClickHouse
+    histogram()/bar() territory, but with EXACT counts and bin
+    statistics instead of a sampled sketch).
+
+    Exactness: bin membership is integer arithmetic on the cent grid
+    (floor(value*100) div width -- no float boundary ambiguity),
+    clipped into the edge bins; per-bin count/min/max/sum are exact
+    (sum in DECIMAL); the 20-row literal spine emits empty bins.
+    Scale: ONE map-side-combined aggregate over the scan."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    bin_ = F.least(
+        F.greatest(F.floor(cents / HIST_WIDTH_CENTS).cast("long"), F.lit(0)),
+        F.lit(HIST_BINS - 1),
+    )
+    counts = (
+        events.filter(F.col("value").isNotNull())
+        .select(bin_.alias("bin"), F.col("value").cast(DEC).alias("v"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            money(F.min("v")).alias("min_value"),
+            money(F.max("v")).alias("max_value"),
+            money(F.sum("v")).alias("sum_value"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [
+            (b, b * HIST_WIDTH_CENTS / 100.0, (b + 1) * HIST_WIDTH_CENTS / 100.0)
+            for b in range(HIST_BINS)
+        ],
+        "bin long, bin_lo double, bin_hi double",
+    )
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            "bin_lo",
+            "bin_hi",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            "min_value",
+            "max_value",
+            "sum_value",
+        )
+        .orderBy("bin")
+    )
+
+
+_HIST_SPINE = ", ".join(
+    f"({b}, {b * HIST_WIDTH_CENTS / 100.0}, {(b + 1) * HIST_WIDTH_CENTS / 100.0})"
+    for b in range(HIST_BINS)
+)
+
+ADVANCED_ORACLES["q_histogram_value"] = f"""
+    WITH counts AS (
+      SELECT CAST(least(greatest(CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                                       / {HIST_WIDTH_CENTS}) AS BIGINT), 0),
+                        {HIST_BINS - 1}) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(min(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                  AS VARCHAR) AS min_value,
+             CAST(CAST(max(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                  AS VARCHAR) AS max_value,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                  AS VARCHAR) AS sum_value
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    spine(bin, bin_lo, bin_hi) AS (VALUES {_HIST_SPINE})
+    SELECT CAST(s.bin AS BIGINT) AS bin,
+           CAST(s.bin_lo AS DOUBLE) AS bin_lo,
+           CAST(s.bin_hi AS DOUBLE) AS bin_hi,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           c.min_value, c.max_value, c.sum_value
+    FROM spine s LEFT JOIN counts c ON c.bin = s.bin
+    ORDER BY bin
+"""
+
+ADVANCED_QUERIES["q_histogram_value"] = q_histogram_value
+
+
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test on conversion (user has >= 1 purchase
+    event), cohorts split by user_id parity -- the experimentation-
+    analytics readout (cohort sizes, conversion rates, absolute lift,
+    pooled two-proportion z statistic). A real experiment joins an
+    assignment table instead of the parity split; the mechanics are
+    identical.
+
+    Exactness: per-user conversion flags and cohort counts are exact
+    integers from one groupBy(user) + one 1-row conditional aggregate;
+    rates/lift/z evaluate as one fixed-shape double expression (sqrt
+    correctly rounded). Degenerate pooled variance (everyone or no one
+    converts -- true of this corpus, where every user has a purchase)
+    yields z = NULL via try_divide, NOT a 0/0: NULL is the same answer
+    in ANSI and non-ANSI sessions (the driver runs plain/ANSI sessions,
+    where a raw 0/0 double division RAISES DIVIDE_BY_ZERO) and in
+    DuckDB via nullif. Scale: one user-keyed shuffle, then
+    metadata-sized."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    m = users.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("converted")).otherwise(0))
+        .cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("user_id") % 2 != 0, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("user_id") % 2 != 0, F.col("converted")).otherwise(0))
+        .cast("long").alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ca = F.col("conv_a").cast("double")
+    cb = F.col("conv_b").cast("double")
+    pa = F.try_divide(ca, na)
+    pb = F.try_divide(cb, nb)
+    pool = F.try_divide(ca + cb, na + nb)
+    z = F.try_divide(
+        pa - pb,
+        F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.try_divide(F.lit(1.0), na) + F.try_divide(F.lit(1.0), nb))
+        ),
+    )
+    return m.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pa - pb, 6).alias("lift_abs"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+ADVANCED_ORACLES["q_ab_test_conversion"] = """
+    WITH users AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM users)
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0),
+                 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0),
+                 6) AS rate_b,
+           round(CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0)
+                 - CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0), 6)
+             AS lift_abs,
+           round((CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0)
+                  - CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0))
+                 / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                                / nullif(CAST(n_a + n_b AS DOUBLE), 0))
+                               * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                        / nullif(CAST(n_a + n_b AS DOUBLE), 0))
+                               * (1.0 / nullif(CAST(n_a AS DOUBLE), 0)
+                                  + 1.0 / nullif(CAST(n_b AS DOUBLE), 0))),
+                          0), 6) AS z_stat
+    FROM m
+"""
+
+ADVANCED_QUERIES["q_ab_test_conversion"] = q_ab_test_conversion
