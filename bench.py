@@ -127,6 +127,10 @@ HEADLINE = [
     # round-4 twelfth batch
     "q_histogram_value",
     "q_ab_test_conversion",
+    # round-4 thirteenth batch
+    "q_rrf_hybrid_search",
+    "q_freshness_audit",
+    "q_seasonality_profile",
 ]
 
 

@@ -1938,3 +1938,90 @@ ADVANCED_ORACLES["q_ab_test_conversion"] = """
 """
 
 ADVANCED_QUERIES["q_ab_test_conversion"] = q_ab_test_conversion
+
+
+# ---- weekly seasonality profile ----
+
+
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day traffic/value template over the event
+    stream -- the 168-cell weekly seasonality profile behind capacity
+    planning, anomaly baselines (expected load for "Tuesday 14:00"),
+    and the seasonal term a forecast subtracts before trend fitting
+    (q_trend_by_type fits the trend; this is its seasonal companion).
+
+    Exactness: day-of-week comes from pure integer epoch arithmetic --
+    dow = (epoch_days + 4) % 7, 0 = Sunday (1970-01-01 was a Thursday)
+    -- NOT from the engines' dayofweek functions, whose numbering
+    conventions differ (Spark 1=Sunday, DuckDB 0=Sunday); counts and
+    value sums are exact integers/decimals; mean and share-of-total
+    are fixed-shape double divisions through try_divide/nullif. The
+    168-row literal spine emits empty cells.
+
+    Scale shape: ONE map-side-combined aggregate over the scan plus a
+    broadcast 1-row total; output is always 168 rows."""
+    events = load_table(spark, sf_dir, "events")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    cells = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.pmod(F.floor(ts_sec / F.lit(86400)).cast("long") + F.lit(4), F.lit(7))
+            .cast("long")
+            .alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+            F.col("value").cast(DEC).alias("v"),
+        )
+        .groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("decimal(38,2)").alias("sum_v"),
+        )
+    )
+    total = cells.agg(F.sum("sum_v").cast("decimal(38,2)").alias("tot"))
+    spine = spark.createDataFrame(
+        [(d, h) for d in range(7) for h in range(24)], "dow long, hr long"
+    )
+    out = spine.join(cells, ["dow", "hr"], "left").crossJoin(broadcast(total))
+    return out.select(
+        "dow",
+        "hr",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        money("sum_v").alias("sum_value"),
+        F.round(
+            F.try_divide(F.col("sum_v").cast("double"), F.col("n").cast("double")),
+            6,
+        ).alias("mean_value"),
+        F.round(
+            F.try_divide(F.col("sum_v").cast("double"), F.col("tot").cast("double")),
+            6,
+        ).alias("share_of_total"),
+    ).orderBy("dow", "hr")
+
+
+ADVANCED_ORACLES["q_seasonality_profile"] = """
+    WITH cells AS (
+      SELECT (CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400)
+                   AS BIGINT) + 4) % 7 AS dow,
+             CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_v
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    total AS (SELECT CAST(sum(sum_v) AS DECIMAL(38,2)) AS tot FROM cells),
+    spine AS (
+      SELECT d.dow, h.hr
+      FROM (SELECT CAST(unnest(range(7)) AS BIGINT) AS dow) d
+      CROSS JOIN (SELECT CAST(unnest(range(24)) AS BIGINT) AS hr) h)
+    SELECT s.dow, s.hr,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           CAST(c.sum_v AS VARCHAR) AS sum_value,
+           round(CAST(c.sum_v AS DOUBLE)
+                 / nullif(CAST(c.n AS DOUBLE), 0), 6) AS mean_value,
+           round(CAST(c.sum_v AS DOUBLE)
+                 / nullif(CAST(t.tot AS DOUBLE), 0), 6) AS share_of_total
+    FROM spine s LEFT JOIN cells c ON c.dow = s.dow AND c.hr = s.hr
+    CROSS JOIN total t
+    ORDER BY s.dow, s.hr
+"""
+
+ADVANCED_QUERIES["q_seasonality_profile"] = q_seasonality_profile

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load_table
+from ..functions.canon import ts_str
 
 
 def _check(name: str, checked: F.Column, violations: F.Column):
@@ -270,4 +271,102 @@ CONSTRAINT_ORACLES["q_key_skew_audit"] = f"""
       UNION ALL
       {_key_skew_sql("events", "user_id")}
     ) ORDER BY table_name
+"""
+
+
+# ---- ingestion-freshness audit ----
+
+#: Staleness SLA: a stream whose newest event lags the corpus
+#: watermark by more than this is flagged. 24 h is the batch-pipeline
+#: convention; it is a literal in both engines.
+FRESH_SLA_SECONDS = 24 * 3600
+
+
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ingestion freshness: event count, newest event,
+    lag behind the corpus watermark (the global max ts), rolling 24 h /
+    7 d arrival counts relative to that watermark, and a fresh/stale
+    status under the 24 h SLA -- the pipeline-health readout a platform
+    team alerts on (Airflow/dbt 'source freshness' as a query over the
+    data itself, no scheduler metadata needed).
+
+    Exactness: all window membership runs on whole-second BIGINT
+    epochs (ts cast long <-> floor(epoch(ts)) -- the q_trend_by_type
+    proven pair), so the 24 h / 7 d cutoffs are integer comparisons
+    with no sub-second representation skew between Spark's
+    microsecond timestamps and DuckDB's nanosecond ones; the newest
+    event renders through the canonical second-resolution string.
+
+    Scale shape: ONE 1-row watermark aggregate broadcast across the
+    scan, then ONE map-side-combined groupBy(event_type); output is
+    |event types| rows."""
+    events = load_table(spark, sf_dir, "events")
+    sec = events.select(
+        "event_type",
+        "ts",
+        # NTZ -> LTZ -> long: the q_trend_by_type proven path (NTZ has
+        # no direct numeric cast); session TZ is UTC so the epoch
+        # agrees with DuckDB's floor(epoch(ts))
+        F.col("ts").cast("timestamp").cast("long").alias("ts_sec"),
+    )
+    watermark = sec.agg(F.max("ts_sec").alias("gmax_sec"))
+    per = (
+        sec.crossJoin(broadcast(watermark))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("ts").alias("last_ts_t"),
+            F.max("ts_sec").alias("last_sec"),
+            F.max("gmax_sec").alias("gmax_sec"),
+            F.sum(
+                F.when(
+                    F.col("ts_sec") > F.col("gmax_sec") - F.lit(86400), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_last_24h"),
+            F.sum(
+                F.when(
+                    F.col("ts_sec") > F.col("gmax_sec") - F.lit(604800), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_last_7d"),
+        )
+    )
+    lag = (F.col("gmax_sec") - F.col("last_sec")).cast("long")
+    return per.select(
+        "event_type",
+        "n_events",
+        ts_str("last_ts_t").alias("last_ts"),
+        lag.alias("lag_seconds"),
+        "n_last_24h",
+        "n_last_7d",
+        F.when(lag > F.lit(FRESH_SLA_SECONDS), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+        .alias("status"),
+    ).orderBy("event_type")
+
+
+CONSTRAINT_QUERIES["q_freshness_audit"] = q_freshness_audit
+CONSTRAINT_ORACLES["q_freshness_audit"] = f"""
+    WITH sec AS (
+      SELECT event_type, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events),
+    g AS (SELECT max(ts_sec) AS gmax_sec FROM sec),
+    per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(ts) AS last_ts_t,
+             max(ts_sec) AS last_sec,
+             max(g.gmax_sec) AS gmax_sec,
+             CAST(sum(CASE WHEN ts_sec > g.gmax_sec - 86400
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h,
+             CAST(sum(CASE WHEN ts_sec > g.gmax_sec - 604800
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_last_7d
+      FROM sec CROSS JOIN g GROUP BY event_type)
+    SELECT event_type, n_events,
+           strftime(last_ts_t, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(gmax_sec - last_sec AS BIGINT) AS lag_seconds,
+           n_last_24h, n_last_7d,
+           CASE WHEN gmax_sec - last_sec > {FRESH_SLA_SECONDS}
+                THEN 'stale' ELSE 'fresh' END AS status
+    FROM per ORDER BY event_type
 """

@@ -1,7 +1,9 @@
 """Full-text retrieval operators: exact BM25 ranking over the document
 corpus -- the search-engine primitive (Okapi BM25, the default scorer
 in Lucene/Elasticsearch) expressed as pure relational algebra: an
-inverted-index join instead of a per-document scan per query.
+inverted-index join instead of a per-document scan per query -- plus
+reciprocal-rank-fusion hybrid retrieval (the Elasticsearch/Vespa
+pattern for combining lexical and second-ranker result lists).
 
 Scale shape:
 - The corpus-sized work is ONE tokenize+groupBy pass building the
@@ -15,11 +17,16 @@ Scale shape:
   round(.,9)-as-DECIMAL(28,9) trick (order-independent, bit-equal),
   and the top-K per query is map-side-pruned (grouped_topk), so the
   rank shuffle carries ~queries x K rows.
+- RRF fuses rank lists, not score lists, so each ranker is pruned to
+  its fusion depth FIRST (grouped_topk at RRF_DEPTH) and the fusion
+  join runs on ~queries x depth rows per ranker -- list length, not
+  corpus size.
 
 Determinism contract: tf/df/lengths are exact integers; idf and the
 saturation term evaluate as ONE fixed-shape double expression in both
 engines (the DSIR/PSI-proven pattern -- ln on exact-integer-derived
-doubles); ties break on doc_id.
+doubles); RRF scores are fixed-shape doubles of integer ranks; ties
+break on doc_id.
 """
 
 from __future__ import annotations
@@ -48,14 +55,18 @@ BM25_QUERIES: list[tuple[str, list[str]]] = [
 #: Results returned per query.
 BM25_TOPK = 10
 
+#: Reciprocal-rank-fusion constant (the standard k=60 from Cormack &
+#: Clarke's RRF paper / Elasticsearch default) and per-ranker fusion
+#: depth: ranks beyond the depth contribute nothing, which is what
+#: makes fusion list-sized instead of corpus-sized.
+RRF_K = 60
+RRF_DEPTH = 50
 
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 BM25 results for each benchmark query over the document
-    corpus. score(q, d) = sum over query terms t of
-    idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len_d / avglen)),
-    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) -- the Lucene form,
-    always positive."""
-    docs = load_table(spark, sf_dir, "documents")
+
+def _index(docs: DataFrame):
+    """The inverted-index materialization shared by every ranker:
+    postings (doc_id, term, tf), per-doc lengths, 1-row corpus stats,
+    per-term document frequencies."""
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
@@ -73,13 +84,26 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    qterms = spark.createDataFrame(
+    return postings, lens, stats, df_tbl
+
+
+def _query_terms(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
         [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
         "query_id string, term string",
     )
+
+
+def _bm25_scored(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(query_id, doc_id, n_terms_hit, score) under Okapi BM25.
+    score(q, d) = sum over query terms t of
+    idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len_d / avglen)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) -- the Lucene form,
+    always positive."""
+    postings, lens, stats, df_tbl = _index(docs)
     # broadcast query terms: prunes the postings to matching terms
     matched = (
-        postings.join(broadcast(qterms), "term")
+        postings.join(broadcast(_query_terms(spark)), "term")
         .join(df_tbl, "term")
         .join(lens, "doc_id")
         .crossJoin(broadcast(stats))
@@ -95,7 +119,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(BM25_B) * (F.col("dl").cast("double") / avglen)
     )
     contrib = idf * tf * F.lit(BM25_K1 + 1.0) / denom
-    scored = matched.select(
+    return matched.select(
         "query_id",
         "doc_id",
         F.round(contrib, 9).cast("decimal(28,9)").alias("c"),
@@ -103,17 +127,144 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         F.round(F.sum("c").cast("double"), 6).alias("score"),
     )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 results for each benchmark query over the document
+    corpus (see _bm25_scored for the scoring form)."""
+    docs = load_table(spark, sf_dir, "documents")
     return grouped_topk(
-        scored, ["query_id"], [("score", False), ("doc_id", True)], BM25_TOPK
+        _bm25_scored(spark, docs),
+        ["query_id"],
+        [("score", False), ("doc_id", True)],
+        BM25_TOPK,
     ).orderBy("query_id", "rank")
 
 
-def _bm25_oracle() -> str:
-    qvals = ", ".join(
+def _vsm_scored(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(query_id, doc_id, score) under the classic tf-idf vector-space
+    cosine ranker -- the deliberately-different second ranker RRF
+    fuses with BM25 (its length normalization is the Euclidean
+    document norm over ALL the document's term weights, where BM25
+    only saturates the matched terms).
+
+    w(t, d) = tf * idf with idf = ln(N / df); score(q, d) =
+    sum over query terms of idf * w(t, d), divided by ||d||. The query
+    norm is a per-query constant that cannot change the ranking within
+    a query, so it is dropped (documented deviation from the full
+    cosine -- rank-equivalent).
+
+    Exactness: the norm's squared-weight sum and the matched-term
+    contributions both fold through round(.,9)-as-DECIMAL(28,9), so
+    both are order-independent and bit-equal across engines."""
+    postings, _lens, stats, df_tbl = _index(docs)
+    weighted = (
+        postings.join(df_tbl, "term")
+        .crossJoin(broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                )
+            ).alias("w"),
+            F.log(
+                F.col("n_docs").cast("double") / F.col("df").cast("double")
+            ).alias("idf"),
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("w") * F.col("w"), 9).cast("decimal(28,9)")
+            ).cast("double")
+        ).alias("norm_d")
+    )
+    matched = weighted.join(broadcast(_query_terms(spark)), "term")
+    return (
+        matched.select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("idf") * F.col("w"), 9)
+            .cast("decimal(28,9)")
+            .alias("c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("double").alias("dot"))
+        .join(norms, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            # zero-norm docs (all-zero weights) score 0, NOT NULL: the
+            # engines' NULL sort order differs under DESC, so a NULL
+            # score would make the rank lists engine-dependent
+            F.coalesce(
+                F.round(F.try_divide(F.col("dot"), F.col("norm_d")), 6),
+                F.lit(0.0),
+            ).alias("score"),
+        )
+    )
+
+
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion of two rankers (BM25
+    + tf-idf cosine) -- the fusion step of hybrid lexical/semantic
+    search (in production the second list comes from the ANN family;
+    RRF is ranker-agnostic, consuming only (query, doc, rank) lists,
+    which is why the fusion shape here is exactly the deployed one).
+
+    rrf(d) = sum over rankers of 1 / (RRF_K + rank_r(d)), with docs
+    absent from a ranker's top-RRF_DEPTH contributing nothing. Both
+    input lists are grouped_topk-pruned to RRF_DEPTH before the fusion
+    join, so fusion cost is list-sized. Scores are fixed-shape doubles
+    of exact integer ranks (bit-equal across engines); final ties
+    break on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    bm25 = grouped_topk(
+        _bm25_scored(spark, docs),
+        ["query_id"],
+        [("score", False), ("doc_id", True)],
+        RRF_DEPTH,
+    ).select("query_id", "doc_id", F.col("rank").cast("long").alias("bm25_rank"))
+    vsm = grouped_topk(
+        _vsm_scored(spark, docs),
+        ["query_id"],
+        [("score", False), ("doc_id", True)],
+        RRF_DEPTH,
+    ).select("query_id", "doc_id", F.col("rank").cast("long").alias("vsm_rank"))
+    fused = bm25.join(vsm, ["query_id", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("bm25_rank").cast("double")),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("vsm_rank").cast("double")),
+            F.lit(0.0),
+        ),
+        9,
+    )
+    return grouped_topk(
+        fused.select("query_id", "doc_id", "bm25_rank", "vsm_rank", rrf.alias("rrf_score")),
+        ["query_id"],
+        [("rrf_score", False), ("doc_id", True)],
+        BM25_TOPK,
+    ).orderBy("query_id", "rank")
+
+
+def _qvals() -> str:
+    return ", ".join(
         f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
     )
+
+
+#: Shared oracle CTE prefix: the inverted-index materialization
+#: (postings / lens / stats / dfs / qterms), mirrored from _index.
+def _index_ctes() -> str:
     return f"""
-    WITH toks AS (
+    toks AS (
       SELECT doc_id,
              unnest(string_split_regex(trim(text), '\\s+')) AS term
       FROM documents),
@@ -127,7 +278,13 @@ def _bm25_oracle() -> str:
               FROM lens),
     dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
             FROM postings GROUP BY 1),
-    qterms(query_id, term) AS (VALUES {qvals}),
+    qterms(query_id, term) AS (VALUES {_qvals()})"""
+
+
+def _bm25_scored_ctes() -> str:
+    """CTEs producing bm25_scored(query_id, doc_id, n_terms_hit,
+    score), mirroring _bm25_scored."""
+    return f"""
     matched AS (
       SELECT q.query_id, p.doc_id, p.tf, d.df, l.dl, s.n_docs, s.total_len
       FROM postings p
@@ -148,21 +305,101 @@ def _bm25_oracle() -> str:
                                        / CAST(n_docs AS DOUBLE))))),
                9) AS DECIMAL(28,9)) AS c
       FROM matched),
-    scored AS (
+    bm25_scored AS (
       SELECT query_id, doc_id,
              CAST(count(*) AS BIGINT) AS n_terms_hit,
              round(CAST(sum(c) AS DOUBLE), 6) AS score
-      FROM contrib GROUP BY 1, 2),
+      FROM contrib GROUP BY 1, 2)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_index_ctes()},
+    {_bm25_scored_ctes()},
     ranked AS (
       SELECT query_id, doc_id, n_terms_hit, score,
              CAST(row_number() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, doc_id) AS BIGINT)
                AS rank
-      FROM scored)
+      FROM bm25_scored)
     SELECT * FROM ranked WHERE rank <= {BM25_TOPK}
     ORDER BY query_id, rank
     """
 
 
-SEARCH_QUERIES = {"q_bm25_search": q_bm25_search}
-SEARCH_ORACLES = {"q_bm25_search": _bm25_oracle()}
+def _vsm_scored_ctes() -> str:
+    """CTEs producing vsm_scored(query_id, doc_id, score), mirroring
+    _vsm_scored."""
+    return """
+    weighted AS (
+      SELECT p.doc_id, p.term,
+             CAST(p.tf AS DOUBLE)
+               * ln(CAST(s.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS w,
+             ln(CAST(s.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS idf
+      FROM postings p JOIN dfs d ON d.term = p.term CROSS JOIN stats s),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,9)))
+                       AS DOUBLE)) AS norm_d
+      FROM weighted GROUP BY 1),
+    vsm_dot AS (
+      SELECT q.query_id, w.doc_id,
+             CAST(sum(CAST(round(w.idf * w.w, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS dot
+      FROM weighted w JOIN qterms q ON q.term = w.term
+      GROUP BY 1, 2),
+    vsm_scored AS (
+      SELECT v.query_id, v.doc_id,
+             coalesce(round(v.dot / nullif(n.norm_d, 0), 6), 0.0) AS score
+      FROM vsm_dot v JOIN norms n ON n.doc_id = v.doc_id)"""
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH {_index_ctes()},
+    {_bm25_scored_ctes()},
+    {_vsm_scored_ctes()},
+    bm25_top AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS BIGINT)
+               AS bm25_rank
+      FROM bm25_scored
+      QUALIFY bm25_rank <= {RRF_DEPTH}),
+    vsm_top AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS BIGINT)
+               AS vsm_rank
+      FROM vsm_scored
+      QUALIFY vsm_rank <= {RRF_DEPTH}),
+    fused AS (
+      SELECT coalesce(b.query_id, v.query_id) AS query_id,
+             coalesce(b.doc_id, v.doc_id) AS doc_id,
+             b.bm25_rank, v.vsm_rank,
+             round(coalesce(1.0 / ({RRF_K}.0 + CAST(b.bm25_rank AS DOUBLE)),
+                            0.0)
+                   + coalesce(1.0 / ({RRF_K}.0 + CAST(v.vsm_rank AS DOUBLE)),
+                              0.0), 9) AS rrf_score
+      FROM bm25_top b
+      FULL OUTER JOIN vsm_top v
+        ON v.query_id = b.query_id AND v.doc_id = b.doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, bm25_rank, vsm_rank, rrf_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM fused)
+    SELECT * FROM ranked WHERE rank <= {BM25_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+SEARCH_QUERIES = {
+    "q_bm25_search": q_bm25_search,
+    "q_rrf_hybrid_search": q_rrf_hybrid_search,
+}
+SEARCH_ORACLES = {
+    "q_bm25_search": _bm25_oracle(),
+    "q_rrf_hybrid_search": _rrf_oracle(),
+}
