@@ -131,6 +131,15 @@ HEADLINE = [
     "q_rrf_hybrid_search",
     "q_freshness_audit",
     "q_seasonality_profile",
+    # round-4 fourteenth batch
+    "q_welch_ttest_value",
+    "q_mann_whitney_value",
+    "q_matryoshka_recall",
+    "q_weighted_sample",
+    # round-4 fifteenth batch
+    "q_zipf_fit",
+    "q_cusum_changepoint",
+    "q_session_peak_overlap",
 ]
 
 

@@ -2025,3 +2025,558 @@ ADVANCED_ORACLES["q_seasonality_profile"] = """
 """
 
 ADVANCED_QUERIES["q_seasonality_profile"] = q_seasonality_profile
+
+
+# ---- Welch two-sample t-test ----
+
+
+def q_welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test comparing the event
+    `value` of purchase vs click events -- the continuous-metric
+    companion to q_ab_test_conversion's proportion z-test (revenue /
+    latency / engagement-value experiments where variances differ
+    between arms, so Student's pooled test is wrong).
+
+    Exactness: the sufficient statistics are exact -- counts BIGINT,
+    sums of DECIMAL(12,2) values, sums of squares of DECIMAL(25,4)
+    products (both well under the 38-digit cap) -- so mean, variance
+    (the sum-of-squares form (ssq - sum^2/n)/(n-1)), the t statistic
+    and the Welch-Satterthwaite df are each ONE fixed-shape double
+    expression over exact inputs, layered CTE-for-CTE with the oracle
+    so every intermediate double is bit-equal. All divisions go
+    through try_divide/nullif (ANSI-safe); sqrt is guarded with
+    greatest(., 0) against a negative rounding residue, which DuckDB's
+    sqrt would reject outright.
+
+    Scale shape: ONE map-side-combined aggregate over the scan; 1-row
+    output."""
+    events = load_table(spark, sf_dir, "events")
+    vals = events.filter(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    ).select(
+        (F.col("event_type") == "purchase").alias("is_a"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    m = vals.groupBy().agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("v"))).cast("decimal(38,2)").alias("sum_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("v"))).cast("decimal(38,2)").alias("sum_b"),
+        F.sum(F.when(F.col("is_a"), F.col("v") * F.col("v")))
+        .cast("decimal(38,4)")
+        .alias("ssq_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("v") * F.col("v")))
+        .cast("decimal(38,4)")
+        .alias("ssq_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    v = m.select(
+        "n_a",
+        "n_b",
+        F.try_divide(F.col("sum_a").cast("double"), na).alias("m_a"),
+        F.try_divide(F.col("sum_b").cast("double"), nb).alias("m_b"),
+        F.try_divide(
+            F.col("ssq_a").cast("double")
+            - F.try_divide(
+                F.col("sum_a").cast("double") * F.col("sum_a").cast("double"), na
+            ),
+            na - F.lit(1.0),
+        ).alias("var_a"),
+        F.try_divide(
+            F.col("ssq_b").cast("double")
+            - F.try_divide(
+                F.col("sum_b").cast("double") * F.col("sum_b").cast("double"), nb
+            ),
+            nb - F.lit(1.0),
+        ).alias("var_b"),
+    )
+    s = v.select(
+        "n_a",
+        "n_b",
+        "m_a",
+        "m_b",
+        "var_a",
+        "var_b",
+        F.try_divide(F.col("var_a"), F.col("n_a").cast("double")).alias("se2_a"),
+        F.try_divide(F.col("var_b"), F.col("n_b").cast("double")).alias("se2_b"),
+    )
+    se2 = F.col("se2_a") + F.col("se2_b")
+    t = F.try_divide(
+        F.col("m_a") - F.col("m_b"), F.sqrt(F.greatest(se2, F.lit(0.0)))
+    )
+    df_w = F.try_divide(
+        se2 * se2,
+        F.try_divide(
+            F.col("se2_a") * F.col("se2_a"), F.col("n_a").cast("double") - F.lit(1.0)
+        )
+        + F.try_divide(
+            F.col("se2_b") * F.col("se2_b"), F.col("n_b").cast("double") - F.lit(1.0)
+        ),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 6).alias("mean_a"),
+        F.round("m_b", 6).alias("mean_b"),
+        F.round("var_a", 6).alias("var_a"),
+        F.round("var_b", 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_w, 6).alias("df_welch"),
+    )
+
+
+ADVANCED_ORACLES["q_welch_ttest_value"] = """
+    WITH vals AS (
+      SELECT event_type = 'purchase' AS is_a,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+    m AS (
+      SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN is_a THEN v END) AS DECIMAL(38,2)) AS sum_a,
+             CAST(sum(CASE WHEN NOT is_a THEN v END) AS DECIMAL(38,2)) AS sum_b,
+             CAST(sum(CASE WHEN is_a THEN v * v END) AS DECIMAL(38,4)) AS ssq_a,
+             CAST(sum(CASE WHEN NOT is_a THEN v * v END) AS DECIMAL(38,4)) AS ssq_b
+      FROM vals),
+    v AS (
+      SELECT n_a, n_b,
+             CAST(sum_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0) AS m_a,
+             CAST(sum_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0) AS m_b,
+             (CAST(ssq_a AS DOUBLE)
+              - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)
+                / nullif(CAST(n_a AS DOUBLE), 0))
+               / nullif(CAST(n_a AS DOUBLE) - 1.0, 0) AS var_a,
+             (CAST(ssq_b AS DOUBLE)
+              - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                / nullif(CAST(n_b AS DOUBLE), 0))
+               / nullif(CAST(n_b AS DOUBLE) - 1.0, 0) AS var_b
+      FROM m),
+    s AS (
+      SELECT n_a, n_b, m_a, m_b, var_a, var_b,
+             var_a / nullif(CAST(n_a AS DOUBLE), 0) AS se2_a,
+             var_b / nullif(CAST(n_b AS DOUBLE), 0) AS se2_b
+      FROM v)
+    SELECT n_a, n_b,
+           round(m_a, 6) AS mean_a,
+           round(m_b, 6) AS mean_b,
+           round(var_a, 6) AS var_a,
+           round(var_b, 6) AS var_b,
+           round((m_a - m_b)
+                 / nullif(sqrt(greatest(se2_a + se2_b, 0.0)), 0), 6) AS t_stat,
+           round((se2_a + se2_b) * (se2_a + se2_b)
+                 / nullif(se2_a * se2_a / nullif(CAST(n_a AS DOUBLE) - 1.0, 0)
+                          + se2_b * se2_b / nullif(CAST(n_b AS DOUBLE) - 1.0, 0),
+                          0), 6) AS df_welch
+    FROM s
+"""
+
+ADVANCED_QUERIES["q_welch_ttest_value"] = q_welch_ttest_value
+
+
+# ---- Mann-Whitney U (Wilcoxon rank-sum) test ----
+
+
+def q_mann_whitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test comparing the `value` distribution of
+    purchase vs click events -- the nonparametric companion to
+    q_welch_ttest_value (rank-based, so heavy tails / outliers that
+    break a t-test's normality assumption don't break this one; the
+    standard test for skewed revenue-per-event metrics).
+
+    Average ranks with ties are kept EXACT by working on the doubled
+    rank scale: for each distinct value, 2*avg_rank = 2*rank_start +
+    cnt + 1 is an integer, so the doubled rank-sum 2*R_a accumulates
+    in DECIMAL(38,0) with zero rounding; the tie-correction sum
+    (cnt^3 - cnt) likewise. U, its null mean, the tie-corrected sigma
+    and z are then single fixed-shape double expressions over those
+    exact integers, layered CTE-for-CTE with the oracle. Products are
+    sized DECIMAL(18,0) x DECIMAL(18,0) -> DECIMAL(37,0) (Spark) /
+    DECIMAL(36,0) (DuckDB), both under the cap up to ~1e18 doubled
+    rank mass -- beyond any real corpus.
+
+    Scale shape: the corpus-sized work is ONE groupBy on the distinct
+    value grid (DECIMAL(12,2) cents, map-side combined). The ordered
+    cumulative-rank window then runs over DISTINCT values only -- the
+    histogram domain, bounded by the value range in cents and
+    independent of row count -- so the single-partition window is
+    metadata-sized, exactly like q_histogram_value's spine."""
+    events = load_table(spark, sf_dir, "events")
+    vals = events.filter(
+        F.col("event_type").isin("purchase", "click") & F.col("value").isNotNull()
+    ).select(
+        (F.col("event_type") == "purchase").alias("is_a"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    pv = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("cnt_a"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rk = pv.select(
+        "v",
+        "cnt_a",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("long").alias("rank_start"),
+    )
+    cnt_d = F.col("cnt").cast("decimal(12,0)")
+    agg = rk.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        (F.sum("cnt") - F.sum("cnt_a")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("cnt_a").cast("decimal(18,0)")
+            * (2 * F.col("rank_start") + F.col("cnt") + 1).cast("decimal(18,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("r2_a"),
+        F.sum(cnt_d * cnt_d * cnt_d - cnt_d).cast("decimal(38,0)").alias("tie_sum"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    stat = agg.select(
+        "n_a",
+        "n_b",
+        (
+            F.col("r2_a").cast("double") / F.lit(2.0)
+            - na * (na + F.lit(1.0)) / F.lit(2.0)
+        ).alias("u_stat"),
+        (na * nb / F.lit(2.0)).alias("mu_u"),
+        F.sqrt(
+            F.greatest(
+                na * nb / F.lit(12.0)
+                * (
+                    (n + F.lit(1.0))
+                    - F.try_divide(
+                        F.col("tie_sum").cast("double"), n * (n - F.lit(1.0))
+                    )
+                ),
+                F.lit(0.0),
+            )
+        ).alias("sigma_u"),
+    )
+    return stat.select(
+        "n_a",
+        "n_b",
+        F.round("u_stat", 1).alias("u_stat"),
+        F.round("mu_u", 1).alias("mu_u"),
+        F.round("sigma_u", 6).alias("sigma_u"),
+        F.round(
+            F.try_divide(F.col("u_stat") - F.col("mu_u"), F.col("sigma_u")), 6
+        ).alias("z_stat"),
+    )
+
+
+ADVANCED_ORACLES["q_mann_whitney_value"] = """
+    WITH vals AS (
+      SELECT event_type = 'purchase' AS is_a,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+    pv AS (
+      SELECT v,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY v),
+    rk AS (
+      SELECT v, cnt_a, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - cnt AS BIGINT)
+               AS rank_start
+      FROM pv),
+    agg AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt) - sum(cnt_a) AS BIGINT) AS n_b,
+             CAST(sum(CAST(cnt_a AS DECIMAL(18,0))
+                      * CAST(2 * rank_start + cnt + 1 AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS r2_a,
+             CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+                      * CAST(cnt AS DECIMAL(12,0))
+                      - CAST(cnt AS DECIMAL(12,0)))
+                  AS DECIMAL(38,0)) AS tie_sum
+      FROM rk),
+    stat AS (
+      SELECT n_a, n_b,
+             CAST(r2_a AS DOUBLE) / 2.0
+               - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0
+               AS u_stat,
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu_u,
+             sqrt(greatest(
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+               * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                  - CAST(tie_sum AS DOUBLE)
+                    / nullif((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                             * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                                - 1.0), 0)),
+               0.0)) AS sigma_u
+      FROM agg)
+    SELECT n_a, n_b,
+           round(u_stat, 1) AS u_stat,
+           round(mu_u, 1) AS mu_u,
+           round(sigma_u, 6) AS sigma_u,
+           round((u_stat - mu_u) / nullif(sigma_u, 0), 6) AS z_stat
+    FROM stat
+"""
+
+ADVANCED_QUERIES["q_mann_whitney_value"] = q_mann_whitney_value
+
+
+# ---- CUSUM changepoint detection ----
+
+#: CUSUM reference value (drift allowance, in sigma units) and alarm
+#: threshold -- the textbook k=0.5/h=5 tuning (detects a 1-sigma mean
+#: shift with ~ARL-370 false-alarm spacing). Literals in both engines.
+CUSUM_K = 0.5
+CUSUM_H = 5.0
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detector over the hourly event-count
+    series: standardize each hour against the series mean/sigma, then
+    S_t = max(0, S_{t-1} + z_t - k), alarming where S_t > h -- the
+    classic sequential drift detector (sustained small upward shifts
+    that per-hour z-score alerting misses; the changepoint companion
+    to q_psi_value_drift's distribution test and q_seasonality_profile's
+    baseline).
+
+    Exactness: hourly counts and their sum/sum-of-squares are exact
+    integers, so mu/sigma/z_t are fixed-shape doubles; the recursion
+    itself is a FOLD in hour order -- Spark runs it as a higher-order
+    ``aggregate`` over the hour-sorted array (seeded with 0.0 so
+    element_at stays in-bounds under ANSI), DuckDB as a recursive CTE
+    -- the same IEEE add/subtract/max sequence in both engines, so
+    every S_t is bit-equal. Rounding happens only at display.
+
+    Scale shape: the corpus-sized work is ONE map-side-combined
+    groupBy(hour). The fold then runs on the hourly SERIES, whose
+    length is bounded by the time span (8 760 rows/year), not the row
+    count -- the same metadata-sized-series argument as
+    q_autocorr_hourly; it lives in one task, never on the driver."""
+    events = load_table(spark, sf_dir, "events")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        events.select(F.floor(ts_sec / F.lit(3600.0)).cast("long").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    stats = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("cnt").cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    nh = F.col("n_hours").cast("double")
+    mu = F.col("s1").cast("double") / nh
+    sigma = F.sqrt(
+        F.greatest(
+            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / nh)
+            / nh,
+            F.lit(0.0),
+        )
+    )
+    series = (
+        hourly.crossJoin(broadcast(stats))
+        .select(
+            "hr",
+            "cnt",
+            F.try_divide(F.col("cnt").cast("double") - mu, sigma).alias("z"),
+        )
+    )
+    one = series.agg(
+        F.array_sort(F.collect_list(F.struct("hr", "cnt", "z"))).alias("a")
+    )
+    folded = one.select(
+        "a",
+        F.slice(
+            F.aggregate(
+                F.col("a"),
+                F.array(F.lit(0.0)),
+                lambda acc, x: F.array_append(
+                    acc,
+                    F.greatest(
+                        F.lit(0.0),
+                        F.element_at(acc, F.size(acc)) + x["z"] - F.lit(CUSUM_K),
+                    ),
+                ),
+            ),
+            2,
+            F.size(F.col("a")),
+        ).alias("s"),
+    )
+    return (
+        folded.select(F.posexplode(F.arrays_zip("a", "s")))
+        .select(
+            F.col("col.a.hr").alias("epoch_hour"),
+            F.col("col.a.cnt").alias("n_events"),
+            F.round(F.col("col.a.z"), 6).alias("z"),
+            F.round(F.col("col.s"), 6).alias("cusum"),
+            (F.col("col.s") > F.lit(CUSUM_H)).alias("alarm"),
+        )
+        .orderBy("epoch_hour")
+    )
+
+
+ADVANCED_ORACLES["q_cusum_changepoint"] = f"""
+    WITH RECURSIVE hourly AS (
+      SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0) AS BIGINT)
+               AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(cnt) AS BIGINT) AS s1,
+             CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      FROM hourly),
+    series AS (
+      SELECT row_number() OVER (ORDER BY hr) AS idx, hr, cnt,
+             (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+               / nullif(sqrt(greatest(
+                   (CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n_hours AS DOUBLE))
+                   / CAST(n_hours AS DOUBLE), 0.0)), 0) AS z
+      FROM hourly CROSS JOIN stats),
+    c AS (
+      SELECT idx, hr, cnt, z, greatest(0.0, 0.0 + z - {CUSUM_K}) AS s
+      FROM series WHERE idx = 1
+      UNION ALL
+      SELECT t.idx, t.hr, t.cnt, t.z, greatest(0.0, c.s + t.z - {CUSUM_K})
+      FROM series t JOIN c ON t.idx = c.idx + 1)
+    SELECT hr AS epoch_hour, cnt AS n_events,
+           round(z, 6) AS z,
+           round(s, 6) AS cusum,
+           s > {CUSUM_H} AS alarm
+    FROM c ORDER BY epoch_hour
+"""
+
+ADVANCED_QUERIES["q_cusum_changepoint"] = q_cusum_changepoint
+
+
+# ---- KMV distinct sketch with an exact oracle ----
+
+#: KMV sketch size. 256 minimum hash values give ~1/sqrt(254) = 6.3%
+#: relative standard error -- the textbook KMV bound.
+KMV_K = 256
+
+
+def _kmv_hex32(col: str):
+    """First 8 hex digits of md5(col) as a 32-bit unsigned long --
+    reshape._hex32's decode, local so the module stays import-light."""
+    h = F.md5(F.col(col).cast("string"))
+    v = F.lit(0).cast("long")
+    for j in range(8):
+        a = F.ascii(F.substring(h, j + 1, 1))
+        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    return v
+
+
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the KMV (k minimum values /
+    bottom-k) sketch: hash every key to (0,1), keep the K smallest
+    hashes per group, estimate distinct = (K-1)/u_K -- the mergeable
+    distinct sketch whose estimate is a PURE DETERMINISTIC function of
+    the key set, so unlike HLL++ (q_approx_distinct_users, rows-only)
+    it has an EXACT cross-engine oracle. Groups with fewer than K
+    distinct hashes report exactly. The exact count rides along, so
+    the row doubles as the sketch's own error audit.
+
+    Portability: the hash is the md5 hex32 decode on the shared grid;
+    u = (v + 0.5)/2^32; the estimate is one fixed-shape double
+    division. Selection of u_K is integer ranking (hash asc, K-th
+    row), tie-free because equal hashes are deduplicated first (KMV
+    is a function of the distinct hash SET by definition).
+
+    Scale shape: the corpus-sized work is the distinct (one shuffle,
+    map-side combined); the bottom-K is grouped_topk map-side pruning
+    (~batches x groups x K rows to the rank shuffle). At 100 TB the
+    exact-count column is the expensive half -- drop it and the
+    sketch path alone is the production form; it is kept here because
+    the operator IS the audit."""
+    from .topk import grouped_topk
+
+    events = load_table(spark, sf_dir, "events")
+    hashed = events.select(
+        "event_type", _kmv_hex32("user_id").alias("hv")
+    ).distinct()
+    exact = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_hashes")
+    )
+    kth = (
+        grouped_topk(hashed, ["event_type"], [("hv", True)], KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("hv").cast("long").alias("kth_hv"),
+        )
+    )
+    est = (
+        F.when(
+            F.col("n_kept") < F.lit(KMV_K),
+            F.col("n_kept").cast("double"),
+        ).otherwise(
+            F.lit(float(KMV_K - 1))
+            / ((F.col("kth_hv").cast("double") + F.lit(0.5)) / F.lit(4294967296.0))
+        )
+    )
+    return (
+        exact.join(kth, "event_type")
+        .select(
+            "event_type",
+            "n_distinct_hashes",
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(
+                F.try_divide(
+                    est - F.col("n_distinct_hashes").cast("double"),
+                    F.col("n_distinct_hashes").cast("double"),
+                ),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _kmv_hex32_sql(expr: str) -> str:
+    out = "CAST(0 AS BIGINT)"
+    for j in range(1, 9):
+        a = f"ascii(substr({expr}, {j}, 1))"
+        d = f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+        out = f"({out} * 16 + {d})"
+    return out
+
+
+ADVANCED_ORACLES["q_distinct_kmv"] = f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             {_kmv_hex32_sql("md5(CAST(user_id AS VARCHAR))")} AS hv
+      FROM events),
+    exact AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct_hashes
+      FROM hashed GROUP BY 1),
+    ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rnk
+      FROM hashed),
+    kth AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(max(hv) AS BIGINT) AS kth_hv
+      FROM ranked WHERE rnk <= {KMV_K} GROUP BY 1),
+    est AS (
+      SELECT e.event_type, e.n_distinct_hashes,
+             CASE WHEN k.n_kept < {KMV_K}
+                  THEN CAST(k.n_kept AS DOUBLE)
+                  ELSE {float(KMV_K - 1)}
+                       / ((CAST(k.kth_hv AS DOUBLE) + 0.5) / 4294967296.0)
+             END AS kmv
+      FROM exact e JOIN kth k ON k.event_type = e.event_type)
+    SELECT event_type, n_distinct_hashes,
+           round(kmv, 2) AS kmv_estimate,
+           round((kmv - CAST(n_distinct_hashes AS DOUBLE))
+                 / nullif(CAST(n_distinct_hashes AS DOUBLE), 0), 6)
+             AS rel_error
+    FROM est ORDER BY event_type
+"""
+
+ADVANCED_QUERIES["q_distinct_kmv"] = q_distinct_kmv

@@ -1030,3 +1030,168 @@ ANALYTICS_ORACLES["q_interevent_times"] = """
 """
 
 ANALYTICS_QUERIES["q_interevent_times"] = q_interevent_times
+
+
+# ---- interval-overlap join: sessions x peak hours ----
+
+
+def q_session_peak_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join of two interval sets derived from the
+    stream: per-user activity sessions (30-min gap, q_sessionize's
+    windows) against corpus 'peak hours' (hours whose event count is
+    strictly above the hourly mean), reporting how many peak hours
+    each session touched and the overlap duration -- the
+    capacity/attribution query shape (ad-break overlap, incident-
+    window attribution, load-window billing).
+
+    The join is BIN-BLOCKED, the distributed interval-join pattern:
+    each session explodes into the hour buckets it covers (fanout =
+    session length in hours, bounded by the gap rule) and equi-joins
+    the peak-hour list on the bucket id -- never the range-predicate
+    cross join, whose cost is |sessions| x |hours|. The peak list is
+    broadcast: its size is bounded by the TIME SPAN (8 760 rows/year),
+    not the row count.
+
+    Exactness: all interval arithmetic on whole-second inclusive
+    BIGINT grids -- session occupies seconds [s, e], hour h occupies
+    [3600h, 3600h+3599], overlap = least(e, 3600h+3599) -
+    greatest(s, 3600h) + 1 >= 1 for every touched hour -- so there is
+    no open/closed boundary ambiguity and no doubles anywhere; the
+    peak threshold is the integer cross-multiplication cnt * n_hours >
+    total. Spark's sequence-explode membership (h in
+    [floor(s/3600), floor(e/3600)]) is exactly DuckDB's BETWEEN."""
+    events = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    ev = events.select("user_id", "event_id", "ts", sec.alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("sec") - F.lag("sec").over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "sec",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
+    )
+    sid = flagged.withColumn(
+        "session_seq",
+        F.sum("new_s")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    sessions = sid.groupBy("user_id", "session_seq").agg(
+        F.min("sec").cast("long").alias("s"),
+        F.max("sec").cast("long").alias("e"),
+    )
+    hourly = ev.select(
+        F.floor(F.col("sec") / F.lit(3600.0)).cast("long").alias("hr")
+    ).groupBy("hr").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    peaks = (
+        hourly.crossJoin(broadcast(tot))
+        .filter(F.col("cnt") * F.col("n_hours") > F.col("total"))
+        .select("hr")
+    )
+    touched = (
+        sessions.select(
+            "user_id",
+            "session_seq",
+            "s",
+            "e",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s") / F.lit(3600.0)).cast("long"),
+                    F.floor(F.col("e") / F.lit(3600.0)).cast("long"),
+                )
+            ).alias("hr"),
+        )
+        .join(broadcast(peaks), "hr")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_peak_hours"),
+            F.sum(
+                F.least(F.col("e"), F.col("hr") * 3600 + 3599)
+                - F.greatest(F.col("s"), F.col("hr") * 3600)
+                + 1
+            )
+            .cast("long")
+            .alias("peak_overlap_seconds"),
+        )
+    )
+    return (
+        sessions.join(touched, ["user_id", "session_seq"], "left")
+        .select(
+            "user_id",
+            "session_seq",
+            F.col("s").alias("start_sec"),
+            F.col("e").alias("end_sec"),
+            F.coalesce("n_peak_hours", F.lit(0)).cast("long").alias("n_peak_hours"),
+            F.coalesce("peak_overlap_seconds", F.lit(0))
+            .cast("long")
+            .alias("peak_overlap_seconds"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ANALYTICS_ORACLES["q_session_peak_overlap"] = """
+    WITH ev AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                       OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sid AS (
+      SELECT user_id, sec,
+             CAST(sum(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, session_seq,
+             CAST(min(sec) AS BIGINT) AS s,
+             CAST(max(sec) AS BIGINT) AS e
+      FROM sid GROUP BY 1, 2),
+    hourly AS (
+      SELECT CAST(floor(sec / 3600.0) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(cnt) AS BIGINT) AS total
+      FROM hourly),
+    peaks AS (
+      SELECT hr FROM hourly, tot WHERE cnt * n_hours > total),
+    touched AS (
+      SELECT se.user_id, se.session_seq,
+             CAST(count(*) AS BIGINT) AS n_peak_hours,
+             CAST(sum(least(se.e, p.hr * 3600 + 3599)
+                      - greatest(se.s, p.hr * 3600) + 1) AS BIGINT)
+               AS peak_overlap_seconds
+      FROM sessions se JOIN peaks p
+        ON p.hr BETWEEN CAST(floor(se.s / 3600.0) AS BIGINT)
+                AND CAST(floor(se.e / 3600.0) AS BIGINT)
+      GROUP BY 1, 2)
+    SELECT se.user_id, se.session_seq,
+           se.s AS start_sec, se.e AS end_sec,
+           CAST(coalesce(t.n_peak_hours, 0) AS BIGINT) AS n_peak_hours,
+           CAST(coalesce(t.peak_overlap_seconds, 0) AS BIGINT)
+             AS peak_overlap_seconds
+    FROM sessions se LEFT JOIN touched t
+      ON t.user_id = se.user_id AND t.session_seq = se.session_seq
+    ORDER BY se.user_id, se.session_seq
+"""
+
+ANALYTICS_QUERIES["q_session_peak_overlap"] = q_session_peak_overlap

@@ -295,3 +295,98 @@ RESHAPE_QUERIES = {
     "q_sample_systematic": q_sample_systematic,
     "q_quota_sample": q_quota_sample,
 }
+
+
+# ---- weighted sampling without replacement (Efraimidis-Spirakis) ----
+
+#: Sample size for the weighted sampler.
+WEIGHTED_K = 100
+
+
+def _hex32(col):
+    """First 8 hex digits of md5(col) decoded as a 32-bit unsigned
+    integer -- the fine-grained portable uniform the weighted sampler
+    draws from (curation._hash256 is the same decode at 2 digits;
+    8 digits give the 2^-32 resolution a weighted key needs)."""
+    h = F.md5(F.col(col).cast("string"))
+    v = F.lit(0).cast("long")
+    for j in range(8):
+        a = F.ascii(F.substring(h, j + 1, 1))
+        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    return v
+
+
+def _hex32_sql(expr: str) -> str:
+    """DuckDB twin of _hex32 over the md5-hex expression `expr`."""
+    out = "CAST(0 AS BIGINT)"
+    for j in range(1, 9):
+        a = f"ascii(substr({expr}, {j}, 1))"
+        d = f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+        out = f"({out} * 16 + {d})"
+    return out
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: WEIGHTED_K
+    documents drawn with probability proportional to length (n_chars)
+    by the Efraimidis-Spirakis A-ES scheme -- each item gets key =
+    u^(1/w) for a uniform u, and the k largest keys ARE a w-weighted
+    sample without replacement (the one-pass distributed form of
+    weighted reservoir sampling; the standard trick for size-biased
+    corpus subsampling, e.g. favoring long documents for long-context
+    training mixes).
+
+    Determinism/portability: u = (hex32(md5(doc_id)) + 0.5) / 2^32 --
+    the md5 decode both engines share -- and the key is compared in
+    log space, ln(u)/w (monotone in u^(1/w), avoiding the
+    non-bit-portable pow); ln on an exact-dyadic-rational input is the
+    DSIR-proven portable op. Keys are rounded to 9 dp before ranking
+    (the established cross-engine comparison grid), with doc_id
+    breaking grid ties identically in both engines. w =
+    greatest(n_chars, 1) guards degenerate zero-length docs.
+
+    Scale shape: pure map to compute keys, then grouped_topk map-side
+    pruning -- only ~batches x K rows reach the final rank shuffle, so
+    the sampler is one corpus scan regardless of K or skew. (A
+    row_number window would shuffle every row to one reducer.)"""
+    from .topk import grouped_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (_hex32("doc_id").cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / w, 9).alias("key"),
+    ).withColumn("g", F.lit(1))
+    top = grouped_topk(
+        keyed, ["g"], [("key", False), ("doc_id", True)], WEIGHTED_K
+    )
+    return top.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "source",
+        "n_chars",
+        "key",
+    ).orderBy("rank")
+
+
+RESHAPE_ORACLES["q_weighted_sample"] = f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(ln(({_hex32_sql("md5(CAST(doc_id AS VARCHAR))")}
+                       + 0.5) / 4294967296.0)
+                   / greatest(CAST(n_chars AS DOUBLE), 1.0), 9) AS key
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, n_chars, key,
+             CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM keyed)
+    SELECT rank, doc_id, source, n_chars, key
+    FROM ranked WHERE rank <= {WEIGHTED_K}
+    ORDER BY rank
+"""
+
+RESHAPE_QUERIES["q_weighted_sample"] = q_weighted_sample

@@ -1994,3 +1994,151 @@ def _silhouette_oracle(iters: int = 3) -> str:
 
 SIMILARITY_QUERIES["q_silhouette_kmeans"] = q_silhouette_kmeans
 SIMILARITY_ORACLES["q_silhouette_kmeans"] = _silhouette_oracle()
+
+
+# ---- Matryoshka truncation recall audit ----
+
+#: Truncation prefixes audited against the full 64-dim search. The MRL
+#: (Matryoshka Representation Learning) deployment question: how many
+#: leading dimensions can the serving index keep before recall@K
+#: degrades -- prefix truncation being the MRL storage/bandwidth lever.
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def _truncated_topk(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
+    """Exact cosine top-k over the first `dim` embedding components --
+    the brute-force pipeline with sliced vectors. Zero-truncation-norm
+    vectors score -2.0 (below any cosine), NOT NULL: the engines'
+    DESC NULL placement differs (Spark last, DuckDB first), so a NULL
+    score would make the rank lists engine-dependent."""
+    vecs = _vectors(spark, sf_dir).select(
+        "vec_id", F.slice(F.col("v"), 1, dim).alias("v")
+    )
+    vecs = _with_norm(vecs)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("vn").alias("nn"),
+    )
+    scored = corpus.join(
+        broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce(
+            F.round(
+                F.try_divide(
+                    _dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")
+                ),
+                6,
+            ),
+            F.lit(-2.0),
+        ).alias("cosine"),
+    )
+    return grouped_topk(
+        scored, ["query_id"], [("cosine", False), ("neighbor_id", True)], TOP_K
+    )
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: per (prefix dim, query), recall@K
+    of exact search over the first `dim` embedding components against
+    exact search over the full vector -- the measurement behind the
+    MRL serving decision (which prefix length an index can store while
+    keeping recall), and the truncation twin of q_ann_recall_audit
+    (which audits the LSH index the same way).
+
+    Composition of oracle-checked brute-force passes (full + one per
+    prefix), joined on (query, neighbor); left join from the full
+    top-K so a truncation that misses everything still reports 0.0.
+
+    Scale shape: each pass is the broadcast-queries + map-side-pruned
+    top-k pipeline (cost ~ corpus x |query sample| x dim with only
+    ~batches x queries x K rows reaching a shuffle); at 100 TB the
+    audit runs on a query SAMPLE by construction, so cost scales with
+    the corpus scan, not corpus^2. Prefix passes scan shorter slices,
+    so the audit costs LESS than (1 + |dims|) full searches."""
+    full = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    parts = []
+    for d in MATRYOSHKA_DIMS:
+        t = _truncated_topk(spark, sf_dir, d).select(
+            F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+        )
+        parts.append(
+            full.join(
+                t,
+                (F.col("query_id") == F.col("tq"))
+                & (F.col("neighbor_id") == F.col("tn")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_true"),
+                F.count("tn").cast("long").alias("n_hit"),
+            )
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "query_id",
+                "n_true",
+                "n_hit",
+                F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("dim", "query_id")
+
+
+def _cos_sql_dim(dim: int) -> str:
+    """The _COS_SQL cosine over the first `dim` components only, with
+    the zero-norm denominator nullified -- the twin of the Spark
+    side's try_divide (DuckDB double division by zero yields inf, not
+    NULL, so the guard must wrap the norm product itself)."""
+    return f"""
+ list_sum(list_transform(generate_series(1, {dim}), i -> q.v[i] * c.v[i])) /
+ nullif(sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> q.v[i] * q.v[i]))) *
+  sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> c.v[i] * c.v[i]))), 0)
+"""
+
+
+def _matryoshka_oracle() -> str:
+    per_dim = []
+    for d in MATRYOSHKA_DIMS:
+        per_dim.append(f"""
+        SELECT CAST({d} AS BIGINT) AS dim, bf.query_id,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
+               round(count(t.neighbor_id) * 1.0 / count(*), 6) AS recall
+        FROM bf LEFT JOIN (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                     AS rank
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     coalesce(round({_cos_sql_dim(d)}, 6), -2.0) AS cosine
+              FROM e q JOIN e c
+                ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id))
+          WHERE rank <= {TOP_K}) t
+          ON bf.query_id = t.query_id AND bf.neighbor_id = t.neighbor_id
+        GROUP BY bf.query_id""")
+    unions = "\n        UNION ALL\n".join(per_dim)
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        bf AS ({SIMILARITY_ORACLES["q_ann_bruteforce_topk"]})
+        SELECT * FROM ({unions})
+        ORDER BY dim, query_id
+    """
+
+
+SIMILARITY_QUERIES["q_matryoshka_recall"] = q_matryoshka_recall
+SIMILARITY_ORACLES["q_matryoshka_recall"] = _matryoshka_oracle()

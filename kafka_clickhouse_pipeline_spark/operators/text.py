@@ -1395,3 +1395,170 @@ TEXT_ORACLES["q_entropy_by_source"] = """
              AS entropy_normalized
     FROM contrib GROUP BY source ORDER BY source
 """
+
+
+# ---- Zipf rank-frequency fit ----
+
+#: Number of top-ranked terms the Zipf regression fits over. A fixed
+#: head keeps the fit comparable across corpora (the tail of a
+#: rank-frequency curve bends below the power law and would bias the
+#: slope; fitting the head is the standard convention).
+ZIPF_TOP = 100
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of the corpus rank-frequency curve in log-log space --
+    ln(count) = intercept + slope * ln(rank) over the ZIPF_TOP most
+    frequent terms -- the Zipf's-law diagnostic of corpus health
+    (natural language sits near slope -1; template/boilerplate-heavy
+    or synthetic corpora bend away, making the slope a cheap
+    corpus-quality monitor alongside q_entropy_by_source).
+
+    Exactness: ranks and counts are exact integers (count desc, term
+    asc tie-break); each regression term (x, y, x^2, xy, y^2 with
+    x = ln(rank), y = ln(cnt)) is rounded to 9 dp and summed as
+    DECIMAL(28,9) -- the established order-independent bit-equal
+    aggregation -- and slope/intercept/r^2 are fixed-shape double
+    expressions over those exact sums, layered CTE-for-CTE.
+
+    Scale shape: term counting is the one corpus-sized pass (map-side
+    combined groupBy); the rank step pushes only the grouped_topk
+    map-side-pruned head (~batches x ZIPF_TOP rows) into the final
+    window; the regression reduces ZIPF_TOP rows to 1."""
+    from .topk import grouped_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = grouped_topk(
+        counts.withColumn("g", F.lit(1)),
+        ["g"],
+        [("cnt", False), ("term", True)],
+        ZIPF_TOP,
+    ).select(F.col("rank").cast("long").alias("rank"), "cnt")
+    terms = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("y"),
+        F.round(
+            F.log(F.col("rank").cast("double")) * F.log(F.col("rank").cast("double")),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("xx"),
+        F.round(
+            F.log(F.col("rank").cast("double")) * F.log(F.col("cnt").cast("double")),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("xy"),
+        F.round(
+            F.log(F.col("cnt").cast("double")) * F.log(F.col("cnt").cast("double")), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("yy"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,9)").alias("sx"),
+        F.sum("y").cast("decimal(38,9)").alias("sy"),
+        F.sum("xx").cast("decimal(38,9)").alias("sxx"),
+        F.sum("xy").cast("decimal(38,9)").alias("sxy"),
+        F.sum("yy").cast("decimal(38,9)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    fit = sums.select(
+        "n",
+        sx.alias("sxd"),
+        sy.alias("syd"),
+        F.try_divide(nd * sxy - sx * sy, nd * sxx - sx * sx).alias("slope"),
+        (nd * sxy - sx * sy).alias("cov_num"),
+        (nd * sxx - sx * sx).alias("var_x"),
+        (nd * syy - sy * sy).alias("var_y"),
+    )
+    return fit.select(
+        F.col("n").alias("n_terms"),
+        F.round("slope", 6).alias("slope"),
+        F.round(
+            F.try_divide(F.col("syd") - F.col("slope") * F.col("sxd"),
+                         F.col("n").cast("double")),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.try_divide(
+                F.col("cov_num") * F.col("cov_num"),
+                F.col("var_x") * F.col("var_y"),
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+TEXT_ORACLES["q_zipf_fit"] = f"""
+    WITH counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      WHERE term <> '' GROUP BY term),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+               AS rank,
+             cnt
+      FROM counts
+      QUALIFY rank <= {ZIPF_TOP}),
+    terms AS (
+      SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+             CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y,
+             CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS xx,
+             CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS xy,
+             CAST(round(ln(CAST(cnt AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS yy
+      FROM ranked),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,9)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,9)) AS sy,
+             CAST(sum(xx) AS DECIMAL(38,9)) AS sxx,
+             CAST(sum(xy) AS DECIMAL(38,9)) AS sxy,
+             CAST(sum(yy) AS DECIMAL(38,9)) AS syy
+      FROM terms),
+    fit AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y
+      FROM sums)
+    SELECT n AS n_terms,
+           round(slope, 6) AS slope,
+           round((syd - slope * sxd) / nullif(CAST(n AS DOUBLE), 0), 6)
+             AS intercept,
+           round(cov_num * cov_num / nullif(var_x * var_y, 0), 6) AS r2
+    FROM fit
+"""
+
+TEXT_QUERIES["q_zipf_fit"] = q_zipf_fit
