@@ -140,6 +140,11 @@ HEADLINE = [
     "q_zipf_fit",
     "q_cusum_changepoint",
     "q_session_peak_overlap",
+    # round-4 sixteenth batch
+    "q_distinct_kmv",
+    "q_anomaly_seasonal_residual",
+    "q_bootstrap_ci_mean",
+    "q_k_anonymity_audit",
 ]
 
 

@@ -142,10 +142,13 @@ def _rewrite(sql: str, name: str, build) -> str:
         calls = _find_calls(sql, name)
         if not calls:
             return sql
-        # rewrite back-to-front so offsets stay valid
+        # rewrite back-to-front so offsets stay valid; a build that
+        # returns None declines the span (left byte-identical)
         prev = sql
         for start, end, args in reversed(calls):
-            sql = sql[:start] + build(args) + sql[end:]
+            repl = build(args)
+            if repl is not None:
+                sql = sql[:start] + repl + sql[end:]
         if sql == prev:
             return sql
 
@@ -414,8 +417,117 @@ def translate(sql: str, anchor: str | None = None) -> str:
         "formatDateTime",
         lambda a: f"date_format({a[0]}, {_format_pattern(a[1])})",
     )
+    sql = _rewrite(sql, "groupArray", lambda a: f"collect_list({a[0]})")
+    sql = _rewrite(sql, "groupUniqArray", lambda a: f"collect_set({a[0]})")
+    # ClickHouse any()/anyLast() contract is 'some value from the
+    # group, nondeterministic'; Spark's any_value carries exactly that
+    # contract (anyLast's 'last seen' is itself arrival-order-defined,
+    # which a distributed read does not fix).
+    sql = _rewrite(sql, "anyLast", lambda a: f"any_value({a[0]})")
+    # guard: `x > ANY (SELECT ...)` is the SQL quantified comparison,
+    # not the ClickHouse aggregate -- re-emitting unchanged terminates
+    # the rewriter's fixpoint loop
+    sql = _rewrite(
+        sql,
+        "any",
+        lambda a: (
+            None
+            if len(a) == 1 and a[0].lstrip().lower().startswith("select")
+            else f"any_value({a[0]})"
+        ),
+    )
     sql = _replace_keyword(sql, "PREWHERE", "WHERE")
+    sql = _rewrite_limit_by(sql)
     return sql
+
+
+def _top_level_spans(sql: str):
+    """Yield (index, char) for characters at paren depth 0 outside
+    string literals -- the scanner the structural rewrites share."""
+    depth, i, n = 0, 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            yield i, ch
+        i += 1
+
+
+def _find_top_keyword(sql: str, word: str, start: int = 0) -> int:
+    """Offset of the first whole-word top-level occurrence of ``word``
+    at or after ``start``, or -1."""
+    lword = word.lower()
+    flat = {i: c for i, c in _top_level_spans(sql)}
+    n, m = len(sql), len(word)
+    for i in sorted(flat):
+        if i < start or i + m > n:
+            continue
+        if all(k in flat for k in range(i, i + m)) and sql[i : i + m].lower() == lword:
+            before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            after_ok = i + m == n or not (sql[i + m].isalnum() or sql[i + m] == "_")
+            if before_ok and after_ok:
+                return i
+    return -1
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """ClickHouse ``... ORDER BY <o> LIMIT <n> BY <cols> [LIMIT <m>]``
+    -> a row_number window over the BY columns ordered by <o>.
+
+    Spark has no LIMIT-BY clause; the standard rewrite wraps the query
+    and keeps the first n rows per BY-group under the query's own
+    ORDER BY, then re-applies the presentation order (and the plain
+    trailing LIMIT, if any). Supported shape: one top-level ORDER BY
+    before the LIMIT BY, referencing output columns -- the form every
+    dashboard 'top n per group' query takes. A LIMIT BY without an
+    ORDER BY is rejected: ClickHouse keeps 'first encountered' rows
+    there, which no distributed engine can reproduce deterministically.
+    """
+    lim = _find_top_keyword(sql, "LIMIT")
+    while lim != -1:
+        m = re.match(r"LIMIT\s+(\d+)\s+BY\s+", sql[lim:], re.IGNORECASE)
+        if m:
+            break
+        lim = _find_top_keyword(sql, "LIMIT", lim + 5)
+    if lim == -1:
+        return sql
+    n_rows = m.group(1)
+    cols_start = lim + m.end()
+    nxt = _find_top_keyword(sql, "LIMIT", cols_start)
+    cols = sql[cols_start : nxt if nxt != -1 else len(sql)].strip().rstrip(";")
+    tail = sql[nxt:].strip().rstrip(";") if nxt != -1 else ""
+    order = _find_top_keyword(sql, "ORDER", 0)
+    if order == -1 or order > lim:
+        raise ValueError(
+            "LIMIT BY without a preceding ORDER BY is nondeterministic; "
+            "add an ORDER BY to make the kept rows well-defined"
+        )
+    om = re.match(r"ORDER\s+BY\s+", sql[order:], re.IGNORECASE)
+    o_expr = sql[order + om.end() : lim].strip()
+    head = sql[:order].strip()
+    out = (
+        f"SELECT * EXCEPT (__lb_rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {cols} "
+        f"ORDER BY {o_expr}) AS __lb_rn FROM ({head}) __lb"
+        f") WHERE __lb_rn <= {n_rows} ORDER BY {o_expr}"
+    )
+    if tail:
+        out += f" {tail}"
+    return out
 
 
 def run_clickhouse_sql(spark, sql: str, anchor: str | None = None):

@@ -2580,3 +2580,300 @@ ADVANCED_ORACLES["q_distinct_kmv"] = f"""
 """
 
 ADVANCED_QUERIES["q_distinct_kmv"] = q_distinct_kmv
+
+
+# ---- seasonal-residual anomaly detection ----
+
+#: Anomalies reported (largest |z| against the weekly template).
+ANOMALY_TOP = 20
+
+
+def q_anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly traffic anomalies against the weekly seasonal template:
+    each HOUR INSTANCE's event count is z-scored against the
+    mean/sigma of its own (day-of-week, hour-of-day) cell across the
+    corpus -- 'is this Tuesday 14:00 unusual FOR a Tuesday 14:00' --
+    and the ANOMALY_TOP largest |z| hours are reported. This is the
+    detector q_seasonality_profile's template exists for, and the
+    point-anomaly companion to q_cusum_changepoint's sustained-drift
+    detector.
+
+    Exactness: hour-instance counts and per-cell sum/sum-of-squares
+    are exact integers (dow from the integer-epoch arithmetic both
+    engines share); cell mean, population sigma and z are fixed-shape
+    doubles; cells with one instance or zero variance are excluded by
+    a comparison on those bit-equal doubles. |z| ranks on the round-6
+    grid with the hour id breaking ties.
+
+    Scale shape: ONE map-side-combined groupBy(hour) over the scan;
+    the cell statistics aggregate the hour SERIES (time-span-bounded)
+    into 168 rows broadcast back onto it; the top-|z| pick is
+    grouped_topk map-side pruning."""
+    from .topk import grouped_topk
+
+    events = load_table(spark, sf_dir, "events")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    hourly = (
+        events.select(F.floor(ts_sec / F.lit(3600.0)).cast("long").alias("hr_id"))
+        .groupBy("hr_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "hr_id",
+            "cnt",
+            F.pmod(
+                F.floor(F.col("hr_id") / F.lit(24.0)).cast("long") + F.lit(4),
+                F.lit(7),
+            )
+            .cast("long")
+            .alias("dow"),
+            F.pmod(F.col("hr_id"), F.lit(24)).cast("long").alias("hod"),
+        )
+    )
+    cells = hourly.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inst"),
+        F.sum("cnt").cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    ni = F.col("n_inst").cast("double")
+    mean = F.col("s1").cast("double") / ni
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / ni
+    ) / ni
+    stats = cells.select(
+        "dow", "hod", "n_inst", mean.alias("cell_mean"), var.alias("cell_var")
+    ).filter((F.col("n_inst") >= 2) & (F.col("cell_var") > 0))
+    scored = hourly.join(broadcast(stats), ["dow", "hod"]).select(
+        "hr_id",
+        "dow",
+        "hod",
+        "cnt",
+        F.round(
+            (F.col("cnt").cast("double") - F.col("cell_mean"))
+            / F.sqrt(F.col("cell_var")),
+            6,
+        ).alias("z"),
+    )
+    top = grouped_topk(
+        scored.withColumn("az", F.abs(F.col("z"))).withColumn("g", F.lit(1)),
+        ["g"],
+        [("az", False), ("hr_id", True)],
+        ANOMALY_TOP,
+    )
+    return top.select(
+        F.col("rank").cast("long").alias("rank"),
+        "hr_id",
+        "dow",
+        "hod",
+        "cnt",
+        "z",
+    ).orderBy("rank")
+
+
+ADVANCED_ORACLES["q_anomaly_seasonal_residual"] = f"""
+    WITH hourly AS (
+      SELECT hr_id, cnt,
+             (CAST(floor(hr_id / 24.0) AS BIGINT) + 4) % 7 AS dow,
+             hr_id % 24 AS hod
+      FROM (
+        SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600.0)
+                    AS BIGINT) AS hr_id,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1)),
+    cells AS (
+      SELECT dow, hod,
+             CAST(count(*) AS BIGINT) AS n_inst,
+             CAST(sum(cnt) AS BIGINT) AS s1,
+             CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      FROM hourly GROUP BY 1, 2),
+    stats AS (
+      SELECT dow, hod, n_inst,
+             CAST(s1 AS DOUBLE) / CAST(n_inst AS DOUBLE) AS cell_mean,
+             (CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n_inst AS DOUBLE)) / CAST(n_inst AS DOUBLE) AS cell_var
+      FROM cells),
+    good AS (SELECT * FROM stats WHERE n_inst >= 2 AND cell_var > 0),
+    scored AS (
+      SELECT h.hr_id, h.dow, h.hod, h.cnt,
+             round((CAST(h.cnt AS DOUBLE) - g.cell_mean)
+                   / sqrt(g.cell_var), 6) AS z
+      FROM hourly h JOIN good g ON g.dow = h.dow AND g.hod = h.hod),
+    ranked AS (
+      SELECT hr_id, dow, hod, cnt, z,
+             CAST(row_number() OVER (ORDER BY abs(z) DESC, hr_id)
+                  AS BIGINT) AS rank
+      FROM scored)
+    SELECT rank, hr_id, dow, hod, cnt, z
+    FROM ranked WHERE rank <= {ANOMALY_TOP}
+    ORDER BY rank
+"""
+
+ADVANCED_QUERIES["q_anomaly_seasonal_residual"] = q_anomaly_seasonal_residual
+
+
+# ---- Poissonized bootstrap confidence interval ----
+
+#: Bootstrap replicates. 200 gives a stable 2.5%/97.5% pair by exact
+#: order statistics (ranks 5 and 195 of 200 means).
+BOOT_B = 200
+
+#: Poisson(1) CDF thresholds for the per-(row, replicate) weight: the
+#: Poissonized bootstrap draws each row's multiplicity Poisson(1)
+#: instead of multinomial (independence makes it embarrassingly
+#: distributable -- no global n coupling); truncated at 6 (tail mass
+#: 6e-4). Literal doubles, identical in both engines.
+_POIS_CDF = (
+    0.36787944117144233,  # P(0)
+    0.7357588823428847,   # P(<=1)
+    0.9196986029286058,   # P(<=2)
+    0.9810118431238462,   # P(<=3)
+    0.9963401531726563,   # P(<=4)
+    0.9994058151824183,   # P(<=5)
+)
+
+
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean purchase value
+    by the deterministic Poissonized bootstrap: every (event,
+    replicate b) pair draws a Poisson(1) multiplicity from the
+    portable md5 uniform of (event_id, b), each replicate computes
+    its weighted mean, and the CI is the exact 2.5%/97.5% order
+    statistics of the BOOT_B replicate means -- distribution-free
+    uncertainty for a skewed metric where the normal-theory interval
+    (q_welch_ttest_value's machinery) is untrustworthy.
+
+    Determinism/portability: u(i,b) = hex32(md5(event_id * 1000 + b))
+    on the shared grid; the weight is a literal-threshold CASE ladder
+    over the Poisson(1) CDF; each replicate's weighted sum is exact
+    DECIMAL x integer; means are fixed-shape doubles; the CI bounds
+    are exact rank-5/rank-195 selections (no interpolation), ranked
+    on the round-6 grid with b breaking ties.
+
+    Scale shape: the replication is a flat B-way explode -- one scan,
+    one map-side-combined groupBy(b), B rows out; no global coupling
+    between replicates (the point of Poissonization). At 100 TB run
+    it on a subsample or switch to the bag-of-little-bootstraps
+    split; the per-replicate plan is unchanged either way."""
+    events = load_table(spark, sf_dir, "events")
+    purch = events.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", F.col("value").cast("decimal(12,2)").alias("v"))
+    pairs = purch.select(
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        "event_id",
+    )
+    u = (
+        _kmv_hex32_expr(F.col("event_id") * F.lit(1000) + F.col("b")).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    wexpr = (
+        F.when(u < F.lit(_POIS_CDF[0]), 0)
+        .when(u < F.lit(_POIS_CDF[1]), 1)
+        .when(u < F.lit(_POIS_CDF[2]), 2)
+        .when(u < F.lit(_POIS_CDF[3]), 3)
+        .when(u < F.lit(_POIS_CDF[4]), 4)
+        .when(u < F.lit(_POIS_CDF[5]), 5)
+        .otherwise(6)
+    )
+    reps = (
+        pairs.select("b", "v", wexpr.cast("long").alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("v") * F.col("w").cast("decimal(12,0)"))
+            .cast("decimal(38,2)")
+            .alias("ws"),
+            F.sum("w").cast("long").alias("wn"),
+        )
+        .select(
+            "b",
+            F.round(
+                F.try_divide(F.col("ws").cast("double"), F.col("wn").cast("double")),
+                6,
+            ).alias("mean_b"),
+        )
+    )
+    w_rank = Window.orderBy("mean_b", "b")
+    ranked = reps.select(
+        "mean_b", F.row_number().over(w_rank).cast("long").alias("rnk")
+    )
+    point = purch.agg(
+        F.round(
+            F.try_divide(
+                F.sum("v").cast("decimal(38,2)").cast("double"),
+                F.count(F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("mean_value"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    lo = int(round(0.025 * BOOT_B))  # rank 5
+    hi = int(round(0.975 * BOOT_B))  # rank 195
+    ci = ranked.agg(
+        F.max(F.when(F.col("rnk") == lo, F.col("mean_b"))).alias("ci_low"),
+        F.max(F.when(F.col("rnk") == hi, F.col("mean_b"))).alias("ci_high"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+    return point.crossJoin(broadcast(ci)).select(
+        "n_rows", "mean_value", "ci_low", "ci_high", "n_replicates"
+    )
+
+
+def _kmv_hex32_expr(col):
+    """_kmv_hex32 over an arbitrary integer Column expression."""
+    h = F.md5(col.cast("string"))
+    v = F.lit(0).cast("long")
+    for j in range(8):
+        a = F.ascii(F.substring(h, j + 1, 1))
+        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    return v
+
+
+def _pois_case_sql(u: str) -> str:
+    whens = "".join(
+        f"WHEN {u} < {t} THEN {i} " for i, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {whens}ELSE 6 END)"
+
+
+ADVANCED_ORACLES["q_bootstrap_ci_mean"] = f"""
+    WITH purch AS (
+      SELECT event_id, CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+    pairs AS (
+      SELECT v, b.b, event_id,
+             ({_kmv_hex32_sql("md5(CAST(event_id * 1000 + b.b AS VARCHAR))")}
+              + 0.5) / 4294967296.0 AS u
+      FROM purch
+      CROSS JOIN (SELECT CAST(unnest(range({BOOT_B})) AS BIGINT) AS b) b),
+    reps AS (
+      SELECT b,
+             round(CAST(CAST(sum(v * CAST(w AS DECIMAL(12,0)))
+                             AS DECIMAL(38,2)) AS DOUBLE)
+                   / nullif(CAST(sum(w) AS DOUBLE), 0), 6) AS mean_b
+      FROM (SELECT b, v, CAST({_pois_case_sql("u")} AS BIGINT) AS w
+            FROM pairs)
+      GROUP BY b),
+    ranked AS (
+      SELECT mean_b,
+             CAST(row_number() OVER (ORDER BY mean_b, b) AS BIGINT) AS rnk
+      FROM reps),
+    ci AS (
+      SELECT max(CASE WHEN rnk = {int(round(0.025 * BOOT_B))}
+                      THEN mean_b END) AS ci_low,
+             max(CASE WHEN rnk = {int(round(0.975 * BOOT_B))}
+                      THEN mean_b END) AS ci_high,
+             CAST(count(*) AS BIGINT) AS n_replicates
+      FROM ranked),
+    point AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             round(CAST(CAST(sum(v) AS DECIMAL(38,2)) AS DOUBLE)
+                   / nullif(CAST(count(*) AS DOUBLE), 0), 6) AS mean_value
+      FROM purch)
+    SELECT n_rows, mean_value, ci_low, ci_high, n_replicates
+    FROM point CROSS JOIN ci
+"""
+
+ADVANCED_QUERIES["q_bootstrap_ci_mean"] = q_bootstrap_ci_mean

@@ -370,3 +370,67 @@ CONSTRAINT_ORACLES["q_freshness_audit"] = f"""
                 THEN 'stale' ELSE 'fresh' END AS status
     FROM per ORDER BY event_type
 """
+
+
+# ---- k-anonymity audit ----
+
+#: Minimum group size a quasi-identifier combination must reach; the
+#: conventional re-identification floor.
+K_ANON = 5
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier tuple (market segment, nation, account-balance
+    band): every combination seen fewer than K_ANON times is a
+    re-identification risk -- the privacy-governance gate a dataset
+    must pass before quasi-identifier columns are released (the
+    release-readiness companion to q_pii_redact_stats, which handles
+    DIRECT identifiers inside text).
+
+    Output: one row per violating combination (k < K_ANON) with its
+    size, ordered smallest (riskiest) first, so the result IS the
+    suppression work-list. The balance band is an exact integer floor
+    on the cent grid -- floor(cents / 100000), i.e. $1000 bands --
+    with negative balances landing in negative bands (floor, not
+    truncation toward zero, so the band edges agree in both engines).
+
+    Scale shape: ONE map-side-combined groupBy over the scan; the
+    violating set is at most (segments x nations x bands) rows --
+    dimension-bounded, independent of row count."""
+    customer = load_table(spark, sf_dir, "customer")
+    band = F.floor(
+        F.col("c_acctbal").cast("decimal(12,2)").cast("double") / F.lit(1000.0)
+    ).cast("long")
+    groups = (
+        customer.select(
+            "c_mktsegment", "c_nationkey", band.alias("acctbal_band")
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "acctbal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    return (
+        groups.filter(F.col("k") < F.lit(K_ANON))
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "acctbal_band",
+            "k",
+        )
+        .orderBy("k", "mktsegment", "nationkey", "acctbal_band")
+    )
+
+
+CONSTRAINT_QUERIES["q_k_anonymity_audit"] = q_k_anonymity_audit
+CONSTRAINT_ORACLES["q_k_anonymity_audit"] = f"""
+    WITH groups AS (
+      SELECT c_mktsegment AS mktsegment,
+             CAST(c_nationkey AS BIGINT) AS nationkey,
+             CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+                        / 1000.0) AS BIGINT) AS acctbal_band,
+             CAST(count(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT mktsegment, nationkey, acctbal_band, k
+    FROM groups WHERE k < {K_ANON}
+    ORDER BY k, mktsegment, nationkey, acctbal_band
+"""

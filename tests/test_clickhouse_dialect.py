@@ -282,3 +282,47 @@ def test_multiif_requires_else_branch():
 
     with _pytest.raises(ValueError):
         translate("SELECT multiIf(a, b) FROM t")
+
+
+def test_group_array_any_and_limit_by(sales_view):
+    """Round-4 sixteenth-batch dialect widening: groupArray /
+    groupUniqArray / any / anyLast map to their Spark contracts, and
+    ClickHouse's LIMIT n BY rewrites to a deterministic
+    row_number-per-group window under the query's own ORDER BY."""
+    sql = """
+        SELECT product_name,
+               toStartOfHour(event_time) as hour,
+               sum(total) as revenue
+        FROM sales
+        GROUP BY product_name, hour
+        ORDER BY revenue DESC, product_name, hour
+        LIMIT 1 BY product_name
+        LIMIT 10
+    """
+    got = [
+        (r["product_name"], str(r["revenue"]))
+        for r in run_clickhouse_sql(sales_view, sql, anchor=ANCHOR).collect()
+    ]
+    # one best hour per product, presentation order by revenue desc
+    assert got == [("widget", "30.00"), ("gadget", "5.50"), ("relic", "1.00")]
+
+    agg = translate(
+        "SELECT any(price) as p, anyLast(price) as q, "
+        "groupArray(event_id) as g, groupUniqArray(product_id) as u "
+        "FROM sales GROUP BY product_id"
+    )
+    assert "any_value(price)" in agg
+    assert "collect_list(event_id)" in agg
+    assert "collect_set(product_id)" in agg
+
+
+def test_any_quantified_comparison_untouched():
+    """`> ANY (SELECT ...)` is the SQL quantified comparison, not the
+    ClickHouse aggregate; the rewrite must leave it alone."""
+    sql = "SELECT * FROM t WHERE x > ANY (SELECT y FROM u)"
+    assert translate(sql) == sql
+
+
+def test_limit_by_without_order_by_rejected():
+    with pytest.raises(ValueError, match="ORDER BY"):
+        translate("SELECT a, b FROM t LIMIT 2 BY a")
