@@ -145,6 +145,12 @@ HEADLINE = [
     "q_anomaly_seasonal_residual",
     "q_bootstrap_ci_mean",
     "q_k_anonymity_audit",
+    # round-4 seventeenth batch (closeness is landmark-BFS over the
+    # dense co-purchase graph -- the |landmarks| x |V| state IS the
+    # documented cost model; the landmark fraction is the knob)
+    "q_cms_term_counts",
+    "q_holt_backtest",
+    "q_closeness_sampled",
 ]
 
 

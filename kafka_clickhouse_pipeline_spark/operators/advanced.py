@@ -2877,3 +2877,161 @@ ADVANCED_ORACLES["q_bootstrap_ci_mean"] = f"""
 """
 
 ADVANCED_QUERIES["q_bootstrap_ci_mean"] = q_bootstrap_ci_mean
+
+
+# ---- Holt linear-trend smoothing backtest ----
+
+#: Holt double-exponential smoothing coefficients (level / trend).
+#: Both literals parse to the same IEEE double in Spark and DuckDB,
+#: so the recursion is bit-portable like the EWMA/CUSUM folds.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of Holt's linear-trend (double
+    exponential) smoother over the per-type hourly count series -- the
+    trending companion to q_ewma_backtest: EWMA lags any sustained
+    ramp by design; Holt carries an explicit trend state
+    (l_t = a*y_t + (1-a)*(l_{t-1}+b_{t-1}),
+    b_t = B*(l_t-l_{t-1}) + (1-B)*b_{t-1}, forecast l+b), so comparing
+    the two MAEs says whether the series has exploitable drift.
+    Init l_1 = y_1, b_1 = 0; predictions start at i = 2.
+
+    Exactness: the coupled recursion is inherently sequential -- no
+    window closed form exists in floating point -- so Spark runs it as
+    a higher-order ``aggregate`` fold carrying (l, b) struct state
+    over each type's hour-sorted array, and DuckDB as a recursive CTE
+    carrying the same two columns: the identical IEEE op sequence per
+    step, bit-equal states. Per-step errors round to 9 dp and sum as
+    DECIMAL(28,9) (the order-independent fold); MAE/bias/final level+
+    trend are fixed-shape doubles at the end.
+
+    Scale shape: identical to q_ewma_backtest -- one map-side-combined
+    groupBy to hourly counts, one shuffle to per-type arrays whose
+    length is bounded by the TIME SPAN (8 760/year), folded inside a
+    task, never on the driver; a multi-year series would chunk by the
+    segmented-scan decomposition documented there.
+
+    No reference analog (extension family: forecasting baselines over
+    the reference's sales/events stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    series = hourly.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct(ts_str("hour").alias("h"), "cnt"))
+        ).alias("xs")
+    )
+    folded = series.select(
+        "event_type",
+        "xs",
+        F.expr(
+            f"""
+            aggregate(
+              xs,
+              cast(array() as array<struct<l:double, b:double, pred:double>>),
+              (acc, x) -> array_append(acc, if(size(acc) = 0,
+                named_struct('l', cast(x.cnt as double),
+                             'b', cast(0.0 as double),
+                             'pred', cast(null as double)),
+                named_struct(
+                  'l', cast({HOLT_ALPHA} as double) * x.cnt
+                       + cast({1 - HOLT_ALPHA} as double)
+                         * (element_at(acc, -1).l + element_at(acc, -1).b),
+                  'b', cast({HOLT_BETA} as double)
+                       * (cast({HOLT_ALPHA} as double) * x.cnt
+                          + cast({1 - HOLT_ALPHA} as double)
+                            * (element_at(acc, -1).l + element_at(acc, -1).b)
+                          - element_at(acc, -1).l)
+                       + cast({1 - HOLT_BETA} as double) * element_at(acc, -1).b,
+                  'pred', element_at(acc, -1).l + element_at(acc, -1).b)))
+            )
+            """
+        ).alias("st"),
+    )
+    pairs = (
+        folded.select(
+            "event_type", F.explode(F.arrays_zip("xs", "st")).alias("p")
+        )
+        .filter(F.col("p.st.pred").isNotNull())
+        .select(
+            "event_type",
+            F.col("p.st.pred").alias("pred"),
+            F.col("p.xs.cnt").cast("double").alias("actual"),
+        )
+    )
+    err = F.col("actual") - F.col("pred")
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_preds"),
+        F.sum(F.round(F.abs(err), 9).cast("decimal(28,9)")).alias("sae"),
+        F.sum(F.round(err, 9).cast("decimal(28,9)")).alias("se"),
+    )
+    finals = folded.select(
+        "event_type",
+        F.round(F.element_at("st", -1)["l"], 6).alias("final_level"),
+        F.round(F.element_at("st", -1)["b"], 6).alias("final_trend"),
+    )
+    return (
+        m.join(finals, "event_type")
+        .select(
+            "event_type",
+            "n_preds",
+            F.round(F.col("sae").cast("double") / F.col("n_preds"), 6).alias("mae"),
+            F.round(F.col("se").cast("double") / F.col("n_preds"), 6).alias("bias"),
+            "final_level",
+            "final_trend",
+        )
+        .orderBy("event_type")
+    )
+
+
+ADVANCED_ORACLES["q_holt_backtest"] = f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    numbered AS MATERIALIZED (
+      SELECT event_type, hour, cnt,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i
+      FROM hourly),
+    holt AS (
+      SELECT event_type, i, cnt,
+             CAST(cnt AS DOUBLE) AS l,
+             CAST(0.0 AS DOUBLE) AS b,
+             CAST(NULL AS DOUBLE) AS pred
+      FROM numbered WHERE i = 1
+      UNION ALL
+      SELECT n.event_type, n.i, n.cnt,
+             CAST({HOLT_ALPHA} AS DOUBLE) * n.cnt
+               + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (h.l + h.b),
+             CAST({HOLT_BETA} AS DOUBLE)
+               * (CAST({HOLT_ALPHA} AS DOUBLE) * n.cnt
+                  + CAST({1 - HOLT_ALPHA} AS DOUBLE) * (h.l + h.b) - h.l)
+               + CAST({1 - HOLT_BETA} AS DOUBLE) * h.b,
+             h.l + h.b
+      FROM numbered n JOIN holt h
+        ON n.event_type = h.event_type AND n.i = h.i + 1),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_preds,
+             sum(CAST(round(abs(CAST(cnt AS DOUBLE) - pred), 9)
+                      AS DECIMAL(28,9))) AS sae,
+             sum(CAST(round(CAST(cnt AS DOUBLE) - pred, 9)
+                      AS DECIMAL(28,9))) AS se
+      FROM holt WHERE pred IS NOT NULL GROUP BY 1),
+    finals AS (
+      SELECT event_type, round(l, 6) AS final_level, round(b, 6) AS final_trend
+      FROM holt QUALIFY row_number() OVER (PARTITION BY event_type
+                                           ORDER BY i DESC) = 1)
+    SELECT m.event_type, n_preds,
+           round(CAST(sae AS DOUBLE) / n_preds, 6) AS mae,
+           round(CAST(se AS DOUBLE) / n_preds, 6) AS bias,
+           final_level, final_trend
+    FROM m JOIN finals ON finals.event_type = m.event_type
+    ORDER BY m.event_type
+"""
+
+ADVANCED_QUERIES["q_holt_backtest"] = q_holt_backtest

@@ -1150,3 +1150,106 @@ GRAPH_ORACLES["q_modularity_lpa"] = f"""
     CROSS JOIN m_tot
     ORDER BY community
 """
+
+
+#: Closeness landmark sampling: the deterministic 1% node sample
+#: (partkey % 100 == 1, the BFS seed rule) and the same 3-hop radius
+#: -- landmark-based closeness is the standard way to make centrality
+#: affordable (exact all-pairs BFS is O(V*E)); the hop cap bounds each
+#: landmark's frontier work on a small-diameter graph.
+CLOSENESS_MAX_HOPS = BFS_MAX_HOPS
+
+
+def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-capped closeness centrality for a deterministic 1% landmark
+    sample of co-purchase nodes: per landmark, BFS out to
+    CLOSENESS_MAX_HOPS and report n_reached (nodes within the radius,
+    excluding the landmark), sum_hops (sum of min hop distances) and
+    closeness = n_reached / sum_hops -- 'how central is this product
+    in the substitutable-parts neighborhood graph'. Landmark sampling
+    + hop cap is how production graph stacks (e.g. the landmark
+    methods behind six-degrees studies) make closeness affordable:
+    exact closeness is all-pairs BFS, O(V*E).
+
+    Plan: ONE multi-source BFS carrying (seed, node) state -- the
+    q_bfs_hops frontier loop widened by the seed key, so per hop it is
+    one join of the edge list against the frontier plus one anti-join
+    against the visited set, both keyed (seed, node); lineage cut per
+    round; the driver runs fixed loop control only. Frontier volume is
+    |landmarks| x |reached| -- the landmark fraction is exactly the
+    knob that prices the operator, and hub landmarks saturate (their
+    frontier is the whole graph) rather than explode.
+
+    Exactness: hop distances, counts and sums are integers; closeness
+    is one try_divide double at the end. Oracle = recursive CTE
+    min-distance per (seed, node) with the same cap."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    visited = (
+        edges.select("src")
+        .filter(F.col("src") % 100 == 1)
+        .distinct()
+        .select(
+            F.col("src").alias("seed"),
+            F.col("src").alias("node"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+        .transform(cut_lineage)
+    )
+    frontier = visited.select("seed", "node")
+    for hop in range(1, CLOSENESS_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(hop).cast("long").alias("hops"))
+            .transform(cut_lineage)
+        )
+        visited = visited.unionByName(nxt).transform(cut_lineage)
+        frontier = nxt.select("seed", "node")
+    reached = visited.filter(F.col("hops") > 0)
+    return (
+        reached.groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("hops").cast("long").alias("sum_hops"),
+        )
+        .select(
+            F.col("seed").cast("long").alias("node"),
+            "n_reached",
+            "sum_hops",
+            F.round(
+                F.try_divide(
+                    F.col("n_reached").cast("double"),
+                    F.col("sum_hops").cast("double"),
+                ),
+                6,
+            ).alias("closeness"),
+        )
+        .orderBy("node")
+    )
+
+
+GRAPH_QUERIES["q_closeness_sampled"] = q_closeness_sampled
+GRAPH_ORACLES["q_closeness_sampled"] = f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    walk(seed, node, d) AS (
+      SELECT DISTINCT src, src, 0 FROM e WHERE src % 100 = 1
+      UNION
+      SELECT w.seed, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+      WHERE w.d < {CLOSENESS_MAX_HOPS}
+    ),
+    mind AS (
+      SELECT seed, node, min(d) AS hops FROM walk GROUP BY 1, 2)
+    SELECT CAST(seed AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(hops) AS BIGINT) AS sum_hops,
+           round(CAST(count(*) AS DOUBLE) / nullif(CAST(sum(hops) AS DOUBLE), 0), 6)
+             AS closeness
+    FROM mind WHERE hops > 0
+    GROUP BY seed ORDER BY node
+"""

@@ -1562,3 +1562,156 @@ TEXT_ORACLES["q_zipf_fit"] = f"""
 """
 
 TEXT_QUERIES["q_zipf_fit"] = q_zipf_fit
+
+
+# ---- Count-Min sketch term counts with an exact oracle ----
+
+#: Count-Min geometry: d independent hash rows x w buckets. With
+#: w = 512 the additive overestimate is bounded by e*N/w in
+#: expectation per row and the min over d = 4 rows makes the bound
+#: hold with probability 1 - e^-4 -- the textbook CMS guarantee. The
+#: sketch is d*w = 2048 cells regardless of vocabulary size.
+CMS_D = 4
+CMS_W = 512
+
+#: Audited head size (the terms whose estimates are reported).
+CMS_TOP = 20
+
+
+def _cms_hex32(h):
+    """First 8 hex digits of an md5-hex column as an unsigned 32-bit
+    long (the shared cross-engine uniform-hash decode, local copy;
+    takes the ALREADY-HASHED hex column -- hashing here too would
+    double-md5 and silently diverge from the oracle's single md5)."""
+    v = F.lit(0).cast("long")
+    for j in range(8):
+        a = F.ascii(F.substring(h, j + 1, 1))
+        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+    return v
+
+
+def _cms_hex32_sql(expr: str) -> str:
+    out = "CAST(0 AS BIGINT)"
+    for j in range(1, 9):
+        a = f"ascii(substr({expr}, {j}, 1))"
+        d = f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+        out = f"({out} * 16 + {d})"
+    return out
+
+
+def _cms_bucket(r: int):
+    return _cms_hex32(
+        F.md5(F.concat(F.lit(f"cms{r}|"), F.col("term")))
+    ) % F.lit(CMS_W)
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of the corpus term-frequency table, audited
+    against the exact counts: build the d x w counter grid (the
+    mergeable fixed-size summary a streaming frequency monitor keeps),
+    then report, for the CMS_TOP most frequent terms, the exact count,
+    the sketch estimate min_r cell[r][h_r(term)], and the overestimate
+    (always >= 0 -- CMS errors are one-sided). Like q_distinct_kmv,
+    the estimate is a PURE DETERMINISTIC function of the data given
+    the fixed md5 row hashes, so this approximate operator has an
+    EXACT cross-engine oracle; the exact column rides along as the
+    sketch's own error audit.
+
+    Exactness: all arithmetic is integer -- bucket ids are the md5
+    hex32 decode mod w, cells are exact BIGINT sums, the estimate is
+    an integer min. Nothing floats.
+
+    Scale shape: term counting is the one corpus-sized pass (map-side
+    combined groupBy; increment-per-token and sum-per-term produce the
+    same grid because CMS cells are sums). The grid itself is d*w =
+    2048 rows REGARDLESS of corpus size -- it broadcasts to the probe
+    join for free -- and the audited head is grouped_topk map-side
+    pruned. At 100 TB the sketch aggregation is the only full pass;
+    the per-term exact column restricts to the top-K head, not the
+    vocabulary.
+
+    No reference analog (extension family: streaming frequency
+    summaries alongside q_heavy_hitters' Misra-Gries, whose estimate
+    is a LOWER bound -- the two sketches bracket the truth)."""
+    from .topk import grouped_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("r"),
+                _cms_bucket(r).alias("bucket"),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    cells = (
+        counts.select(F.col("cnt"), F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("cnt").cast("long").alias("cell"))
+    )
+    head = grouped_topk(
+        counts.withColumn("g", F.lit(1)),
+        ["g"],
+        [("cnt", False), ("term", True)],
+        CMS_TOP,
+    ).select("term", "cnt")
+    probes = head.select("term", "cnt", F.explode(rows).alias("rb")).select(
+        "term",
+        "cnt",
+        F.col("rb.r").alias("r"),
+        F.col("rb.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("term", "cnt")
+        .agg(F.min("cell").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "term",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("cnt")).cast("long").alias("overestimate"),
+    ).orderBy(F.col("exact_cnt").desc(), "term")
+
+
+def _cms_oracle() -> str:
+    bucket = (
+        _cms_hex32_sql("md5('cms' || CAST(r AS VARCHAR) || '|' || term)")
+        + f" % {CMS_W}"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      WHERE term <> '' GROUP BY term),
+    rows_ AS (SELECT unnest(range({CMS_D})) AS r),
+    cells AS (
+      SELECT r, {bucket} AS bucket, CAST(sum(cnt) AS BIGINT) AS cell
+      FROM counts CROSS JOIN rows_ GROUP BY 1, 2),
+    head AS (
+      SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+      FROM counts QUALIFY rnk <= {CMS_TOP}),
+    probes AS (
+      SELECT term, cnt, r, {bucket} AS bucket
+      FROM head CROSS JOIN rows_),
+    est AS (
+      SELECT p.term, p.cnt, CAST(min(c.cell) AS BIGINT) AS cms_estimate
+      FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+      GROUP BY 1, 2)
+    SELECT term, cnt AS exact_cnt, cms_estimate,
+           CAST(cms_estimate - cnt AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_cnt DESC, term
+    """
+
+
+TEXT_ORACLES["q_cms_term_counts"] = _cms_oracle()
+TEXT_QUERIES["q_cms_term_counts"] = q_cms_term_counts
