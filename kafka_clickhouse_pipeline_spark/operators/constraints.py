@@ -434,3 +434,158 @@ CONSTRAINT_ORACLES["q_k_anonymity_audit"] = f"""
     FROM groups WHERE k < {K_ANON}
     ORDER BY k, mktsegment, nationkey, acctbal_band
 """
+
+
+# ---- runtime-filter (bloom semi-join) payoff audit ----
+
+#: The build-side predicate for the audit: urgent orders. Small enough
+#: to bloom (a few % of orders), selective enough that the pruning
+#: decision is non-trivial.
+BLOOM_JOIN_PRIORITY = "1-URGENT"
+
+
+def q_bloom_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter payoff audit for the lineitem |X| urgent-orders
+    semi-join: build an 8 KiB bloom bitmap over the build side's join
+    keys (o_orderkey of '1-URGENT' orders -- the
+    curation.q_decontaminate_bloom geometry re-used on join keys),
+    probe every lineitem row, and report what a bloom runtime filter
+    would have done to the shuffle: probe rows, rows passing the
+    bloom, true semi-join matches, false passes, the realized
+    false-positive rate, and the shuffle-volume reduction factor.
+    This is the measurement behind the 100 TB join strategy decision
+    Spark automates as runtime row-group filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) -- made
+    inspectable, with exact arithmetic, from the data itself.
+
+    Exactness: bit positions are the deterministic md5 slices, so the
+    pass/fail of every probe is a pure function of the key -- the
+    oracle reproduces the bitmap as position-set membership (false
+    positives included, same as the decontamination twin) and every
+    output cell is integer or one fixed-shape double.
+
+    Scale shape: the bitmap build aggregates the build side to
+    <= 1024 word rows (bounded collect, geometry-sized); the probe is
+    a pure map inside whole-stage codegen over the probe-side scan
+    (zero shuffle); the true-match count is one broadcast semi-join.
+    At 100 TB: one scan of each side, 8 KiB of state per task."""
+    from .curation import BLOOM_WORDS, _BIT_MASKS, _bloom_positions
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build_keys = (
+        orders.filter(F.col("o_orderpriority") == BLOOM_JOIN_PRIORITY)
+        .select(F.col("o_orderkey").cast("string").alias("k"))
+    )
+    masks_lit = F.expr(
+        "array(" + ",".join(f"BIGINT('{m}')" for m in _BIT_MASKS) + ")"
+    )
+    word_rows = (
+        build_keys.select(F.md5(F.col("k")).alias("h"))
+        .select(F.explode(F.array(*_bloom_positions(F.col("h")))).alias("p"))
+        .select(
+            F.floor(F.col("p") / 64).cast("int").alias("w"),
+            F.element_at(masks_lit, F.col("p").bitwiseAND(F.lit(63)) + 1).alias(
+                "m"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+        .collect()
+    )
+    wmap = {r["w"]: r["word"] for r in word_rows}
+    words_lit = F.expr(
+        "array("
+        + ",".join(f"BIGINT('{wmap.get(i, 0)}')" for i in range(BLOOM_WORDS))
+        + ")"
+    )
+    probe_src = li.select(
+        F.md5(F.col("l_orderkey").cast("string")).alias("h"), "l_orderkey"
+    )
+    passed = F.lit(True)
+    for p in _bloom_positions(F.col("h")):
+        word = F.element_at(words_lit, F.floor(p / 64).cast("int") + 1)
+        mask = F.element_at(masks_lit, p.bitwiseAND(F.lit(63)) + 1)
+        passed = passed & (word.bitwiseAND(mask) != 0)
+    bloom_counts = probe_src.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+        F.sum(F.when(passed, 1).otherwise(0)).cast("long").alias("n_pass_bloom"),
+    )
+    true_match = (
+        li.join(
+            broadcast(
+                orders.filter(
+                    F.col("o_orderpriority") == BLOOM_JOIN_PRIORITY
+                ).select("o_orderkey")
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true_match"))
+    )
+    out = bloom_counts.crossJoin(broadcast(true_match))
+    fp = (F.col("n_pass_bloom") - F.col("n_true_match")).cast("long")
+    return out.select(
+        "n_probe_rows",
+        "n_pass_bloom",
+        "n_true_match",
+        fp.alias("n_false_pass"),
+        F.round(
+            F.try_divide(
+                fp.cast("double"),
+                (F.col("n_probe_rows") - F.col("n_true_match")).cast("double"),
+            ),
+            6,
+        ).alias("fp_rate"),
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(
+                F.col("n_pass_bloom").cast("double"),
+                F.col("n_probe_rows").cast("double"),
+            ),
+            6,
+        ).alias("shuffle_reduction"),
+    )
+
+
+def _bloom_join_oracle() -> str:
+    from .curation import BLOOM_K, _bloom_pos_sql
+
+    pos = [_bloom_pos_sql(k) for k in range(BLOOM_K)]
+    member = " AND ".join(f"{p} IN (SELECT p FROM bpos)" for p in pos)
+    return f"""
+    WITH bkeys AS (
+      SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
+      FROM orders WHERE o_orderpriority = '{BLOOM_JOIN_PRIORITY}'),
+    bpos AS (
+      SELECT DISTINCT p
+      FROM (SELECT unnest([{", ".join(pos)}]) AS p
+            FROM (SELECT md5(k) AS h FROM bkeys))),
+    probe AS (
+      SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h, l_orderkey
+      FROM lineitem),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probe_rows,
+             CAST(sum(CASE WHEN {member} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_bloom
+      FROM probe),
+    tm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true_match
+      FROM lineitem
+      WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '{BLOOM_JOIN_PRIORITY}'))
+    SELECT n_probe_rows, n_pass_bloom, n_true_match,
+           CAST(n_pass_bloom - n_true_match AS BIGINT) AS n_false_pass,
+           round(CAST(n_pass_bloom - n_true_match AS DOUBLE)
+                 / nullif(CAST(n_probe_rows - n_true_match AS DOUBLE), 0), 6)
+             AS fp_rate,
+           round(1.0 - CAST(n_pass_bloom AS DOUBLE)
+                 / nullif(CAST(n_probe_rows AS DOUBLE), 0), 6)
+             AS shuffle_reduction
+    FROM counts CROSS JOIN tm
+    """
+
+
+CONSTRAINT_QUERIES["q_bloom_join_audit"] = q_bloom_join_audit
+CONSTRAINT_ORACLES["q_bloom_join_audit"] = _bloom_join_oracle()

@@ -2142,3 +2142,141 @@ def _matryoshka_oracle() -> str:
 
 SIMILARITY_QUERIES["q_matryoshka_recall"] = q_matryoshka_recall
 SIMILARITY_ORACLES["q_matryoshka_recall"] = _matryoshka_oracle()
+
+
+# ---- embedding centroid drift audit ----
+
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift readout between two corpus snapshots
+    (vec_id parity stands in for the before/after split an embedding
+    refresh produces): per-dim decimal-exact centroids of each half,
+    then ONE summary row -- centroid cosine, L2 shift, and the argmax
+    drift dimension with its delta. The model-monitoring twin of
+    q_psi_value_drift for vector columns: retrain/re-embed pipelines
+    gate on exactly this number before swapping an index.
+
+    Exactness: per-dim means use the label-centroids contract (float
+    -> shortest-string -> DECIMAL(28,18) sums, one double division);
+    the cross-dim reductions (dot, norms, L2) fold round-9 decimal
+    terms of those bit-equal doubles, so the sums are order-free;
+    cosine/L2 are fixed-shape doubles at the end. The argmax dim rides
+    max(struct(|delta|, pos)) -- lexicographic, identical both
+    engines.
+
+    Scale shape: ONE shuffle keyed pos with conditional partial sums
+    (both halves in the same pass -- no second scan), then a dim-sized
+    (64-row) reduction to one row. At 100 TB: map-side partial sums of
+    dim scalars per task, a 64-row exchange, nothing else."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xdec = F.col("x").cast("string").cast("decimal(28,18)")
+    is_a = F.col("vec_id") % 2 == 0
+    per = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.when(is_a, xdec)).alias("sa"),
+            F.sum(F.when(~is_a, xdec)).alias("sb"),
+            F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("nb"),
+        )
+        .select(
+            "pos",
+            (F.col("sa").cast("string").cast("double") / F.col("na")).alias("ma"),
+            (F.col("sb").cast("string").cast("double") / F.col("nb")).alias("mb"),
+            "na",
+            "nb",
+        )
+    )
+    terms = per.select(
+        "pos",
+        "na",
+        "nb",
+        F.round(F.col("ma") * F.col("mb"), 9).cast("decimal(28,9)").alias("tab"),
+        F.round(F.col("ma") * F.col("ma"), 9).cast("decimal(28,9)").alias("taa"),
+        F.round(F.col("mb") * F.col("mb"), 9).cast("decimal(28,9)").alias("tbb"),
+        F.round(
+            (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("tdd"),
+        F.abs(F.col("ma") - F.col("mb")).alias("absd"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.max("na").cast("long").alias("n_vectors_a"),
+        F.max("nb").cast("long").alias("n_vectors_b"),
+        F.sum("tab").cast("decimal(38,9)").alias("sab"),
+        F.sum("taa").cast("decimal(38,9)").alias("saa"),
+        F.sum("tbb").cast("decimal(38,9)").alias("sbb"),
+        F.sum("tdd").cast("decimal(38,9)").alias("sdd"),
+        F.max(F.struct(F.col("absd"), F.col("pos"))).alias("top"),
+    )
+    return agg.select(
+        "n_dims",
+        "n_vectors_a",
+        "n_vectors_b",
+        F.round(
+            F.try_divide(
+                F.col("sab").cast("double"),
+                F.sqrt(
+                    F.col("saa").cast("double") * F.col("sbb").cast("double")
+                ),
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt(F.col("sdd").cast("double")), 6).alias("l2_shift"),
+        F.col("top.pos").cast("long").alias("top_drift_dim"),
+        F.round(F.col("top.absd"), 6).alias("top_drift_abs_delta"),
+    )
+
+
+SIMILARITY_QUERIES["q_embedding_centroid_drift"] = q_embedding_centroid_drift
+SIMILARITY_ORACLES["q_embedding_centroid_drift"] = """
+    WITH comp AS (
+      SELECT vec_id, pos,
+             CAST(CAST(x AS VARCHAR) AS DECIMAL(28,18)) AS xdec
+      FROM (SELECT vec_id,
+                   unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) - 1 AS pos
+            FROM embeddings)),
+    per AS (
+      SELECT pos,
+             CAST(CAST(sum(CASE WHEN vec_id % 2 = 0 THEN xdec END)
+                       AS VARCHAR) AS DOUBLE)
+               / sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS ma,
+             CAST(CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN xdec END)
+                       AS VARCHAR) AS DOUBLE)
+               / sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS mb,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM comp GROUP BY pos),
+    terms AS (
+      SELECT pos, na, nb,
+             CAST(round(ma * mb, 9) AS DECIMAL(28,9)) AS tab,
+             CAST(round(ma * ma, 9) AS DECIMAL(28,9)) AS taa,
+             CAST(round(mb * mb, 9) AS DECIMAL(28,9)) AS tbb,
+             CAST(round((ma - mb) * (ma - mb), 9) AS DECIMAL(28,9)) AS tdd,
+             abs(ma - mb) AS absd
+      FROM per),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dims,
+             CAST(max(na) AS BIGINT) AS n_vectors_a,
+             CAST(max(nb) AS BIGINT) AS n_vectors_b,
+             CAST(sum(tab) AS DECIMAL(38,9)) AS sab,
+             CAST(sum(taa) AS DECIMAL(38,9)) AS saa,
+             CAST(sum(tbb) AS DECIMAL(38,9)) AS sbb,
+             CAST(sum(tdd) AS DECIMAL(38,9)) AS sdd,
+             max(struct_pack(absd := absd, pos := pos)) AS top
+      FROM terms)
+    SELECT n_dims, n_vectors_a, n_vectors_b,
+           round(CAST(sab AS DOUBLE)
+                 / nullif(sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 0),
+                 6) AS centroid_cosine,
+           round(sqrt(CAST(sdd AS DOUBLE)), 6) AS l2_shift,
+           CAST(top.pos AS BIGINT) AS top_drift_dim,
+           round(top.absd, 6) AS top_drift_abs_delta
+    FROM agg
+"""

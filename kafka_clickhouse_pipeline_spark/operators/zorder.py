@@ -33,7 +33,7 @@ boundary, so the DuckDB oracle matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -158,3 +158,109 @@ ZORDER_ORACLES = {
         ORDER BY layout
     """,
 }
+
+
+# ---- compaction (bin-packing) planner ----
+
+#: Target rows per compacted output file. A real OPTIMIZE targets
+#: bytes (128 MB-1 GB); rows are the byte proxy available from table
+#: statistics alone. Sized so the sf0.01 fixture produces multi-file
+#: months (orders span ~80 months x ~190 rows).
+COMPACTION_TARGET_ROWS = 128
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan for a month-partitioned orders table
+    whose write pattern produced one file per ingest day (the classic
+    streaming-sink small-file problem the reference's per-batch sink
+    compaction works around, streaming/sink.py): within each month
+    partition, pack the per-day files CONTIGUOUSLY in day order into
+    output files of ~COMPACTION_TARGET_ROWS rows, and emit one row per
+    planned output file with its source-file count, rows, fill factor
+    and covered day span. Contiguous packing (not first-fit by size)
+    is deliberate: it preserves the date sort order, so zone maps on
+    o_orderdate stay tight after the rewrite -- the q_zorder_layout
+    companion decision.
+
+    The plan is PURE METADATA ALGEBRA: the per-(month, day) file
+    inventory is one map-side-combined groupBy (at 100 TB this frame
+    comes straight from the table-format manifest -- months x 31
+    rows, no data scan at all), the bucket assignment is an exact
+    integer window cumsum within each month (bucket =
+    floor(rows_before / target)), and the output is one row per
+    planned file. Nothing here touches row data, which is what makes
+    the planner runnable before every OPTIMIZE at any scale.
+
+    Exactness: all integers; fill factor is one round-6 double.
+    Reference anchor: the per-batch parquet compaction in
+    streaming/sink.py:60-94 is the WRITE-time workaround; this is the
+    read-side planner for tables that accumulated the debt anyway."""
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    w = (
+        Window.partitionBy("month")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = files.select(
+        "month",
+        "day",
+        "n_rows",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+            / F.lit(COMPACTION_TARGET_ROWS)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return (
+        assigned.groupBy("month", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_source_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min(F.col("day").cast("string")).alias("first_day"),
+            F.max(F.col("day").cast("string")).alias("last_day"),
+        )
+        .select(
+            "month",
+            "bucket",
+            "n_source_files",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.lit(float(COMPACTION_TARGET_ROWS)),
+                6,
+            ).alias("fill_factor"),
+            "first_day",
+            "last_day",
+        )
+        .orderBy("month", "bucket")
+    )
+
+
+ZORDER_QUERIES["q_compaction_plan"] = q_compaction_plan
+ZORDER_ORACLES["q_compaction_plan"] = f"""
+    WITH files AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             o_orderdate AS day,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1, 2),
+    assigned AS (
+      SELECT month, day, n_rows,
+             CAST(floor(
+               coalesce(sum(n_rows) OVER (
+                 PARTITION BY month ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {COMPACTION_TARGET_ROWS}) AS BIGINT) AS bucket
+      FROM files)
+    SELECT month, bucket,
+           CAST(count(*) AS BIGINT) AS n_source_files,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           round(CAST(sum(n_rows) AS DOUBLE) / {float(COMPACTION_TARGET_ROWS)}, 6)
+             AS fill_factor,
+           CAST(min(day) AS VARCHAR) AS first_day,
+           CAST(max(day) AS VARCHAR) AS last_day
+    FROM assigned GROUP BY 1, 2 ORDER BY month, bucket
+"""
