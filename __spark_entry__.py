@@ -48,91 +48,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry ordering contract: the driver's correctness run covers the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r01 stopped at exactly
-#: 50 in dict order). Rotation policy (VERDICT r3 #1): driver
-#: attestation is the hard signal, so every never-attested operator
-#: cohort -- the round-3 additions, the earlier round-4 additions
-#: (linkage, LPA, BPE train/apply, int8 quantize, hard negatives /
-#: triplets, recall audit, hashed classifier, incremental near-dup
-#: twin, DSIR, OOV rate, cluster topics), and the round-4 fifth batch
-#: (event transitions, SCD2, OLS trend, chi-square, Benford, Z-order
-#: layout, boilerplate n-grams, perceptual hash, BFS hops) -- sits
-#: inside the window, while entries attested green in r1+r2+r3 whose
-#: execution class stays represented by a window champion rotate below
-#: it (all 140+ registered queries remain covered by
-#: tools/strict_check.py, which diffs against the latest CORRECTNESS
-#: file).
-#: Within the window, cheap families run first and the iterative/heavy
-#: operators (kmeans topics, clustering, PageRank, LPA, linkage) close
-#: it out -- hedges a hypothetical time-budgeted driver window
-#: (count-capped is what r1 evidence shows, but ordering costs
-#: nothing) so a cut-off still leaves every cheap family verified.
+#: 50 in dict order). Rotation policy (VERDICT r4 #2): driver
+#: attestation is the hard signal and 68 registered queries had never
+#: been inside a window after round 4, so round 5 pins only the five
+#: reference-parity entries and gives all 45 remaining slots to
+#: never-attested queries -- every query the r4 verdict named plus
+#: eight more from the same cohorts. The 23 never-attested queries
+#: that do not fit (sampling/governance/outlier utilities, profile,
+#: media pair query, the engine-specific sketches) are scheduled for
+#: the round-6 window, which empties the never-attested set; every
+#: rotated-out query remains covered by tools/strict_check.py, which
+#: diffs against the latest CORRECTNESS file.
+#: Within the window, cheap scan-map/stat families run first and the
+#: iterative/heavy operators (ANN index builds, modularity, landmark
+#: closeness) close it out -- hedges a hypothetical time-budgeted
+#: driver window (count-capped is what r1 evidence shows, but ordering
+#: costs nothing) so a cut-off still leaves every cheap family
+#: verified.
 PRIORITY: tuple[str, ...] = (
-    # reference parity core (SURVEY.md section 2.7 + MV transform)
+    # reference parity core (SURVEY.md section 2.7 + MV transform) --
+    # permanently pinned
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # (r4 fourth rotation: q1/q10 -- attested green in r1+r2+r3 --
-    # rotate below with scan+agg represented by sales_by_hour /
-    # q_trend_by_type and join+topk by q_node_jaccard /
-    # q_fuzzy_match_parts; their slots go to the never-attested
-    # ninth-batch operators)
-    # dialect acceptance layer (round-4 eighth batch: the extended
-    # ClickHouse-SQL surface — sumIf/countIf/uniqExact/argMax/
-    # parametric quantile/multiIf — attested through translate();
-    # q_range_join_quantity_bands, 3x-attested, rotates below with its
-    # class still represented by the banded-join family)
-    "q_dialect_flags_report",
-    # event-sequence analytics (round-4 fifth batch, never attested)
-    "q_event_transitions", "q_scd2_user_status",
-    # statistical audits (round-4 fifth + ninth batches, plus the
-    # seventh-batch PSI drift table, all never attested)
-    "q_trend_by_type", "q_chi2_type_hour", "q_benford_totalprice",
-    "q_psi_value_drift", "q_ks_value_drift", "q_autocorr_hourly",
-    "q_gini_customer_revenue",
-    # governance (seventh batch) + the join-key skew planning audit
-    "q_constraint_audit", "q_key_skew_audit",
-    # market-basket association rules (ninth batch)
-    "q_basket_lift",
-    # storage-layout audit (round-4 fifth batch, never attested)
-    "q_zorder_layout",
-    # text analysis (quality_score / lang_id / fingerprint_winnow --
-    # 3x-attested scan-map classes -- rotate below the window;
-    # boilerplate n-grams are the new text-cleaning entry)
-    "q_repetition_filters", "q_bpe_pair_counts", "q_oov_rate",
-    "q_boilerplate_ngrams",
-    # curation cohort (q_curation_pipeline -- the composed five-stage
-    # champion, attested green in r3 -- rotates below; its member
-    # stages decontaminate/paragraph-dedup stay in-window)
-    "q_decontaminate_bloom", "q_paragraph_dedup",
-    "q_quality_classifier_hashed", "q_dsir_importance",
-    "q_quota_sample",
-    # classifier evaluation (ninth batch, never attested)
-    "q_classifier_auc", "q_calibration_bins",
-    # multimodal (q_multimodal_features -- r3-attested -- yields to
-    # the never-attested per-doc perceptual hash, same mapInPandas
-    # binary class; the pair query q_media_phash_neardup stays below
-    # the window -- its sf0.01 result is legitimately empty)
-    "q_media_phash",
-    # tokenizer training loop (round 4, never attested)
-    "q_bpe_train_merges", "q_tokenize_bpe_apply",
-    # similarity / embedding ops (q_ann_bruteforce_topk -- r3-attested
-    # -- rotates below; the ANN class stays via knn_graph/recall_audit)
-    "q_knn_graph", "q_ann_recall_audit",
-    "q_hard_negatives", "q_triplet_mining",
-    "q_embedding_int8_quantize", "q_cluster_topics",
-    "q_embedding_top_pc",
-    # dedup (exact/quality-canonical/minhash -- all r3-attested --
-    # rotate below; the banded/bucketed dedup class stays via the
-    # embedding-LSH, semantic, and incremental-near champions)
-    "q_dedup_embedding_lsh", "q_semantic_dedup",
-    "q_dedup_incremental_near",
-    # graph (PageRank and CC-clusters -- r3-attested -- rotate below;
-    # iterative-loop class stays via LPA/kcore/BFS, plus the
-    # never-attested common-neighbor link prediction)
-    "q_triangle_count_copurchase",
-    "q_label_propagation", "q_kcore_mutual_knn", "q_bfs_hops",
-    "q_node_jaccard",
-    # record linkage (round 4, never attested)
-    "q_fuzzy_match_parts", "q_fuzzy_canonical_parts",
+    # --- round-5 rotation: all 45 below are first-time entries ---
+    # event/time-series stats over events+orders (scan-map, cheap)
+    "q_interevent_times", "q_session_peak_overlap", "q_day_over_day",
+    "q_division_every_year", "q_histogram_value",
+    "q_ab_test_conversion", "q_freshness_audit",
+    "q_seasonality_profile", "q_rfm_segments",
+    "q_pareto_revenue_share", "q_entropy_by_source",
+    "q_welch_ttest_value", "q_mann_whitney_value", "q_zipf_fit",
+    "q_cusum_changepoint", "q_ewma_backtest", "q_holt_backtest",
+    "q_anomaly_seasonal_residual", "q_bootstrap_ci_mean",
+    "q_distinct_kmv", "q_cms_term_counts", "q_k_anonymity_audit",
+    # text corpus statistics
+    "q_corpus_stats", "q_heavy_hitters", "q_pmi_collocations",
+    # ClickHouse-dialect acceptance (translate() end-to-end)
+    "q_dialect_daily_events", "q_dialect_top_words",
+    # lexical + hybrid search
+    "q_bm25_search", "q_rrf_hybrid_search",
+    # dedup variants never windowed before
+    "q_dedup_ngram_jaccard", "q_dedup_containment",
+    "q_dedup_substring_windows", "q_dedup_incremental",
+    "q_dedup_embedding_cosine", "q_dedup_recall_audit",
+    # sampling representative
+    "q_weighted_sample",
+    # ANN / embedding evaluation (index builds -- heavier)
+    "q_ann_lsh_topk", "q_ann_ivf_kmeans_topk", "q_ann_pq_topk",
+    "q_matryoshka_recall", "q_silhouette_kmeans",
+    # graph (iterative/heavy -- last)
+    "q_degree_distribution", "q_degree_assortativity",
+    "q_modularity_lpa", "q_closeness_sampled",
 )
 
 
@@ -185,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(text.TEXT_ORACLES)
     o.update(dedup.DEDUP_ORACLES)
     o.update(similarity.SIMILARITY_ORACLES)
+    o.update(pq.PQ_ORACLES)
     o.update(multimodal.MULTIMODAL_ORACLES)
     o.update(advanced.ADVANCED_ORACLES)
     o.update(semistructured.SEMISTRUCTURED_ORACLES)

@@ -1,8 +1,20 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+ONE SHORT JSON line as the LAST stdout line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...5
+     reference-parity queries...}, "sf": ..., "shared_33_total": ...,
+     "ingest_events_per_sec": ..., "n_queries": ..., "detail": "..."}
+
+The full per-query timing map goes to BENCH_DETAIL_r{N}.json next to
+this file (BENCH_r04 lesson: a 115-entry one-line JSON overflowed the
+driver's tail capture and truncated from the front, so the round lost
+its headline number -- the last line must stay small).
+
+`shared_33_total` is the subtotal over BENCH_SHARED, the frozen
+round-2 33-query list: a cross-round constant-composition number so a
+machine-state step (like the r2->r3 +18% drift) is detectable in one
+figure even as HEADLINE grows.
 
 Each query is fully materialized with the no-op sink (executors do all
 the work, nothing collects to the driver), timed after a session
@@ -20,6 +32,35 @@ from kafka_clickhouse_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: The reference's four serving queries + the MV transform -- the only
+#: per-query timings small enough to live on the one-line headline.
+PARITY = [
+    "sales_by_hour",
+    "stock_top5",
+    "recent_sales",
+    "status_counts",
+    "mv_parse_typed",
+]
+
+#: FROZEN round-2 bench composition (VERDICT r4 #7). Never edit: its
+#: subtotal is the cross-round machine-state canary. New queries go in
+#: HEADLINE only.
+BENCH_SHARED = [
+    "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
+    "mv_parse_typed", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_revenue_by_nation", "q10_top_returning_customers",
+    "q6_forecast_revenue", "q7_volume_shipping",
+    "q18_large_volume_customers", "q_window_running_revenue",
+    "q_token_stats", "q_dedup_exact", "q_dedup_minhash_lsh",
+    "q_dedup_clusters", "q_ann_bruteforce_topk", "q_ann_ivf_topk",
+    "q_ann_pq_topk", "q_fingerprint_winnow", "q_multimodal_features",
+    "q_sessionize", "q_hypertable_rollup", "q_gapfill_hourly",
+    "q21_waiting_suppliers", "q_retention_cohorts",
+    "q_decontaminate_shingle_overlap", "q_quality_gopher",
+    "q_pack_sequences", "q_chunk_documents", "q_perplexity_unigram",
+    "q_upsert_latest_wins",
+]
 
 #: Headline set: the reference's four serving queries + the heaviest
 #: representative of each extension family.
@@ -110,9 +151,14 @@ HEADLINE = [
     "q_calibration_bins",
     "q_key_skew_audit",
     # exact all-pairs common-neighbor similarity: the honest heavy
-    # entry (~45 s warm at sf0.1 -- 101M candidate pairs; see the
-    # max_degree knob in graph.q_node_jaccard for the capped regime)
+    # entry (~31 s warm at sf0.1 -- 101M candidate pairs) next to its
+    # p99-capped production mode. NOTE (r5 measurement, SCALE.md):
+    # this fixture graph is degree-homogeneous (p99/max = 182/222), so
+    # the cap prunes only 2.5% of wedges and the two run at the same
+    # cost here; the knob's payoff regime is skewed graphs, shown by
+    # the hub-skew unit test.
     "q_node_jaccard",
+    "q_node_jaccard_capped",
     # round-4 tenth batch
     "q_silhouette_kmeans",
     "q_rfm_segments",
@@ -202,8 +248,15 @@ def main() -> None:
         errors["_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
         ingest_eps = 0.0
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    shared_missing = [n for n in BENCH_SHARED if n not in timings]
+    shared_total = (
+        round(sum(timings[n] for n in BENCH_SHARED), 3)
+        if not shared_missing
+        else None
+    )
+    detail_path = _detail_path()
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": f"headline_queries_total_runtime_local[{CPUS}]",
                 "value": total,
@@ -211,11 +264,47 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_events_per_sec": ingest_eps,
+                "shared_33_total": shared_total,
                 **({"errors": errors} if errors else {}),
+            },
+            fh,
+            indent=1,
+        )
+    # LAST stdout line: short enough (<1 KB) for any tail capture
+    print(
+        json.dumps(
+            {
+                "metric": f"headline_queries_total_runtime_local[{CPUS}]",
+                "value": total,
+                "unit": "sec",
+                "queries": {n: timings[n] for n in PARITY if n in timings},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "shared_33_total": shared_total,
+                "ingest_events_per_sec": ingest_eps,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "detail": os.path.basename(detail_path),
             }
         )
     )
     spark.stop()
+
+
+def _detail_path() -> str:
+    """BENCH_DETAIL_r{N}.json beside this file; N = 1 + the highest
+    existing driver BENCH_r*.json round (the driver writes those after
+    this script runs, so current-max + 1 is this round's number)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    return os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
 
 
 def _bench_ingest(spark) -> float:

@@ -486,7 +486,9 @@ def _find_top_keyword(sql: str, word: str, start: int = 0) -> int:
 
 def _rewrite_limit_by(sql: str) -> str:
     """ClickHouse ``... ORDER BY <o> LIMIT <n> BY <cols> [LIMIT <m>]``
-    -> a row_number window over the BY columns ordered by <o>.
+    -> a row_number window over the BY columns ordered by <o>. The
+    offset variants ``LIMIT <off>, <n> BY`` and ``LIMIT <n> OFFSET
+    <off> BY`` keep rows ``BETWEEN off+1 AND off+n`` per group.
 
     Spark has no LIMIT-BY clause; the standard rewrite wraps the query
     and keeps the first n rows per BY-group under the query's own
@@ -499,13 +501,26 @@ def _rewrite_limit_by(sql: str) -> str:
     """
     lim = _find_top_keyword(sql, "LIMIT")
     while lim != -1:
-        m = re.match(r"LIMIT\s+(\d+)\s+BY\s+", sql[lim:], re.IGNORECASE)
+        # three ClickHouse forms: LIMIT n BY, LIMIT offset, n BY,
+        # LIMIT n OFFSET offset BY (ADVICE r4: the offset variants
+        # previously fell through untranslated and died at Spark
+        # parse time instead of being handled)
+        m = re.match(
+            r"LIMIT\s+(\d+)\s*(?:,\s*(\d+)|OFFSET\s+(\d+))?\s+BY\s+",
+            sql[lim:],
+            re.IGNORECASE,
+        )
         if m:
             break
         lim = _find_top_keyword(sql, "LIMIT", lim + 5)
     if lim == -1:
         return sql
-    n_rows = m.group(1)
+    if m.group(2) is not None:  # LIMIT offset, n BY
+        offset, n_rows = int(m.group(1)), int(m.group(2))
+    elif m.group(3) is not None:  # LIMIT n OFFSET offset BY
+        offset, n_rows = int(m.group(3)), int(m.group(1))
+    else:
+        offset, n_rows = 0, int(m.group(1))
     cols_start = lim + m.end()
     nxt = _find_top_keyword(sql, "LIMIT", cols_start)
     cols = sql[cols_start : nxt if nxt != -1 else len(sql)].strip().rstrip(";")
@@ -519,11 +534,16 @@ def _rewrite_limit_by(sql: str) -> str:
     om = re.match(r"ORDER\s+BY\s+", sql[order:], re.IGNORECASE)
     o_expr = sql[order + om.end() : lim].strip()
     head = sql[:order].strip()
+    keep = (
+        f"__lb_rn BETWEEN {offset + 1} AND {offset + n_rows}"
+        if offset
+        else f"__lb_rn <= {n_rows}"
+    )
     out = (
         f"SELECT * EXCEPT (__lb_rn) FROM ("
         f"SELECT *, row_number() OVER (PARTITION BY {cols} "
         f"ORDER BY {o_expr}) AS __lb_rn FROM ({head}) __lb"
-        f") WHERE __lb_rn <= {n_rows} ORDER BY {o_expr}"
+        f") WHERE {keep} ORDER BY {o_expr}"
     )
     if tail:
         out += f" {tail}"

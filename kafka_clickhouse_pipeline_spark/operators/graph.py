@@ -962,6 +962,80 @@ GRAPH_ORACLES["q_node_jaccard"] = f"""
 """
 
 
+def q_node_jaccard_capped(
+    spark: SparkSession, sf_dir: str, *, pct: float = 0.99
+) -> DataFrame:
+    """q_node_jaccard with the hub-exclusion knob engaged at the p99
+    of the degree distribution (VERDICT r4 #4): wedge CENTERS above
+    the discrete ``pct`` degree quantile are dropped before pair
+    expansion. Hubs (a part co-bought with everything) contribute
+    near-zero similarity signal -- their wedges connect everything to
+    everything at tiny jaccard -- but dominate the exact pair volume
+    (sum C(d, 2) is quadratic in hub degree), so this is the
+    production default at scale; the exact form stays registered as
+    q_node_jaccard for audits. Measured at sf0.1: 44 -> ~3 s with
+    top-20 recall vs exact recorded in SCALE.md.
+
+    Determinism / oracle: the cap is the DISCRETE quantile -- the
+    smallest degree d with |{v: deg(v) <= d}| >= ceil(pct * n) -- an
+    integer computed from the degree histogram (a bounded collect:
+    one row per distinct degree value), so the capped candidate set
+    is an exact set-algebra function of the graph and carries a full
+    DuckDB twin; both engines evaluate ceil(pct * n) in IEEE double."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c")).orderBy("d").collect()
+    n = sum(r["c"] for r in hist)
+    rank = math.ceil(pct * n)
+    cap = 0
+    cum = 0
+    for r in hist:
+        cum += r["c"]
+        if cum >= rank:
+            cap = int(r["d"])
+            break
+    return q_node_jaccard(spark, sf_dir, max_degree=cap)
+
+
+GRAPH_QUERIES["q_node_jaccard_capped"] = q_node_jaccard_capped
+GRAPH_ORACLES["q_node_jaccard_capped"] = f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    hist AS (SELECT d, count(*) AS c FROM deg GROUP BY d),
+    cdf AS (SELECT d, sum(c) OVER (ORDER BY d) AS cum,
+                   sum(c) OVER () AS n
+            FROM hist),
+    cap AS (SELECT min(d) AS cap FROM cdf
+            WHERE cum >= ceil(0.99::DOUBLE * n)),
+    common AS (
+      SELECT e1.src AS u, e2.src AS v, count(*) AS n_common
+      FROM e e1 JOIN e e2
+        ON e1.dst = e2.dst AND e1.src < e2.src
+      JOIN deg dc ON dc.src = e1.dst
+      WHERE dc.d <= (SELECT cap FROM cap)
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT c.* FROM common c
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.u AND e.dst = c.v))
+    SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(du.d + dv.d - c.n_common AS BIGINT) AS n_union,
+           round(CAST(c.n_common AS DOUBLE)
+                 / CAST(du.d + dv.d - c.n_common AS DOUBLE), 6) AS jaccard
+    FROM cand c
+    JOIN deg du ON du.src = c.u
+    JOIN deg dv ON dv.src = c.v
+    ORDER BY jaccard DESC, u, v
+    LIMIT {NODE_JACCARD_TOPK}
+"""
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the co-purchase graph: the Pearson
     correlation of (degree(u), degree(v)) over edges (Newman 2002) --
@@ -1158,38 +1232,58 @@ GRAPH_ORACLES["q_modularity_lpa"] = f"""
 #: affordable (exact all-pairs BFS is O(V*E)); the hop cap bounds each
 #: landmark's frontier work on a small-diameter graph.
 CLOSENESS_MAX_HOPS = BFS_MAX_HOPS
+#: Fixed landmark BUDGET (VERDICT r4 #3): a count, not a fraction.
+#: The former 1% (`src % 100 == 1`) selection made multi-source-BFS
+#: state |landmarks| x |reached| grow ~n^2 on a dense graph -- the
+#: price knob was wired to grow with the data. A fixed budget keeps
+#: per-hop state O(LANDMARKS x V) regardless of scale; selection is
+#: the LANDMARKS smallest (md5(node), node) values, deterministic and
+#: reproducible in ANSI SQL on both engines.
+CLOSENESS_LANDMARKS = 256
 
 
-def q_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hop-capped closeness centrality for a deterministic 1% landmark
-    sample of co-purchase nodes: per landmark, BFS out to
-    CLOSENESS_MAX_HOPS and report n_reached (nodes within the radius,
-    excluding the landmark), sum_hops (sum of min hop distances) and
-    closeness = n_reached / sum_hops -- 'how central is this product
-    in the substitutable-parts neighborhood graph'. Landmark sampling
-    + hop cap is how production graph stacks (e.g. the landmark
-    methods behind six-degrees studies) make closeness affordable:
-    exact closeness is all-pairs BFS, O(V*E).
+def q_closeness_sampled(
+    spark: SparkSession, sf_dir: str, *, landmarks: int = CLOSENESS_LANDMARKS
+) -> DataFrame:
+    """Hop-capped closeness centrality for a FIXED-BUDGET landmark set
+    of co-purchase nodes: per landmark, BFS out to CLOSENESS_MAX_HOPS
+    and report n_reached (nodes within the radius, excluding the
+    landmark), sum_hops (sum of min hop distances) and closeness =
+    n_reached / sum_hops -- 'how central is this product in the
+    substitutable-parts neighborhood graph'. Landmark sampling + hop
+    cap is how production graph stacks (e.g. the landmark methods
+    behind six-degrees studies) make closeness affordable: exact
+    closeness is all-pairs BFS, O(V*E).
+
+    Landmark selection (VERDICT r4 #3): the ``landmarks`` smallest
+    (md5(node), node) values -- a COUNT budget, not a fraction, so
+    multi-source-BFS state is O(landmarks x V) at every scale (the
+    former 1% rule grew the landmark set with the data, making per-hop
+    state ~n^2 on a dense graph). md5-ordering is a deterministic
+    uniform draw reproducible in both engines; the bounded landmark
+    list is model metadata (<= a few KB), broadcast into the seed
+    filter.
 
     Plan: ONE multi-source BFS carrying (seed, node) state -- the
     q_bfs_hops frontier loop widened by the seed key, so per hop it is
     one join of the edge list against the frontier plus one anti-join
     against the visited set, both keyed (seed, node); lineage cut per
-    round; the driver runs fixed loop control only. Frontier volume is
-    |landmarks| x |reached| -- the landmark fraction is exactly the
-    knob that prices the operator, and hub landmarks saturate (their
-    frontier is the whole graph) rather than explode.
+    round; the driver runs fixed loop control only.
 
     Exactness: hop distances, counts and sums are integers; closeness
     is one try_divide double at the end. Oracle = recursive CTE
-    min-distance per (seed, node) with the same cap."""
+    min-distance per (seed, node) with the same cap and the same
+    md5-budget landmark rule."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = co_purchase_edges(li).transform(cut_lineage)
-    visited = (
+    seeds = (
         edges.select("src")
-        .filter(F.col("src") % 100 == 1)
         .distinct()
-        .select(
+        .orderBy(F.md5(F.col("src").cast("string")), F.col("src"))
+        .limit(landmarks)
+    )
+    visited = (
+        seeds.select(
             F.col("src").alias("seed"),
             F.col("src").alias("node"),
             F.lit(0).cast("long").alias("hops"),
@@ -1237,8 +1331,11 @@ GRAPH_ORACLES["q_closeness_sampled"] = f"""
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    seeds AS (
+      SELECT src FROM (SELECT DISTINCT src FROM e)
+      ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT {CLOSENESS_LANDMARKS}),
     walk(seed, node, d) AS (
-      SELECT DISTINCT src, src, 0 FROM e WHERE src % 100 = 1
+      SELECT src, src, 0 FROM seeds
       UNION
       SELECT w.seed, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
       WHERE w.d < {CLOSENESS_MAX_HOPS}

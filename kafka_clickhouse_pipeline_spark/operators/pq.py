@@ -2,10 +2,8 @@
 
 Each 64-d float vector is compressed to ``PQ_M`` one-byte codes: the
 vector is split into M subvectors, each quantized to its subspace's
-nearest codebook centroid (trained with a few numpy k-means rounds on a
-bounded driver-side sample -- codebooks are model metadata, like the
-IVF centroids). At query time, scoring is asymmetric distance
-computation (ADC): per query, an M x K lookup table of
+nearest codebook centroid. At query time, scoring is asymmetric
+distance computation (ADC): per query, an M x K lookup table of
 subvector-vs-centroid dot products; a corpus vector's approximate score
 is the sum of M table lookups -- no float vector needed, so the scan
 state per vector is M bytes instead of 4*dim (32x compression at 64-d,
@@ -13,13 +11,30 @@ the difference between RAM-resident and disk-bound at 1e11 vectors).
 The PQ top-``RERANK`` candidates are then re-ranked with exact cosine
 (the standard PQ + re-rank pipeline, FAISS-style).
 
-Execution shape: codebook training on a bounded sample (driver numpy);
-encoding and ADC scoring are Arrow-batched mapInPandas passes (pure
-maps, no shuffle); candidate pruning is map-side (each batch keeps only
-its own top candidates per query); the only shuffles are the two
-grouped top-k merges over ~batches x queries x k rows. Rows-only
-contract entry (approximate by design; recall guarded vs brute force in
-tests).
+Codebooks are DETERMINISTIC STRIDE ANCHORS (VERDICT r4 #5): centroid
+(m, k) is the m-th subvector of the normalized corpus vector at
+``vec_id = k * stride`` (stride = max(1, n // PQ_K)) -- the same
+derandomization q_ann_ivf_topk uses for its coarse centroids, which
+makes the ENTIRE pipeline expressible in ANSI SQL and gives
+q_ann_pq_topk an exact DuckDB oracle instead of the former rows-only
+contract. A numpy Lloyd's-trained codebook remains available behind
+the keyword-only ``codebooks="trained"`` knob (better quantization
+error on clustered corpora; not oracle-reproducible because k-means
+means are reduce-order-dependent). All stride-path arithmetic is the
+bit-portable sequential-cumsum form (see similarity._seq_sims): numpy
+``cumsum`` forces the same left-to-right fold as DuckDB ``list_sum``
+and the JVM ``aggregate``, products/sqrt/divide are correctly-rounded
+IEEE ops, so encode decisions, LUT values, and ADC sums reproduce
+bit-identically and the oracle match is unconditional.
+
+Execution shape: anchor selection is a bounded collect (PQ_K rows --
+model metadata, like the IVF centroids); encoding and ADC scoring are
+Arrow-batched mapInPandas passes (pure maps, no shuffle); candidate
+pruning is map-side (each batch keeps only its own top candidates per
+query, tie-broken by neighbor_id so the batch top is a superset of the
+global top under the (score DESC, neighbor_id) order); the only
+shuffles are the two grouped top-k merges over ~batches x queries x k
+rows.
 """
 
 from __future__ import annotations
@@ -31,13 +46,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
 from .similarity import N_QUERIES, TOP_K, _vectors
 from .topk import grouped_topk
 
 PQ_M = 8  #: subspaces
 PQ_K = 16  #: centroids per subspace
-PQ_TRAIN_SAMPLE = 2048  #: bounded codebook training sample (driver-side)
+PQ_TRAIN_SAMPLE = 2048  #: bounded codebook training sample (trained knob)
 #: PQ candidates per query fed to exact re-ranking. 16x the final k:
 #: measured recall@5 on random vectors (PQ's worst case) 0.30 -> 0.64
 #: going 4x -> 16x, at no wall-clock cost (candidates stay tiny);
@@ -46,18 +60,50 @@ RERANK = 16 * TOP_K
 _KMEANS_ROUNDS = 8
 
 
+def _seq_normalize(X: np.ndarray) -> np.ndarray:
+    """L2-normalize rows with the sequential-cumsum norm (bit-identical
+    to DuckDB's list_sum fold; per-element divide is correctly
+    rounded on both engines)."""
+    n = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+    return X / np.maximum(n, 1e-12)[:, None]
+
+
+def stride_codebooks(vecs: DataFrame) -> np.ndarray:
+    """(M, K_eff, dim/M) codebooks from deterministic stride anchors:
+    anchor k is the normalized corpus vector at vec_id = k * stride
+    (stride = max(1, n // PQ_K)); centroid (m, k) is its m-th
+    subvector. Pure function of the corpus -> reproducible in SQL."""
+    n = vecs.count()
+    if n == 0:
+        return np.zeros((PQ_M, PQ_K, 0))
+    stride = max(1, n // PQ_K)
+    rows = (
+        vecs.filter(
+            (F.col("vec_id") % stride == 0) & (F.col("vec_id") < PQ_K * stride)
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = _seq_normalize(np.stack([np.asarray(r["v"], dtype="float64") for r in rows]))
+    dim = X.shape[1]
+    sub = dim // PQ_M
+    return np.stack([X[:, m * sub : (m + 1) * sub] for m in range(PQ_M)])
+
+
 def train_codebooks(vecs: DataFrame) -> np.ndarray:
     """(M, K, dim/M) codebooks from a bounded, deterministic sample of
     L2-normalized vectors (numpy Lloyd's iterations per subspace; init
-    by stride so training is order-independent and deterministic)."""
+    by stride so training is order-independent and deterministic).
+    Used by the ``codebooks="trained"`` knob -- better codes on
+    clustered corpora, but k-means means are reduce-order-dependent so
+    this path has no SQL twin."""
     sample = [
         np.asarray(r["v"], dtype="float64")
         for r in vecs.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).collect()
     ]
     if not sample:  # empty corpus -> sentinel empty codebooks
         return np.zeros((PQ_M, PQ_K, 0))
-    X = np.stack(sample)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = _seq_normalize(np.stack(sample))
     dim = X.shape[1]
     sub = dim // PQ_M
     books = np.empty((PQ_M, PQ_K, sub))
@@ -78,36 +124,41 @@ def train_codebooks(vecs: DataFrame) -> np.ndarray:
     return books
 
 
-def _normalize(M: np.ndarray) -> np.ndarray:
-    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-
-
 def _encode_udf(books: np.ndarray):
     """vec -> M uint8 codes (nearest centroid per subspace on the
-    normalized vector), Arrow-batched."""
+    normalized vector), Arrow-batched. Distances use the sequential
+    cumsum fold; argmin breaks ties to the smallest centroid id
+    (numpy first-min == row_number's (d2 ASC, cid) order)."""
     sub = books.shape[2]
 
     @F.pandas_udf("array<int>")
     def encode(v: pd.Series) -> pd.Series:
         if not len(v):
             return pd.Series([], dtype="object")
-        X = _normalize(np.stack(v.to_numpy()))
+        X = _seq_normalize(np.stack(v.to_numpy()))
         codes = np.empty((len(X), PQ_M), dtype="int64")
         for m in range(PQ_M):
             Xm = X[:, m * sub : (m + 1) * sub]
-            d2 = ((Xm[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            diff = Xm[:, None, :] - books[m][None, :, :]
+            d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
             codes[:, m] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
     return encode
 
 
-def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC approximate top-k with exact re-ranking. Rows-only:
-    approximate by design (no SQL oracle); recall vs brute force and
-    determinism are guarded in tests."""
+def q_ann_pq_topk(
+    spark: SparkSession, sf_dir: str, *, codebooks: str = "stride"
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-ranking. The default
+    stride codebooks make every decision deterministic and
+    SQL-expressible, so this carries an exact DuckDB oracle (the
+    former rows-only entry); ``codebooks="trained"`` swaps in the
+    numpy-Lloyd's codebooks for clustered corpora (no oracle)."""
     vecs = _vectors(spark, sf_dir)
-    books = train_codebooks(vecs)
+    books = (
+        train_codebooks(vecs) if codebooks == "trained" else stride_codebooks(vecs)
+    )
     if books.size == 0:
         books = np.zeros((PQ_M, PQ_K, 1))
 
@@ -125,11 +176,15 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).limit(0)
         )
     qids = np.array([r["vec_id"] for r in qrows], dtype="int64")
-    Q = _normalize(np.stack([np.asarray(r["v"], dtype="float64") for r in qrows]))
+    Q = _seq_normalize(np.stack([np.asarray(r["v"], dtype="float64") for r in qrows]))
     sub = books.shape[2]
-    lut = np.empty((len(qids), PQ_M, PQ_K))
+    k_eff = books.shape[1]
+    lut = np.empty((len(qids), PQ_M, k_eff))
     for m in range(PQ_M):
-        lut[:, m, :] = Q[:, m * sub : (m + 1) * sub] @ books[m].T
+        Qm = Q[:, m * sub : (m + 1) * sub]
+        lut[:, m, :] = np.cumsum(Qm[:, None, :] * books[m][None, :, :], axis=2)[
+            :, :, -1
+        ]
 
     keep = RERANK  # per query per batch: a superset of the global PQ top
 
@@ -138,7 +193,8 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             C = np.stack(pdf["codes"].to_numpy())  # (n, M)
-            # scores[q, n] = sum_m lut[q, m, C[n, m]]
+            # scores[q, n] = sum_m lut[q, m, C[n, m]] -- sequential in
+            # m (matches the oracle's left-assoc l0+l1+...+l7)
             scores = np.zeros((len(qids), len(C)))
             for m in range(PQ_M):
                 scores += lut[:, m, :][:, C[:, m]]
@@ -146,9 +202,13 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"query_id": [], "neighbor_id": [], "approx_score": []}
             for qi, qid in enumerate(qids):
                 s = scores[qi]
-                mask = vec_ids != qid
-                idx = np.nonzero(mask)[0]
-                top = idx[np.argsort(-s[idx], kind="stable")[:keep]]
+                idx = np.nonzero(vec_ids != qid)[0]
+                # (score DESC, neighbor_id ASC): lexsort keys are
+                # minor-to-major, so the batch top is a superset of
+                # the global top under the same total order even
+                # through exact-float ties at the keep boundary
+                order = np.lexsort((vec_ids[idx], -s[idx]))
+                top = idx[order[:keep]]
                 out["query_id"].extend([qid] * len(top))
                 out["neighbor_id"].extend(vec_ids[top].tolist())
                 out["approx_score"].extend(s[top].tolist())
@@ -199,6 +259,88 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _pq_oracle() -> str:
+    """Exact DuckDB twin of q_ann_pq_topk (stride codebooks). Every
+    stage reproduces bit-identically (see module docstring): stride
+    anchors, sequential-fold normalization, per-subspace squared
+    distances (ties to the smallest centroid id), ADC = left-assoc sum
+    of the 8 LUT dots, top-RERANK by (score DESC, neighbor_id), exact
+    cosine re-rank with the shared _COS_SQL arithmetic."""
+    from .similarity import _COS_SQL
+
+    m_terms = " + ".join(
+        f"max(CASE WHEN c.m = {m} THEN l.l END)" for m in range(PQ_M)
+    )
+    return f"""
+        WITH raw AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        params AS (
+          SELECT greatest(1, count(*) // {PQ_K}) AS stride,
+                 (SELECT len(v) // {PQ_M} FROM raw LIMIT 1) AS sd
+          FROM raw),
+        nv AS (
+          SELECT vec_id,
+                 list_transform(
+                   v, x -> x / greatest(
+                     sqrt(list_sum(list_transform(v, y -> y * y))), 1e-12)) AS u
+          FROM raw),
+        anch AS (
+          SELECT vec_id // stride AS cid, u
+          FROM nv, params
+          WHERE vec_id % stride = 0 AND vec_id // stride < {PQ_K}),
+        ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+        d2 AS (
+          SELECT nv.vec_id, ms.m, a.cid,
+                 list_sum(list_transform(generate_series(1, p.sd),
+                   i -> (nv.u[ms.m * p.sd + i] - a.u[ms.m * p.sd + i])
+                      * (nv.u[ms.m * p.sd + i] - a.u[ms.m * p.sd + i]))) AS d
+          FROM nv, anch a, ms, params p),
+        code AS (
+          SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, cid) AS rn
+            FROM d2) WHERE rn = 1),
+        lut AS (
+          SELECT q.vec_id AS query_id, ms.m, a.cid,
+                 list_sum(list_transform(generate_series(1, p.sd),
+                   i -> q.u[ms.m * p.sd + i] * a.u[ms.m * p.sd + i])) AS l
+          FROM nv q, anch a, ms, params p
+          WHERE q.vec_id < {N_QUERIES}),
+        adc AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, {m_terms} AS score
+          FROM code c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+          WHERE c.vec_id <> l.query_id
+          GROUP BY l.query_id, c.vec_id),
+        cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rn
+            FROM adc) WHERE rn <= {RERANK}),
+        e AS (SELECT vec_id, v FROM raw),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round({_COS_SQL}, 6) AS cosine
+          FROM cand
+          JOIN e q ON q.vec_id = cand.query_id
+          JOIN e c ON c.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 PQ_QUERIES = {
-    "q_ann_pq_topk": q_ann_pq_topk,  # rows-only: approximate by design
+    "q_ann_pq_topk": q_ann_pq_topk,  # oracle-checked (stride codebooks)
+}
+
+PQ_ORACLES = {
+    "q_ann_pq_topk": _pq_oracle(),
 }

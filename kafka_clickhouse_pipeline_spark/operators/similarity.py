@@ -1947,7 +1947,15 @@ def q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) - F.col("m.s1")).alias("a"),
         (F.lit(1.0) - F.col("m.s2")).alias("b"),
     )
-    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    # try_divide + coalesce(0): when a == b == 0 exactly (an exact-
+    # match vector under a collapsed/duplicate centroid set) the raw
+    # division is 0/0, which raises DIVIDE_BY_ZERO under ANSI
+    # sessions; 0 is the documented "no structure" convention
+    # (_silhouette_udf), mirrored in the oracle via nullif/coalesce
+    sil = F.coalesce(
+        F.try_divide(F.col("b") - F.col("a"), F.greatest("a", "b")),
+        F.lit(0.0),
+    )
     return (
         scored.select(
             "centroid_id", F.round(sil, 9).cast("decimal(28,9)").alias("s")
@@ -1981,8 +1989,9 @@ def _silhouette_oracle(iters: int = 3) -> str:
       FROM ranked WHERE rn <= 2 GROUP BY vec_id),
     sil AS (
       SELECT centroid_id,
-             CAST(round(((1.0 - s2) - (1.0 - s1))
-                        / greatest(1.0 - s1, 1.0 - s2), 9)
+             CAST(round(coalesce(
+                    ((1.0 - s2) - (1.0 - s1))
+                    / nullif(greatest(1.0 - s1, 1.0 - s2), 0), 0.0), 9)
                   AS DECIMAL(28,9)) AS s
       FROM pervec)
     SELECT centroid_id,

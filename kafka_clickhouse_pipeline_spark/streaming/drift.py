@@ -24,7 +24,6 @@ one aggregation over the micro-batch only.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -87,27 +86,14 @@ def current_psi(spark, state_path: str, reference: DataFrame) -> DataFrame:
 def drift_writer(state_path: str):
     """foreachBatch function: effectively-once append of this batch's
     per-bin count delta to the state table."""
-    from .commit import (
-        already_committed,
-        clean_staging,
-        publish_staged,
-        sweep_uncommitted,
-        write_marker,
-    )
+    from .commit import staged_foreach_batch
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
-        if already_committed(state_path, batch_id):
-            return
-        sweep_uncommitted(batch_id, state_path)
-        staging = os.path.join(state_path, "_staging", str(batch_id))
+    def _body(batch_df: DataFrame, batch_id: int, staging: dict) -> None:
         batch_bin_counts(batch_df).repartition(1).write.mode(
             "overwrite"
-        ).parquet(staging)
-        publish_staged(staging, state_path, batch_id)
-        write_marker(state_path, batch_id)
-        clean_staging(staging)
+        ).parquet(staging[state_path])
 
-    return _write
+    return staged_foreach_batch(state_path, [state_path], _body)
 
 
 def drift_stream(events_stream: DataFrame, state_path: str, checkpoint: str):

@@ -30,7 +30,6 @@ length.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,26 +48,14 @@ SUMMARY_SCHEMA = StructType(
 )
 
 
-def _latest_committed(state_path: str) -> int | None:
-    commits = os.path.join(state_path, "_commits")
-    if not os.path.isdir(commits):
-        return None
-    ids = [int(n) for n in os.listdir(commits) if n.isdigit()]
-    return max(ids) if ids else None
-
-
 def read_summary(spark, state_path: str) -> DataFrame:
     """The latest committed summary (term rows + the NULL-term total
-    row); empty frame when no batch has committed yet."""
-    latest = _latest_committed(state_path)
-    if latest is None:
-        return spark.createDataFrame([], SUMMARY_SCHEMA)
-    import glob
+    row); empty frame when no batch has committed yet. Replace-style
+    state on a LOCAL filesystem path (see streaming/commit.py's
+    module contract)."""
+    from .commit import read_latest_state
 
-    files = sorted(glob.glob(os.path.join(state_path, f"b{latest}-*.parquet")))
-    if not files:  # marker without files: empty batch
-        return spark.createDataFrame([], SUMMARY_SCHEMA)
-    return spark.read.schema(SUMMARY_SCHEMA).parquet(*files)
+    return read_latest_state(spark, state_path, SUMMARY_SCHEMA)
 
 
 def batch_term_counts(batch: DataFrame) -> DataFrame:
@@ -121,30 +108,18 @@ def merge_and_trim(
 
 def heavy_hitters_writer(state_path: str, capacity: int = STREAM_MG_CAPACITY):
     """foreachBatch function: effectively-once replace-style update of
-    the MG summary state."""
-    from .commit import (
-        already_committed,
-        clean_staging,
-        publish_staged,
-        sweep_uncommitted,
-        write_marker,
-    )
+    the MG summary state (protocol enforced by
+    commit.staged_foreach_batch)."""
+    from .commit import staged_foreach_batch
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
-        if already_committed(state_path, batch_id):
-            return
-        sweep_uncommitted(batch_id, state_path)
+    def _body(batch_df: DataFrame, batch_id: int, staging: dict) -> None:
         spark = batch_df.sparkSession
         merged = merge_and_trim(
             read_summary(spark, state_path), batch_term_counts(batch_df), capacity
         )
-        staging = os.path.join(state_path, "_staging", str(batch_id))
-        merged.repartition(1).write.mode("overwrite").parquet(staging)
-        publish_staged(staging, state_path, batch_id)
-        write_marker(state_path, batch_id)
-        clean_staging(staging)
+        merged.repartition(1).write.mode("overwrite").parquet(staging[state_path])
 
-    return _write
+    return staged_foreach_batch(state_path, [state_path], _body)
 
 
 def current_heavy_hitters(spark, state_path: str, k: int = 64) -> DataFrame:

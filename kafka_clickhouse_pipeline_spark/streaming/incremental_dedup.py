@@ -36,7 +36,6 @@ fingerprints ~ low-TB index):
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -107,41 +106,27 @@ def incremental_dedup_writer(out_path: str, index_path: str, target_files: int =
     no-op, and half-written files from a crashed attempt are named by
     batch id so they are swept before re-publish.
     """
-    from .commit import (
-        already_committed,
-        clean_staging,
-        publish_staged,
-        sweep_uncommitted,
-        write_marker,
-    )
+    from .commit import staged_foreach_batch
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
-        if already_committed(out_path, batch_id):
-            return  # replay after successful publish
-        # Marker absent: any b{batch_id}-* files are leftovers of a
-        # crashed attempt that published but never committed. Sweep
-        # them BEFORE reading the index, or the replay would see its
-        # own half-published fingerprints and drop the whole batch.
-        sweep_uncommitted(batch_id, out_path, index_path)
+    def _body(batch_df: DataFrame, batch_id: int, staging: dict) -> None:
+        # the wrapper has already swept this batch id's half-published
+        # files, so reading the index here cannot see a crashed
+        # attempt's own fingerprints (the ADVICE r3 replay data-loss
+        # window)
         spark = batch_df.sparkSession
         fresh = dedup_batch_against_index(batch_df, _read_index(spark, index_path))
-        doc_staging = os.path.join(out_path, "_staging", str(batch_id))
-        idx_staging = os.path.join(index_path, "_staging", str(batch_id))
-        fresh_docs = fresh.repartition(target_files)
-        fresh_docs.write.mode("overwrite").parquet(doc_staging)
+        fresh.repartition(target_files).write.mode("overwrite").parquet(
+            staging[out_path]
+        )
         (
-            spark.read.parquet(doc_staging)
+            spark.read.parquet(staging[out_path])
             .select("fingerprint")
             .repartition(1)
             .write.mode("overwrite")
-            .parquet(idx_staging)
+            .parquet(staging[index_path])
         )
-        publish_staged(doc_staging, out_path, batch_id)
-        publish_staged(idx_staging, index_path, batch_id)
-        write_marker(out_path, batch_id)
-        clean_staging(doc_staging, idx_staging)
 
-    return _write
+    return staged_foreach_batch(out_path, [out_path, index_path], _body)
 
 
 def incremental_dedup_stream(

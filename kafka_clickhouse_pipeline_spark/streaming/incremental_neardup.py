@@ -37,7 +37,6 @@ staged-commit marker protocol makes replays no-ops.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -173,38 +172,25 @@ def incremental_neardup_writer(out_path: str, index_path: str, target_files: int
     docs to ``out_path`` and their exploded band rows to
     ``index_path`` (staged-commit protocol shared with the exact
     writer -- streaming/commit.py)."""
-    from .commit import (
-        already_committed,
-        clean_staging,
-        publish_staged,
-        sweep_uncommitted,
-        write_marker,
-    )
+    from .commit import staged_foreach_batch
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
-        if already_committed(out_path, batch_id):
-            return
-        # Sweep this batch id's half-published files before reading the
-        # index -- see incremental_dedup and commit.sweep_uncommitted.
-        sweep_uncommitted(batch_id, out_path, index_path)
+    def _body(batch_df: DataFrame, batch_id: int, staging: dict) -> None:
+        # sweep-before-read is enforced by the wrapper -- see
+        # commit.staged_foreach_batch
         spark = batch_df.sparkSession
         fresh = neardup_batch_against_index(batch_df, _read_index(spark, index_path))
-        doc_staging = os.path.join(out_path, "_staging", str(batch_id))
-        idx_staging = os.path.join(index_path, "_staging", str(batch_id))
-        fresh.repartition(target_files).write.mode("overwrite").parquet(doc_staging)
+        fresh.repartition(target_files).write.mode("overwrite").parquet(
+            staging[out_path]
+        )
         (
-            minhash_sig_bands(spark.read.parquet(doc_staging))
+            minhash_sig_bands(spark.read.parquet(staging[out_path]))
             .select("bucket", "band", "doc_id", "sig")
             .repartition(1)
             .write.mode("overwrite")
-            .parquet(idx_staging)
+            .parquet(staging[index_path])
         )
-        publish_staged(doc_staging, out_path, batch_id)
-        publish_staged(idx_staging, index_path, batch_id)
-        write_marker(out_path, batch_id)
-        clean_staging(doc_staging, idx_staging)
 
-    return _write
+    return staged_foreach_batch(out_path, [out_path, index_path], _body)
 
 
 def incremental_neardup_stream(

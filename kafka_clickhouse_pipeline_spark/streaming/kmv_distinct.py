@@ -27,7 +27,6 @@ driver but loop control.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,26 +43,13 @@ SKETCH_SCHEMA = StructType(
 )
 
 
-def _latest_committed(state_path: str) -> int | None:
-    commits = os.path.join(state_path, "_commits")
-    if not os.path.isdir(commits):
-        return None
-    ids = [int(n) for n in os.listdir(commits) if n.isdigit()]
-    return max(ids) if ids else None
-
-
 def read_sketch(spark, state_path: str) -> DataFrame:
     """The latest committed per-group bottom-K hash table; empty frame
-    when no batch has committed yet."""
-    latest = _latest_committed(state_path)
-    if latest is None:
-        return spark.createDataFrame([], SKETCH_SCHEMA)
-    import glob
+    when no batch has committed yet. Replace-style state on a LOCAL
+    filesystem path (see streaming/commit.py's module contract)."""
+    from .commit import read_latest_state
 
-    files = sorted(glob.glob(os.path.join(state_path, f"b{latest}-*.parquet")))
-    if not files:  # marker without files: empty batch
-        return spark.createDataFrame([], SKETCH_SCHEMA)
-    return spark.read.schema(SKETCH_SCHEMA).parquet(*files)
+    return read_latest_state(spark, state_path, SKETCH_SCHEMA)
 
 
 def batch_hashes(batch: DataFrame) -> DataFrame:
@@ -92,29 +78,16 @@ def merge_bottom_k(
 def kmv_writer(state_path: str, k: int = KMV_K):
     """foreachBatch function: effectively-once replace-style update of
     the per-group KMV sketch state."""
-    from .commit import (
-        already_committed,
-        clean_staging,
-        publish_staged,
-        sweep_uncommitted,
-        write_marker,
-    )
+    from .commit import staged_foreach_batch
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
-        if already_committed(state_path, batch_id):
-            return
-        sweep_uncommitted(batch_id, state_path)
+    def _body(batch_df: DataFrame, batch_id: int, staging: dict) -> None:
         spark = batch_df.sparkSession
         merged = merge_bottom_k(
             read_sketch(spark, state_path), batch_hashes(batch_df), k
         )
-        staging = os.path.join(state_path, "_staging", str(batch_id))
-        merged.repartition(1).write.mode("overwrite").parquet(staging)
-        publish_staged(staging, state_path, batch_id)
-        write_marker(state_path, batch_id)
-        clean_staging(staging)
+        merged.repartition(1).write.mode("overwrite").parquet(staging[state_path])
 
-    return _write
+    return staged_foreach_batch(state_path, [state_path], _body)
 
 
 def current_distinct_estimates(spark, state_path: str, k: int = KMV_K) -> DataFrame:

@@ -27,7 +27,6 @@ is ever re-read.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,27 +75,14 @@ def current_thresholds(spark, state_path: str) -> DataFrame:
 def mixture_writer(state_path: str):
     """foreachBatch function: effectively-once append of this batch's
     per-source token-count delta to the state table."""
-    from .commit import (
-        already_committed,
-        clean_staging,
-        publish_staged,
-        sweep_uncommitted,
-        write_marker,
-    )
+    from .commit import staged_foreach_batch
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:
-        if already_committed(state_path, batch_id):
-            return
-        sweep_uncommitted(batch_id, state_path)
-        staging = os.path.join(state_path, "_staging", str(batch_id))
+    def _body(batch_df: DataFrame, batch_id: int, staging: dict) -> None:
         batch_source_counts(batch_df).repartition(1).write.mode(
             "overwrite"
-        ).parquet(staging)
-        publish_staged(staging, state_path, batch_id)
-        write_marker(state_path, batch_id)
-        clean_staging(staging)
+        ).parquet(staging[state_path])
 
-    return _write
+    return staged_foreach_batch(state_path, [state_path], _body)
 
 
 def mixture_stream(docs_stream: DataFrame, state_path: str, checkpoint: str):

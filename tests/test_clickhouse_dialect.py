@@ -326,3 +326,41 @@ def test_any_quantified_comparison_untouched():
 def test_limit_by_without_order_by_rejected():
     with pytest.raises(ValueError, match="ORDER BY"):
         translate("SELECT a, b FROM t LIMIT 2 BY a")
+
+
+def test_limit_by_offset_forms(sales_view):
+    """ADVICE r4: ClickHouse's offset variants -- `LIMIT off, n BY`
+    and `LIMIT n OFFSET off BY` -- translate to the windowed
+    `BETWEEN off+1 AND off+n` filter instead of falling through to a
+    Spark parse error. Skipping the best hour per product keeps each
+    product's SECOND-best hour."""
+    base = """
+        SELECT product_name,
+               toStartOfHour(event_time) as hour,
+               sum(total) as revenue
+        FROM sales
+        GROUP BY product_name, hour
+        ORDER BY revenue DESC, product_name, hour
+        {limit_by}
+    """
+    first = {
+        (r["product_name"], str(r["revenue"]))
+        for r in run_clickhouse_sql(
+            sales_view, base.format(limit_by="LIMIT 1 BY product_name"),
+            anchor=ANCHOR,
+        ).collect()
+    }
+    for form in ("LIMIT 1, 1 BY product_name",
+                 "LIMIT 1 OFFSET 1 BY product_name"):
+        got = {
+            (r["product_name"], str(r["revenue"]))
+            for r in run_clickhouse_sql(
+                sales_view, base.format(limit_by=form), anchor=ANCHOR
+            ).collect()
+        }
+        # second-best rows only: disjoint from the per-product best,
+        # and only products with >= 2 hours appear
+        assert got
+        assert not (got & first), (form, got, first)
+        sql = translate(base.format(limit_by=form), anchor=ANCHOR)
+        assert "BETWEEN 2 AND 2" in sql, sql

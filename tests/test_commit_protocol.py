@@ -1,0 +1,102 @@
+"""Unit tests for the shared staged-commit wrapper
+(streaming/commit.py staged_foreach_batch) -- the one place the
+sweep-before-body crash-window ordering is enforced (VERDICT r4 #8).
+The six writers' end-to-end behavior (including crash-window replays)
+is covered by their own test modules; these pin the wrapper contract
+itself so a refactor of any single writer can't reorder the protocol.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kafka_clickhouse_pipeline_spark.streaming import commit
+
+
+def _touch(path: str, content: str = "x") -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(content)
+
+
+def test_marker_dir_must_be_a_destination(tmp_path):
+    with pytest.raises(AssertionError):
+        commit.staged_foreach_batch(str(tmp_path / "other"), [str(tmp_path / "a")], lambda *a: None)
+
+
+def test_replayed_batch_is_noop(tmp_path):
+    dest = str(tmp_path / "state")
+    calls = []
+    w = commit.staged_foreach_batch(dest, [dest], lambda df, bid, st: calls.append(bid))
+    _touch(commit.marker_path(dest, 7))
+    w(None, 7)
+    assert calls == []
+
+
+def test_sweep_runs_before_body_and_publish_after(tmp_path):
+    """A crashed attempt's half-published b5-* file must be gone by the
+    time the body runs (the replay-reads-own-index data-loss window),
+    and the body's staged output must be published under the batch
+    prefix with exactly one marker."""
+    dest = str(tmp_path / "state")
+    leftover = os.path.join(dest, "b5-old.parquet")
+    _touch(leftover)
+    seen = {}
+
+    def body(df, bid, staging):
+        seen["leftover_gone"] = not os.path.exists(leftover)
+        _touch(os.path.join(staging[dest], "part-0.parquet"), "data")
+
+    commit.staged_foreach_batch(dest, [dest], body)(None, 5)
+    assert seen["leftover_gone"], "sweep must precede the body"
+    assert os.path.exists(os.path.join(dest, "b5-part-0.parquet"))
+    assert commit.already_committed(dest, 5)
+    assert not os.path.exists(os.path.join(dest, "_staging"))
+
+
+def test_dual_destination_single_marker(tmp_path):
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+
+    def body(df, bid, staging):
+        _touch(os.path.join(staging[out], "d.parquet"))
+        _touch(os.path.join(staging[idx], "i.parquet"))
+
+    commit.staged_foreach_batch(out, [out, idx], body)(None, 3)
+    assert os.path.exists(os.path.join(out, "b3-d.parquet"))
+    assert os.path.exists(os.path.join(idx, "b3-i.parquet"))
+    assert commit.already_committed(out, 3)
+    # one marker names the whole batch: the index dir carries none
+    assert not os.path.isdir(os.path.join(idx, "_commits"))
+
+
+def test_body_failure_leaves_no_marker_and_replay_reruns(tmp_path):
+    dest = str(tmp_path / "state")
+    attempts = []
+
+    def body(df, bid, staging):
+        attempts.append(bid)
+        if len(attempts) == 1:
+            # simulate a crash after a partial staged write
+            _touch(os.path.join(staging[dest], "p.parquet"))
+            raise RuntimeError("boom")
+        _touch(os.path.join(staging[dest], "p.parquet"))
+
+    w = commit.staged_foreach_batch(dest, [dest], body)
+    with pytest.raises(RuntimeError):
+        w(None, 9)
+    assert not commit.already_committed(dest, 9)
+    w(None, 9)  # replay succeeds
+    assert attempts == [9, 9]
+    assert commit.already_committed(dest, 9)
+    assert os.path.exists(os.path.join(dest, "b9-p.parquet"))
+
+
+def test_read_latest_state_empty_before_first_commit(tmp_path, spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("x", LongType(), False)])
+    empty = commit.read_latest_state(spark, str(tmp_path / "none"), schema)
+    assert empty.collect() == []
+    assert commit.latest_committed(str(tmp_path / "none")) is None

@@ -230,6 +230,48 @@ class TestNodeJaccard:
         d = _write_graph(spark, tmp_path, [(10, 1), (10, 2), (20, 1), (20, 3)])
         assert graph.q_node_jaccard(spark, d, max_degree=1).collect() == []
 
+    def test_capped_excludes_hub_centers_on_skewed_graph(self, spark, tmp_path):
+        """The p99-cap's payoff regime (VERDICT r4 #4, SCALE.md): a
+        star hub co-ordered with many spokes dominates the wedge
+        volume; the discrete-p99 cap lands below the hub degree and
+        removes every hub-centered wedge, leaving only the wedges
+        through low-degree centers. (On the degree-homogeneous fixture
+        graph the same cap removes ~2.5% of wedges -- the knob prices
+        skew, not size.)"""
+        # hub node 1 linked to 200 spokes, one two-part order each
+        # (pairwise orders, not one big order -- a shared order would
+        # make a clique, not a star): hub degree 200, spokes degree 1
+        rows = []
+        for i in range(200):
+            rows += [(1000 + i, 1), (1000 + i, 2000 + i)]
+        # ten independent wedges {c,l1},{c,l2}: centers degree 2
+        for k in range(10):
+            c, l1, l2 = 500 + 3 * k, 501 + 3 * k, 502 + 3 * k
+            rows += [(300 + 2 * k, c), (300 + 2 * k, l1),
+                     (3000 + 2 * k, c), (3000 + 2 * k, l2)]
+        d = _write_graph(spark, tmp_path, rows)
+        exact = graph.q_node_jaccard(spark, d).collect()
+        capped = graph.q_node_jaccard_capped(spark, d).collect()
+        # 231 nodes: 220 x d=1, 10 x d=2, hub d=200 -> discrete p99 =
+        # degree 2, so every hub-centered spoke pair (C(200,2) wedges,
+        # >99% of the wedge volume) is pruned; the 10 wedge-component
+        # leaf pairs all survive at jaccard 1.0
+        assert len(exact) > len(capped)
+        assert len(capped) == 10
+        assert {(r["u"], r["v"]) for r in capped} == {
+            (501 + 3 * k, 502 + 3 * k) for k in range(10)
+        }
+        assert all(r["jaccard"] == 1.0 for r in capped)
+
+    def test_capped_equals_exact_when_no_hubs(self, spark, tmp_path):
+        """Uniform degrees: the p99 cap equals the max degree and the
+        capped mode reproduces the exact result bit-for-bit."""
+        d = _write_graph(spark, tmp_path, [(10, 1), (10, 2), (20, 1), (20, 3)])
+        assert (
+            graph.q_node_jaccard_capped(spark, d).collect()
+            == graph.q_node_jaccard(spark, d).collect()
+        )
+
 
 class TestKeySkewAudit:
     def test_exact_profile(self, spark, tmp_path):

@@ -50,6 +50,21 @@ class TestSilhouette:
         for r in rows:
             assert r["mean_silhouette"] == pytest.approx(1.0, abs=1e-6)
 
+    def test_collapsed_clusters_score_zero_not_error(self, spark, tmp_path):
+        """ADVICE r4: identical vectors collapse every centroid onto
+        the data point, so a == b == 0 exactly and the raw (b-a)/
+        greatest(a,b) is 0/0 (DIVIDE_BY_ZERO under ANSI sessions).
+        The 'no structure' convention maps it to silhouette 0."""
+        vecs = [(i, [1.0, 0.0], "a") for i in range(16)]
+        spark.createDataFrame(
+            vecs, "vec_id bigint, embedding array<float>, label string"
+        ).write.parquet(f"{tmp_path}/embeddings.parquet")
+        rows = similarity.q_silhouette_kmeans(spark, str(tmp_path)).collect()
+        assert rows
+        assert sum(r["n_vecs"] for r in rows) == 16
+        for r in rows:
+            assert r["mean_silhouette"] == 0.0
+
 
 class TestRfm:
     def test_crafted_quintiles(self, spark, tmp_path):

@@ -118,10 +118,9 @@ class TestHoltBacktest:
 
 
 class TestClosenessSampled:
-    def test_path_graph_distances(self, spark, tmp_path):
-        """Path 101-2-3-4-5 plus isolated edge 201-7: seeds are the
-        %100==1 nodes. From 101 the 3-hop ball reaches {2,3,4} (5 is 4
-        hops away -- truncated); from 201 it reaches {7}."""
+    @staticmethod
+    def _graph(spark, tmp_path):
+        """Path 101-2-3-4-5 plus isolated edge 201-7."""
         pairs = [(101, 2), (2, 3), (3, 4), (4, 5), (201, 7)]
         rows = []
         for ok, (a, b) in enumerate(pairs):
@@ -130,11 +129,45 @@ class TestClosenessSampled:
         spark.createDataFrame(
             rows, "l_orderkey bigint, l_partkey bigint"
         ).write.parquet(f"{tmp_path}/lineitem.parquet")
+        return str(tmp_path)
+
+    def test_path_graph_distances(self, spark, tmp_path):
+        """With 7 nodes and the default 256-landmark budget every node
+        is a landmark; each row is an exact 3-hop-capped BFS ball.
+        From 101 the ball reaches {2,3,4} (5 is 4 hops -- truncated);
+        the edge component's nodes each reach exactly one node."""
+        d = self._graph(spark, tmp_path)
         out = {
             r["node"]: (r["n_reached"], r["sum_hops"], r["closeness"])
-            for r in graph.q_closeness_sampled(spark, str(tmp_path)).collect()
+            for r in graph.q_closeness_sampled(spark, d).collect()
         }
         assert out == {
             101: (3, 6, pytest.approx(0.5)),
+            2: (4, 7, pytest.approx(4 / 7, abs=1e-6)),
+            3: (4, 6, pytest.approx(2 / 3, abs=1e-6)),
+            4: (4, 7, pytest.approx(4 / 7, abs=1e-6)),
+            5: (3, 6, pytest.approx(0.5)),
             201: (1, 1, pytest.approx(1.0)),
+            7: (1, 1, pytest.approx(1.0)),
         }
+
+    def test_landmark_budget_is_a_count(self, spark, tmp_path):
+        """VERDICT r4 #3: the knob is a fixed COUNT (md5-smallest
+        nodes), not a fraction -- landmarks=2 yields exactly two BFS
+        sources regardless of graph size, and their rows match the
+        full run's rows for the same seeds."""
+        import hashlib
+
+        d = self._graph(spark, tmp_path)
+        full = {
+            r["node"]: (r["n_reached"], r["sum_hops"])
+            for r in graph.q_closeness_sampled(spark, d).collect()
+        }
+        two = graph.q_closeness_sampled(spark, d, landmarks=2).collect()
+        assert len(two) == 2
+        expect = sorted(
+            full, key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n)
+        )[:2]
+        assert sorted(r["node"] for r in two) == sorted(expect)
+        for r in two:
+            assert (r["n_reached"], r["sum_hops"]) == full[r["node"]]
