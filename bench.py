@@ -197,6 +197,11 @@ HEADLINE = [
     "q_cms_term_counts",
     "q_holt_backtest",
     "q_closeness_sampled",
+    # round-5 additions
+    "q_funnel_window",
+    "q_funnel_dropoff_time",
+    "q_adamic_adar",
+    "q_knn_classifier",
 ]
 
 

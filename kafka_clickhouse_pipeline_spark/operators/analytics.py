@@ -1195,3 +1195,280 @@ ANALYTICS_ORACLES["q_session_peak_overlap"] = """
 """
 
 ANALYTICS_QUERIES["q_session_peak_overlap"] = q_session_peak_overlap
+
+
+# ---- windowed funnel (ClickHouse windowFunnel parity) ----
+
+#: Funnel step conditions (ordered) and the chain window. view ->
+#: click -> purchase within 24h of the anchoring view -- the canonical
+#: product funnel over the events stream.
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # microseconds
+
+
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel: per user, the deepest step of the
+    view -> click -> purchase chain completed with STRICTLY increasing
+    timestamps inside a 24h window anchored at the chain's view --
+    ClickHouse's ``windowFunnel(window)(ts, cond1, cond2, cond3)``
+    (strict-increase mode pinned; the reference stack's canonical
+    funnel primitive, which the extended dialect surface did not yet
+    cover). Output: one row per step with n_users reaching AT LEAST
+    that depth (monotone by construction).
+
+    Plan -- NO self-joins (the naive chain search is a per-user
+    triple join): two window passes over ONE shuffle on user_id,
+    using the greedy-anchor argument. For a click at t_c, any view in
+    [t_c - W, t_c) anchors step 2, and the LATEST such view
+    dominates: it leaves the largest remaining window t_v + W for
+    step 3. So pass 1 computes anchor(t_c) = max view-time over
+    ``rangeBetween(-W, -1)`` (micros); pass 2 computes, per purchase
+    at t_p, the max anchor over clicks in ``rangeBetween(-W, -1)`` --
+    step 3 completes iff that max >= t_p - W (the qualifying click is
+    inside the range automatically because t_c > t_v >= t_p - W).
+    Both passes share the (user_id, t) sort order, so Catalyst plans
+    a single exchange+sort; per-user state is O(1) per row (range
+    frame maxima). Exactness: all comparisons are on exact integer
+    microseconds; counts are integers.
+
+    Oracle: the naive EXISTS-chain SQL (fine at sf0.01) -- the greedy
+    anchor is provably equivalent to the exists-any-chain semantics:
+    any valid (v, c, p) chain stays valid after replacing v with the
+    latest view before its click."""
+    events = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = events.filter(F.col("event_type").isin(*FUNNEL_STEPS)).select(
+        "user_id", F.col("event_type").alias("et"), t.alias("t")
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-FUNNEL_WINDOW_US, -1)
+    )
+    anchored = e.withColumn(
+        "view_anchor",
+        F.max(F.when(F.col("et") == FUNNEL_STEPS[0], F.col("t"))).over(w_range),
+    ).withColumn(
+        "click_anchor",
+        F.when(
+            (F.col("et") == FUNNEL_STEPS[1]) & F.col("view_anchor").isNotNull(),
+            F.col("view_anchor"),
+        ),
+    )
+    scored = anchored.withColumn(
+        "best_click_anchor",
+        F.max("click_anchor").over(w_range),
+    )
+    per_user = scored.groupBy("user_id").agg(
+        F.max(F.when(F.col("et") == FUNNEL_STEPS[0], 1).otherwise(0)).alias("l1"),
+        F.max(
+            F.when(F.col("click_anchor").isNotNull(), 1).otherwise(0)
+        ).alias("l2"),
+        F.max(
+            F.when(
+                (F.col("et") == FUNNEL_STEPS[2])
+                & (F.col("best_click_anchor") >= F.col("t") - FUNNEL_WINDOW_US),
+                1,
+            ).otherwise(0)
+        ).alias("l3"),
+    )
+    counts = per_user.agg(
+        F.sum("l1").cast("long").alias("n1"),
+        F.sum("l2").cast("long").alias("n2"),
+        F.sum("l3").cast("long").alias("n3"),
+    )
+    steps = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(FUNNEL_STEPS)], "step bigint, event_type string"
+    )
+    return (
+        steps.crossJoin(F.broadcast(counts))
+        .select(
+            "step",
+            "event_type",
+            F.when(F.col("step") == 1, F.col("n1"))
+            .when(F.col("step") == 2, F.col("n2"))
+            .otherwise(F.col("n3"))
+            .alias("n_users"),
+        )
+        .orderBy("step")
+    )
+
+
+ANALYTICS_QUERIES["q_funnel_window"] = q_funnel_window
+ANALYTICS_ORACLES["q_funnel_window"] = f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+    c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+    l1 AS (SELECT DISTINCT user_id FROM v),
+    l2 AS (
+      SELECT DISTINCT c.user_id FROM c JOIN v
+        ON v.user_id = c.user_id
+       AND v.t < c.t AND v.t >= c.t - {FUNNEL_WINDOW_US}),
+    l3 AS (
+      SELECT DISTINCT p.user_id FROM p
+      JOIN c ON c.user_id = p.user_id AND c.t < p.t
+      JOIN v ON v.user_id = p.user_id AND v.t < c.t
+       AND p.t <= v.t + {FUNNEL_WINDOW_US})
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+             CAST((SELECT count(*) FROM l1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM l2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM l3))
+    ORDER BY step
+"""
+
+
+def q_funnel_dropoff_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile of the windowed funnel: for every
+    step-2-completing click, the delay (whole seconds) from its
+    anchoring view; for every step-3-completing purchase, the delay
+    from the FASTEST completing chain's anchor view (the greedy
+    max-anchor, i.e. the minimal view->purchase latency -- the same
+    deterministic anchor rule q_funnel_window uses). Reports, per step
+    transition, the conversion count, the DISCRETE p50/p90 latency
+    and the exact mean -- the "where does the funnel stall" companion
+    to q_funnel_window's "where does it drop".
+
+    Plan: the funnel's two range-window passes (one user_id shuffle),
+    then DISTINCT-VALUE COMPACTION for the quantiles: delays are
+    integer seconds bounded by the 24h window, so the per-step delay
+    histogram is <= 86400 rows and the cumulative rank window runs on
+    a metadata-sized grid (the q_classifier_auc pattern), never a
+    corpus-sized single-partition sort. Discrete quantiles (smallest
+    delay with cum >= ceil(q*n)) are integers -- exactly portable,
+    no interpolation-formula drift between engines; the mean is one
+    exact-integer ratio rounded at the boundary."""
+    events = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = events.filter(F.col("event_type").isin(*FUNNEL_STEPS)).select(
+        "user_id", F.col("event_type").alias("et"), t.alias("t")
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-FUNNEL_WINDOW_US, -1)
+    )
+    anchored = e.withColumn(
+        "view_anchor",
+        F.max(F.when(F.col("et") == FUNNEL_STEPS[0], F.col("t"))).over(w_range),
+    ).withColumn(
+        "click_anchor",
+        F.when(
+            (F.col("et") == FUNNEL_STEPS[1]) & F.col("view_anchor").isNotNull(),
+            F.col("view_anchor"),
+        ),
+    )
+    scored = anchored.withColumn(
+        "best_click_anchor", F.max("click_anchor").over(w_range)
+    )
+    d2 = scored.filter(F.col("click_anchor").isNotNull()).select(
+        F.lit("view->click").alias("transition"),
+        ((F.col("t") - F.col("click_anchor")) / 1_000_000)
+        .cast("long")
+        .alias("delay_sec"),
+    )
+    d3 = scored.filter(
+        (F.col("et") == FUNNEL_STEPS[2])
+        & (F.col("best_click_anchor") >= F.col("t") - FUNNEL_WINDOW_US)
+    ).select(
+        F.lit("view->purchase").alias("transition"),
+        ((F.col("t") - F.col("best_click_anchor")) / 1_000_000)
+        .cast("long")
+        .alias("delay_sec"),
+    )
+    hist = (
+        d2.unionByName(d3)
+        .groupBy("transition", "delay_sec")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("transition")
+        .orderBy("delay_sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("transition")
+    cdf = hist.select(
+        "transition",
+        "delay_sec",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+        F.sum(F.col("delay_sec") * F.col("c")).over(w_all).alias("s"),
+    )
+    return (
+        cdf.groupBy("transition")
+        .agg(
+            F.max("n").cast("long").alias("n_conversions"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")),
+                    F.col("delay_sec"),
+                )
+            )
+            .cast("long")
+            .alias("p50_sec"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(0.9) * F.col("n")),
+                    F.col("delay_sec"),
+                )
+            )
+            .cast("long")
+            .alias("p90_sec"),
+            F.round(
+                (F.max("s").cast("double") / F.max("n").cast("double")), 6
+            ).alias("mean_sec"),
+        )
+        .orderBy("transition")
+    )
+
+
+ANALYTICS_QUERIES["q_funnel_dropoff_time"] = q_funnel_dropoff_time
+ANALYTICS_ORACLES["q_funnel_dropoff_time"] = f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+    c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+    c2 AS (
+      SELECT c.user_id, c.t, max(v.t) AS anchor
+      FROM c JOIN v ON v.user_id = c.user_id
+       AND v.t < c.t AND v.t >= c.t - {FUNNEL_WINDOW_US}
+      GROUP BY 1, 2),
+    p3 AS (
+      SELECT p.user_id, p.t, max(c2.anchor) AS anchor
+      FROM p JOIN c2 ON c2.user_id = p.user_id
+       AND c2.t < p.t AND c2.t >= p.t - {FUNNEL_WINDOW_US}
+      GROUP BY 1, 2
+      HAVING max(c2.anchor) >= p.t - {FUNNEL_WINDOW_US}),
+    delays AS (
+      SELECT 'view->click' AS transition,
+             CAST((t - anchor) // 1000000 AS BIGINT) AS delay_sec
+      FROM c2
+      UNION ALL
+      SELECT 'view->purchase', CAST((t - anchor) // 1000000 AS BIGINT)
+      FROM p3),
+    hist AS (
+      SELECT transition, delay_sec, count(*) AS cnt
+      FROM delays GROUP BY 1, 2),
+    cdf AS (
+      SELECT transition, delay_sec,
+             sum(cnt) OVER (PARTITION BY transition ORDER BY delay_sec) AS cum,
+             sum(cnt) OVER (PARTITION BY transition) AS n,
+             sum(delay_sec * cnt) OVER (PARTITION BY transition) AS s
+      FROM hist)
+    SELECT transition,
+           CAST(max(n) AS BIGINT) AS n_conversions,
+           CAST(min(CASE WHEN cum >= ceil(0.5::DOUBLE * n) THEN delay_sec END)
+                AS BIGINT) AS p50_sec,
+           CAST(min(CASE WHEN cum >= ceil(0.9::DOUBLE * n) THEN delay_sec END)
+                AS BIGINT) AS p90_sec,
+           round(CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+             AS mean_sec
+    FROM cdf GROUP BY transition ORDER BY transition
+"""

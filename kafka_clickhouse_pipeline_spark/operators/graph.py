@@ -1350,3 +1350,109 @@ GRAPH_ORACLES["q_closeness_sampled"] = f"""
     FROM mind WHERE hops > 0
     GROUP BY seed ORDER BY node
 """
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: for
+    non-adjacent node pairs sharing at least one neighbor, the AA
+    index sum_{w in N(u) n N(v)} 1 / ln(deg(w)) -- the
+    inverse-log-frequency weighting that discounts promiscuous common
+    neighbors (a part co-bought with everything carries ~no signal;
+    a rare co-purchase carries a lot). Top-K pairs by score. The
+    classic complement to q_node_jaccard's unweighted ratio (Adamic &
+    Adar 2003); on skewed graphs the weighting is what separates real
+    affinity from hub noise.
+
+    Plan: identical wedge-expansion shape to q_node_jaccard (adjacency
+    arrays -> map-side pair explosion sized by the exact wedge count,
+    one pair shuffle, size-gated broadcast anti-join against the edge
+    list) with the per-CENTER weight 1/ln(deg(center)) attached to
+    each wedge before expansion, so the pair aggregate is a single
+    SUM -- no extra join.
+
+    Exactness: each weight is one correctly-rounded double divide of
+    ln(d), rounded to 9 dp and cast DECIMAL(28,9) BEFORE the sum --
+    the repo's order-independent-decimal-sum convention -- so the
+    aggregate is exact integer arithmetic in both engines regardless
+    of reduce order (the ln itself agrees at 9 dp; the PSI family
+    pins the same contract)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    adj = edges.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    adjw = adj.select(
+        "nbrs",
+        F.round(F.lit(1.0) / F.log(F.size("nbrs").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("w"),
+    ).filter(F.size("nbrs") >= 2)
+    sizes = adjw.agg(
+        F.coalesce(
+            F.sum(
+                (F.size("nbrs").cast("long") * (F.size("nbrs") - 1).cast("long"))
+            )
+            / 2,
+            F.lit(0),
+        ).alias("wedges"),
+        F.count(F.lit(1)).alias("nodes"),
+        F.coalesce(F.sum(F.size("nbrs").cast("long")), F.lit(0)).alias("m2"),
+    ).collect()[0]
+    parts = max(
+        spark.sparkContext.defaultParallelism,
+        min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
+    )
+    scored_pairs = (
+        adjw.select(F.explode("nbrs").alias("u"), "nbrs", "w")
+        .select("u", F.explode("nbrs").alias("v"), "w")
+        .filter(F.col("u") < F.col("v"))
+        .repartition(parts, "u", "v")
+        .groupBy("u", "v")
+        .agg(
+            F.sum("w").alias("aa"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    linked = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    if sizes.m2 is not None and sizes.m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
+        linked = F.broadcast(linked)
+    return (
+        scored_pairs.join(linked, ["u", "v"], "left_anti")
+        .orderBy(F.col("aa").desc(), "u", "v")
+        .limit(NODE_JACCARD_TOPK)
+        # decimal is exact for the ordering; the output boundary
+        # renders it as a fixed-scale string (canon money convention)
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("aa").cast("decimal(38,9)").cast("string").alias("aa_score"),
+        )
+    )
+
+
+GRAPH_QUERIES["q_adamic_adar"] = q_adamic_adar
+GRAPH_ORACLES["q_adamic_adar"] = f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    common AS (
+      SELECT e1.src AS u, e2.src AS v,
+             count(*) AS n_common,
+             sum(CAST(round(CAST(1 AS DOUBLE) / ln(CAST(dc.d AS DOUBLE)), 9)
+                      AS DECIMAL(28,9))) AS aa
+      FROM e e1 JOIN e e2
+        ON e1.dst = e2.dst AND e1.src < e2.src
+      JOIN deg dc ON dc.src = e1.dst
+      GROUP BY 1, 2)
+    SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(CAST(c.aa AS DECIMAL(38,9)) AS VARCHAR) AS aa_score
+    FROM common c
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.u AND e.dst = c.v)
+    ORDER BY c.aa DESC, u, v
+    LIMIT {NODE_JACCARD_TOPK}
+"""

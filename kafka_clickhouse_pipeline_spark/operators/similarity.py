@@ -2289,3 +2289,113 @@ SIMILARITY_ORACLES["q_embedding_centroid_drift"] = """
            round(top.absd, 6) AS top_drift_abs_delta
     FROM agg
 """
+
+
+# ---- exact kNN classification audit ----
+
+KNN_CLASSIFY_K = 5
+
+
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN label prediction audit: for each query vector
+    (vec_id < N_QUERIES), the majority label of its KNN_CLASSIFY_K
+    exact-cosine nearest labeled neighbors (self excluded), next to
+    the query's own label -- the standard embedding-quality probe
+    ("does the labeled neighborhood agree with the vector's label?")
+    that sits on top of any retrieval index. Deterministic end to end:
+    neighbor ranking ties break by neighbor_id, vote ties by (votes
+    DESC, label ASC).
+
+    Plan: the brute-force top-k pipeline (broadcast queries, hoisted
+    norms, grouped top-k) -- the exact-audit form, like
+    q_ann_bruteforce_topk; at production scale the same vote runs on
+    any of the ANN candidate generators (IVF probes / LSH bands / PQ
+    re-rank) by swapping the neighbor source, which is why the vote is
+    factored over a (query_id, neighbor_id, rank) frame rather than
+    fused into the scan. Per-query state is k rows; the vote aggregate
+    is |queries| x |labels| sized."""
+    vecs = _vectors(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    topk = q_ann_bruteforce_topk(spark, sf_dir).filter(
+        F.col("rank") <= KNN_CLASSIFY_K
+    )
+    votes = (
+        topk.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    from .topk import grouped_topk
+
+    winner = grouped_topk(
+        votes, ["query_id"], [("n_votes", False), ("n_label", True)], 1
+    ).select(
+        "query_id",
+        F.col("n_label").alias("predicted_label"),
+        "n_votes",
+    )
+    return (
+        winner.join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("true_label"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "true_label",
+            "predicted_label",
+            "n_votes",
+            (F.col("predicted_label") == F.col("true_label"))
+            .cast("long")
+            .alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SIMILARITY_QUERIES["q_knn_classifier"] = q_knn_classifier
+SIMILARITY_ORACLES["q_knn_classifier"] = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                      label
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS n_label, round({_COS_SQL}, 6) AS cosine
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+      SELECT query_id, n_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored),
+    votes AS (
+      SELECT query_id, n_label, count(*) AS n_votes
+      FROM ranked WHERE rank <= {KNN_CLASSIFY_K}
+      GROUP BY 1, 2),
+    winner AS (
+      SELECT query_id, n_label AS predicted_label, n_votes FROM (
+        SELECT query_id, n_label, n_votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, n_label) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT CAST(w.query_id AS BIGINT) AS query_id,
+           CAST(e.label AS BIGINT) AS true_label,
+           CAST(w.predicted_label AS BIGINT) AS predicted_label,
+           CAST(w.n_votes AS BIGINT) AS n_votes,
+           CAST(CASE WHEN w.predicted_label = e.label THEN 1 ELSE 0 END
+                AS BIGINT) AS correct
+    FROM winner w JOIN e ON e.vec_id = w.query_id
+    ORDER BY query_id
+"""
