@@ -202,6 +202,7 @@ HEADLINE = [
     "q_funnel_dropoff_time",
     "q_adamic_adar",
     "q_knn_classifier",
+    "q_betweenness_sampled",
 ]
 
 

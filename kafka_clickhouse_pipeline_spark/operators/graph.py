@@ -1543,3 +1543,280 @@ GRAPH_ORACLES["q_adamic_adar"] = f"""
     ORDER BY c.aa DESC, u, v
     LIMIT {NODE_JACCARD_TOPK}
 """
+
+
+#: Source budget for sampled betweenness -- a COUNT, like the
+#: closeness landmark budget: per-source Brandes state is (source,
+#: node, sigma) rows, so K x V bounds the whole computation at any
+#: graph size.
+BETWEENNESS_SOURCES = 16
+BETWEENNESS_TOPK = 20
+
+
+def q_betweenness_sampled(
+    spark: SparkSession, sf_dir: str, *, sources: int = BETWEENNESS_SOURCES
+) -> DataFrame:
+    """Hop-capped, source-sampled betweenness centrality (partial
+    Brandes sum): for a deterministic ``sources``-node budget (the
+    md5-smallest nodes, the closeness landmark rule), run Brandes'
+    dependency accumulation over each source's hop-capped shortest-
+    path DAG and report the top-K nodes by accumulated dependency --
+    'which products sit on the most shortest co-purchase paths'.
+    Unnormalized landmark betweenness (the standard sampled
+    approximation: Brandes 2001 per-source; sources are the sample).
+
+    Plan: forward phase = per-hop (source, node, sigma) frontier --
+    shortest-path COUNTS can't pack into bitmaps like the closeness
+    reach bits, but the state is budget-bounded (K x V rows, K = 16)
+    -- one edge join + sum(sigma) aggregate + visited anti-join per
+    hop, lineage cut per round. Backward phase = Brandes' level-by-
+    level dependency sweep, one edge join per level from the cap
+    downward; nodes at the cap contribute delta = 0 (hop-capped DAG
+    truncation).
+
+    Exactness (the decimal-portability discipline): sigma values are
+    exact integers (sums of path counts). Each dependency term
+    sigma_v / sigma_w * (1 + delta_w) is evaluated in doubles
+    (correctly-rounded divide/multiply, identical both engines),
+    ROUNDED to 9 dp and cast DECIMAL(28,9) BEFORE the per-node sum,
+    so every aggregate is order-independent exact integer arithmetic;
+    delta re-enters the next level as one double cast. The oracle
+    mirrors the identical unrolled level arithmetic. Output renders
+    the decimal as a fixed-scale string (canon money convention)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    seed_order = [F.md5(F.col("src").cast("string")), F.col("src")]
+    seeds = (
+        edges.select("src")
+        .distinct()
+        .orderBy(*seed_order)
+        .limit(sources)
+        .select(F.col("src").alias("source"))
+    )
+    # forward: dist/sigma per (source, node), hop-capped
+    level = F.broadcast(seeds).select(
+        "source",
+        F.col("source").alias("node"),
+        F.lit(1).cast("long").alias("sigma"),
+        F.lit(0).cast("long").alias("dist"),
+    ).transform(cut_lineage)
+    levels = [level]
+    visited = level.select("source", "node")
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        frontier = levels[-1].select(
+            "source", F.col("node").alias("fnode"), "sigma"
+        )
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["fnode"])
+            .select("source", F.col("dst").alias("node"), "sigma")
+            .join(visited, ["source", "node"], "left_anti")
+            .groupBy("source", "node")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .select(
+                "source", "node", "sigma", F.lit(hop).cast("long").alias("dist")
+            )
+            .transform(cut_lineage)
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("source", "node")).transform(
+            cut_lineage
+        )
+    # backward: Brandes dependency sweep, cap level contributes 0.
+    # Dependencies are kept as exact BIGINT NANO-UNITS: each term is
+    # quantized with floor(x * 1e9 + 0.5) -- every step is ONE
+    # correctly-rounded IEEE op, so the quantized integer is
+    # bit-identical across engines (engine round() implementations
+    # differ in ALGORITHM at the 9th decimal -- BigDecimal half-up vs
+    # scaled-double -- which a round-based term produced: 1e-9-level
+    # divergence measured at sf0.01); integer sums are then exact.
+    delta = levels[BFS_MAX_HOPS].select(
+        "source", "node", F.lit(0).cast("long").alias("delta")
+    ).transform(cut_lineage)
+    all_deltas: list[DataFrame] = []
+    for hop in range(BFS_MAX_HOPS - 1, -1, -1):
+        succ = (
+            levels[hop + 1]
+            .join(delta, ["source", "node"])
+            .select(
+                "source",
+                F.col("node").alias("wnode"),
+                F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"),
+            )
+        )
+        cur = levels[hop].select(
+            "source", "node", F.col("sigma").alias("sigma_v")
+        )
+        term = (
+            cur.alias("v")
+            .join(edges.alias("ed"), F.col("v.node") == F.col("ed.src"))
+            .join(
+                succ.alias("w"),
+                (F.col("ed.dst") == F.col("w.wnode"))
+                & (F.col("v.source") == F.col("w.source")),
+            )
+            .select(
+                F.col("v.source").alias("source"),
+                F.col("v.node").alias("node"),
+                # nanos -> double is exact below 2^53; every op here
+                # is a single correctly-rounded IEEE op mirrored
+                # verbatim in the oracle, so the floored quantity is
+                # bit-identical
+                F.floor(
+                    (
+                        F.col("sigma_v").cast("double")
+                        / F.col("sigma_w").cast("double")
+                    )
+                    * (
+                        F.lit(1.0)
+                        + F.col("delta_w").cast("double") / F.lit(1000000000.0)
+                    )
+                    * F.lit(1000000000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("term"),
+            )
+            .groupBy("source", "node")
+            .agg(F.sum("term").cast("long").alias("delta"))
+            # lineage cut: term derives from the same level frames as
+            # cur -- checkpoint breaks the self-join ambiguity and the
+            # per-level plan growth at once
+            .transform(cut_lineage)
+        )
+        delta = (
+            cur.select("source", "node")
+            .join(term, ["source", "node"], "left")
+            .select(
+                "source",
+                "node",
+                F.coalesce("delta", F.lit(0).cast("long")).alias("delta"),
+            )
+            .transform(cut_lineage)
+        )
+        if hop > 0:
+            all_deltas.append(delta)
+    # every node carries its dependency at exactly one level per
+    # source; the centrality is the union over the POSITIVE-distance
+    # levels (the cap level is all zeros; level 0 holds only each
+    # source's OWN row, which Brandes excludes -- a node that is a
+    # source still accumulates dependency from the OTHER sources'
+    # sweeps, so a global source filter would be wrong)
+    acc = all_deltas[0]
+    for d in all_deltas[1:]:
+        acc = acc.unionByName(d)
+    centrality = (
+        acc.groupBy("node")
+        .agg(F.sum("delta").cast("long").alias("bc_nanos"))
+        .filter(F.col("bc_nanos") > 0)
+        .orderBy(F.col("bc_nanos").desc(), "node")
+        .limit(BETWEENNESS_TOPK)
+        # fixed-scale string built by INTEGER arithmetic only -- no
+        # engine round()/decimal-render in the output path
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("bc_nanos"),
+            F.concat(
+                (F.col("bc_nanos") / 1000000000).cast("long").cast("string"),
+                F.lit("."),
+                F.lpad((F.col("bc_nanos") % 1000000000).cast("string"), 9, "0"),
+            ).alias("betweenness"),
+        )
+    )
+    return centrality
+
+
+GRAPH_QUERIES["q_betweenness_sampled"] = q_betweenness_sampled
+
+
+def _betweenness_oracle() -> str:
+    """Unrolled Brandes twin: per-hop frontier BFS (anti-join
+    f/r CTEs -- NOT a recursive walk: the walk form materializes
+    every (source, node, d) combination and DuckDB re-inlines the
+    multiply-referenced CTEs, which spilled >80 GB of temp at sf0.1),
+    sigma level by level (exact integer path counts), then the
+    dependency sweep with the identical floor-quantized nano-unit
+    arithmetic. MATERIALIZED hints force single evaluation of the
+    multiply-referenced CTEs."""
+    hops = BFS_MAX_HOPS
+    bfs_ctes = ["r0 AS MATERIALIZED (SELECT source, source AS node FROM seeds)"]
+    for h in range(1, hops + 1):
+        bfs_ctes.append(f"""
+        f{h} AS MATERIALIZED (
+          SELECT DISTINCT p.source, e.dst AS node
+          FROM f{h - 1 if h > 1 else 0} p JOIN e ON e.src = p.node
+          WHERE NOT EXISTS (SELECT 1 FROM r{h - 1} x
+                            WHERE x.source = p.source AND x.node = e.dst))"""
+        .replace("f0 ", "r0 "))
+        bfs_ctes.append(f"""
+        r{h} AS MATERIALIZED (
+          SELECT * FROM r{h - 1} UNION ALL SELECT * FROM f{h})""")
+    sig_ctes = []
+    for h in range(1, hops + 1):
+        sig_ctes.append(f"""
+        lvl{h} AS MATERIALIZED (
+          SELECT p.source, e.dst AS node,
+                 CAST(sum(p.sigma) AS BIGINT) AS sigma
+          FROM lvl{h - 1} p JOIN e ON e.src = p.node
+          JOIN f{h} m ON m.source = p.source AND m.node = e.dst
+          GROUP BY 1, 2)""")
+    back_ctes = [f"""
+        d{hops} AS MATERIALIZED (
+          SELECT source, node, CAST(0 AS BIGINT) AS delta
+          FROM lvl{hops})"""]
+    for h in range(hops - 1, -1, -1):
+        back_ctes.append(f"""
+        d{h} AS MATERIALIZED (
+          SELECT v.source, v.node,
+                 coalesce(t.delta, CAST(0 AS BIGINT)) AS delta
+          FROM lvl{h} v LEFT JOIN (
+            SELECT v.source, v.node,
+                   CAST(sum(CAST(floor(
+                     (CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+                     * (1.0 + CAST(w.delta AS DOUBLE) / 1000000000.0)
+                     * 1000000000.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS delta
+            FROM lvl{h} v
+            JOIN e ON e.src = v.node
+            JOIN (SELECT l.source, l.node, l.sigma, d.delta
+                  FROM lvl{h + 1} l JOIN d{h + 1} d
+                    ON d.source = l.source AND d.node = l.node) w
+              ON w.node = e.dst AND w.source = v.source
+            GROUP BY 1, 2) t
+            ON t.source = v.source AND t.node = v.node)""")
+    # d0 (each source's own row) is excluded: Brandes does not score
+    # the source in its own sweep; other sources' sweeps still score it
+    all_deltas = " UNION ALL ".join(
+        f"SELECT source, node, delta FROM d{h}" for h in range(1, hops)
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    seeds AS MATERIALIZED (
+      SELECT src AS source FROM (SELECT DISTINCT src FROM e)
+      ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT {BETWEENNESS_SOURCES}),
+    {','.join(bfs_ctes)},
+    lvl0 AS MATERIALIZED (
+      SELECT source, source AS node, CAST(1 AS BIGINT) AS sigma
+      FROM seeds),
+    {','.join(sig_ctes)},
+    {','.join(back_ctes)},
+    alld AS ({all_deltas})
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(sum(delta) AS BIGINT) AS bc_nanos,
+           CAST(sum(delta) // 1000000000 AS VARCHAR) || '.' ||
+             lpad(CAST(sum(delta) % 1000000000 AS VARCHAR), 9, '0')
+             AS betweenness
+    FROM alld
+    GROUP BY node
+    HAVING sum(delta) > 0
+    ORDER BY sum(delta) DESC, node
+    LIMIT {BETWEENNESS_TOPK}
+"""
+
+
+GRAPH_ORACLES["q_betweenness_sampled"] = _betweenness_oracle()

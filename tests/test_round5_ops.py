@@ -144,3 +144,54 @@ class TestAdamicAdar:
     def test_empty_graph(self, spark, tmp_path):
         d = self._graph(spark, tmp_path, [])
         assert graph.q_adamic_adar(spark, d).collect() == []
+
+
+class TestBetweennessSampled:
+    @staticmethod
+    def _graph(spark, d, li_rows):
+        spark.createDataFrame(
+            li_rows, "l_orderkey bigint, l_partkey bigint"
+        ).write.parquet(f"{d}/lineitem.parquet")
+        return str(d)
+
+    def test_path_graph_middle_node(self, spark, tmp_path):
+        """Path 1-2-3 (all nodes are sources at this size): the middle
+        node carries one dependency unit from each endpoint (Brandes:
+        delta = sigma_B/sigma_C * (1 + 0) = 1), endpoints carry none
+        -> single row (2, bc 2.0)."""
+        d = self._graph(spark, tmp_path, [(10, 1), (10, 2), (20, 2), (20, 3)])
+        rows = graph.q_betweenness_sampled(spark, d).collect()
+        assert [(r["node"], r["betweenness"], r["bc_nanos"]) for r in rows] == [
+            (2, "2.000000000", 2_000_000_000)
+        ]
+
+    def test_diamond_symmetry(self, spark, tmp_path):
+        """4-cycle 1-2-4-3-1: two shortest paths between opposite
+        corners split the dependency (sigma ratio 1/2 per side), and
+        by symmetry every node accumulates exactly 1.0."""
+        d = self._graph(
+            spark, tmp_path,
+            [(10, 1), (10, 2), (20, 1), (20, 3), (30, 2), (30, 4), (40, 3), (40, 4)],
+        )
+        rows = graph.q_betweenness_sampled(spark, d).collect()
+        got = {r["node"]: r["betweenness"] for r in rows}
+        assert got == {n: "1.000000000" for n in (1, 2, 3, 4)}
+
+    def test_source_budget_is_a_count(self, spark, tmp_path):
+        """sources=1: only the md5-smallest node seeds the sweep; its
+        own row never appears (Brandes excludes endpoints)."""
+        import hashlib
+
+        d = self._graph(spark, tmp_path, [(10, 1), (10, 2), (20, 2), (20, 3)])
+        only = min((hashlib.md5(str(n).encode()).hexdigest(), n) for n in (1, 2, 3))[1]
+        rows = graph.q_betweenness_sampled(spark, d, sources=1).collect()
+        assert all(r["node"] != only for r in rows)
+        # a single path source scores exactly the interior of its path
+        if only in (1, 3):
+            assert [(r["node"], r["betweenness"]) for r in rows] == [
+                (2, "1.000000000")
+            ]
+
+    def test_empty_graph(self, spark, tmp_path):
+        d = self._graph(spark, tmp_path, [])
+        assert graph.q_betweenness_sampled(spark, d).collect() == []
