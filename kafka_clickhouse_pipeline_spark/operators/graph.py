@@ -1457,20 +1457,27 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     each wedge before expansion, so the pair aggregate is a single
     SUM -- no extra join.
 
-    Exactness: each weight is one correctly-rounded double divide of
-    ln(d), rounded to 9 dp and cast DECIMAL(28,9) BEFORE the sum --
-    the repo's order-independent-decimal-sum convention -- so the
-    aggregate is exact integer arithmetic in both engines regardless
-    of reduce order (the ln itself agrees at 9 dp; the PSI family
-    pins the same contract)."""
+    Exactness: each weight is quantized to BIGINT NANO-UNITS with
+    floor(1/ln(d) * 1e9 + 0.5) -- every step a single
+    correctly-rounded IEEE op, bit-identical across engines (the
+    betweenness discipline; engine round() ALGORITHMS diverge at the
+    9th decimal) -- so the pair aggregate is an exact long sum,
+    order-independent, and the shuffled weight is 8 bytes instead of
+    a 16-byte decimal across the ~wedge-count-sized exchange. The
+    output renders the nano sum as a fixed-scale string via integer
+    div/mod + lpad."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = co_purchase_edges(li).transform(cut_lineage)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     adj = edges.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
     adjw = adj.select(
         "nbrs",
-        F.round(F.lit(1.0) / F.log(F.size("nbrs").cast("double")), 9)
-        .cast("decimal(28,9)")
+        F.floor(
+            F.lit(1.0) / F.log(F.size("nbrs").cast("double"))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
         .alias("w"),
     ).filter(F.size("nbrs") >= 2)
     sizes = adjw.agg(
@@ -1495,7 +1502,7 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(parts, "u", "v")
         .groupBy("u", "v")
         .agg(
-            F.sum("w").alias("aa"),
+            F.sum("w").cast("long").alias("aa"),
             F.count(F.lit(1)).alias("n_common"),
         )
     )
@@ -1508,13 +1515,18 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored_pairs.join(linked, ["u", "v"], "left_anti")
         .orderBy(F.col("aa").desc(), "u", "v")
         .limit(NODE_JACCARD_TOPK)
-        # decimal is exact for the ordering; the output boundary
-        # renders it as a fixed-scale string (canon money convention)
+        # long nano-units are exact for the ordering; the output
+        # boundary renders them as a fixed-scale string by integer
+        # arithmetic only (no engine decimal/round in the path)
         .select(
             F.col("u").cast("long").alias("u"),
             F.col("v").cast("long").alias("v"),
             F.col("n_common").cast("long").alias("n_common"),
-            F.col("aa").cast("decimal(38,9)").cast("string").alias("aa_score"),
+            F.concat(
+                (F.col("aa") / 1000000000).cast("long").cast("string"),
+                F.lit("."),
+                F.lpad((F.col("aa") % 1000000000).cast("string"), 9, "0"),
+            ).alias("aa_score"),
         )
     )
 
@@ -1529,15 +1541,17 @@ GRAPH_ORACLES["q_adamic_adar"] = f"""
     common AS (
       SELECT e1.src AS u, e2.src AS v,
              count(*) AS n_common,
-             sum(CAST(round(CAST(1 AS DOUBLE) / ln(CAST(dc.d AS DOUBLE)), 9)
-                      AS DECIMAL(28,9))) AS aa
+             CAST(sum(CAST(floor(
+               CAST(1 AS DOUBLE) / ln(CAST(dc.d AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS aa
       FROM e e1 JOIN e e2
         ON e1.dst = e2.dst AND e1.src < e2.src
       JOIN deg dc ON dc.src = e1.dst
       GROUP BY 1, 2)
     SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
            CAST(c.n_common AS BIGINT) AS n_common,
-           CAST(CAST(c.aa AS DECIMAL(38,9)) AS VARCHAR) AS aa_score
+           CAST(c.aa // 1000000000 AS VARCHAR) || '.' ||
+             lpad(CAST(c.aa % 1000000000 AS VARCHAR), 9, '0') AS aa_score
     FROM common c
     WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.u AND e.dst = c.v)
     ORDER BY c.aa DESC, u, v

@@ -119,8 +119,12 @@ class TestAdamicAdar:
             (r["u"], r["v"]): (r["n_common"], r["aa_score"])
             for r in graph.q_adamic_adar(spark, d).collect()
         }
-        rare = f"{round(1 / math.log(2), 9):.9f}"
-        hub = f"{round(1 / math.log(4), 9):.9f}"
+        def nano_str(x):
+            n = math.floor(x * 1e9 + 0.5)
+            return f"{n // 10**9}.{n % 10**9:09d}"
+
+        rare = nano_str(1 / math.log(2))
+        hub = nano_str(1 / math.log(4))
         assert out[(1, 2)] == (1, rare)
         for pair in ((3, 4), (3, 5), (3, 6), (4, 5), (4, 6), (5, 6)):
             assert out[pair] == (1, hub)
@@ -137,8 +141,9 @@ class TestAdamicAdar:
             (r["u"], r["v"]): (r["n_common"], r["aa_score"])
             for r in graph.q_adamic_adar(spark, d).collect()
         }
-        w = round(1 / math.log(2), 9)  # every node has degree 2
-        two = f"{w + w:.9f}"
+        w = math.floor(1 / math.log(2) * 1e9 + 0.5)  # every node has degree 2
+        n = w + w
+        two = f"{n // 10**9}.{n % 10**9:09d}"
         assert out == {(1, 3): (2, two), (2, 4): (2, two)}
 
     def test_empty_graph(self, spark, tmp_path):
