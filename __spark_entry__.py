@@ -48,57 +48,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry ordering contract: the driver's correctness run covers the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r01 stopped at exactly
-#: 50 in dict order). Rotation policy (VERDICT r4 #2): driver
-#: attestation is the hard signal and 68 registered queries had never
-#: been inside a window after round 4, so round 5 pins only the five
-#: reference-parity entries and gives all 45 remaining slots to
-#: never-attested queries -- every query the r4 verdict named plus
-#: eight more from the same cohorts. The 23 never-attested queries
-#: that do not fit (sampling/governance/outlier utilities, profile,
-#: media pair query, the engine-specific sketches) are scheduled for
-#: the round-6 window, which empties the never-attested set; every
-#: rotated-out query remains covered by tools/strict_check.py, which
-#: diffs against the latest CORRECTNESS file.
-#: Within the window, cheap scan-map/stat families run first and the
-#: iterative/heavy operators (ANN index builds, modularity, landmark
-#: closeness) close it out -- hedges a hypothetical time-budgeted
-#: driver window (count-capped is what r1 evidence shows, but ordering
-#: costs nothing) so a cut-off still leaves every cheap family
-#: verified.
+#: 50 in dict order). Round-6 rotation (VERDICT r5 #1): this window
+#: EMPTIES the never-attested set -- all 27 oracle-backed queries with
+#: no CORRECTNESS_r01..r05 row enter, plus the round-6 addition
+#: q_adamic_adar_capped (28 first-timers). The remaining 17 slots
+#: re-attest the heaviest previously-attested queries (the full graph
+#: family plus the top non-graph entries from BENCH_DETAIL_r05), since
+#: those are where a regression would cost the most. The two rows-only
+#: sketches (q_approx_distinct_users, q_value_percentiles_approx) stay
+#: out by design: the window contract requires oracle backing, and
+#: their HLL++/t-digest outputs are engine-specific (see their
+#: docstrings). Every rotated-out query remains covered by
+#: tools/strict_check.py, which diffs against the latest CORRECTNESS
+#: file. Within the window, cheap scan-map/stat first-timers run
+#: first, heavy first-timers next, re-attests last -- hedges a
+#: hypothetical time-budgeted driver window so a cut-off still leaves
+#: every first-timer verified.
 PRIORITY: tuple[str, ...] = (
     # reference parity core (SURVEY.md section 2.7 + MV transform) --
     # permanently pinned
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # --- round-5 rotation: all 45 below are first-time entries ---
-    # event/time-series stats over events+orders (scan-map, cheap)
-    "q_interevent_times", "q_session_peak_overlap", "q_day_over_day",
-    "q_division_every_year", "q_histogram_value",
-    "q_ab_test_conversion", "q_freshness_audit",
-    "q_seasonality_profile", "q_rfm_segments",
-    "q_pareto_revenue_share", "q_entropy_by_source",
-    "q_welch_ttest_value", "q_mann_whitney_value", "q_zipf_fit",
-    "q_cusum_changepoint", "q_ewma_backtest", "q_holt_backtest",
-    "q_anomaly_seasonal_residual", "q_bootstrap_ci_mean",
-    "q_distinct_kmv", "q_cms_term_counts", "q_k_anonymity_audit",
-    # text corpus statistics
-    "q_corpus_stats", "q_heavy_hitters", "q_pmi_collocations",
-    # ClickHouse-dialect acceptance (translate() end-to-end)
-    "q_dialect_daily_events", "q_dialect_top_words",
-    # lexical + hybrid search
-    "q_bm25_search", "q_rrf_hybrid_search",
-    # dedup variants never windowed before
-    "q_dedup_ngram_jaccard", "q_dedup_containment",
-    "q_dedup_substring_windows", "q_dedup_incremental",
-    "q_dedup_embedding_cosine", "q_dedup_recall_audit",
-    # sampling representative
-    "q_weighted_sample",
-    # ANN / embedding evaluation (index builds -- heavier)
-    "q_ann_lsh_topk", "q_ann_ivf_kmeans_topk", "q_ann_pq_topk",
-    "q_matryoshka_recall", "q_silhouette_kmeans",
-    # graph (iterative/heavy -- last)
+    # --- 28 first-timers: outlier/stat utilities (scan-map, cheap) ---
+    "q_zscore_outliers", "q_mad_outliers", "q_ewma_hourly",
+    "q_corr_purchase_click", "q_heavy_hitter_users",
+    "q_profile_lineitem",
+    # sampling / split governance
+    "q_sample_systematic", "q_temperature_sample", "q_split_assign",
+    "q_split_leakage_audit", "q_stratified_rebalance",
+    "q_source_mixture_weights", "q_token_budget_selection",
+    # governance / layout audits
+    "q_pii_redact_stats", "q_compaction_plan", "q_bloom_join_audit",
+    # funnel + text scoring
+    "q_funnel_window", "q_funnel_dropoff_time", "q_perplexity_bigram",
+    # multimodal / embedding first-timers
+    "q_dedup_media_exact", "q_media_phash_neardup",
+    "q_embedding_centroid_drift", "q_embedding_debias_abtt",
+    "q_knn_classifier",
+    # heavy graph first-timers (wedge family, capped + exact)
+    "q_node_jaccard_capped", "q_adamic_adar_capped", "q_adamic_adar",
+    "q_betweenness_sampled",
+    # --- 17 re-attests: heaviest previously-attested (graph family
+    # + BENCH_DETAIL_r05 top non-graph), regression canaries ---
+    "q_bootstrap_ci_mean", "q_dedup_recall_audit", "q_cluster_topics",
+    "q_knn_graph", "q_triplet_mining", "q_hard_negatives",
     "q_degree_distribution", "q_degree_assortativity",
-    "q_modularity_lpa", "q_closeness_sampled",
+    "q_dedup_clusters", "q_pagerank_copurchase",
+    "q_triangle_count_copurchase", "q_label_propagation",
+    "q_kcore_mutual_knn", "q_bfs_hops", "q_modularity_lpa",
+    "q_closeness_sampled", "q_node_jaccard",
 )
 
 

@@ -43,11 +43,15 @@ def test_all_queries_are_callables_with_two_args():
 
 
 def test_window_is_50_oracle_backed_with_new_operators():
-    """Driver window contract after the r5 rotation (VERDICT r4 #2):
+    """Driver window contract after the r6 rotation (VERDICT r5 #1):
     exactly the first 50 queries() entries form the attested window,
     the five reference-parity queries stay pinned at the front, every
-    window entry is oracle-backed, and every NON-pinned entry is a
-    first-timer -- absent from every committed CORRECTNESS_r*.json."""
+    window entry is oracle-backed, and -- the round-6 obligation --
+    the window EMPTIES the never-attested set: every oracle-backed
+    registered query with no row in any committed CORRECTNESS_r01..r05
+    file (including queries newly added this round) must be inside
+    the window. Remaining slots may re-attest previously-green
+    queries (the heavy graph family)."""
     import glob
     import json
     import os
@@ -67,12 +71,16 @@ def test_window_is_50_oracle_backed_with_new_operators():
     assert window[:5] == pinned
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     attested: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-4].json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-5].json")):
         with open(path) as f:
             attested |= set(json.load(f))
     if attested:  # empty in a fresh clone without driver artifacts
-        stale = [n for n in window[5:] if n in attested]
-        assert not stale, f"window slots wasted on already-attested: {stale}"
+        never = [n for n in q if n in o and n not in attested]
+        left_out = [n for n in never if n not in window]
+        assert not left_out, (
+            f"oracle-backed never-attested queries missing from the "
+            f"round-6 window: {left_out}"
+        )
 
 
 def test_strict_sweep_agrees_with_latest_driver_correctness():
