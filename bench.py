@@ -1,4 +1,6 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs EVERY registered query (VERDICT r5 #4 --
+the full 202-entry registry, HEADLINE order first for cross-round
+diffability, then the remainder sorted) at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE SHORT JSON line as the LAST stdout line:
 
@@ -45,7 +47,12 @@ PARITY = [
 
 #: FROZEN round-2 bench composition (VERDICT r4 #7). Never edit: its
 #: subtotal is the cross-round machine-state canary. New queries go in
-#: HEADLINE only.
+#: HEADLINE only. Composition note (ADVICE r5): round 5 changed
+#: q_ann_pq_topk's DEFAULT codebooks from trained k-means to stride
+#: anchors, which silently changed what the canary timed; the shared
+#: subtotal now times the PINNED r2 computation (codebooks="trained",
+#: recorded under "q_ann_pq_topk[trained_r2]" in the detail map, see
+#: SHARED_PINNED) while the registry-wide loop times today's default.
 BENCH_SHARED = [
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed", "q1_pricing_summary", "q3_shipping_priority",
@@ -206,6 +213,21 @@ HEADLINE = [
 ]
 
 
+def _pq_trained(spark, sf_dir):
+    from kafka_clickhouse_pipeline_spark.operators.pq import q_ann_pq_topk
+
+    return q_ann_pq_topk(spark, sf_dir, codebooks="trained")
+
+
+#: Canary-pinned variants (ADVICE r5): entries whose registered
+#: DEFAULT computation changed after round 2 keep a pinned twin timed
+#: under the bracketed key; shared_33_total sums the pinned key so the
+#: frozen canary keeps timing the r2 computation.
+SHARED_PINNED: dict[str, tuple[str, object]] = {
+    "q_ann_pq_topk": ("q_ann_pq_topk[trained_r2]", _pq_trained),
+}
+
+
 def main() -> None:
     import __spark_entry__ as entry
 
@@ -226,22 +248,36 @@ def main() -> None:
     # from one-off JIT/IO noise so round-over-round trends are real
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            errors[name] = "not registered"
-            continue
+
+    def _time(key: str, fn) -> None:
         try:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+            timings[key] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 - one bad query must not zero the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            errors[key] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # full registry (VERDICT r5 #4): HEADLINE order first so the
+    # cross-round per-query diff lines up, then the rest sorted
+    order = [n for n in HEADLINE if n in qs] + sorted(
+        n for n in qs if n not in HEADLINE
+    )
+    for name in HEADLINE:
+        if name not in qs:
+            errors[name] = "not registered"
+    for name in order:
+        _time(name, qs[name])
+    # canary-pinned variants (see SHARED_PINNED)
+    for key, fn in SHARED_PINNED.values():
+        _time(key, fn)
 
     total = round(sum(timings.values()), 3)
+    headline_total = round(
+        sum(timings[n] for n in HEADLINE if n in timings), 3
+    )
     try:
         # best of three: the first pass pays stream-init + codegen that
         # a long-running ingest job amortizes away (measured 36k -> 101k
@@ -254,9 +290,12 @@ def main() -> None:
         errors["_ingest"] = f"{type(exc).__name__}: {exc}"[:300]
         ingest_eps = 0.0
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    shared_missing = [n for n in BENCH_SHARED if n not in timings]
+    def _shared_key(n: str) -> str:
+        return SHARED_PINNED[n][0] if n in SHARED_PINNED else n
+
+    shared_missing = [n for n in BENCH_SHARED if _shared_key(n) not in timings]
     shared_total = (
-        round(sum(timings[n] for n in BENCH_SHARED), 3)
+        round(sum(timings[_shared_key(n)] for n in BENCH_SHARED), 3)
         if not shared_missing
         else None
     )
@@ -264,13 +303,14 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(
             {
-                "metric": f"headline_queries_total_runtime_local[{CPUS}]",
+                "metric": f"registered_queries_total_runtime_local[{CPUS}]",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_events_per_sec": ingest_eps,
                 "shared_33_total": shared_total,
+                "headline_total": headline_total,
                 **({"errors": errors} if errors else {}),
             },
             fh,
@@ -280,12 +320,13 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"headline_queries_total_runtime_local[{CPUS}]",
+                "metric": f"registered_queries_total_runtime_local[{CPUS}]",
                 "value": total,
                 "unit": "sec",
                 "queries": {n: timings[n] for n in PARITY if n in timings},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "shared_33_total": shared_total,
+                "headline_total": headline_total,
                 "ingest_events_per_sec": ingest_eps,
                 "n_queries": len(timings),
                 "n_errors": len(errors),

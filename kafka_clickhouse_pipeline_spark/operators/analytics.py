@@ -1272,10 +1272,14 @@ def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("l3"),
     )
+    # coalesce: on input with zero funnel-step events the ungrouped agg
+    # yields NULL sums while the oracle's per-step COUNT emits 0 (the
+    # streaming twin, streaming/funnel.py current_funnel, already does
+    # this) -- ADVICE r5
     counts = per_user.agg(
-        F.sum("l1").cast("long").alias("n1"),
-        F.sum("l2").cast("long").alias("n2"),
-        F.sum("l3").cast("long").alias("n3"),
+        F.coalesce(F.sum("l1"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum("l2"), F.lit(0)).cast("long").alias("n2"),
+        F.coalesce(F.sum("l3"), F.lit(0)).cast("long").alias("n3"),
     )
     steps = spark.createDataFrame(
         [(i + 1, s) for i, s in enumerate(FUNNEL_STEPS)], "step bigint, event_type string"

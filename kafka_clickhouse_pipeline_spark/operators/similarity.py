@@ -2314,7 +2314,6 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     factored over a (query_id, neighbor_id, rank) frame rather than
     fused into the scan. Per-query state is k rows; the vote aggregate
     is |queries| x |labels| sized."""
-    vecs = _vectors(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("label").cast("long").alias("label")
     )

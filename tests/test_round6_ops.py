@@ -12,7 +12,7 @@ import math
 import duckdb
 import pytest
 
-from kafka_clickhouse_pipeline_spark.operators import graph
+from kafka_clickhouse_pipeline_spark.operators import analytics, graph
 
 
 def _write_graph(spark, d, li_rows):
@@ -76,6 +76,23 @@ class TestAdamicAdarCapped:
         w3 = _nano_str(1 / math.log(3))
         assert {r["aa_score"] for r in out} == {w3}
         assert graph.q_adamic_adar(spark, d, max_degree=2).collect() == []
+
+
+class TestFunnelWindowEmptyInput:
+    def test_zero_funnel_events_yields_zero_counts(self, spark, tmp_path):
+        """ADVICE r5: with zero funnel-step events the ungrouped sums
+        are NULL without the coalesce while the oracle emits 0 per
+        step -- all three steps must report n_users == 0, not NULL."""
+        spark.createDataFrame(
+            [(1, __import__("datetime").datetime(2024, 1, 1), 7,
+              "signup", 1.0, "{}")],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{tmp_path}/events.parquet")
+        rows = analytics.q_funnel_window(spark, str(tmp_path)).collect()
+        assert [(r["step"], r["n_users"]) for r in rows] == [
+            (1, 0), (2, 0), (3, 0),
+        ]
 
 
 class TestLnBoundaryGuard:
