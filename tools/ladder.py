@@ -31,7 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: every integer-keyed table (fixture ids are far below 10^9).
 OFFSET = 1_000_000_000
 
-SALTED_TABLES = ("lineitem", "documents", "embeddings")
+#: Round 6 adds events (offset user_id/event_id: n x volume, n x
+#: distinct users, per-user event counts unchanged) and orders
+#: (o_orderkey offset in lockstep with l_orderkey so the FK holds and
+#: join-shaped queries ladder meaningfully; o_custkey stays, so each
+#: customer carries n x orders -- the realistic growth direction).
+SALTED_TABLES = ("lineitem", "documents", "embeddings", "events", "orders")
 
 
 def build_replicated(spark, sf_dir: str, n: int, out_dir: str) -> None:
@@ -67,6 +72,12 @@ def build_replicated(spark, sf_dir: str, n: int, out_dir: str) -> None:
                     rep = rep.withColumn(
                         "text", F.concat(F.lit(f"replica{r} "), F.col("text"))
                     )
+            elif name == "events":
+                rep = base.withColumn(
+                    "event_id", F.col("event_id") + off
+                ).withColumn("user_id", F.col("user_id") + off)
+            elif name == "orders":
+                rep = base.withColumn("o_orderkey", F.col("o_orderkey") + off)
             else:  # embeddings: roll the vector r positions
                 rep = base.withColumn("vec_id", F.col("vec_id") + off)
                 if r:
