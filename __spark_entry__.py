@@ -25,6 +25,7 @@ from kafka_clickhouse_pipeline_spark.operators import (
     dialect_queries,
     evaluation,
     graph,
+    hamming,
     linkage,
     multimodal,
     pipeline_queries,
@@ -50,8 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r01 stopped at exactly
 #: 50 in dict order). Round-6 rotation (VERDICT r5 #1): this window
 #: EMPTIES the never-attested set -- all 27 oracle-backed queries with
-#: no CORRECTNESS_r01..r05 row enter, plus the round-6 addition
-#: q_adamic_adar_capped (28 first-timers). The remaining 17 slots
+#: no CORRECTNESS_r01..r05 row enter, plus the round-6 additions
+#: q_adamic_adar_capped, q_ann_hamming_topk and q_hamming_recall
+#: (30 first-timers). The remaining 15 slots
 #: re-attest the heaviest previously-attested queries (the full graph
 #: family plus the top non-graph entries from BENCH_DETAIL_r05), since
 #: those are where a regression would cost the most. The two rows-only
@@ -85,14 +87,15 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_media_exact", "q_media_phash_neardup",
     "q_embedding_centroid_drift", "q_embedding_debias_abtt",
     "q_knn_classifier",
+    # binary-embedding search (round-6 additions)
+    "q_ann_hamming_topk", "q_hamming_recall",
     # heavy graph first-timers (wedge family, capped + exact)
     "q_node_jaccard_capped", "q_adamic_adar_capped", "q_adamic_adar",
     "q_betweenness_sampled",
-    # --- 17 re-attests: heaviest previously-attested (graph family
+    # --- 15 re-attests: heaviest previously-attested (graph family
     # + BENCH_DETAIL_r05 top non-graph), regression canaries ---
     "q_bootstrap_ci_mean", "q_dedup_recall_audit", "q_cluster_topics",
     "q_knn_graph", "q_triplet_mining", "q_hard_negatives",
-    "q_degree_distribution", "q_degree_assortativity",
     "q_dedup_clusters", "q_pagerank_copurchase",
     "q_triangle_count_copurchase", "q_label_propagation",
     "q_kcore_mutual_knn", "q_bfs_hops", "q_modularity_lpa",
@@ -122,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(advanced.ADVANCED_QUERIES)
     q.update(semistructured.SEMISTRUCTURED_QUERIES)
     q.update(graph.GRAPH_QUERIES)
+    q.update(hamming.HAMMING_QUERIES)
     q.update(reshape.RESHAPE_QUERIES)
     q.update(curation.CURATION_QUERIES)
     q.update(linkage.LINKAGE_QUERIES)
@@ -154,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(advanced.ADVANCED_ORACLES)
     o.update(semistructured.SEMISTRUCTURED_ORACLES)
     o.update(graph.GRAPH_ORACLES)
+    o.update(hamming.HAMMING_ORACLES)
     o.update(reshape.RESHAPE_ORACLES)
     o.update(curation.CURATION_ORACLES)
     o.update(linkage.LINKAGE_ORACLES)

@@ -210,6 +210,10 @@ HEADLINE = [
     "q_adamic_adar",
     "q_knn_classifier",
     "q_betweenness_sampled",
+    # round-6 additions
+    "q_adamic_adar_capped",
+    "q_ann_hamming_topk",
+    "q_hamming_recall",
 ]
 
 

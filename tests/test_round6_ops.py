@@ -12,7 +12,7 @@ import math
 import duckdb
 import pytest
 
-from kafka_clickhouse_pipeline_spark.operators import analytics, graph
+from kafka_clickhouse_pipeline_spark.operators import analytics, graph, hamming
 
 
 def _write_graph(spark, d, li_rows):
@@ -93,6 +93,70 @@ class TestFunnelWindowEmptyInput:
         assert [(r["step"], r["n_users"]) for r in rows] == [
             (1, 0), (2, 0), (3, 0),
         ]
+
+
+class TestHamming:
+    @staticmethod
+    def _corpus(spark, d, rows):
+        """rows: list of (vec_id, 64-float list, label)."""
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        return str(d)
+
+    def test_sign_packing_and_zero_convention(self, spark, tmp_path):
+        """Bit i is set iff embedding[i] > 0 STRICTLY: zeros and
+        negatives pack to 0-bits. A vector with only dims 1 and 33
+        positive packs to lo=1, hi=1."""
+        v = [0.0] * 64
+        v[0] = 0.5
+        v[32] = 2.0
+        v[1] = -3.0  # negative stays a 0-bit
+        d = self._corpus(spark, tmp_path, [(1, v, 0)])
+        row = hamming._sign_codes(spark, d).collect()[0]
+        assert (row["lo"], row["hi"]) == (1, 1)
+
+    def test_distance_counts_differing_sign_bits(self, spark, tmp_path):
+        """Distance between all-positive and all-negative is 64;
+        between identical vectors it is 0; flipping exactly one dim's
+        sign gives 1 -- and the all-zeros vector equals the
+        all-negatives vector (both pack to 0)."""
+        pos = [1.0] * 64
+        neg = [-1.0] * 64
+        zero = [0.0] * 64
+        one_flip = [1.0] * 64
+        one_flip[17] = -1.0
+        d = self._corpus(
+            spark, tmp_path,
+            [(0, pos, 0), (1, neg, 0), (2, zero, 0), (3, one_flip, 0)],
+        )
+        out = {
+            (r["query_id"], r["neighbor_id"]): r["hamming"]
+            for r in hamming.q_ann_hamming_topk(spark, d).collect()
+        }
+        assert out[(0, 1)] == 64 and out[(0, 2)] == 64
+        assert out[(0, 3)] == 1
+        assert out[(1, 2)] == 0  # zeros and negatives share the code
+        # symmetry
+        assert out[(1, 0)] == out[(0, 1)]
+
+    def test_recall_is_one_when_hamming_preserves_ranking(self, spark, tmp_path):
+        """Orthogonal-ish sign patterns: when cosine and Hamming agree
+        on the neighbor sets, recall is exactly 1.0 for every query."""
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for vid in range(12):
+            rows.append(
+                (vid, [rng.choice((-1.0, 1.0)) for _ in range(64)], 0)
+            )
+        d = self._corpus(spark, tmp_path, rows)
+        # sign vectors: cosine = (64 - 2*hamming)/64, a strictly
+        # decreasing function of hamming -> identical rankings up to
+        # ties; ties break by neighbor_id in both, so recall == 1
+        for r in hamming.q_hamming_recall(spark, d).collect():
+            assert r["recall"] == 1.0, r
 
 
 class TestLnBoundaryGuard:
