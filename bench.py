@@ -214,6 +214,7 @@ HEADLINE = [
     "q_adamic_adar_capped",
     "q_ann_hamming_topk",
     "q_hamming_recall",
+    "q_dedup_prefix_filter",
 ]
 
 

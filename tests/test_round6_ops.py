@@ -12,7 +12,12 @@ import math
 import duckdb
 import pytest
 
-from kafka_clickhouse_pipeline_spark.operators import analytics, graph, hamming
+from kafka_clickhouse_pipeline_spark.operators import (
+    analytics,
+    dedup,
+    graph,
+    hamming,
+)
 
 
 def _write_graph(spark, d, li_rows):
@@ -157,6 +162,55 @@ class TestHamming:
         # ties; ties break by neighbor_id in both, so recall == 1
         for r in hamming.q_hamming_recall(spark, d).collect():
             assert r["recall"] == 1.0, r
+
+
+class TestPrefixFilter:
+    @staticmethod
+    def _docs(spark, d, texts):
+        spark.createDataFrame(
+            [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        return str(d)
+
+    def test_agrees_with_inverted_index_algorithm(self, spark, tmp_path):
+        """The two exact algorithms must emit identical rows on a
+        corpus with near-dups above and below the 0.8 threshold."""
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+        texts = [
+            base,
+            base + " mike",          # high-jaccard near-dup of base
+            base.replace("alpha", "zulu"),  # moderate overlap
+            "one two three four five six seven eight nine ten",  # disjoint
+            "one two three four five six seven eight nine ten",  # exact dup
+        ]
+        d = self._docs(spark, tmp_path, texts)
+        a = [tuple(r) for r in dedup.q_dedup_ngram_jaccard(spark, d).collect()]
+        b = [tuple(r) for r in dedup.q_dedup_prefix_filter(spark, d).collect()]
+        assert a == b
+        assert len(a) >= 2  # the near-dup and the exact dup both found
+
+    def test_finds_pair_sharing_only_common_tokens(self, spark, tmp_path):
+        """Adversarial for prefix pruning: every shingle of the
+        near-dup pair also appears in several other documents (high
+        document frequency, so the pair's prefix tokens are its
+        'least rare' ones). The theorem says a J>=0.8 pair must still
+        share a PREFIX token -- verify no false negative."""
+        core = "red green blue cyan magenta yellow black white gray pink"
+        noise = [f"{core} filler{i}" for i in range(4)]  # raise every df
+        texts = noise + [core, core + " extra"]
+        d = self._docs(spark, tmp_path, texts)
+        a = [tuple(r) for r in dedup.q_dedup_ngram_jaccard(spark, d).collect()]
+        b = [tuple(r) for r in dedup.q_dedup_prefix_filter(spark, d).collect()]
+        assert a == b and len(b) >= 1
+
+    def test_empty_and_short_docs(self, spark, tmp_path):
+        """Docs shorter than the 3-token shingle window produce no
+        shingles and no pairs; the operator returns an empty frame
+        rather than erroring."""
+        d = self._docs(spark, tmp_path, ["one two", "a", ""])
+        assert dedup.q_dedup_prefix_filter(spark, d).collect() == []
 
 
 class TestLnBoundaryGuard:
