@@ -52,8 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 50 in dict order). Round-6 rotation (VERDICT r5 #1): this window
 #: EMPTIES the never-attested set -- all 27 oracle-backed queries with
 #: no CORRECTNESS_r01..r05 row enter, plus the round-6 additions
-#: q_adamic_adar_capped, q_ann_hamming_topk, q_hamming_recall and
-#: q_dedup_prefix_filter (31 first-timers). The remaining 14 slots
+#: q_adamic_adar_capped, q_ann_hamming_topk, q_hamming_recall,
+#: q_dedup_prefix_filter and q_ngram_novelty (32 first-timers). The
+#: remaining 13 slots
 #: re-attest the heaviest previously-attested queries (the full graph
 #: family plus the top non-graph entries from BENCH_DETAIL_r05), since
 #: those are where a regression would cost the most. The two rows-only
@@ -87,15 +88,17 @@ PRIORITY: tuple[str, ...] = (
     "q_dedup_media_exact", "q_media_phash_neardup",
     "q_embedding_centroid_drift", "q_embedding_debias_abtt",
     "q_knn_classifier",
-    # binary-embedding search + prefix-filter join (round-6 additions)
+    # binary-embedding search, prefix-filter join, novelty audit
+    # (round-6 additions)
     "q_ann_hamming_topk", "q_hamming_recall", "q_dedup_prefix_filter",
+    "q_ngram_novelty",
     # heavy graph first-timers (wedge family, capped + exact)
     "q_node_jaccard_capped", "q_adamic_adar_capped", "q_adamic_adar",
     "q_betweenness_sampled",
     # --- 15 re-attests: heaviest previously-attested (graph family
     # + BENCH_DETAIL_r05 top non-graph), regression canaries ---
     "q_bootstrap_ci_mean", "q_dedup_recall_audit", "q_cluster_topics",
-    "q_knn_graph", "q_triplet_mining",
+    "q_knn_graph",
     "q_dedup_clusters", "q_pagerank_copurchase",
     "q_triangle_count_copurchase", "q_label_propagation",
     "q_kcore_mutual_knn", "q_bfs_hops", "q_modularity_lpa",

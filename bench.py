@@ -215,6 +215,7 @@ HEADLINE = [
     "q_ann_hamming_topk",
     "q_hamming_recall",
     "q_dedup_prefix_filter",
+    "q_ngram_novelty",
 ]
 
 

@@ -1804,3 +1804,63 @@ CURATION_ORACLES["q_boilerplate_ngrams"] = f"""
 """
 
 CURATION_QUERIES["q_boilerplate_ngrams"] = q_boilerplate_ngrams
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty (memorization audit): the fraction
+    of a document's distinct 8-token shingles that appear in NO other
+    document -- the standard pre-training question "how much of this
+    document is text the corpus already contains?" (low novelty =
+    heavy cross-document repetition = memorization/duplication risk;
+    the doc-level complement of q_boilerplate_ngrams' corpus-frequent
+    n-grams and of the pairwise dedup family). Docs shorter than 8
+    tokens have no shingles and are omitted, matching the oracle's
+    inner grouping.
+
+    Plan: one shuffle on the shingle for document frequency, a
+    co-partitioned join back (same key, no second exchange under AQE),
+    one doc_id aggregate. Novelty is an exact integer ratio; at 100 TB
+    the shingle df frame is the only wide state and it is
+    key-partitioned -- no collect, no skew beyond natural token skew
+    (the df aggregate is a partial-agg map-side combine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, n=8)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_shared").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CURATION_QUERIES["q_ngram_novelty"] = q_ngram_novelty
+CURATION_ORACLES["q_ngram_novelty"] = f"""
+    WITH sh AS ({_shingle8_sql("TRUE")}),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(1.0 - sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS novelty
+    FROM sh s JOIN dfreq USING (shingle)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+"""

@@ -213,6 +213,33 @@ class TestPrefixFilter:
         assert dedup.q_dedup_prefix_filter(spark, d).collect() == []
 
 
+class TestNgramNovelty:
+    def test_novelty_fractions(self, spark, tmp_path):
+        """Three docs: an exact duplicate pair (novelty 0 for both)
+        and a disjoint doc (novelty 1); a 7-token doc is omitted
+        (no 8-gram shingles)."""
+        from kafka_clickhouse_pipeline_spark.operators import curation
+
+        dup = "a b c d e f g h i j"
+        spark.createDataFrame(
+            [
+                (1, dup, "en", "s", len(dup)),
+                (2, dup, "en", "s", len(dup)),
+                (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9", "en", "s", 20),
+                (4, "one two three four five six seven", "en", "s", 30),
+            ],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        out = {
+            r["doc_id"]: (r["n_shingles"], r["n_shared"], r["novelty"])
+            for r in curation.q_ngram_novelty(spark, str(tmp_path)).collect()
+        }
+        assert out[1] == (3, 3, 0.0) and out[2] == (3, 3, 0.0)
+        assert out[3] == (2, 0, 1.0)
+        assert 4 not in out  # 7 tokens -> no 8-gram
+
+
 class TestLnBoundaryGuard:
     """ADVICE r5 (graph.py): the AA nano-weight floor(1/ln(d)*1e9+0.5)
     is bit-identical across engines only while no observed degree d
