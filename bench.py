@@ -216,6 +216,7 @@ HEADLINE = [
     "q_hamming_recall",
     "q_dedup_prefix_filter",
     "q_ngram_novelty",
+    "q_dedup_clusters_twostar",
 ]
 
 

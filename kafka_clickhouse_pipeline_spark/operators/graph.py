@@ -81,6 +81,115 @@ def connected_components(
     )
 
 
+def connected_components_twostar(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round rewires every node toward the minimum of its
+    neighborhood, and the edge set provably converges in O(log^2 n)
+    rounds to one star per component centered at the component's
+    minimum node id -- the same (node, min-id) answer as
+    ``connected_components``'s min-label propagation, which needs
+    O(diameter) rounds. On near-dup clusters (tiny diameter) the two
+    are equivalent spends; on path-shaped graphs (chained near-dups,
+    social chains) label propagation's round count grows with the
+    chain length while two-star stays logarithmic -- that is the
+    100 TB reason this second algorithm exists. Same return contract:
+    (node, cluster_id = min node id of the component).
+
+    Per round: two groupBy-min aggregates and two projections, all on
+    the (shrinking) edge set; each round is checkpointed so lineage
+    stays one round deep. Fixpoint detection is an exact signature
+    (edge count + decimal sum of canonical edge hashes): the star
+    potential decreases monotonically, so an unchanged signature is a
+    true fixpoint, not a hash collision risk worth pricing -- the
+    signature also matches only on identical canonical edge SETS
+    because rows are distinct-deduped before hashing."""
+    canon = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .transform(cut_lineage)
+    )
+    edge_nodes = (
+        canon.select(F.col("u").alias("node"))
+        .union(canon.select(F.col("v").alias("node")))
+        .distinct()
+        .transform(cut_lineage)
+    )
+
+    def signature(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    prev = signature(canon)
+    for _ in range(max_iter):
+        if prev[0] == 0:
+            break
+        # LARGE-STAR: for each center, connect its strictly-larger
+        # neighbors to the neighborhood minimum (including the center)
+        sym = canon.select("u", "v").union(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        )
+        e1 = (
+            large.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR: canonical (u > v) adjacency; connect each
+        # center's smaller neighbors AND itself to their minimum
+        smins = e1.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e1.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(
+                smins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        )
+        canon = (
+            small.select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .transform(cut_lineage)
+        )
+        cur = signature(canon)
+        if cur == prev:
+            break
+        prev = cur
+    # at fixpoint every canonical edge is (member, component-min)
+    labels = canon.select(
+        F.col("u").alias("node"), F.col("v").alias("label")
+    )
+    centers_and_singletons = nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("label"))
+    return labels.unionByName(centers_and_singletons).select(
+        "node", F.col("label").alias("cluster_id")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the 3-gram
     Jaccard pair graph (threshold 0.8). Pairs come from the
@@ -97,6 +206,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("node"))
     comp = connected_components(nodes, pairs)
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .filter(F.col("cluster_size") > 1)
+        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters computed by the large-star/small-star
+    algorithm instead of min-label propagation -- same pairs, same
+    min-id cluster semantics, same oracle (registered verbatim): two
+    independent distributed algorithms, one byte-exact answer, the
+    q_dedup_prefix_filter cross-check pattern applied to connected
+    components. See connected_components_twostar for why the
+    O(log^2 n)-round form is the 100 TB default when component
+    diameters are unbounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components_twostar(nodes, pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
     return (
         comp.join(sizes, "cluster_id")
         .filter(F.col("cluster_size") > 1)
@@ -738,6 +873,7 @@ GRAPH_ORACLES["q_degree_distribution"] = """
 
 GRAPH_QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_clusters_twostar": q_dedup_clusters_twostar,
     "q_pagerank_copurchase": q_pagerank_copurchase,
     "q_triangle_count_copurchase": q_triangle_count_copurchase,
     "q_degree_distribution": q_degree_distribution,
@@ -746,6 +882,9 @@ GRAPH_QUERIES = {
 }
 
 GRAPH_ORACLES["q_kcore_mutual_knn"] = _kcore_mutual_knn_oracle()
+# two-star computes the same min-id components from the same pairs:
+# the oracle is q_dedup_clusters' recursive CTE verbatim
+GRAPH_ORACLES["q_dedup_clusters_twostar"] = GRAPH_ORACLES["q_dedup_clusters"]
 
 
 #: BFS truncation depth. Hop-bounded neighborhoods are the scalable

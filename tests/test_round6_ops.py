@@ -240,6 +240,67 @@ class TestNgramNovelty:
         assert 4 not in out  # 7 tokens -> no 8-gram
 
 
+class TestTwoStarComponents:
+    @staticmethod
+    def _frames(spark, edge_pairs, n_nodes):
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, n_nodes + 1)], "node bigint"
+        )
+        edges = spark.createDataFrame(
+            edge_pairs or [], "src bigint, dst bigint"
+        )
+        return nodes, edges
+
+    def _labels(self, df):
+        return {r["node"]: r["cluster_id"] for r in df.collect()}
+
+    def test_long_path_converges_logarithmically(self, spark):
+        """A 200-node path: component minimum must propagate the whole
+        chain. Label propagation needs ~200 rounds (its max_iter=20
+        would NOT converge here); two-star must finish inside its own
+        max_iter=20 because it contracts doubly-logarithmically."""
+        from kafka_clickhouse_pipeline_spark.operators.graph import (
+            connected_components_twostar,
+        )
+
+        nodes, edges = self._frames(
+            spark, [(i, i + 1) for i in range(1, 200)], 200
+        )
+        out = self._labels(connected_components_twostar(nodes, edges))
+        assert out == {i: 1 for i in range(1, 201)}
+
+    def test_matches_label_propagation_on_mixed_graph(self, spark):
+        """Deterministic pseudo-random graph: both algorithms must
+        emit the identical (node, min-id) map, singletons included."""
+        from kafka_clickhouse_pipeline_spark.operators.graph import (
+            connected_components,
+            connected_components_twostar,
+        )
+
+        import random
+
+        rng = random.Random(42)
+        pairs = [
+            (rng.randint(1, 60), rng.randint(1, 60)) for _ in range(45)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        nodes, edges = self._frames(spark, pairs, 80)  # 61..80 isolated
+        a = self._labels(connected_components(nodes, edges))
+        b = self._labels(connected_components_twostar(nodes, edges))
+        assert a == b
+        assert all(b[i] == i for i in range(61, 81))
+
+    def test_empty_graph_all_singletons(self, spark):
+        from kafka_clickhouse_pipeline_spark.operators.graph import (
+            connected_components_twostar,
+        )
+
+        nodes, edges = self._frames(spark, [], 5)
+        assert self._labels(connected_components_twostar(nodes, edges)) == {
+            i: i for i in range(1, 6)
+        }
+
+
 class TestLnBoundaryGuard:
     """ADVICE r5 (graph.py): the AA nano-weight floor(1/ln(d)*1e9+0.5)
     is bit-identical across engines only while no observed degree d
