@@ -217,6 +217,7 @@ HEADLINE = [
     "q_dedup_prefix_filter",
     "q_ngram_novelty",
     "q_dedup_clusters_twostar",
+    "q_ppr_copurchase",
 ]
 
 

@@ -348,6 +348,131 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Personalized-PageRank seed budget (the closeness landmark rule:
+#: md5-smallest nodes, a COUNT not a fraction) and round count.
+PPR_SEEDS = 8
+PPR_ITERS = 5
+
+
+def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a deterministic seed set over the
+    co-purchase graph -- "products relevant to THESE products", the
+    recommendation/retrieval-expansion primitive (random walk with
+    restart; global PageRank is the uniform-restart special case).
+    Top-20 nodes by ppr score.
+
+    Same exact-integer discipline as q_pagerank_copurchase (10^12
+    fixed point, integer div only, bit-identical to the unrolled SQL
+    oracle), with the PPR-specific scale property: the rank vector is
+    SPARSE -- it starts at |seeds| rows and only ever grows to the
+    seeds' expanding reach, so each round joins a (usually tiny)
+    nonzero-rank frame onto the edge list instead of shuffling a
+    whole-graph vector. On a billion-node graph with an 8-seed
+    restart set, per-round state is the walk frontier's size, not
+    O(V) -- the reason PPR is computed per-query in production
+    recommenders while global PageRank is a batch job. Teleport mass
+    goes only to seeds (full-outer-join merge with the contribution
+    frame, coalesce-0 both sides)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .transform(cut_lineage)
+    )
+    seed_order = [F.md5(F.col("src").cast("string")), F.col("src")]
+    seeds = (
+        edges.select("src")
+        .distinct()
+        .orderBy(*seed_order)
+        .limit(PPR_SEEDS)
+        .select(F.col("src").alias("node"))
+        .transform(cut_lineage)
+    )
+    k = seeds.count()
+    if k == 0:
+        return spark.createDataFrame(
+            [], "partkey bigint, rank_scaled bigint, ppr double"
+        )
+    r0 = PAGERANK_SCALE // k
+    tp = (PAGERANK_SCALE * 15 // 100) // k
+    seed_tp = seeds.select("node", F.lit(tp).cast("long").alias("tpv"))
+    ranks = seeds.select("node", F.lit(r0).cast("long").alias("r"))
+    for _ in range(PPR_ITERS):
+        contribs = (
+            ranks.join(deg, ranks["node"] == deg["src"])
+            .select("src", F.expr("r div d").alias("c"))
+        )
+        spread = (
+            edges.join(contribs, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("(85 * sum(c)) div 100").alias("contrib"))
+        )
+        ranks = (
+            spread.join(seed_tp, "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("tpv"), F.lit(0))
+                    + F.coalesce(F.col("contrib"), F.lit(0))
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .filter(F.col("r") > 0)
+            .transform(cut_lineage)
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("partkey"),
+            F.col("r").alias("rank_scaled"),
+            (F.expr("(r + 5000) div 10000") / F.lit(1e8)).alias("ppr"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "partkey")
+        .limit(20)
+    )
+
+
+def _ppr_iter_sql(i: int) -> str:
+    """One unrolled sparse-PPR round, mirroring q_ppr_copurchase's
+    full-outer teleport merge exactly (integer fixed point)."""
+    return f"""
+        p{i} AS (
+          SELECT coalesce(c.node, s.node) AS node,
+                 coalesce(s.tpv, 0) + coalesce(c.contrib, 0) AS r
+          FROM (
+            SELECT e.dst AS node, (85 * sum(r.r // d.d)) // 100 AS contrib
+            FROM e JOIN p{i - 1} r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) c
+          FULL JOIN stp s ON c.node = s.node
+          WHERE coalesce(s.tpv, 0) + coalesce(c.contrib, 0) > 0)"""
+
+
+_PPR_SQL = f"""
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        seeds AS (
+          SELECT src AS node FROM (SELECT DISTINCT src FROM e)
+          ORDER BY md5(CAST(src AS VARCHAR)), src LIMIT {PPR_SEEDS}),
+        k AS (SELECT count(*) AS k FROM seeds),
+        stp AS (SELECT node,
+                       (({PAGERANK_SCALE} * 15) // 100) // (SELECT k FROM k)
+                         AS tpv
+                FROM seeds),
+        p0 AS (SELECT node, {PAGERANK_SCALE} // (SELECT k FROM k) AS r
+               FROM seeds),
+        {",".join(_ppr_iter_sql(i) for i in range(1, PPR_ITERS + 1))}
+        SELECT node AS partkey, CAST(r AS BIGINT) AS rank_scaled,
+               CAST((r + 5000) // 10000 AS BIGINT) / 100000000.0 AS ppr
+        FROM p{PPR_ITERS}
+        ORDER BY rank_scaled DESC, partkey LIMIT 20
+"""
+
+
 def co_purchase_edges(li: DataFrame) -> DataFrame:
     """Distinct directed co-purchase edges (src, dst): two parts are
     linked when they share an order. One groupBy shuffle + map-side
@@ -819,6 +944,7 @@ _LPA_SQL = f"""
 
 GRAPH_ORACLES: dict[str, str] = {
     "q_pagerank_copurchase": _PAGERANK_SQL,
+    "q_ppr_copurchase": _PPR_SQL,
     "q_label_propagation": _LPA_SQL,
     "q_triangle_count_copurchase": """
         WITH e AS (
@@ -875,6 +1001,7 @@ GRAPH_QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_clusters_twostar": q_dedup_clusters_twostar,
     "q_pagerank_copurchase": q_pagerank_copurchase,
+    "q_ppr_copurchase": q_ppr_copurchase,
     "q_triangle_count_copurchase": q_triangle_count_copurchase,
     "q_degree_distribution": q_degree_distribution,
     "q_label_propagation": q_label_propagation,

@@ -301,6 +301,40 @@ class TestTwoStarComponents:
         }
 
 
+class TestPersonalizedPageRank:
+    def test_mass_localizes_to_seed_components(self, spark, tmp_path):
+        """The PPR property that distinguishes it from global PageRank:
+        rank mass exists ONLY in components reachable from the seed
+        set. Ten disjoint co-purchase pairs; the 8 md5-smallest nodes
+        are seeds; every scored node must live in a pair touching a
+        seed, and every seed must score > 0."""
+        import hashlib
+
+        from kafka_clickhouse_pipeline_spark.operators.graph import (
+            PPR_SEEDS,
+            q_ppr_copurchase,
+        )
+
+        pairs = [(2 * i + 1, 2 * i + 2) for i in range(10)]  # nodes 1..20
+        rows = []
+        for k, (a, b) in enumerate(pairs):
+            rows += [(100 + k, a), (100 + k, b)]
+        spark.createDataFrame(
+            rows, "l_orderkey bigint, l_partkey bigint"
+        ).write.parquet(f"{tmp_path}/lineitem.parquet")
+        seeds = sorted(
+            range(1, 21), key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n)
+        )[:PPR_SEEDS]
+        seeded_nodes = set()
+        for a, b in pairs:
+            if a in seeds or b in seeds:
+                seeded_nodes |= {a, b}
+        out = {r["partkey"]: r["rank_scaled"]
+               for r in q_ppr_copurchase(spark, str(tmp_path)).collect()}
+        assert set(out) <= seeded_nodes
+        assert all(out[s] > 0 for s in seeds)
+
+
 class TestLnBoundaryGuard:
     """ADVICE r5 (graph.py): the AA nano-weight floor(1/ln(d)*1e9+0.5)
     is bit-identical across engines only while no observed degree d
