@@ -218,6 +218,7 @@ HEADLINE = [
     "q_ngram_novelty",
     "q_dedup_clusters_twostar",
     "q_ppr_copurchase",
+    "q_basket_itemsets3",
 ]
 
 

@@ -149,6 +149,63 @@ ASSOCIATION_ORACLES["q_basket_lift"] = """
     ORDER BY brand_a, brand_b
 """
 
+#: Depth-3 itemset output bound: top-K by (count desc, brands) keeps
+#: the result deterministic and metadata-sized at any corpus size.
+ITEMSET3_TOPK = 50
+
+
+def q_basket_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand TRIPLES: the depth-3 level of the A-priori
+    lattice q_basket_lift's pairs sit on -- "customers who buy A and B
+    also buy C" rule mining needs the 3-itemset supports, and naive
+    SQL gets them with a triple self-join that shuffles the items
+    relation three times. Here the basket array (<= 7 items per TPC-H
+    order, a hard fanout bound) expands its <= C(7,3)=35 sorted
+    triples MAP-SIDE -- zero joins, one count shuffle whose width is
+    the triple count -- then top-K by support with full tiebreak.
+    The DuckDB twin is the classic three-way join, so this is another
+    two-plans-one-answer entry."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = brand_baskets(li, part)
+    triples = (
+        baskets.select(F.explode("brands").alias("a"), "brands")
+        .select("a", F.explode("brands").alias("b"), "brands")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.explode("brands").alias("c"))
+        .filter(F.col("b") < F.col("c"))
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_abc"))
+    )
+    return (
+        triples.select(
+            F.col("a").alias("brand_a"),
+            F.col("b").alias("brand_b"),
+            F.col("c").alias("brand_c"),
+            "n_abc",
+        )
+        .orderBy(
+            F.col("n_abc").desc(), "brand_a", "brand_b", "brand_c"
+        )
+        .limit(ITEMSET3_TOPK)
+    )
+
+
+ASSOCIATION_ORACLES["q_basket_itemsets3"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT a.brand AS brand_a, b.brand AS brand_b, c.brand AS brand_c,
+           CAST(count(*) AS BIGINT) AS n_abc
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+    JOIN items c ON b.l_orderkey = c.l_orderkey AND b.brand < c.brand
+    GROUP BY 1, 2, 3
+    ORDER BY n_abc DESC, brand_a, brand_b, brand_c
+    LIMIT {ITEMSET3_TOPK}
+"""
+
 ASSOCIATION_QUERIES = {
     "q_basket_lift": q_basket_lift,
+    "q_basket_itemsets3": q_basket_itemsets3,
 }

@@ -335,6 +335,36 @@ class TestPersonalizedPageRank:
         assert all(out[s] > 0 for s in seeds)
 
 
+class TestBasketItemsets3:
+    def test_planted_triple_counted(self, spark, tmp_path):
+        """Three orders containing brands {A,B,C} (one also has D):
+        triple (A,B,C) has support 3; (A,B,D) support 1; output sorted
+        lexicographically within each triple."""
+        from kafka_clickhouse_pipeline_spark.operators.association import (
+            q_basket_itemsets3,
+        )
+
+        li, part = [], []
+        brands = {1: "A", 2: "B", 3: "C", 4: "D"}
+        for pk, br in brands.items():
+            part.append((pk, br))
+        for ok, pks in ((10, [1, 2, 3]), (11, [1, 2, 3]), (12, [1, 2, 3, 4])):
+            li += [(ok, pk) for pk in pks]
+        spark.createDataFrame(
+            li, "l_orderkey bigint, l_partkey bigint"
+        ).write.parquet(f"{tmp_path}/lineitem.parquet")
+        spark.createDataFrame(
+            part, "p_partkey bigint, p_brand string"
+        ).write.parquet(f"{tmp_path}/part.parquet")
+        out = {
+            (r["brand_a"], r["brand_b"], r["brand_c"]): r["n_abc"]
+            for r in q_basket_itemsets3(spark, str(tmp_path)).collect()
+        }
+        assert out[("A", "B", "C")] == 3
+        assert out[("A", "B", "D")] == 1
+        assert all(a < b < c for a, b, c in out)
+
+
 class TestLnBoundaryGuard:
     """ADVICE r5 (graph.py): the AA nano-weight floor(1/ln(d)*1e9+0.5)
     is bit-identical across engines only while no observed degree d
