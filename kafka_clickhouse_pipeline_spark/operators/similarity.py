@@ -1940,6 +1940,10 @@ def q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     centroids = kmeans_centroids(vecs)
     rows = _centroid_rows(centroids)
+    if not rows:  # empty corpus: no clusters to validate
+        return spark.createDataFrame(
+            [], "centroid_id long, n_vecs long, mean_silhouette double"
+        )
     scored = vecs.select(
         "vec_id", _silhouette_udf(rows)(F.col("v")).alias("m")
     ).select(

@@ -130,6 +130,91 @@ EMPTY_SENSITIVE = [
     "q_kcore_mutual_knn",
     "q_embedding_debias_abtt",
     "q_dedup_recall_audit",
+    # round-6 completeness sweep: EVERY registered query is now
+    # classified (see test_every_registered_query_is_classified);
+    # behaviors below were probed empirically against the empty
+    # fixture and encode the intended contract
+    "stock_top5",
+    "recent_sales",
+    "q10_top_returning_customers",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_counts",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q_adamic_adar",
+    "q_adamic_adar_capped",
+    "q_ann_hamming_topk",
+    "q_anomaly_seasonal_residual",
+    "q_anti_join_inactive_customers",
+    "q_approx_distinct_users",
+    "q_array_agg_parts_per_brand",
+    "q_basket_itemsets3",
+    "q_basket_lift",
+    "q_benford_totalprice",
+    "q_betweenness_sampled",
+    "q_bfs_hops",
+    "q_bm25_search",
+    "q_boilerplate_ngrams",
+    "q_closeness_sampled",
+    "q_cms_term_counts",
+    "q_compaction_plan",
+    "q_curation_pipeline",
+    "q_cusum_changepoint",
+    "q_date_functions",
+    "q_dedup_clusters_twostar",
+    "q_dedup_media_exact",
+    "q_dedup_prefix_filter",
+    "q_dialect_daily_events",
+    "q_dialect_flags_report",
+    "q_dialect_top_words",
+    "q_distinct_customers_per_segment",
+    "q_distinct_kmv",
+    "q_entropy_by_source",
+    "q_event_transitions",
+    "q_ewma_backtest",
+    "q_ewma_hourly",
+    "q_freshness_audit",
+    "q_funnel_dropoff_time",
+    "q_hamming_recall",
+    "q_having_big_orders",
+    "q_heavy_hitters",
+    "q_holt_backtest",
+    "q_hypertable_rollup",
+    "q_interevent_times",
+    "q_intersect_except_customers",
+    "q_k_anonymity_audit",
+    "q_knn_classifier",
+    "q_lang_id",
+    "q_matryoshka_recall",
+    "q_media_phash",
+    "q_media_phash_neardup",
+    "q_modularity_lpa",
+    "q_multimodal_resize",
+    "q_ngram_novelty",
+    "q_node_jaccard",
+    "q_node_jaccard_capped",
+    "q_null_functions",
+    "q_ppr_copurchase",
+    "q_profile_lineitem",
+    "q_rfm_segments",
+    "q_rollup_revenue",
+    "q_rrf_hybrid_search",
+    "q_sample_systematic",
+    "q_scd2_user_status",
+    "q_session_peak_overlap",
+    "q_sessionize",
+    "q_silhouette_kmeans",
+    "q_string_functions",
+    "q_subquery_above_avg_balance",
+    "q_tfidf_top_terms",
+    "q_trend_by_type",
+    "q_union_priority_classes",
+    "q_value_percentiles",
+    "q_value_percentiles_approx",
+    "q_weighted_sample",
+    "q_window_running_revenue",
+    "q_window_top3_parts_per_brand",
 ]
 
 #: global aggregates without grouping: on empty input they return ONE
@@ -144,7 +229,36 @@ EMPTY_SCALAR = [
     "q_funnel_steps",
     "q_corpus_stats",
     "q_triangle_count_copurchase",
+    # round-6 completeness sweep
+    "q_ab_test_conversion",
+    "q_autocorr_hourly",
+    "q_bloom_join_audit",
+    "q_bootstrap_ci_mean",
+    "q_chi2_type_hour",
+    "q_classifier_auc",
+    "q_degree_assortativity",
+    "q_embedding_centroid_drift",
+    "q_gini_customer_revenue",
+    "q_ks_value_drift",
+    "q_mann_whitney_value",
+    "q_pareto_revenue_share",
+    "q_welch_ttest_value",
+    "q_zipf_fit",
 ]
+
+#: Fixed output spines: operators whose empty-input result is a
+#: constant-shape frame (bin/spine/step rows with zeroed measures),
+#: matching their oracles' literal spines.
+EMPTY_FIXED_ROWS = {
+    "q_calibration_bins": 10,
+    "q_constraint_audit": 7,
+    "q_funnel_window": 3,
+    "q_histogram_value": 20,
+    "q_key_skew_audit": 3,
+    "q_psi_value_drift": 5,
+    "q_seasonality_profile": 168,
+    "q_zorder_layout": 2,
+}
 
 
 @pytest.mark.parametrize("name", EMPTY_SENSITIVE)
@@ -157,3 +271,31 @@ def test_operator_on_empty_input(spark, empty_sf_dir, name):
 def test_scalar_aggregate_on_empty_input(spark, empty_sf_dir, name):
     rows = entrymod.queries()[name](spark, empty_sf_dir).collect()
     assert len(rows) == 1
+
+
+@pytest.mark.parametrize("name", sorted(EMPTY_FIXED_ROWS))
+def test_fixed_spine_on_empty_input(spark, empty_sf_dir, name):
+    rows = entrymod.queries()[name](spark, empty_sf_dir).collect()
+    assert len(rows) == EMPTY_FIXED_ROWS[name]
+
+
+def test_every_registered_query_is_classified():
+    """Completeness meta-test (round 6): a new query cannot skip the
+    empty-input sweep -- every queries() entry must be in exactly one
+    of EMPTY_SENSITIVE / EMPTY_SCALAR / EMPTY_FIXED_ROWS. (The funnel
+    NULL-vs-0 bug from ADVICE r5 was exactly this gap: an unswept
+    operator whose empty behavior diverged from its oracle.)"""
+    classified = (
+        set(EMPTY_SENSITIVE) | set(EMPTY_SCALAR) | set(EMPTY_FIXED_ROWS)
+    )
+    registered = set(entrymod.queries())
+    missing = sorted(registered - classified)
+    assert not missing, f"queries missing an empty-input class: {missing}"
+    unknown = sorted(classified - registered)
+    assert not unknown, f"classified but not registered: {unknown}"
+    overlap = sorted(
+        (set(EMPTY_SENSITIVE) & set(EMPTY_SCALAR))
+        | (set(EMPTY_SENSITIVE) & set(EMPTY_FIXED_ROWS))
+        | (set(EMPTY_SCALAR) & set(EMPTY_FIXED_ROWS))
+    )
+    assert not overlap, f"queries in more than one class: {overlap}"
