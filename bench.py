@@ -219,6 +219,7 @@ HEADLINE = [
     "q_dedup_clusters_twostar",
     "q_ppr_copurchase",
     "q_basket_itemsets3",
+    "q_skyline_parts",
 ]
 
 

@@ -3035,3 +3035,65 @@ ADVANCED_ORACLES["q_holt_backtest"] = f"""
 """
 
 ADVANCED_QUERIES["q_holt_backtest"] = q_holt_backtest
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of the part catalog: parts not
+    DOMINATED on (minimize p_retailprice, maximize p_size) -- the
+    classic skyline operator (Borzsony/Kossmann/Stocker ICDE'01,
+    "best hotels: cheap AND close to the beach"). A part is dominated
+    iff another part is <= on price and >= on size with at least one
+    strict; exact duplicates do not dominate each other and both
+    survive.
+
+    Plan -- no self-join: the naive form is a quadratic NOT EXISTS
+    (exactly what the DuckDB twin runs); 2-D skylines instead admit a
+    prefix-max sweep. Prices are compacted to DISTINCT price groups
+    (one max-size per group), a running max over the price-ordered
+    group frame gives "best size at any cheaper price", and each part
+    then checks two inequalities map-side. The ordered window runs
+    over the COMPACTED grid (|distinct prices| << |parts|, the
+    repo's distinct-value-compaction discipline from KS/Gini); at
+    100 TB the prefix max would go two-phase (range-partition the
+    grid, per-partition max, broadcast partial prefixes) -- the
+    quadratic pair probe is what must never happen, and doesn't.
+    No arithmetic on the measures anywhere: comparisons only, so
+    cross-engine parity is trivial."""
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("partkey"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    groups = part.groupBy("price").agg(F.max("size").alias("gmax"))
+    w_prev = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = groups.select(
+        "price",
+        "gmax",
+        F.max("gmax").over(w_prev).alias("prevmax"),
+    )
+    joined = part.join(frontier, "price")
+    dominated = (
+        F.col("prevmax").isNotNull() & (F.col("prevmax") >= F.col("size"))
+    ) | (F.greatest(F.coalesce("prevmax", F.lit(None)), "gmax") > F.col("size"))
+    return (
+        joined.filter(~dominated)
+        .select("partkey", "price", "size")
+        .orderBy("price", "partkey")
+    )
+
+
+ADVANCED_ORACLES["q_skyline_parts"] = """
+    SELECT CAST(p.p_partkey AS BIGINT) AS partkey,
+           p.p_retailprice AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY price, partkey
+"""
+
+ADVANCED_QUERIES["q_skyline_parts"] = q_skyline_parts

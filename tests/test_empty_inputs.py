@@ -205,6 +205,7 @@ EMPTY_SENSITIVE = [
     "q_session_peak_overlap",
     "q_sessionize",
     "q_silhouette_kmeans",
+    "q_skyline_parts",
     "q_string_functions",
     "q_subquery_above_avg_balance",
     "q_tfidf_top_terms",

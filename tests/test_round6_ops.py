@@ -365,6 +365,32 @@ class TestBasketItemsets3:
         assert all(a < b < c for a, b, c in out)
 
 
+class TestSkyline:
+    def test_dominance_semantics(self, spark, tmp_path):
+        """min-price/max-size skyline: strictly-dominated rows drop,
+        exact duplicates both survive (dominance needs one strict
+        inequality), and incomparable rows all stay."""
+        from kafka_clickhouse_pipeline_spark.operators.advanced import (
+            q_skyline_parts,
+        )
+
+        rows = [
+            (1, 10.0, 5),   # frontier
+            (2, 10.0, 5),   # exact duplicate of 1 -> also frontier
+            (3, 10.0, 4),   # dominated by 1 (same price, smaller size)
+            (4, 12.0, 5),   # dominated by 1 (pricier, same size)
+            (5, 12.0, 7),   # frontier (pricier but bigger)
+            (6, 8.0, 2),    # frontier (cheapest)
+            (7, 9.0, 1),    # dominated by 6
+        ]
+        spark.createDataFrame(
+            [(pk, price, size) for pk, price, size in rows],
+            "p_partkey bigint, p_retailprice double, p_size int",
+        ).write.parquet(f"{tmp_path}/part.parquet")
+        out = [r["partkey"] for r in q_skyline_parts(spark, str(tmp_path)).collect()]
+        assert out == [6, 1, 2, 5]
+
+
 class TestLnBoundaryGuard:
     """ADVICE r5 (graph.py): the AA nano-weight floor(1/ln(d)*1e9+0.5)
     is bit-identical across engines only while no observed degree d
