@@ -54,8 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: no CORRECTNESS_r01..r05 row enter, plus the round-6 additions
 #: q_adamic_adar_capped, q_ann_hamming_topk, q_hamming_recall,
 #: q_dedup_prefix_filter, q_ngram_novelty, q_dedup_clusters_twostar,
-#: q_ppr_copurchase, q_basket_itemsets3 and q_skyline_parts (36
-#: first-timers). The remaining 9 slots
+#: q_ppr_copurchase, q_basket_itemsets3, q_skyline_parts and
+#: q_theilsen_hourly (37 first-timers). The remaining 8 slots
 #: re-attest the heaviest previously-attested queries (the full graph
 #: family plus the top non-graph entries from BENCH_DETAIL_r05), since
 #: those are where a regression would cost the most. The two rows-only
@@ -93,13 +93,13 @@ PRIORITY: tuple[str, ...] = (
     # (round-6 additions)
     "q_ann_hamming_topk", "q_hamming_recall", "q_dedup_prefix_filter",
     "q_ngram_novelty", "q_dedup_clusters_twostar", "q_ppr_copurchase",
-    "q_basket_itemsets3", "q_skyline_parts",
+    "q_basket_itemsets3", "q_skyline_parts", "q_theilsen_hourly",
     # heavy graph first-timers (wedge family, capped + exact)
     "q_node_jaccard_capped", "q_adamic_adar_capped", "q_adamic_adar",
     "q_betweenness_sampled",
     # --- 15 re-attests: heaviest previously-attested (graph family
     # + BENCH_DETAIL_r05 top non-graph), regression canaries ---
-    "q_dedup_clusters", "q_pagerank_copurchase",
+    "q_pagerank_copurchase",
     "q_triangle_count_copurchase", "q_label_propagation",
     "q_kcore_mutual_knn", "q_bfs_hops", "q_modularity_lpa",
     "q_closeness_sampled", "q_node_jaccard",

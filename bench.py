@@ -220,6 +220,7 @@ HEADLINE = [
     "q_ppr_copurchase",
     "q_basket_itemsets3",
     "q_skyline_parts",
+    "q_theilsen_hourly",
 ]
 
 

@@ -3097,3 +3097,128 @@ ADVANCED_ORACLES["q_skyline_parts"] = """
 """
 
 ADVANCED_QUERIES["q_skyline_parts"] = q_skyline_parts
+
+
+def q_theilsen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes of the hourly count series (plus the matching
+    median-residual intercept) -- the standard outlier-immune
+    complement to q_trend_by_type's OLS slope (one corrupted hour
+    moves OLS arbitrarily; Theil-Sen has a 29% breakdown point).
+    Types with fewer than two observed hours are omitted.
+
+    Plan discipline: the pair space is built on the COMPACTED hourly
+    grid (the KS/Gini distinct-value-compaction rule) -- at most
+    C(hours, 2) rows (~260k for a month of hours), never corpus-sized;
+    the events table itself is touched once for the grouped count.
+    Median selection is rank-based (lower median, row_number over the
+    per-type slope sort), which picks a VALUE from the computed
+    multiset -- deterministic regardless of tie order, and each slope
+    is a single correctly-rounded double division of exact integers,
+    so both engines rank identical bit patterns. Intercept = median
+    of (y - slope * x) at the selected slope, same selection rule."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            (F.col("hour").cast("long") / 3600).cast("long").alias("x"),
+            F.col("cnt").cast("long").alias("y"),
+        )
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med_slope = ranked.filter(
+        F.col("rn") == F.expr("CAST((n + 1) / 2 AS BIGINT)")
+    ).select("event_type", "slope", F.col("n").alias("n_pairs"))
+    resid = hourly.join(med_slope, "event_type").select(
+        "event_type",
+        "slope",
+        "n_pairs",
+        (F.col("y").cast("double") - F.col("slope") * F.col("x").cast("double"))
+        .alias("r"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("r")
+    ranked_r = resid.select(
+        "event_type",
+        "slope",
+        "n_pairs",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("np"),
+    )
+    return (
+        ranked_r.filter(F.col("rn") == F.expr("CAST((np + 1) / 2 AS BIGINT)"))
+        .select(
+            "event_type",
+            F.col("np").cast("long").alias("n_points"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round("slope", 6).alias("slope_per_hour"),
+            F.round("r", 6).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ADVANCED_ORACLES["q_theilsen_hourly"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.x < b.x),
+    ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes),
+    med AS (
+      SELECT event_type, slope, n AS n_pairs FROM ranked
+      WHERE rn = CAST((n + 1) / 2 AS BIGINT)),
+    resid AS (
+      SELECT h.event_type, m.slope, m.n_pairs,
+             CAST(h.y AS DOUBLE) - m.slope * CAST(h.x AS DOUBLE) AS r
+      FROM hourly h JOIN med m ON h.event_type = m.event_type),
+    ranked_r AS (
+      SELECT event_type, slope, n_pairs, r,
+             row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM resid)
+    SELECT event_type,
+           CAST(np AS BIGINT) AS n_points,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(slope, 6) AS slope_per_hour,
+           round(r, 6) AS intercept
+    FROM ranked_r
+    WHERE rn = CAST((np + 1) / 2 AS BIGINT)
+    ORDER BY event_type
+"""
+
+ADVANCED_QUERIES["q_theilsen_hourly"] = q_theilsen_hourly

@@ -209,6 +209,7 @@ EMPTY_SENSITIVE = [
     "q_string_functions",
     "q_subquery_above_avg_balance",
     "q_tfidf_top_terms",
+    "q_theilsen_hourly",
     "q_trend_by_type",
     "q_union_priority_classes",
     "q_value_percentiles",
