@@ -125,3 +125,17 @@ def test_readme_registry_counts():
     assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (q, o, q - o), (
         f"README says {m.groups()}, registry is ({q}, {o}, {q - o})"
     )
+
+
+def test_bench_lists_are_registered():
+    """bench.py's HEADLINE and frozen BENCH_SHARED compositions must
+    reference only registered queries -- a renamed or mistyped entry
+    would silently land in the bench errors map instead of failing a
+    test (round 6)."""
+    import bench
+
+    q = set(entrymod.queries())
+    assert [n for n in bench.HEADLINE if n not in q] == []
+    assert [n for n in bench.BENCH_SHARED if n not in q] == []
+    assert set(bench.PARITY) <= q
+    assert set(bench.SHARED_PINNED) <= set(bench.BENCH_SHARED)
