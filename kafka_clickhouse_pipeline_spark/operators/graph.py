@@ -490,6 +490,60 @@ def co_purchase_edges(li: DataFrame) -> DataFrame:
     )
 
 
+#: Node-id ceiling for the packed-pair fast path: both wedge endpoints
+#: must fit in 32 unsigned bits for (u << 32) | v to be collision-free
+#: in one BIGINT. TPC-H partkeys blow past this near SF ~10,000, so the
+#: gate is checked per-run from the same bounded aggregate that sizes
+#: the wedge shuffle, and oversized graphs fall back to the two-column
+#: pair key (identical results, ~15-20% slower shuffle+agg).
+_PAIR_PACK_MAX_ID = 1 << 32
+
+
+def _expand_wedges(adj: DataFrame, extra: list[str]) -> DataFrame:
+    """Sorted-slice wedge expansion: for each adjacency row, emit
+    exactly the C(d, 2) ordered neighbor pairs (u < v guaranteed by
+    the sort) plus ``extra`` columns carried from the center row.
+
+    Replaces the double-explode + filter shape (which generates d^2
+    rows and drops half): posexplode the sorted array, then explode
+    only the strictly-later slice. Measured with the packed pair key
+    below: 35-50 s -> ~28 s warm and much tighter variance for
+    q_node_jaccard at sf0.1 (the d^2 generate-then-filter row stream
+    and the two-column shuffle rows were the overhead)."""
+    sadj = adj.select(F.sort_array("nbrs").alias("nbrs"), *extra)
+    return sadj.select(
+        F.posexplode("nbrs").alias("i", "u"), "nbrs", *extra
+    ).select(
+        "u",
+        F.explode(
+            F.slice("nbrs", F.col("i") + F.lit(2), F.size("nbrs"))
+        ).alias("v"),
+        *extra,
+    )
+
+
+def _pack_pair() -> "F.Column":
+    """(u << 32) | v as one BIGINT: halves the shuffle row to a single
+    8-byte key (one hash, one comparison per row in the pair
+    aggregate). Only valid under the ``_PAIR_PACK_MAX_ID`` gate."""
+    return (
+        F.shiftleft(F.col("u").cast("long"), 32) + F.col("v").cast("long")
+    ).alias("k")
+
+
+def _unpack_pair(df: DataFrame, key_type: str) -> DataFrame:
+    """Split the packed BIGINT key back into (u, v) with the original
+    node-id column type so downstream joins stay cast-free. The pack
+    is bijective mod 2^64 for ids < 2^32 even when u << 32 wraps the
+    signed long, so unpacking uses the LOGICAL right shift (arithmetic
+    shift would sign-extend wrapped keys)."""
+    return df.select(
+        F.shiftrightunsigned("k", 32).cast(key_type).alias("u"),
+        F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).cast(key_type).alias("v"),
+        *[c for c in df.columns if c != "k"],
+    )
+
+
 #: Oriented edges per shuffle task for the triangle 2-hop join. The
 #: 2-path intermediate is the memory hot spot; ~50k edges/task keeps
 #: each task's path fanout comfortably in-memory even on skewed
@@ -1119,7 +1173,14 @@ def q_node_jaccard(
     2-path exactly once, there is NO edge-list self-join, and the
     wedge shuffle width scales with the EXACT wedge count sum d*(d-1)/2
     (one bounded scalar off the degree frame, the triangle-census
-    sizing pattern). Everything DOWNSTREAM of the pair aggregate is
+    sizing pattern). Expansion is sorted-slice (emit exactly C(d,2)
+    rows, never the d^2 generate-then-filter stream) and the pair
+    crosses the shuffle as ONE packed BIGINT key when node ids fit in
+    32 bits (per-run gate off the same bounded aggregate; oversized
+    id spaces -- TPC-H partkeys near SF 10k -- fall back to the
+    two-column key, identical results). Measured at sf0.1: 35-50 s
+    warm -> ~28 s with far tighter variance. Everything DOWNSTREAM of
+    the pair aggregate is
     join-shuffle-free: the (node, degree) frame and the undirected
     edge list are size-gated BROADCASTs (dense graphs make the
     candidate-pair frame ~n^2-sized -- 101M pairs at sf0.1 -- so
@@ -1165,20 +1226,37 @@ def q_node_jaccard(
         ).alias("wedges"),
         F.count(F.lit(1)).alias("nodes"),
         F.coalesce(F.sum(F.size("nbrs").cast("long")), F.lit(0)).alias("m2"),
+        F.min("src").alias("min_id"),
+        F.max("src").alias("max_id"),
     ).collect()[0]
     parts = max(
         spark.sparkContext.defaultParallelism,
         min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
     )
     # wedge expansion: for each center, all u < v neighbor pairs
-    common = (
-        adj.select(F.explode("nbrs").alias("u"), "nbrs")
-        .select("u", F.explode("nbrs").alias("v"))
-        .filter(F.col("u") < F.col("v"))
-        .repartition(parts, "u", "v")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # (sorted-slice: exactly C(d,2) rows; every dst is also a src in
+    # the symmetric edge list, so min/max(src) bound BOTH endpoints)
+    pairs = _expand_wedges(adj, [])
+    key_type = dict(edges.dtypes)["src"]
+    packable = (
+        sizes.max_id is not None
+        and 0 <= int(sizes.min_id)
+        and int(sizes.max_id) < _PAIR_PACK_MAX_ID
     )
+    if packable:
+        common = _unpack_pair(
+            pairs.select(_pack_pair())
+            .repartition(parts, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_common")),
+            key_type,
+        )
+    else:
+        common = (
+            pairs.repartition(parts, "u", "v")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     linked = edges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
@@ -1800,7 +1878,7 @@ def q_adamic_adar(
         .cast("long")
         .alias("w"),
     ).filter(F.size("nbrs") >= 2)
-    sizes = adjw.agg(
+    sizes = adj.agg(
         F.coalesce(
             F.sum(
                 (F.size("nbrs").cast("long") * (F.size("nbrs") - 1).cast("long"))
@@ -1810,22 +1888,38 @@ def q_adamic_adar(
         ).alias("wedges"),
         F.count(F.lit(1)).alias("nodes"),
         F.coalesce(F.sum(F.size("nbrs").cast("long")), F.lit(0)).alias("m2"),
+        F.min("src").alias("min_id"),
+        F.max("src").alias("max_id"),
     ).collect()[0]
     parts = max(
         spark.sparkContext.defaultParallelism,
         min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
     )
-    scored_pairs = (
-        adjw.select(F.explode("nbrs").alias("u"), "nbrs", "w")
-        .select("u", F.explode("nbrs").alias("v"), "w")
-        .filter(F.col("u") < F.col("v"))
-        .repartition(parts, "u", "v")
-        .groupBy("u", "v")
-        .agg(
-            F.sum("w").cast("long").alias("aa"),
-            F.count(F.lit(1)).alias("n_common"),
-        )
+    # sorted-slice expansion + packed pair key (same shape and gate as
+    # q_node_jaccard) with the center weight riding along each wedge
+    pairs = _expand_wedges(adjw, ["w"])
+    key_type = dict(edges.dtypes)["src"]
+    packable = (
+        sizes.max_id is not None
+        and 0 <= int(sizes.min_id)
+        and int(sizes.max_id) < _PAIR_PACK_MAX_ID
     )
+    aggs = [
+        F.sum("w").cast("long").alias("aa"),
+        F.count(F.lit(1)).alias("n_common"),
+    ]
+    if packable:
+        scored_pairs = _unpack_pair(
+            pairs.select(_pack_pair(), "w")
+            .repartition(parts, "k")
+            .groupBy("k")
+            .agg(*aggs),
+            key_type,
+        )
+    else:
+        scored_pairs = (
+            pairs.repartition(parts, "u", "v").groupBy("u", "v").agg(*aggs)
+        )
     linked = edges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
@@ -2214,3 +2308,151 @@ def _betweenness_oracle() -> str:
 
 
 GRAPH_ORACLES["q_betweenness_sampled"] = _betweenness_oracle()
+
+
+#: Random-walk corpus shape: hash-selected start nodes x fixed-length
+#: walks. Fixed (not convergence-based) so the oracle can unroll one
+#: CTE per step, the PageRank/LPA contract.
+RANDOM_WALK_SEEDS = 64
+RANDOM_WALK_LEN = 8
+
+
+def q_randomwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random-walk corpus over the co-purchase graph
+    (Perozzi et al. KDD'14): fixed-length walks from a deterministic
+    seed set, emitted as (walk_id, step, node) sequences -- the
+    graph -> sequence step that turns a graph into skip-gram training
+    data for node embeddings (node2vec's p=q=1 case).
+
+    Determinism (what makes a "random" walk oracle-matchable): the
+    step coin is md5(walk_id:step:node) folded to an integer
+    (the `conv(substring(md5 ..)` idiom shared with the samplers), and
+    the next hop is the coin mod degree indexed into the NEIGHBOR LIST
+    SORTED BY ID -- both engines materialize the same adjacency
+    ordering via row_number over (src ORDER BY dst), so the walks are
+    bit-identical. A production build swaps the md5 coin for a seeded
+    PRNG without touching the plan.
+
+    Scale shape: per step, state is ONE ROW PER WALK (walk_id, node) --
+    never O(V). Each step is one equi-join of the frontier onto the
+    indexed edge list (node = src) with the coin-vs-rn residual filter;
+    the frontier is broadcast here (bounded seed set), and at
+    production walk counts (one walk per node, DeepWalk's default) the
+    same plan degrades gracefully to a shuffle hash join on the node
+    key. The indexed adjacency is checkpoint-materialized once and
+    scanned per step; walks never leave the executors. Reference for
+    scope: the reference engine has no graph operators -- this extends
+    the serving surface along SURVEY.md section 2's extension track.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    indexed = edges.select(
+        "src",
+        "dst",
+        F.row_number()
+        .over(Window.partitionBy("src").orderBy("dst"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("d"),
+    ).transform(cut_lineage)
+    seeds = (
+        edges.select("src")
+        .distinct()
+        .orderBy(F.md5(F.col("src").cast("string")), "src")
+        .limit(RANDOM_WALK_SEEDS)
+    )
+    cur = seeds.select(
+        F.col("src").alias("walk_id"), F.col("src").alias("node")
+    ).transform(cut_lineage)
+    frames = [cur.select("walk_id", F.lit(0).cast("long").alias("step"), "node")]
+    for t in range(1, RANDOM_WALK_LEN + 1):
+        coin = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(t)),
+                        F.col("node").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        cur = (
+            F.broadcast(cur)
+            .join(
+                indexed,
+                (F.col("node") == F.col("src"))
+                & (F.col("rn") == coin % F.col("d") + 1),
+            )
+            .select("walk_id", F.col("dst").alias("node"))
+            .transform(cut_lineage)
+        )
+        frames.append(
+            cur.select("walk_id", F.lit(t).cast("long").alias("step"), "node")
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("step").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    ).orderBy("walk_id", "step")
+
+
+def _walk_iter_sql(t: int) -> str:
+    """One unrolled walk step: the frontier joins the indexed adjacency
+    on (node, coin mod degree + 1), mirroring q_randomwalk_corpus."""
+    from .curation import _hex8_sql
+
+    h = (
+        f"md5(CAST(c.walk_id AS VARCHAR) || ':{t}:' || "
+        "CAST(c.node AS VARCHAR))"
+    )
+    return f"""
+        w{t} AS (
+          SELECT c.walk_id, a.dst AS node
+          FROM w{t - 1} c JOIN adj a
+            ON a.src = c.node
+           AND a.rn = ({_hex8_sql(h)}) % a.d + 1)"""
+
+
+def _randomwalk_oracle() -> str:
+    steps = ",".join(_walk_iter_sql(t) for t in range(1, RANDOM_WALK_LEN + 1))
+    allw = "\n          UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, node FROM w{t}"
+        for t in range(RANDOM_WALK_LEN + 1)
+    )
+    return f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        adj AS MATERIALIZED (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+                 count(*) OVER (PARTITION BY src) AS d
+          FROM e),
+        seeds AS (
+          SELECT src AS node FROM (SELECT DISTINCT src FROM e)
+          ORDER BY md5(CAST(src AS VARCHAR)), src
+          LIMIT {RANDOM_WALK_SEEDS}),
+        w0 AS (SELECT node AS walk_id, node FROM seeds),
+        {steps},
+        allw AS ({allw})
+        SELECT CAST(walk_id AS BIGINT) AS walk_id,
+               CAST(step AS BIGINT) AS step,
+               CAST(node AS BIGINT) AS node
+        FROM allw
+        ORDER BY walk_id, step
+"""
+
+
+GRAPH_QUERIES["q_randomwalk_corpus"] = q_randomwalk_corpus
+GRAPH_ORACLES["q_randomwalk_corpus"] = _randomwalk_oracle()

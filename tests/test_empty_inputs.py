@@ -197,6 +197,7 @@ EMPTY_SENSITIVE = [
     "q_null_functions",
     "q_ppr_copurchase",
     "q_profile_lineitem",
+    "q_randomwalk_corpus",
     "q_rfm_segments",
     "q_rollup_revenue",
     "q_rrf_hybrid_search",

@@ -429,3 +429,84 @@ class TestLnBoundaryGuard:
                 "within 1e-6 of the x.5 boundary -- a 1-ulp ln "
                 "divergence could flip the quantized AA weight"
             )
+
+
+class TestRandomWalkCorpus:
+    def test_walks_follow_edges_and_are_deterministic(self, spark, tmp_path):
+        """Every walk starts at its seed, has exactly
+        RANDOM_WALK_LEN + 1 positions (the symmetric edge list has no
+        dead ends), every consecutive hop is a real edge, and the md5
+        coin makes two runs bit-identical."""
+        rows = [
+            (1, 10), (1, 11), (1, 12),
+            (2, 11), (2, 13),
+            (3, 12), (3, 13), (3, 14),
+        ]
+        d = _write_graph(spark, tmp_path, rows)
+        out = graph.q_randomwalk_corpus(spark, d).collect()
+        walks: dict[int, dict[int, int]] = {}
+        for r in out:
+            walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        edges = set()
+        for o, grp in [(1, (10, 11, 12)), (2, (11, 13)), (3, (12, 13, 14))]:
+            for a in grp:
+                for b in grp:
+                    if a != b:
+                        edges.add((a, b))
+        for wid, steps in walks.items():
+            assert sorted(steps) == list(range(graph.RANDOM_WALK_LEN + 1))
+            assert steps[0] == wid
+            for t in range(graph.RANDOM_WALK_LEN):
+                assert (steps[t], steps[t + 1]) in edges
+        again = graph.q_randomwalk_corpus(spark, d).collect()
+        assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+    def test_single_edge_graph_alternates(self, spark, tmp_path):
+        """With one undirected edge the only possible hop is the other
+        endpoint, so each walk strictly alternates between the two."""
+        d = _write_graph(spark, tmp_path, [(1, 7), (1, 8)])
+        out = graph.q_randomwalk_corpus(spark, d).collect()
+        walks: dict[int, dict[int, int]] = {}
+        for r in out:
+            walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        assert set(walks) == {7, 8}
+        for wid, steps in walks.items():
+            other = 15 - wid
+            for t in range(graph.RANDOM_WALK_LEN + 1):
+                assert steps[t] == (wid if t % 2 == 0 else other)
+
+
+class TestWedgePairPacking:
+    def test_fallback_path_matches_packed_path(self, spark, tmp_path):
+        """Node ids past 2^32 disable the packed BIGINT pair key; the
+        two-column fallback must produce the isomorphic result. Graph:
+        orders (A,B,C) and (A,B,D) make (C,D) the unique non-adjacent
+        pair with full-overlap neighborhoods (jaccard 1.0)."""
+        big = 1 << 33
+        small_rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 4)]
+        big_rows = [(o, big + p) for o, p in small_rows]
+        d_small = _write_graph(spark, tmp_path / "s", small_rows)
+        d_big = _write_graph(spark, tmp_path / "b", big_rows)
+        got_small = graph.q_node_jaccard(spark, d_small).collect()
+        got_big = graph.q_node_jaccard(spark, d_big).collect()
+        assert [
+            (r["u"] + big, r["v"] + big, r["n_common"], r["n_union"], r["jaccard"])
+            for r in got_small
+        ] == [tuple(r) for r in got_big]
+        top = got_big[0]
+        assert (top["u"], top["v"]) == (big + 3, big + 4)
+        assert top["jaccard"] == 1.0
+
+    def test_adamic_adar_fallback_matches_packed(self, spark, tmp_path):
+        small_rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 4)]
+        big = 1 << 33
+        d_small = _write_graph(spark, tmp_path / "s", small_rows)
+        d_big = _write_graph(
+            spark, tmp_path / "b", [(o, big + p) for o, p in small_rows]
+        )
+        got_small = graph.q_adamic_adar(spark, d_small).collect()
+        got_big = graph.q_adamic_adar(spark, d_big).collect()
+        assert [
+            (r["u"] + big, r["v"] + big, r["n_common"], r["aa_score"])
+            for r in got_small
+        ] == [tuple(r) for r in got_big]
