@@ -94,7 +94,7 @@ PRIORITY: tuple[str, ...] = (
     "q_ann_hamming_topk", "q_hamming_recall", "q_dedup_prefix_filter",
     "q_ngram_novelty", "q_dedup_clusters_twostar", "q_ppr_copurchase",
     "q_basket_itemsets3", "q_skyline_parts", "q_theilsen_hourly",
-    "q_randomwalk_corpus",
+    "q_randomwalk_corpus", "q_local_clustering_topk",
     # heavy graph first-timers (wedge family, capped + exact)
     "q_node_jaccard_capped", "q_adamic_adar_capped", "q_adamic_adar",
     "q_betweenness_sampled",
@@ -102,8 +102,10 @@ PRIORITY: tuple[str, ...] = (
     # + BENCH_DETAIL_r05 top non-graph), regression canaries.
     # q_node_jaccard stays pinned here: its wedge core was rewritten
     # (packed pair key + sorted-slice expansion) and the driver should
-    # re-attest the new path ---
-    "q_triangle_count_copurchase", "q_label_propagation",
+    # re-attest the new path. (q_triangle_count_copurchase's machinery
+    # is now exercised more thoroughly by first-timer
+    # q_local_clustering_topk, which displaced it.) ---
+    "q_label_propagation",
     "q_kcore_mutual_knn", "q_bfs_hops", "q_modularity_lpa",
     "q_closeness_sampled", "q_node_jaccard",
 )

@@ -221,6 +221,8 @@ HEADLINE = [
     "q_basket_itemsets3",
     "q_skyline_parts",
     "q_theilsen_hourly",
+    "q_randomwalk_corpus",
+    "q_local_clustering_topk",
 ]
 
 

@@ -2456,3 +2456,131 @@ def _randomwalk_oracle() -> str:
 
 GRAPH_QUERIES["q_randomwalk_corpus"] = q_randomwalk_corpus
 GRAPH_ORACLES["q_randomwalk_corpus"] = _randomwalk_oracle()
+
+
+#: Local-clustering listing: only nodes with at least this degree are
+#: ranked (d >= 2 is where the coefficient is defined; the constant is
+#: interpolated into the oracle so both engines rank the same set).
+LCC_MIN_DEGREE = 2
+LCC_TOPK = 20
+
+
+def q_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase
+    graph: lcc(v) = 2 * triangles(v) / (d_v * (d_v - 1)) -- how close
+    each product's co-purchase neighborhood is to a clique (Watts &
+    Strogatz 1998). Top-K nodes by coefficient; the per-node complement
+    of q_triangle_count_copurchase's global census.
+
+    Plan: the census's degree-oriented compact-forward shape
+    (orientation bounds out-degree to O(sqrt(m)), adjacency-array
+    intersection instead of a 2-path self-join), but instead of
+    summing intersection SIZES it EXPLODES the intersection -- each
+    triangle surfaces exactly once as (lo, hi, w) -- and credits all
+    three vertices with one count shuffle (3 x triangles rows). Degree
+    joins on the ranked output are size-gated broadcasts. Per-vertex
+    triangle counts are orientation-invariant, so the simpler
+    id-oriented DuckDB enumeration is the same exact answer.
+
+    Exactness: integer triangle/degree counts; ONE double division
+    2.0*t / (d*(d-1)) (both factors exact integers well under 2^52),
+    round 6 -- bit-portable. Nodes with d >= LCC_MIN_DEGREE and zero
+    triangles stay in the ranking at 0.0 (left join, coalesce)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    und = edges.filter(F.col("src") < F.col("dst"))
+    ranked = und.join(
+        deg.select(F.col("src").alias("s_"), F.col("d").alias("ds")),
+        F.col("src") == F.col("s_"),
+    ).join(
+        deg.select(F.col("src").alias("d_"), F.col("d").alias("dd")),
+        F.col("dst") == F.col("d_"),
+    )
+    src_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = ranked.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    ).transform(cut_lineage)
+    n_edges = oriented.count()
+    parts = max(
+        spark.sparkContext.defaultParallelism,
+        min(4096, n_edges // _TRIANGLE_EDGES_PER_TASK + 1),
+    )
+    adj = (
+        oriented.repartition(parts, "lo")
+        .groupBy("lo")
+        .agg(F.array_sort(F.collect_list("hi")).alias("nbrs"))
+        .transform(cut_lineage)
+    )
+    with_nu = oriented.repartition(parts, "lo").join(
+        adj.select(F.col("lo").alias("u_"), F.col("nbrs").alias("nu")),
+        F.col("lo") == F.col("u_"),
+    )
+    tri = (
+        with_nu.repartition(parts, "hi")
+        .join(
+            adj.select(F.col("lo").alias("v_"), F.col("nbrs").alias("nv")),
+            F.col("hi") == F.col("v_"),
+        )
+        .select(
+            "lo", "hi", F.explode(F.array_intersect("nu", "nv")).alias("w")
+        )
+    )
+    tcounts = (
+        tri.select(F.explode(F.array("lo", "hi", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    eligible = deg.filter(F.col("d") >= LCC_MIN_DEGREE)
+    n_nodes = eligible.count()
+    tjoin = (
+        F.broadcast(tcounts)
+        if n_nodes <= NODE_JACCARD_BROADCAST_MAX_NODES
+        else tcounts
+    )
+    t0 = F.coalesce(F.col("t"), F.lit(0)).cast("long")
+    return (
+        eligible.join(tjoin, eligible["src"] == tjoin["node"], "left")
+        .select(
+            F.col("src").cast("long").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            t0.alias("n_triangles"),
+            F.round(
+                F.lit(2.0) * t0 / (F.col("d") * (F.col("d") - 1)), 6
+            ).alias("lcc"),
+        )
+        .orderBy(F.col("lcc").desc(), "node")
+        .limit(LCC_TOPK)
+    )
+
+
+GRAPH_QUERIES["q_local_clustering_topk"] = q_local_clustering_topk
+GRAPH_ORACLES["q_local_clustering_topk"] = f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    und AS (SELECT src, dst FROM e WHERE src < dst),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM und e1
+      JOIN und e2 ON e2.src = e1.dst
+      JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    verts AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri),
+    tc AS (SELECT node, count(*) AS t FROM verts GROUP BY 1),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1)
+    SELECT CAST(deg.src AS BIGINT) AS node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * coalesce(tc.t, 0) / (deg.d * (deg.d - 1)), 6) AS lcc
+    FROM deg LEFT JOIN tc ON tc.node = deg.src
+    WHERE deg.d >= {LCC_MIN_DEGREE}
+    ORDER BY lcc DESC, node
+    LIMIT {LCC_TOPK}
+"""

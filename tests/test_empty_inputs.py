@@ -198,6 +198,7 @@ EMPTY_SENSITIVE = [
     "q_ppr_copurchase",
     "q_profile_lineitem",
     "q_randomwalk_corpus",
+    "q_local_clustering_topk",
     "q_rfm_segments",
     "q_rollup_revenue",
     "q_rrf_hybrid_search",

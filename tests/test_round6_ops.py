@@ -510,3 +510,26 @@ class TestWedgePairPacking:
             (r["u"] + big, r["v"] + big, r["n_common"], r["aa_score"])
             for r in got_small
         ] == [tuple(r) for r in got_big]
+
+
+class TestLocalClustering:
+    def test_known_coefficients(self, spark, tmp_path):
+        """Order (A,B,C) is a triangle (lcc 1.0 at B and C); the extra
+        (A,D) edge dilutes A to 2*1/(3*2) = 0.333333; D has d=1 and is
+        excluded from the ranking."""
+        d = _write_graph(
+            spark, tmp_path, [(1, 1), (1, 2), (1, 3), (2, 1), (2, 4)]
+        )
+        rows = {r["node"]: r for r in graph.q_local_clustering_topk(spark, d).collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[2]["lcc"] == 1.0 and rows[3]["lcc"] == 1.0
+        assert rows[1]["lcc"] == 0.333333
+        assert rows[1]["n_triangles"] == 1 and rows[1]["degree"] == 3
+
+    def test_triangle_free_graph_ranks_zero(self, spark, tmp_path):
+        """A path graph has no triangles: every eligible node ranks at
+        exactly 0.0 (left-join coalesce, not dropped)."""
+        d = _write_graph(spark, tmp_path, [(1, 1), (1, 2), (2, 2), (2, 3)])
+        rows = graph.q_local_clustering_topk(spark, d).collect()
+        assert [r["node"] for r in rows] == [2]
+        assert rows[0]["lcc"] == 0.0 and rows[0]["n_triangles"] == 0
