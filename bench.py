@@ -223,6 +223,7 @@ HEADLINE = [
     "q_theilsen_hourly",
     "q_randomwalk_corpus",
     "q_local_clustering_topk",
+    "q_ndcg_search_eval",
 ]
 
 

@@ -31,6 +31,8 @@ break on doc_id.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -395,11 +397,154 @@ def _rrf_oracle() -> str:
     """
 
 
+#: NDCG evaluation depth and the discount weights 1/log2(i+1) in
+#: integer NANO-UNITS, precomputed HERE (Python) and interpolated as
+#: the same literal constants into both the Spark plan and the DuckDB
+#: oracle -- the metric itself runs NO transcendental at query time,
+#: so the ln faithful-rounding caveat (ADVICE r5) cannot apply to it.
+NDCG_K = 10
+NDCG_W_NANOS = [int(1e9 / math.log2(i + 1) + 0.5) for i in range(1, NDCG_K + 1)]
+
+
+def q_ndcg_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking per benchmark query -- the standard
+    graded ranking-quality metric (Jarvelin & Kekalainen TOIS'02): did
+    the ranker put the most-relevant documents first?
+
+    Relevance labels are deterministic pseudo-qrels: rel(q, d) =
+    n_terms_hit (how many distinct query terms the document contains,
+    1..|q|), the term-coverage heuristic. A production build swaps in
+    human qrels by replacing that one column; plan unchanged. DCG uses
+    the standard exponential gain (2^rel - 1) with 1/log2(rank+1)
+    discounts; IDCG re-sorts the query's ENTIRE judged pool by label
+    (not just the retrieved K), so ndcg10 = 1.0 means "the top-10 is
+    label-perfect against everything judged".
+
+    Exactness: gains are exact small integers; discount weights are
+    shared integer nano-unit constants (see NDCG_W_NANOS), so DCG and
+    IDCG are exact BIGINT sums; two final double divisions (/1e9
+    for display, DCG/IDCG for the metric), round 6.
+
+    Scale shape: reuses _bm25_scored (inverted-index join, postings
+    pruned to query terms via broadcast); the ranked-K and ideal-K
+    windows run per query over the judged pool (match-sized, not
+    corpus-sized); everything after is a |queries|-row join."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _bm25_scored(spark, docs)
+    warr = F.array(*[F.lit(w).cast("long") for w in NDCG_W_NANOS])
+    # gain 2^rel - 1: rel <= |query terms| (3), so pow is exact
+    gain = (
+        F.pow(F.lit(2.0), F.col("n_terms_hit").cast("double")).cast("long")
+        - F.lit(1)
+    )
+    ranked = grouped_topk(
+        scored, ["query_id"], [("score", False), ("doc_id", True)], NDCG_K
+    )
+    dcg = (
+        ranked.select(
+            "query_id",
+            (gain * F.element_at(warr, F.col("rank").cast("int"))).alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("long").alias("dcg_nanos"))
+    )
+    iw = Window.partitionBy("query_id").orderBy(
+        F.col("n_terms_hit").desc(), "doc_id"
+    )
+    ideal = (
+        scored.withColumn("irank", F.row_number().over(iw))
+        .filter(F.col("irank") <= NDCG_K)
+        .select(
+            "query_id",
+            (gain * F.element_at(warr, F.col("irank").cast("int"))).alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("long").alias("idcg_nanos"))
+    )
+    judged = scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_judged")
+    )
+    return (
+        judged.join(dcg, "query_id")
+        .join(ideal, "query_id")
+        .select(
+            "query_id",
+            "n_judged",
+            F.round(F.col("dcg_nanos").cast("double") / F.lit(1e9), 6).alias(
+                "dcg10"
+            ),
+            F.round(F.col("idcg_nanos").cast("double") / F.lit(1e9), 6).alias(
+                "idcg10"
+            ),
+            F.round(
+                F.col("dcg_nanos").cast("double")
+                / F.col("idcg_nanos").cast("double"),
+                6,
+            ).alias("ndcg10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ndcg_weight_case(rank_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN CAST({w} AS BIGINT)"
+        for i, w in enumerate(NDCG_W_NANOS)
+    )
+    return f"CASE {rank_expr} {whens} END"
+
+
+def _ndcg_oracle() -> str:
+    gain = "(CAST(pow(2, n_terms_hit) AS BIGINT) - 1)"
+    return f"""
+    WITH {_index_ctes()},
+    {_bm25_scored_ctes()},
+    ranked AS (
+      SELECT query_id, doc_id, n_terms_hit,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM bm25_scored
+      QUALIFY rank <= {NDCG_K}),
+    dcg AS (
+      SELECT query_id,
+             CAST(sum({gain} * {_ndcg_weight_case("rank")}) AS BIGINT)
+               AS dcg_nanos
+      FROM ranked GROUP BY 1),
+    ideal AS (
+      SELECT query_id, n_terms_hit,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_terms_hit DESC, doc_id) AS irank
+      FROM bm25_scored
+      QUALIFY irank <= {NDCG_K}),
+    idcg AS (
+      SELECT query_id,
+             CAST(sum({gain} * {_ndcg_weight_case("irank")}) AS BIGINT)
+               AS idcg_nanos
+      FROM ideal GROUP BY 1),
+    judged AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_judged
+      FROM bm25_scored GROUP BY 1)
+    SELECT j.query_id, j.n_judged,
+           round(CAST(dcg_nanos AS DOUBLE) / 1e9, 6) AS dcg10,
+           round(CAST(idcg_nanos AS DOUBLE) / 1e9, 6) AS idcg10,
+           round(CAST(dcg_nanos AS DOUBLE) / CAST(idcg_nanos AS DOUBLE), 6)
+             AS ndcg10
+    FROM judged j
+    JOIN dcg USING (query_id)
+    JOIN idcg USING (query_id)
+    ORDER BY query_id
+    """
+
+
 SEARCH_QUERIES = {
     "q_bm25_search": q_bm25_search,
     "q_rrf_hybrid_search": q_rrf_hybrid_search,
+    "q_ndcg_search_eval": q_ndcg_search_eval,
 }
 SEARCH_ORACLES = {
     "q_bm25_search": _bm25_oracle(),
     "q_rrf_hybrid_search": _rrf_oracle(),
+    "q_ndcg_search_eval": _ndcg_oracle(),
 }

@@ -199,6 +199,7 @@ EMPTY_SENSITIVE = [
     "q_profile_lineitem",
     "q_randomwalk_corpus",
     "q_local_clustering_topk",
+    "q_ndcg_search_eval",
     "q_rfm_segments",
     "q_rollup_revenue",
     "q_rrf_hybrid_search",

@@ -533,3 +533,61 @@ class TestLocalClustering:
         rows = graph.q_local_clustering_topk(spark, d).collect()
         assert [r["node"] for r in rows] == [2]
         assert rows[0]["lcc"] == 0.0 and rows[0]["n_triangles"] == 0
+
+
+class TestNdcgSearchEval:
+    def test_label_perfect_ranking_scores_one(self, spark, tmp_path):
+        """For the 'hash_join' benchmark query: a two-term doc must
+        outrank a one-term doc under BM25, so the top-10 is
+        label-perfect and ndcg10 = 1.0; gains/discounts come from the
+        shared nano-unit constants (hand-checked here)."""
+        from kafka_clickhouse_pipeline_spark.operators import search
+
+        spark.createDataFrame(
+            [
+                (1, "hash join hash", "en", "s", 14),
+                (2, "hash probe build", "en", "s", 16),
+                (3, "unrelated words only", "en", "s", 20),
+            ],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        rows = {r["query_id"]: r for r in search.q_ndcg_search_eval(spark, str(tmp_path)).collect()}
+        assert set(rows) == {"hash_join"}  # other queries match no doc
+        r = rows["hash_join"]
+        assert r["n_judged"] == 2
+        # ideal = actual: doc 1 (rel 2 -> gain 3) first, doc 2 (rel 1
+        # -> gain 1) second; dcg_nanos = 3*W1 + 1*W2
+        expect = 3 * search.NDCG_W_NANOS[0] + 1 * search.NDCG_W_NANOS[1]
+        assert r["dcg10"] == round(expect / 1e9, 6)
+        assert r["dcg10"] == r["idcg10"]
+        assert r["ndcg10"] == 1.0
+
+    def test_inverted_ranking_scores_below_one(self, spark, tmp_path):
+        """If BM25 puts a lower-label doc first (rare-term idf beats
+        term coverage), ndcg10 < 1 -- the metric actually measures the
+        ranking, not the labels. Construct it: 'join' appears in one
+        doc only (high idf), 'hash' floods the corpus (low idf), so
+        the rel-1 doc holding rare 'join' outranks a rel-2 doc with
+        both terms buried in a long document."""
+        from kafka_clickhouse_pipeline_spark.operators import search
+
+        filler = " ".join(["pad"] * 200)
+        docs = [
+            (1, "hash join " + filler, "en", "s", 10),  # rel 2, long
+            (2, "join", "en", "s", 4),                  # rel 1, rare term
+        ]
+        # make 'hash' common: many hash-only docs
+        docs += [(10 + i, "hash", "en", "s", 4) for i in range(8)]
+        spark.createDataFrame(
+            docs,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        r = {x["query_id"]: x for x in search.q_ndcg_search_eval(spark, str(tmp_path)).collect()}["hash_join"]
+        # doc 1 is the only rel-2 doc; if it is not ranked first the
+        # metric must dip below 1.0 -- and with 'join' idf shared by
+        # docs 1 and 2 but doc 1 diluted by 200 padding tokens, BM25
+        # prefers doc 2
+        assert r["n_judged"] == 10
+        assert r["ndcg10"] < 1.0
