@@ -224,6 +224,8 @@ HEADLINE = [
     "q_randomwalk_corpus",
     "q_local_clustering_topk",
     "q_ndcg_search_eval",
+    "q_padding_waste",
+    "q_brand_assortativity",
 ]
 
 

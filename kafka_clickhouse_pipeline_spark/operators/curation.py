@@ -1864,3 +1864,94 @@ CURATION_ORACLES["q_ngram_novelty"] = f"""
     GROUP BY s.doc_id
     ORDER BY s.doc_id
 """
+
+
+#: Sequence-length caps a batching layer chooses between: docs are
+#: assigned the smallest cap that fits; longer docs are truncated to
+#: the largest cap (padding 0, truncation loss reported separately).
+PADDING_CAPS = [64, 128, 256, 512, 1024]
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batching-efficiency audit: if documents are padded to the
+    smallest fitting sequence cap (64/128/.../1024 tokens), how much
+    of each batch bucket is padding, and how many tokens does the
+    overflow bucket truncate? The padding-vs-truncation table is what
+    picks the bucket boundaries for a training run (the cost of a bad
+    cap layout at 100 TB is literally wasted accelerator-hours
+    proportional to waste_frac).
+
+    Per bucket: document count, kept tokens, padding tokens,
+    waste_frac = padding / (kept + padding), plus truncated tokens for
+    the overflow cap. Exact integer sums off ONE scan (token count is
+    a map-side size(split(..)), the same tokenizer every text operator
+    uses); a single double division per bucket, round 6.
+
+    Scale shape: one scan -> per-row integer bucket expression ->
+    one small groupBy (|caps| groups). No joins, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    cap = F.lit(None).cast("long")
+    for c in reversed(PADDING_CAPS):
+        cap = F.when(n_tok <= c, F.lit(c).cast("long")).otherwise(cap)
+    cap = F.coalesce(cap, F.lit(PADDING_CAPS[-1]).cast("long"))
+    kept = F.least(n_tok, F.lit(PADDING_CAPS[-1]).cast("long"))
+    per_doc = docs.select(
+        cap.alias("cap"),
+        kept.alias("kept"),
+        (cap - kept).alias("pad"),
+        (n_tok - kept).alias("truncated"),
+    )
+    agg = per_doc.groupBy("cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("kept_tokens"),
+        F.sum("pad").cast("long").alias("padding_tokens"),
+        F.sum("truncated").cast("long").alias("truncated_tokens"),
+    )
+    waste = F.round(
+        F.col("padding_tokens").cast("double")
+        / (F.col("kept_tokens") + F.col("padding_tokens")).cast("double"),
+        6,
+    )
+    return agg.select(
+        F.col("cap").alias("seq_cap"),
+        "n_docs",
+        "kept_tokens",
+        "padding_tokens",
+        "truncated_tokens",
+        waste.alias("waste_frac"),
+    ).orderBy("seq_cap")
+
+
+CURATION_QUERIES["q_padding_waste"] = q_padding_waste
+
+
+def _padding_case() -> str:
+    whens = " ".join(
+        f"WHEN n <= {c} THEN CAST({c} AS BIGINT)" for c in PADDING_CAPS
+    )
+    return f"CASE {whens} ELSE CAST({PADDING_CAPS[-1]} AS BIGINT) END"
+
+
+CURATION_ORACLES["q_padding_waste"] = f"""
+    WITH toks AS (
+      SELECT CAST(length(string_split_regex(trim(text), '\\s+'))
+                  AS BIGINT) AS n
+      FROM documents),
+    per_doc AS (
+      SELECT {_padding_case()} AS cap,
+             least(n, {PADDING_CAPS[-1]}) AS kept,
+             {_padding_case()} - least(n, {PADDING_CAPS[-1]}) AS pad,
+             n - least(n, {PADDING_CAPS[-1]}) AS truncated
+      FROM toks)
+    SELECT cap AS seq_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS kept_tokens,
+           CAST(sum(pad) AS BIGINT) AS padding_tokens,
+           CAST(sum(truncated) AS BIGINT) AS truncated_tokens,
+           round(CAST(sum(pad) AS DOUBLE)
+                 / CAST(sum(kept) + sum(pad) AS DOUBLE), 6) AS waste_frac
+    FROM per_doc
+    GROUP BY cap
+    ORDER BY seq_cap
+"""

@@ -2584,3 +2584,89 @@ GRAPH_ORACLES["q_local_clustering_topk"] = f"""
     ORDER BY lcc DESC, node
     LIMIT {LCC_TOPK}
 """
+
+
+def q_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical (discrete) assortativity of the co-purchase graph
+    by part BRAND -- Newman's attribute mixing coefficient (Newman,
+    PRE 67, 2003): r = (sum_i e_ii - sum_i a_i*b_i) /
+    (1 - sum_i a_i*b_i), +1 when products are only co-bought within
+    their own brand, ~0 when brand is irrelevant, negative when
+    cross-brand pairing dominates. The categorical complement of
+    q_degree_assortativity (numeric, by degree).
+
+    Exactness: evaluated on integer stub counts over the DIRECTED
+    symmetric edge list -- with m directed edges, same-brand count s,
+    and per-brand stub counts a_i (= b_i by symmetry):
+    r = (m*s - sum a_i^2) / (m^2 - sum a_i^2). All products are
+    DECIMAL(38,0) (m^2 overflows BIGINT past ~3e9 edges -- real at
+    100 TB), ONE double division at the end, round 6.
+
+    Scale shape: two key joins attach endpoint brands to the edge list
+    (size-gated broadcast of the part dim -- at TPC-H scale part is
+    the small side; past the gate they are plain shuffle joins), then
+    one global aggregate and one |brands|-sized aggregate. No window,
+    no iteration."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    brand = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    n_parts = brand.count()  # bounded scalar: gates the dim broadcasts
+    bsrc = brand.select(
+        F.col("p_partkey").alias("src"), F.col("p_brand").alias("brand_u")
+    )
+    bdst = brand.select(
+        F.col("p_partkey").alias("dst"), F.col("p_brand").alias("brand_v")
+    )
+    if n_parts <= NODE_JACCARD_BROADCAST_MAX_NODES:
+        bsrc, bdst = F.broadcast(bsrc), F.broadcast(bdst)
+    tagged = edges.join(bsrc, "src").join(bdst, "dst").transform(cut_lineage)
+    totals = tagged.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum(
+            F.when(F.col("brand_u") == F.col("brand_v"), 1).otherwise(0)
+        ).cast("decimal(38,0)").alias("s"),
+    )
+    stub_sq = (
+        tagged.groupBy("brand_u")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("a"))
+        .agg(F.sum(F.col("a") * F.col("a")).cast("decimal(38,0)").alias("aa"))
+    )
+    return totals.crossJoin(stub_sq).select(
+        F.col("m").cast("long").alias("n_directed_edges"),
+        F.col("s").cast("long").alias("n_same_brand"),
+        F.round(
+            (F.col("m") * F.col("s") - F.col("aa")).cast("double")
+            / (F.col("m") * F.col("m") - F.col("aa")).cast("double"),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+GRAPH_QUERIES["q_brand_assortativity"] = q_brand_assortativity
+GRAPH_ORACLES["q_brand_assortativity"] = """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    tagged AS (
+      SELECT ps.p_brand AS brand_u, pd.p_brand AS brand_v
+      FROM e
+      JOIN part ps ON ps.p_partkey = e.src
+      JOIN part pd ON pd.p_partkey = e.dst),
+    totals AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS m,
+             CAST(sum(CASE WHEN brand_u = brand_v THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,0)) AS s
+      FROM tagged),
+    stub AS (
+      SELECT CAST(sum(a * a) AS DECIMAL(38,0)) AS aa
+      FROM (SELECT CAST(count(*) AS DECIMAL(38,0)) AS a
+            FROM tagged GROUP BY brand_u))
+    SELECT CAST(m AS BIGINT) AS n_directed_edges,
+           CAST(s AS BIGINT) AS n_same_brand,
+           round(CAST(m * s - aa AS DOUBLE)
+                 / CAST(m * m - aa AS DOUBLE), 6) AS assortativity
+    FROM totals, stub
+"""

@@ -200,6 +200,7 @@ EMPTY_SENSITIVE = [
     "q_randomwalk_corpus",
     "q_local_clustering_topk",
     "q_ndcg_search_eval",
+    "q_padding_waste",
     "q_rfm_segments",
     "q_rollup_revenue",
     "q_rrf_hybrid_search",
@@ -249,6 +250,7 @@ EMPTY_SCALAR = [
     "q_pareto_revenue_share",
     "q_welch_ttest_value",
     "q_zipf_fit",
+    "q_brand_assortativity",
 ]
 
 #: Fixed output spines: operators whose empty-input result is a

@@ -591,3 +591,64 @@ class TestNdcgSearchEval:
         # prefers doc 2
         assert r["n_judged"] == 10
         assert r["ndcg10"] < 1.0
+
+
+class TestPaddingWaste:
+    def test_bucket_assignment_and_truncation(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators import curation
+
+        spark.createDataFrame(
+            [
+                (1, " ".join(["t"] * 10), "en", "s", 10),
+                (2, " ".join(["t"] * 64), "en", "s", 64),
+                (3, " ".join(["t"] * 100), "en", "s", 100),
+                (4, " ".join(["t"] * 2000), "en", "s", 2000),
+            ],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        rows = {r["seq_cap"]: r for r in curation.q_padding_waste(spark, str(tmp_path)).collect()}
+        assert rows[64]["n_docs"] == 2  # 10-token and exactly-64-token
+        assert rows[64]["kept_tokens"] == 74 and rows[64]["padding_tokens"] == 54
+        assert rows[128]["n_docs"] == 1 and rows[128]["padding_tokens"] == 28
+        assert rows[1024]["n_docs"] == 1
+        assert rows[1024]["padding_tokens"] == 0
+        assert rows[1024]["truncated_tokens"] == 976
+        assert rows[64]["waste_frac"] == round(54 / 128, 6)
+
+
+class TestBrandAssortativity:
+    def _write(self, spark, d, li_rows, brands):
+        spark.createDataFrame(
+            li_rows, "l_orderkey bigint, l_partkey bigint"
+        ).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            brands, "p_partkey bigint, p_brand string"
+        ).write.parquet(f"{d}/part.parquet")
+        return str(d)
+
+    def test_perfectly_assortative(self, spark, tmp_path):
+        """Two same-brand cliques, no cross-brand edges: r = 1.0."""
+        from kafka_clickhouse_pipeline_spark.operators import graph
+
+        d = self._write(
+            spark, tmp_path,
+            [(1, 1), (1, 2), (2, 3), (2, 4)],
+            [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        )
+        r = graph.q_brand_assortativity(spark, d).collect()[0]
+        assert r["n_directed_edges"] == 4 and r["n_same_brand"] == 4
+        assert r["assortativity"] == 1.0
+
+    def test_perfectly_disassortative(self, spark, tmp_path):
+        """Only cross-brand edges between two brands: r = -1.0."""
+        from kafka_clickhouse_pipeline_spark.operators import graph
+
+        d = self._write(
+            spark, tmp_path,
+            [(1, 1), (1, 3), (2, 2), (2, 4)],
+            [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        )
+        r = graph.q_brand_assortativity(spark, d).collect()[0]
+        assert r["n_same_brand"] == 0
+        assert r["assortativity"] == -1.0
