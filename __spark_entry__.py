@@ -96,6 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "q_basket_itemsets3", "q_skyline_parts", "q_theilsen_hourly",
     "q_randomwalk_corpus", "q_local_clustering_topk",
     "q_ndcg_search_eval", "q_padding_waste", "q_brand_assortativity",
+    "q_hits_purchases", "q_kaplan_meier",
     # heavy graph first-timers (wedge family, capped + exact)
     "q_node_jaccard_capped", "q_adamic_adar_capped", "q_adamic_adar",
     "q_betweenness_sampled",
@@ -106,10 +107,10 @@ PRIORITY: tuple[str, ...] = (
     # re-attest the new path. (q_triangle_count_copurchase's machinery
     # is now exercised more thoroughly by first-timer
     # q_local_clustering_topk, which displaced it; q_label_propagation,
-    # q_kcore_mutual_knn and q_bfs_hops likewise gave their slots to
-    # this session's first-timers.) ---
-    "q_modularity_lpa",
-    "q_closeness_sampled", "q_node_jaccard",
+    # q_kcore_mutual_knn, q_bfs_hops, q_modularity_lpa and
+    # q_closeness_sampled likewise gave their slots to this session's
+    # first-timers; all remain covered by the strict sweep.) ---
+    "q_node_jaccard",
 )
 
 

@@ -226,6 +226,8 @@ HEADLINE = [
     "q_ndcg_search_eval",
     "q_padding_waste",
     "q_brand_assortativity",
+    "q_hits_purchases",
+    "q_kaplan_meier",
 ]
 
 

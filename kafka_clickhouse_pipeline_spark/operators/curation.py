@@ -1955,3 +1955,147 @@ CURATION_ORACLES["q_padding_waste"] = f"""
     GROUP BY cap
     ORDER BY seq_cap
 """
+
+
+#: A user with no activity in the last KM_CENSOR_DAYS before the
+#: corpus cutoff is an observed churn; later activity right-censors
+#: the lifetime (still active when observation ended).
+KM_CENSOR_DAYS = 7
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user retention (Kaplan &
+    Meier JASA'58): per churn-day lifetime t, the at-risk count, churn
+    count, hazard d/n, and the product-limit survival estimate
+    S(t) = prod_{s<=t} (1 - d_s/n_s) -- the right-censoring-aware
+    answer to "what fraction of users survive past day t", which naive
+    retention curves get wrong by counting still-active users as
+    churned. Lifetime = days between a user's first and last event;
+    censoring per KM_CENSOR_DAYS.
+
+    Exactness: lifetimes/risk/churn counts are exact integers (risk
+    sets come from ONE cumulative window over the compacted lifetime
+    histogram, not a per-user self-join); hazard is one double
+    division (round 6). The survival product is evaluated in LOG
+    space: each factor ln((n-d)/n) is a fixed-shape double rounded to
+    DECIMAL(28,9), so the cumulative sum is EXACT and
+    order-independent, with one exp + round(6) at the output -- the
+    q_perplexity_unigram discipline. d == n (everyone at risk churns,
+    only possible at the last time point) short-circuits to exactly
+    0.0 instead of ln(0).
+
+    Scale shape: corpus-sized work is one per-user min/max aggregate;
+    everything ordered (cumulative risk, cumulative log-survival) runs
+    on the DISTINCT-LIFETIME histogram -- bounded by the observation
+    window in days, metadata-sized at any corpus scale (the
+    q_classifier_auc compaction argument)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    cutoff = ev.agg(F.max("d").alias("cutoff"))
+    u = per_user.crossJoin(broadcast(cutoff)).select(
+        F.datediff("last_d", "first_d").cast("long").alias("t"),
+        F.when(
+            F.datediff("cutoff", "last_d") >= KM_CENSOR_DAYS, 1
+        ).otherwise(0).alias("churned"),
+    )
+    hist = u.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("churned").cast("long").alias("n_churned"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_before = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = hist.select(
+        "t",
+        "n_churned",
+        (
+            F.sum("c").over(w_all)
+            - F.coalesce(F.sum("c").over(w_before), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    term = F.when(
+        F.col("n_churned") < F.col("n_risk"),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("n_churned")).cast("double")
+                / F.col("n_risk").cast("double")
+            ),
+            9,
+        ).cast("decimal(28,9)"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = at_risk.withColumn("logterm", term).withColumn(
+        "cumlog", F.sum("logterm").over(w_cum)
+    )
+    surv = F.when(
+        F.col("n_churned") == F.col("n_risk"), F.lit(0.0)
+    ).otherwise(F.round(F.exp(F.col("cumlog").cast("double")), 6))
+    return (
+        stepped.filter(F.col("n_churned") > 0)
+        .select(
+            F.col("t").alias("t_days"),
+            "n_risk",
+            "n_churned",
+            F.round(
+                F.col("n_churned").cast("double")
+                / F.col("n_risk").cast("double"),
+                6,
+            ).alias("hazard"),
+            surv.alias("km_survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+CURATION_QUERIES["q_kaplan_meier"] = q_kaplan_meier
+CURATION_ORACLES["q_kaplan_meier"] = f"""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    per_user AS (
+      SELECT user_id, min(d) AS first_d, max(d) AS last_d
+      FROM ev GROUP BY 1),
+    cutoff AS (SELECT max(d) AS cutoff FROM ev),
+    u AS (
+      SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS t,
+             CASE WHEN date_diff('day', last_d, cutoff)
+                       >= {KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS churned
+      FROM per_user, cutoff),
+    hist AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(churned) AS BIGINT) AS n_churned
+      FROM u GROUP BY 1),
+    at_risk AS (
+      SELECT t, n_churned,
+             CAST(sum(c) OVER ()
+                  - coalesce(sum(c) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM hist),
+    stepped AS (
+      SELECT t, n_churned, n_risk,
+             sum(CASE WHEN n_churned < n_risk THEN
+                   CAST(round(ln(CAST(n_risk - n_churned AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE)), 9)
+                        AS DECIMAL(28,9)) END)
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumlog
+      FROM at_risk)
+    SELECT t AS t_days, n_risk, n_churned,
+           round(CAST(n_churned AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+             AS hazard,
+           CASE WHEN n_churned = n_risk THEN 0.0
+                ELSE round(exp(CAST(cumlog AS DOUBLE)), 6) END
+             AS km_survival
+    FROM stepped
+    WHERE n_churned > 0
+    ORDER BY t_days
+"""

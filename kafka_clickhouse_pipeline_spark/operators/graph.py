@@ -2670,3 +2670,141 @@ GRAPH_ORACLES["q_brand_assortativity"] = """
                  / CAST(m * m - aa AS DOUBLE), 6) AS assortativity
     FROM totals, stub
 """
+
+
+#: Full HITS (h -> a -> h) iterations, fixed for oracle unrolling.
+HITS_ROUNDS = 2
+HITS_TOPK = 10
+
+
+def q_hits_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg JACM'99) on the bipartite
+    customer -> part purchase graph: authority(part) = sum of the hub
+    scores of customers buying it; hub(customer) = sum of the
+    authority scores of parts they buy. Two fixed mutual-reinforcement
+    rounds; top-10 per role -- "versatile heavy buyers" and
+    "parts bought by versatile heavy buyers", the spectral complement
+    of raw degree ranking (one round IS degree ranking; round two is
+    where the two differ).
+
+    Exactness: HITS rankings are scale-invariant, so instead of the
+    textbook per-round float normalization the iterates stay
+    UNNORMALIZED exact integers in DECIMAL(38,0) (a 2-round iterate is
+    bounded by m * max_deg^3 -- far inside 38 digits even at 10^12
+    edges) and the output normalizes ONCE: score / role max, one
+    double division, round 6. Bit-identical to the unrolled oracle
+    with no rounding discipline needed anywhere else.
+
+    Scale shape: per round, one join of the O(nodes) score frame onto
+    the edge list + one groupBy -- the PageRank/LPA shape; edges are
+    checkpoint-materialized once. Top-K per role is
+    TakeOrderedAndProject. No driver collects."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .transform(cut_lineage)
+    )
+    h = edges.select("c").distinct().select(
+        "c", F.lit(1).cast("decimal(38,0)").alias("h")
+    )
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a = (
+            edges.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+            .transform(cut_lineage)
+        )
+        h = (
+            edges.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+            .transform(cut_lineage)
+        )
+    top_auth = (
+        a.orderBy(F.col("a").desc(), "p")
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("p").cast("long").alias("node"),
+            F.col("a").alias("score"),
+        )
+    )
+    top_hub = (
+        h.orderBy(F.col("h").desc(), "c")
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").cast("long").alias("node"),
+            F.col("h").alias("score"),
+        )
+    )
+    both = top_auth.unionByName(top_hub)
+    from pyspark.sql.window import Window
+
+    mx = F.max("score").over(Window.partitionBy("role"))
+    return (
+        both.select(
+            "role",
+            "node",
+            F.col("score").alias("score_raw"),
+            # output policy: no decimal columns cross the contract --
+            # render the exact integer score as a plain digit string
+            # (any magnitude, no BIGINT saturation at 100 TB)
+            F.col("score").cast("decimal(38,0)").cast("string").alias("score"),
+            F.round(
+                F.col("score").cast("double") / mx.cast("double"), 6
+            ).alias("score_norm"),
+        )
+        # order on the NUMERIC score (the digit string would sort
+        # lexicographically), then project the sort key away
+        .orderBy("role", F.col("score_raw").desc(), "node")
+        .select("role", "node", "score", "score_norm")
+    )
+
+
+def _hits_round_sql(r: int) -> str:
+    return f"""
+        a{r} AS (
+          SELECT e.p, CAST(sum(h.h) AS DECIMAL(38,0)) AS a
+          FROM e JOIN h{r - 1} h ON h.c = e.c GROUP BY e.p),
+        h{r} AS (
+          SELECT e.c, CAST(sum(a.a) AS DECIMAL(38,0)) AS h
+          FROM e JOIN a{r} a ON a.p = e.p GROUP BY e.c)"""
+
+
+def _hits_oracle() -> str:
+    rounds = ",".join(_hits_round_sql(r) for r in range(1, HITS_ROUNDS + 1))
+    last = HITS_ROUNDS
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    h0 AS (SELECT DISTINCT c, CAST(1 AS DECIMAL(38,0)) AS h FROM e),
+    {rounds},
+    top_auth AS (
+      SELECT 'authority' AS role, CAST(p AS BIGINT) AS node, a AS score
+      FROM a{last} ORDER BY a DESC, p LIMIT {HITS_TOPK}),
+    top_hub AS (
+      SELECT 'hub' AS role, CAST(c AS BIGINT) AS node, h AS score
+      FROM h{last} ORDER BY h DESC, c LIMIT {HITS_TOPK}),
+    both_roles AS (
+      SELECT role, node, score AS score_raw FROM top_auth
+      UNION ALL SELECT role, node, score FROM top_hub)
+    SELECT role, node,
+           CAST(CAST(score_raw AS DECIMAL(38,0)) AS VARCHAR) AS score,
+           round(CAST(score_raw AS DOUBLE)
+                 / CAST(max(score_raw) OVER (PARTITION BY role) AS DOUBLE),
+                 6) AS score_norm
+    FROM both_roles
+    ORDER BY role, score_raw DESC, node
+"""
+
+
+GRAPH_QUERIES["q_hits_purchases"] = q_hits_purchases
+GRAPH_ORACLES["q_hits_purchases"] = _hits_oracle()

@@ -201,6 +201,8 @@ EMPTY_SENSITIVE = [
     "q_local_clustering_topk",
     "q_ndcg_search_eval",
     "q_padding_waste",
+    "q_hits_purchases",
+    "q_kaplan_meier",
     "q_rfm_segments",
     "q_rollup_revenue",
     "q_rrf_hybrid_search",

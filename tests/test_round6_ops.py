@@ -652,3 +652,80 @@ class TestBrandAssortativity:
         r = graph.q_brand_assortativity(spark, d).collect()[0]
         assert r["n_same_brand"] == 0
         assert r["assortativity"] == -1.0
+
+
+class TestHitsPurchases:
+    def test_two_rounds_differ_from_degree(self, spark, tmp_path):
+        """c1 buys {p1,p2}; c2, c3 buy {p1}. Hand-unrolled two rounds:
+        a2(p1)=10, a2(p2)=4, h2(c1)=14, h2(c2)=h2(c3)=10 -- round two
+        separates c1 from c2/c3 where raw degree alone would not
+        separate p2's buyers."""
+        from kafka_clickhouse_pipeline_spark.operators import graph
+
+        spark.createDataFrame(
+            [(1, 101), (1, 102), (2, 101), (3, 101)],
+            "l_orderkey bigint, l_partkey bigint",
+        ).write.parquet(f"{tmp_path}/lineitem.parquet")
+        spark.createDataFrame(
+            [(1, 11), (2, 12), (3, 13)],
+            "o_orderkey bigint, o_custkey bigint",
+        ).write.parquet(f"{tmp_path}/orders.parquet")
+        rows = graph.q_hits_purchases(spark, str(tmp_path)).collect()
+        auth = [(r["node"], r["score"], r["score_norm"]) for r in rows if r["role"] == "authority"]
+        hub = [(r["node"], r["score"], r["score_norm"]) for r in rows if r["role"] == "hub"]
+        assert auth == [(101, "10", 1.0), (102, "4", 0.4)]
+        assert hub == [(11, "14", 1.0), (12, "10", 0.714286), (13, "10", 0.714286)]
+
+
+class TestKaplanMeier:
+    def test_product_limit_with_censoring(self, spark, tmp_path):
+        """Four users: A spans day 0..10 (last event at the cutoff ->
+        censored), B churns at lifetime 1, C at 0, D at 3. KM must
+        step 0.75 -> 0.5 -> 0.25 with risk sets 4/3/2 -- a naive curve
+        that counts A as churned would differ."""
+        from datetime import datetime
+
+        from kafka_clickhouse_pipeline_spark.operators import curation
+
+        def e(i, day, uid):
+            return (i, datetime(2024, 3, 1 + day), uid, "view", 1.0, "{}")
+
+        rows = [e(1, 0, 1), e(2, 10, 1),   # A censored (active at cutoff)
+                e(3, 0, 2), e(4, 1, 2),    # B churn t=1
+                e(5, 0, 3),                # C churn t=0
+                e(6, 0, 4), e(7, 3, 4)]    # D churn t=3
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{tmp_path}/events.parquet")
+        out = curation.q_kaplan_meier(spark, str(tmp_path)).collect()
+        assert [(r["t_days"], r["n_risk"], r["n_churned"]) for r in out] == [
+            (0, 4, 1), (1, 3, 1), (3, 2, 1),
+        ]
+        assert [r["km_survival"] for r in out] == [0.75, 0.5, 0.25]
+        assert [r["hazard"] for r in out] == [0.25, 0.333333, 0.5]
+
+    def test_everyone_churns_ends_at_zero(self, spark, tmp_path):
+        """d == n at the final lifetime: survival must short-circuit
+        to exactly 0.0, never ln(0)."""
+        from datetime import datetime
+
+        from kafka_clickhouse_pipeline_spark.operators import curation
+
+        rows = [
+            (1, datetime(2024, 3, 1), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 3, 1), 2, "view", 1.0, "{}"),
+            (3, datetime(2024, 3, 21), 3, "view", 1.0, "{}"),
+            (4, datetime(2024, 3, 21), 3, "view", 1.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{tmp_path}/events.parquet")
+        out = curation.q_kaplan_meier(spark, str(tmp_path)).collect()
+        # all three users have lifetime 0; users 1,2 churned, user 3
+        # is censored (active on the cutoff day) -> one step, S = 1/3
+        assert [(r["t_days"], r["n_risk"], r["n_churned"]) for r in out] == [(0, 3, 2)]
+        assert out[0]["km_survival"] == 0.333333
