@@ -54,11 +54,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: no CORRECTNESS_r01..r05 row enter, plus the round-6 additions
 #: q_adamic_adar_capped, q_ann_hamming_topk, q_hamming_recall,
 #: q_dedup_prefix_filter, q_ngram_novelty, q_dedup_clusters_twostar,
-#: q_ppr_copurchase, q_basket_itemsets3, q_skyline_parts and
-#: q_theilsen_hourly (37 first-timers). The remaining 8 slots
-#: re-attest the heaviest previously-attested queries (the full graph
-#: family plus the top non-graph entries from BENCH_DETAIL_r05), since
-#: those are where a regression would cost the most. The two rows-only
+#: q_ppr_copurchase, q_basket_itemsets3, q_skyline_parts,
+#: q_theilsen_hourly, and the round-6 continuation batch
+#: (q_randomwalk_corpus, q_local_clustering_topk, q_ndcg_search_eval,
+#: q_padding_waste, q_brand_assortativity, q_hits_purchases,
+#: q_kaplan_meier) -- 44 first-timers total. The one remaining slot
+#: re-attests q_node_jaccard, whose wedge core was rewritten this
+#: round (packed pair key + sorted-slice) and therefore needs fresh
+#: driver attestation more than any unchanged heavy. The two rows-only
 #: sketches (q_approx_distinct_users, q_value_percentiles_approx) stay
 #: out by design: the window contract requires oracle backing, and
 #: their HLL++/t-digest outputs are engine-specific (see their

@@ -383,3 +383,21 @@ def test_label_propagation_broadcast_is_size_gated(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_wedge_pair_shuffle_is_single_packed_key(spark, sf_dir):
+    """The round-6 wedge fast path: with node ids under 2^32 the pair
+    aggregate must exchange ONE packed BIGINT key (hashpartitioning on
+    k), not the two-column (u, v) pair -- and stay Python-free with
+    TakeOrderedAndProject for the top-K."""
+    from kafka_clickhouse_pipeline_spark.operators import graph
+
+    df = graph.q_node_jaccard(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(k#\d+L?\b", plan), plan[:2000]
+    assert plans.python_free(df)
+    assert plans.uses_top_k(df)
+
+    df2 = graph.q_adamic_adar(spark, sf_dir)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(k#\d+L?\b", plan2)
