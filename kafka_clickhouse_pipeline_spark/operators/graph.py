@@ -2344,18 +2344,18 @@ def q_randomwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     scope: the reference engine has no graph operators -- this extends
     the serving surface along SURVEY.md section 2's extension track.
     """
-    from pyspark.sql.window import Window
-
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = co_purchase_edges(li).transform(cut_lineage)
-    indexed = edges.select(
-        "src",
-        "dst",
-        F.row_number()
-        .over(Window.partitionBy("src").orderBy("dst"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("d"),
-    ).transform(cut_lineage)
+    # id-sorted adjacency ARRAYS (one row per node) instead of an
+    # edge-level row_number window: the same ordering contract as the
+    # oracle's row_number-over-(src ORDER BY dst), but each step scans
+    # a node-sized frame and indexes with element_at -- no window
+    # shuffle, and the per-step probe is O(nodes) not O(edges)
+    adj = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .transform(cut_lineage)
+    )
     seeds = (
         edges.select("src")
         .distinct()
@@ -2385,12 +2385,13 @@ def q_randomwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         cur = (
             F.broadcast(cur)
-            .join(
-                indexed,
-                (F.col("node") == F.col("src"))
-                & (F.col("rn") == coin % F.col("d") + 1),
+            .join(adj, F.col("node") == F.col("src"))
+            .select(
+                "walk_id",
+                F.element_at(
+                    "nbrs", (coin % F.size("nbrs") + 1).cast("int")
+                ).alias("node"),
             )
-            .select("walk_id", F.col("dst").alias("node"))
             .transform(cut_lineage)
         )
         frames.append(
