@@ -538,61 +538,118 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+#: Block size for the exact-cosine block nested-loop join: ~64
+#: vectors per block keeps each tile kernel at <=64x64x128 doubles
+#: (~4 MB scratch) and gives ~n^2/8k tiles to spread over executors.
+EMB_BLOCK = 64
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs of vectors with cosine above
     COSINE_THRESHOLD.
 
-    AUDIT/ORACLE PATH, not a production operator: the self-join is
+    AUDIT/ORACLE PATH, not a production operator: the pair space is
     exactly O(n^2) in the corpus and stays registered only as the
     measured ground truth for the approximate twins. Production
     near-dup over embeddings routes through ``similarity``
     (LSH-bucketed / IVF candidate generation) or ``pq`` (ADC scan),
     which bound the pair space; at 100 TB you run those and
     sample-audit against this (SCALE.md, "Known trade-offs" #2).
-    Arithmetic in float64, sequential accumulation, matching the
-    DuckDB oracle bit-for-bit: the per-pair dot is an Arrow-batched
-    numpy ``cumsum`` -- products are exact IEEE ops and cumsum forces
-    the left-to-right summation order, so it is bit-identical to the
-    interpreted ``F.aggregate`` fold it replaces (the _seq_sims
-    discipline, oracle-proven on the IVF family) while cutting the
-    quadratic term's cost 3.1x (r6 measured at sf0.1: 41.9 s ->
-    13.3 s -- the interpreted fold evaluated 128 lambdas per pair;
-    what remains is the inherent 2M-pair Arrow transfer)."""
+
+    Plan: BLOCK nested-loop join. Vectors pack into ~EMB_BLOCK-row
+    blocks (one collect_list row per block); block PAIRS cross-join
+    (bi <= bj, each unordered vector pair lands in exactly one block
+    pair) and an Arrow-batched kernel computes the whole pair tile in
+    numpy, emitting only (v1, v2, cosine) scalars. Data movement is
+    the win over the row-level self-join it replaces: each vector
+    crosses the wire B times (its block row replicated per partner
+    block) instead of n times -- the r6 row-level form shipped ~4 GB
+    of duplicated 128-dim arrays through Arrow at sf0.1 (19.9 s
+    benched); this ships ~50 MB of block tiles + scalar results.
+
+    Exactness: float64 with SEQUENTIAL accumulation, matching the
+    DuckDB oracle bit-for-bit -- per-pair dot and per-vector norm are
+    numpy ``cumsum`` (products exact IEEE; cumsum forces left-to-right
+    order, the _seq_sims discipline), norm = sqrt(cumsum last), cosine
+    = dot / (n1 * n2) in the same op order as the oracle; round(.,6)
+    and the threshold stay Spark-side, unchanged."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    n_vecs = emb.count()  # bounded scalar: sizes the block grid
+    n_blocks = max(1, math.ceil(n_vecs / EMB_BLOCK))
+    packed = (
+        emb.select(
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
+            F.struct(F.col("vec_id"), vec.alias("v")).alias("r"),
         )
-
-    @F.pandas_udf("double")
-    def pair_dot(u: pd.Series, v: pd.Series) -> pd.Series:
-        if not len(u):
-            return pd.Series([], dtype="float64")
-        U = np.stack(u.to_numpy())
-        V = np.stack(v.to_numpy())
-        return pd.Series(np.cumsum(U * V, axis=1)[:, -1])
-
-    # norms hoisted to the per-side projection: computed once per
-    # vector instead of once per pair (the self-join makes per-pair
-    # work the quadratic term); same sqrt(sum)-then-divide arithmetic,
-    # bit-identical to the oracle
-    e = emb.select("vec_id", vec.alias("v")).withColumn(
-        "n", F.sqrt(dot(F.col("v"), F.col("v")))
+        .groupBy("blk")
+        .agg(F.collect_list("r").alias("rows"))
+        .transform(cut_lineage)
     )
-    a = e.alias("a")
-    b = e.alias("b")
+    tiles = (
+        packed.alias("A")
+        .withColumnRenamed("rows", "rows_a")
+        .join(
+            packed.alias("B").withColumnRenamed("rows", "rows_b"),
+            F.col("A.blk") <= F.col("B.blk"),
+        )
+        .select(
+            F.col("A.blk").alias("blk_a"),
+            F.col("B.blk").alias("blk_b"),
+            "rows_a",
+            "rows_b",
+        )
+    )
 
-    joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-    cos = pair_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    def tile_pairs(batches):
+        for pdf in batches:
+            out_v1, out_v2, out_c = [], [], []
+            for blk_a, blk_b, rows_a, rows_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ida = np.array([r["vec_id"] for r in rows_a], dtype="int64")
+                idb = np.array([r["vec_id"] for r in rows_b], dtype="int64")
+                U = np.stack([r["v"] for r in rows_a])
+                V = np.stack([r["v"] for r in rows_b])
+                na = np.sqrt(np.cumsum(U * U, axis=1)[:, -1])
+                nb = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+                # tile of sequential dots: cumsum along the dim axis
+                dots = np.cumsum(
+                    U[:, None, :] * V[None, :, :], axis=2
+                )[:, :, -1]
+                cos = dots / (na[:, None] * nb[None, :])
+                if blk_a == blk_b:
+                    # within a block each unordered pair appears twice
+                    # in the tile; keep the id-ordered half
+                    ii, jj = np.nonzero(ida[:, None] < idb[None, :])
+                else:
+                    # distinct blocks: every (i, j) is a distinct
+                    # unordered pair seen exactly once -- emit all of
+                    # them, ordering ids per pair (ids interleave
+                    # across mod-blocks, so either side may be smaller)
+                    ii, jj = np.nonzero(np.ones((len(ida), len(idb)), bool))
+                v1 = np.minimum(ida[ii], idb[jj])
+                v2 = np.maximum(ida[ii], idb[jj])
+                out_v1.append(v1)
+                out_v2.append(v2)
+                out_c.append(cos[ii, jj])
+            if out_v1:
+                yield pd.DataFrame(
+                    {
+                        "v1": np.concatenate(out_v1),
+                        "v2": np.concatenate(out_v2),
+                        "cos_raw": np.concatenate(out_c),
+                    }
+                )
+
+    scored = tiles.mapInPandas(
+        tile_pairs, schema="v1 long, v2 long, cos_raw double"
+    )
     return (
-        joined.select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            F.round(cos, 6).alias("cosine"),
+        scored.select(
+            "v1", "v2", F.round(F.col("cos_raw"), 6).alias("cosine")
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .orderBy("v1", "v2")

@@ -110,12 +110,13 @@ def test_dedup_python_free(spark, sf_dir):
         dedup.q_dedup_minhash_lsh,
     ):
         assert plans.python_free(fn(spark, sf_dir)), fn.__name__
-    # the exact cosine audit's pair dot is Arrow-batched since r6
-    # (3.1x over the interpreted HOF fold, bit-identical arithmetic);
-    # row-wise pickling stays banned
+    # the exact cosine audit is a BLOCK nested-loop join since late r6
+    # (each vector crosses the wire B times, not n times) with an
+    # Arrow-batched MapInPandas tile kernel -- bit-identical
+    # arithmetic; row-wise pickling stays banned
     cos = dedup.q_dedup_embedding_cosine(spark, sf_dir)
     assert plans.rowwise_python_free(cos)
-    assert "ArrowEvalPython" in plans.formatted_plan(cos)
+    assert "MapInPandas" in plans.formatted_plan(cos)
 
 
 def test_ann_broadcasts_queries(spark, sf_dir):
