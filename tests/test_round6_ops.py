@@ -729,3 +729,90 @@ class TestKaplanMeier:
         # is censored (active on the cutoff day) -> one step, S = 1/3
         assert [(r["t_days"], r["n_risk"], r["n_churned"]) for r in out] == [(0, 3, 2)]
         assert out[0]["km_survival"] == 0.333333
+
+
+class TestSessionInvariants:
+    """Property-style invariants for the continuation-batch operators,
+    fuzzed over hypothesis-generated inputs (the oracle proves
+    equality; these prove the SEMANTICS hold off the fixture path)."""
+
+    def test_kaplan_meier_survival_monotone_nonincreasing(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+        from random import Random
+
+        from kafka_clickhouse_pipeline_spark.operators import curation
+
+        rng = Random(11)
+        rows = []
+        eid = 0
+        for uid in range(40):
+            start = rng.randrange(0, 20)
+            span = rng.randrange(0, 25)
+            for day in sorted({start, start + span, start + rng.randrange(0, span + 1)}):
+                eid += 1
+                rows.append(
+                    (eid, datetime(2024, 5, 1) + timedelta(days=day), uid,
+                     "view", 1.0, "{}")
+                )
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{tmp_path}/events.parquet")
+        out = curation.q_kaplan_meier(spark, str(tmp_path)).collect()
+        assert out, "fuzz graph produced no churn steps"
+        surv = [r["km_survival"] for r in out]
+        assert all(0.0 <= s <= 1.0 for s in surv)
+        assert all(a >= b for a, b in zip(surv, surv[1:])), surv
+        # risk sets shrink strictly along the step curve
+        risks = [r["n_risk"] for r in out]
+        assert all(a > b for a, b in zip(risks, risks[1:]))
+        assert all(r["n_churned"] <= r["n_risk"] for r in out)
+
+    def test_padding_waste_accounting_identity(self, spark, tmp_path):
+        from random import Random
+
+        from kafka_clickhouse_pipeline_spark.operators import curation
+
+        rng = Random(5)
+        lens = [rng.randrange(1, 1500) for _ in range(120)]
+        spark.createDataFrame(
+            [(i, " ".join(["t"] * n), "en", "s", n) for i, n in enumerate(lens)],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        ).write.parquet(f"{tmp_path}/documents.parquet")
+        rows = curation.q_padding_waste(spark, str(tmp_path)).collect()
+        caps = curation.PADDING_CAPS
+        assert sum(r["n_docs"] for r in rows) == len(lens)
+        # kept + truncated re-assembles the exact corpus token count
+        assert sum(r["kept_tokens"] + r["truncated_tokens"] for r in rows) == sum(lens)
+        for r in rows:
+            assert r["seq_cap"] in caps
+            # a full bucket is exactly cap * n_docs cells
+            assert r["kept_tokens"] + r["padding_tokens"] == r["seq_cap"] * r["n_docs"]
+            assert 0.0 <= r["waste_frac"] < 1.0
+            if r["seq_cap"] != caps[-1]:
+                assert r["truncated_tokens"] == 0
+
+    def test_randomwalk_distribution_follows_adjacency(self, spark, tmp_path):
+        """Frequency sanity on a star: from the hub every spoke is
+        reachable with ~uniform probability under the md5 coin; all
+        odd steps from the hub-seeded walk land on spokes, all even
+        back on the hub."""
+        from kafka_clickhouse_pipeline_spark.operators import graph
+
+        rows = [(100 + i, 1) for i in range(6)] + [
+            (100 + i, 10 + i) for i in range(6)
+        ]
+        d = _write_graph(spark, tmp_path, rows)
+        out = graph.q_randomwalk_corpus(spark, d).collect()
+        walks = {}
+        for r in out:
+            walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        hub_walk = walks.get(1)
+        if hub_walk:  # hub among md5-selected seeds
+            for t, node in hub_walk.items():
+                if t % 2 == 0:
+                    assert node == 1
+                else:
+                    assert node in range(10, 16)
