@@ -1,5 +1,5 @@
 """Benchmark harness: runs EVERY registered query (VERDICT r5 #4 --
-the full 202-entry registry, HEADLINE order first for cross-round
+the full registry, HEADLINE order first for cross-round
 diffability, then the remainder sorted) at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE SHORT JSON line as the LAST stdout line:
