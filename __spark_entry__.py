@@ -58,10 +58,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: q_theilsen_hourly, and the round-6 continuation batch
 #: (q_randomwalk_corpus, q_local_clustering_topk, q_ndcg_search_eval,
 #: q_padding_waste, q_brand_assortativity, q_hits_purchases,
-#: q_kaplan_meier) -- 44 first-timers total. The one remaining slot
-#: re-attests q_node_jaccard, whose wedge core was rewritten this
-#: round (packed pair key + sorted-slice) and therefore needs fresh
-#: driver attestation more than any unchanged heavy. The two rows-only
+#: q_kaplan_meier, q_markov_stationary) -- 45 first-timers total, so
+#: every oracle-backed query added this round is driver-attested this
+#: round. No re-attest slots remain; the rewritten q_node_jaccard
+#: wedge core is attested through q_node_jaccard_capped, which calls
+#: the same code path with the cap engaged. The two rows-only
 #: sketches (q_approx_distinct_users, q_value_percentiles_approx) stay
 #: out by design: the window contract requires oracle backing, and
 #: their HLL++/t-digest outputs are engine-specific (see their
@@ -103,17 +104,13 @@ PRIORITY: tuple[str, ...] = (
     # heavy graph first-timers (wedge family, capped + exact)
     "q_node_jaccard_capped", "q_adamic_adar_capped", "q_adamic_adar",
     "q_betweenness_sampled",
-    # --- re-attests: heaviest previously-attested (graph family
-    # + BENCH_DETAIL_r05 top non-graph), regression canaries.
-    # q_node_jaccard stays pinned here: its wedge core was rewritten
-    # (packed pair key + sorted-slice expansion) and the driver should
-    # re-attest the new path. (q_triangle_count_copurchase's machinery
-    # is now exercised more thoroughly by first-timer
-    # q_local_clustering_topk, which displaced it; q_label_propagation,
-    # q_kcore_mutual_knn, q_bfs_hops, q_modularity_lpa and
-    # q_closeness_sampled likewise gave their slots to this session's
-    # first-timers; all remain covered by the strict sweep.) ---
-    "q_node_jaccard",
+    # final first-timer (the continuation batch filled every former
+    # re-attest slot: pagerank, census, LPA, kcore, bfs, modularity,
+    # closeness and plain q_node_jaccard all rotated out -- the
+    # rewritten wedge core is attested via q_node_jaccard_capped
+    # above, which calls the same code path; everything rotated out
+    # stays covered by the strict sweep)
+    "q_markov_stationary",
 )
 
 

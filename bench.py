@@ -228,6 +228,7 @@ HEADLINE = [
     "q_brand_assortativity",
     "q_hits_purchases",
     "q_kaplan_meier",
+    "q_markov_stationary",
 ]
 
 

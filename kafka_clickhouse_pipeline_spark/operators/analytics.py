@@ -1476,3 +1476,138 @@ ANALYTICS_ORACLES["q_funnel_dropoff_time"] = f"""
              AS mean_sec
     FROM cdf GROUP BY transition ORDER BY transition
 """
+
+
+#: Markov power-iteration rounds and fixed-point scale (PageRank's
+#: contract: fixed rounds so the oracle unrolls the exact computation;
+#: integer fixed point so both engines agree to the last unit).
+MARKOV_ITERS = 8
+MARKOV_SCALE = 10**12
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain (the long-run behavior mix): power iteration of pi' = pi P
+    over q_event_transitions' transition counts -- "if user behavior
+    keeps its observed dynamics, what fraction of actions does each
+    event type converge to?". The chain is restricted to its
+    RECURRENT CORE: states with at least one outgoing transition, and
+    transitions whose target is also such a state, with row totals
+    recomputed over the kept transitions -- the standard dangling-state
+    fix that keeps P row-stochastic and the iteration well-defined on
+    any input.
+
+    Exactness: MARKOV_ITERS fixed rounds in MARKOV_SCALE integer fixed
+    point; each round is pi'_j = sum_i (pi_i * c_ij) div r_i with
+    per-term integer floor. Spark evaluates it as DECIMAL(38,0)
+    integral `div`; the oracle MUST use HUGEINT `//` (DuckDB's `//`
+    on DECIMAL operands silently returns an UNFLOORED DOUBLE -- found
+    by the strict checker at build time). Identical exact fold on
+    both engines. One double division
+    renders pi at the output.
+
+    Scale shape: the corpus-sized work is q_event_transitions' single
+    user_id window shuffle; the chain itself is |event_types|^2 rows
+    -- metadata-sized at ANY corpus scale, so the 8 iteration joins
+    are free. No driver collects."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    states = counts.select(F.col("prev_type").alias("s")).distinct()
+    core = counts.join(
+        states.select(F.col("s").alias("next_type")), "next_type"
+    )
+    rows = core.groupBy("prev_type").agg(F.sum("c").alias("r"))
+    trans = core.join(rows, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("c").cast("decimal(38,0)").alias("c"),
+        F.col("r").cast("decimal(38,0)").alias("r"),
+    )
+    # core states for pi0: states that still have outgoing transitions
+    # after the restriction (r > 0 by construction)
+    core_states = trans.select(F.col("prev_type").alias("s")).distinct()
+    n = core_states.count()  # bounded scalar: |event types|
+    if n == 0:
+        return spark.createDataFrame(
+            [], "event_type string, pi_scaled bigint, pi double"
+        )
+    pi = core_states.select(
+        "s", F.lit(MARKOV_SCALE // n).cast("decimal(38,0)").alias("m")
+    )
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            trans.join(pi, trans["prev_type"] == pi["s"])
+            .select(
+                F.col("next_type").alias("s"),
+                F.expr("CAST(m * c AS DECIMAL(38,0)) div r").alias("t"),
+            )
+            .groupBy("s")
+            .agg(F.sum("t").cast("decimal(38,0)").alias("m"))
+        )
+    return (
+        pi.select(
+            F.col("s").alias("event_type"),
+            F.col("m").cast("long").alias("pi_scaled"),
+            F.round(
+                F.col("m").cast("double") / F.lit(float(MARKOV_SCALE)), 6
+            ).alias("pi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _markov_iter_sql(i: int) -> str:
+    return f"""
+        pi{i} AS (
+          SELECT t.next_type AS s,
+                 CAST(sum(CAST(p.m AS HUGEINT) * CAST(t.c AS HUGEINT)
+                          // CAST(t.r AS HUGEINT))
+                      AS DECIMAL(38,0)) AS m
+          FROM trans t JOIN pi{i - 1} p ON p.s = t.prev_type
+          GROUP BY 1)"""
+
+
+def _markov_oracle() -> str:
+    iters = ",".join(_markov_iter_sql(i) for i in range(1, MARKOV_ITERS + 1))
+    return f"""
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_type AS next_type
+      FROM events),
+    counts AS (
+      SELECT prev_type, next_type, count(*) AS c
+      FROM pairs WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    states AS (SELECT DISTINCT prev_type AS s FROM counts),
+    core AS (
+      SELECT c.* FROM counts c JOIN states st ON st.s = c.next_type),
+    rws AS (SELECT prev_type, CAST(sum(c) AS DECIMAL(38,0)) AS r
+            FROM core GROUP BY 1),
+    trans AS (
+      SELECT core.prev_type, core.next_type,
+             CAST(core.c AS DECIMAL(38,0)) AS c, rws.r
+      FROM core JOIN rws USING (prev_type)),
+    n AS (SELECT count(DISTINCT prev_type) AS k FROM trans),
+    pi0 AS (
+      SELECT DISTINCT prev_type AS s,
+             CAST({MARKOV_SCALE} // (SELECT k FROM n) AS DECIMAL(38,0)) AS m
+      FROM trans),
+    {iters}
+    SELECT s AS event_type,
+           CAST(m AS BIGINT) AS pi_scaled,
+           round(CAST(m AS DOUBLE) / {MARKOV_SCALE}.0, 6) AS pi
+    FROM pi{MARKOV_ITERS}
+    ORDER BY event_type
+"""
+
+
+ANALYTICS_QUERIES["q_markov_stationary"] = q_markov_stationary
+ANALYTICS_ORACLES["q_markov_stationary"] = _markov_oracle()

@@ -203,6 +203,7 @@ EMPTY_SENSITIVE = [
     "q_padding_waste",
     "q_hits_purchases",
     "q_kaplan_meier",
+    "q_markov_stationary",
     "q_rfm_segments",
     "q_rollup_revenue",
     "q_rrf_hybrid_search",

@@ -816,3 +816,62 @@ class TestSessionInvariants:
                     assert node == 1
                 else:
                     assert node in range(10, 16)
+
+
+class TestMarkovStationary:
+    @staticmethod
+    def _events(spark, d, seq_by_user):
+        from datetime import datetime, timedelta
+
+        rows, eid = [], 0
+        for uid, seq in seq_by_user.items():
+            for i, t in enumerate(seq):
+                eid += 1
+                rows.append(
+                    (eid, datetime(2024, 4, 1) + timedelta(minutes=i), uid,
+                     t, 1.0, "{}")
+                )
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        return str(d)
+
+    def test_symmetric_chain_is_uniform(self, spark, tmp_path):
+        """A <-> B alternation: P is the swap matrix, stationary is
+        exactly uniform and the fixed point holds every iteration, so
+        8 rounds land on exactly SCALE/2 each (no convergence error,
+        only the initial floor)."""
+        from kafka_clickhouse_pipeline_spark.operators import analytics
+
+        d = self._events(spark, tmp_path, {1: ["A", "B"] * 8})
+        out = {r["event_type"]: r for r in analytics.q_markov_stationary(spark, d).collect()}
+        assert set(out) == {"A", "B"}
+        assert out["A"]["pi_scaled"] == out["B"]["pi_scaled"] == analytics.MARKOV_SCALE // 2
+        assert out["A"]["pi"] == out["B"]["pi"] == 0.5
+
+    def test_asymmetric_chain_converges_to_known_fixpoint(self, spark, tmp_path):
+        """Sequence AABAAB...: P(A->A)=P(A->B)=1/2, P(B->A)=1; the
+        stationary distribution is (2/3, 1/3), second eigenvalue -1/2
+        so 8 power-iteration rounds sit within ~2^-8 of it."""
+        from kafka_clickhouse_pipeline_spark.operators import analytics
+
+        d = self._events(spark, tmp_path, {1: ["A", "A", "B"] * 12})
+        out = {r["event_type"]: r["pi"] for r in analytics.q_markov_stationary(spark, d).collect()}
+        assert abs(out["A"] - 2 / 3) < 5e-3, out
+        assert abs(out["B"] - 1 / 3) < 5e-3, out
+        # integer floors only ever LOSE mass: total stays in (0.99, 1]
+        assert 0.99 < out["A"] + out["B"] <= 1.0
+
+    def test_dangling_target_restricted_to_recurrent_core(self, spark, tmp_path):
+        """A type that never transitions OUT (terminal 'Z' at the end
+        of the only sequence) is excluded from the chain's state space
+        -- the iteration stays row-stochastic instead of leaking all
+        mass into an absorbing state the data never exits."""
+        from kafka_clickhouse_pipeline_spark.operators import analytics
+
+        d = self._events(spark, tmp_path, {1: ["A", "B"] * 6 + ["Z"]})
+        out = {r["event_type"]: r["pi"] for r in analytics.q_markov_stationary(spark, d).collect()}
+        assert "Z" not in out
+        assert set(out) == {"A", "B"}
