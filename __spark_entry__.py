@@ -77,7 +77,7 @@ PRIORITY: tuple[str, ...] = (
     # permanently pinned
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # --- 28 first-timers: outlier/stat utilities (scan-map, cheap) ---
+    # --- first-timers: outlier/stat utilities (scan-map, cheap) ---
     "q_zscore_outliers", "q_mad_outliers", "q_ewma_hourly",
     "q_corr_purchase_click", "q_heavy_hitter_users",
     "q_profile_lineitem",
