@@ -389,3 +389,90 @@ def test_bigram_perplexity_invariants_on_random_data(spark, tmp_path_factory, te
     ).write.mode("overwrite").parquet(os.path.join(tmp2, "documents.parquet"))
     for r in q_perplexity_bigram(spark, tmp2).collect():
         assert r.ppl == 1.0 and r.avg_neg_logp == 0.0
+
+
+fuzz_user_event = st.tuples(
+    st.datetimes(
+        min_value=__import__("datetime").datetime(2024, 2, 1),
+        max_value=__import__("datetime").datetime(2024, 2, 28),
+    ).map(lambda d: d.replace(microsecond=0)),
+    st.integers(min_value=0, max_value=7),  # few users -> shared lifetimes
+    st.sampled_from(["A", "B", "C"]),
+)
+
+
+def _write_events(spark, tmp, rows):
+    """Full events schema; event_id = row index so the lag window's
+    (ts, event_id) tie-break is a total order in BOTH engines."""
+    full = [
+        (i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        full,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    return str(tmp)
+
+
+def _oracle_rows(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+def _norm(rows):
+    normed = []
+    for r in rows:
+        normed.append(
+            tuple(
+                f"{v:.6f}" if isinstance(v, float) else v for v in r
+            )
+        )
+    return sorted(normed)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(fuzz_user_event, min_size=0, max_size=80))
+def test_kaplan_meier_parity_on_random_data(spark, tmp_path_factory, rows):
+    """KM is sensitive to exactly the structure hypothesis varies:
+    tied lifetimes, censoring at the cutoff, single-event users, and
+    the d == n terminal step -- fuzz the whole operator against its
+    registered oracle on the same parquet bytes."""
+    import __spark_entry__ as entrymod
+    from kafka_clickhouse_pipeline_spark.operators import curation
+
+    d = _write_events(spark, tmp_path_factory.mktemp("kmfuzz"), rows)
+    got = _norm([tuple(r) for r in curation.q_kaplan_meier(spark, d).collect()])
+    want = _norm(_oracle_rows(d, entrymod.oracle_sql()["q_kaplan_meier"]))
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(fuzz_user_event, min_size=0, max_size=80))
+def test_markov_stationary_parity_on_random_data(spark, tmp_path_factory, rows):
+    """The chain restriction (dangling targets, recurrent core) and
+    the integer-floor iteration are where engines could diverge --
+    fuzz the operator against its registered oracle."""
+    import __spark_entry__ as entrymod
+    from kafka_clickhouse_pipeline_spark.operators import analytics
+
+    d = _write_events(spark, tmp_path_factory.mktemp("mkfuzz"), rows)
+    got = _norm(
+        [tuple(r) for r in analytics.q_markov_stationary(spark, d).collect()]
+    )
+    want = _norm(_oracle_rows(d, entrymod.oracle_sql()["q_markov_stationary"]))
+    assert got == want
