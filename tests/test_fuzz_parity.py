@@ -476,3 +476,46 @@ def test_markov_stationary_parity_on_random_data(spark, tmp_path_factory, rows):
     )
     want = _norm(_oracle_rows(d, entrymod.oracle_sql()["q_markov_stationary"]))
     assert got == want
+
+
+doc_text = st.one_of(
+    st.just(""),
+    st.just("   "),
+    st.lists(
+        st.sampled_from(["tok", "x", "longword"]), min_size=0, max_size=1500
+    ).map(" ".join),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(doc_text, min_size=0, max_size=40))
+def test_padding_waste_parity_on_random_data(spark, tmp_path_factory, texts):
+    """Empty and whitespace-only texts are the tokenizer's edge (both
+    engines must count them identically) and lengths straddling every
+    cap boundary are exactly what hypothesis shrinks onto."""
+    import __spark_entry__ as entrymod
+    from kafka_clickhouse_pipeline_spark.operators import curation
+
+    tmp = str(tmp_path_factory.mktemp("padfuzz"))
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = _norm(
+        [tuple(r) for r in curation.q_padding_waste(spark, tmp).collect()]
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    want = _norm(
+        con.execute(entrymod.oracle_sql()["q_padding_waste"]).fetchall()
+    )
+    con.close()
+    assert got == want
