@@ -536,6 +536,27 @@ def _expand_wedges(adj: DataFrame, extra: list[str]) -> DataFrame:
     )
 
 
+def _pack_gate_bounds(edges: DataFrame, sizes, max_degree: int | None):
+    """Node-id bounds that gate the packed-pair fast path.
+
+    Uncapped, the wedge centers ARE the full node universe (every dst
+    of the symmetric edge list is also a src), so the min/max already
+    aggregated over the adjacency frame bound both endpoints for free.
+    With ``max_degree`` engaged the centers are filtered but the
+    ``nbrs`` arrays still contain capped-out hubs as ENDPOINTS
+    (ADVICE r6, medium): a dropped hub with id >= 2^32 while surviving
+    centers sit below it would silently enable packing and collide
+    (u << 32) + v with (u + 1, v - 2^32). Bound off the UNFILTERED
+    edge frame instead -- one cheap scan of the already-materialized
+    (localCheckpoint'ed) edge list."""
+    if max_degree is None:
+        return sizes.min_id, sizes.max_id
+    b = edges.agg(
+        F.min("src").alias("min_id"), F.max("src").alias("max_id")
+    ).collect()[0]
+    return b.min_id, b.max_id
+
+
 def _pack_pair() -> "F.Column":
     """(u << 32) | v as one BIGINT: halves the shuffle row to a single
     8-byte key (one hash, one comparison per row in the pair
@@ -1243,19 +1264,19 @@ def q_node_jaccard(
         F.min("src").alias("min_id"),
         F.max("src").alias("max_id"),
     ).collect()[0]
+    min_id, max_id = _pack_gate_bounds(edges, sizes, max_degree)
     parts = max(
         spark.sparkContext.defaultParallelism,
         min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
     )
     # wedge expansion: for each center, all u < v neighbor pairs
-    # (sorted-slice: exactly C(d,2) rows; every dst is also a src in
-    # the symmetric edge list, so min/max(src) bound BOTH endpoints)
+    # (sorted-slice: exactly C(d,2) rows)
     pairs = _expand_wedges(adj, [])
     key_type = dict(edges.dtypes)["src"]
     packable = (
-        sizes.max_id is not None
-        and 0 <= int(sizes.min_id)
-        and int(sizes.max_id) < _PAIR_PACK_MAX_ID
+        max_id is not None
+        and 0 <= int(min_id)
+        and int(max_id) < _PAIR_PACK_MAX_ID
     )
     if packable:
         common = _unpack_pair(
@@ -1905,6 +1926,7 @@ def q_adamic_adar(
         F.min("src").alias("min_id"),
         F.max("src").alias("max_id"),
     ).collect()[0]
+    min_id, max_id = _pack_gate_bounds(edges, sizes, max_degree)
     parts = max(
         spark.sparkContext.defaultParallelism,
         min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
@@ -1914,9 +1936,9 @@ def q_adamic_adar(
     pairs = _expand_wedges(adjw, ["w"])
     key_type = dict(edges.dtypes)["src"]
     packable = (
-        sizes.max_id is not None
-        and 0 <= int(sizes.min_id)
-        and int(sizes.max_id) < _PAIR_PACK_MAX_ID
+        max_id is not None
+        and 0 <= int(min_id)
+        and int(max_id) < _PAIR_PACK_MAX_ID
     )
     aggs = [
         F.sum("w").cast("long").alias("aa"),
@@ -2648,14 +2670,25 @@ def q_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("a"))
         .agg(F.sum(F.col("a") * F.col("a")).cast("decimal(38,0)").alias("aa"))
     )
+    # Cauchy-Schwarz equality (every stub in one brand) makes the
+    # denominator zero; Spark's 0/0 double divide yields NaN while
+    # DuckDB yields NULL (ADVICE r6) -- short-circuit the degenerate
+    # perfectly-assortative case to NULL on BOTH engines.
+    denom = F.col("m") * F.col("m") - F.col("aa")
     return totals.crossJoin(stub_sq).select(
         F.col("m").cast("long").alias("n_directed_edges"),
         F.col("s").cast("long").alias("n_same_brand"),
-        F.round(
-            (F.col("m") * F.col("s") - F.col("aa")).cast("double")
-            / (F.col("m") * F.col("m") - F.col("aa")).cast("double"),
-            6,
-        ).alias("assortativity"),
+        F.when(
+            denom == F.lit(0).cast("decimal(38,0)"), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                (F.col("m") * F.col("s") - F.col("aa")).cast("double")
+                / denom.cast("double"),
+                6,
+            )
+        )
+        .alias("assortativity"),
     )
 
 
@@ -2681,8 +2714,10 @@ GRAPH_ORACLES["q_brand_assortativity"] = """
             FROM tagged GROUP BY brand_u))
     SELECT CAST(m AS BIGINT) AS n_directed_edges,
            CAST(s AS BIGINT) AS n_same_brand,
-           round(CAST(m * s - aa AS DOUBLE)
-                 / CAST(m * m - aa AS DOUBLE), 6) AS assortativity
+           CASE WHEN m * m - aa = 0 THEN NULL
+                ELSE round(CAST(m * s - aa AS DOUBLE)
+                           / CAST(m * m - aa AS DOUBLE), 6)
+           END AS assortativity
     FROM totals, stub
 """
 

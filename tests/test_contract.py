@@ -127,6 +127,26 @@ def test_readme_registry_counts():
     )
 
 
+def test_parity_doc_strict_sweep_count():
+    """VERDICT r6 #7: PARITY.md's strict-sweep count drifted (said
+    99/99 while the sweep covered the whole registry). Same
+    derive-and-compare treatment as the README counts: the sweep spans
+    every registered query, so the doc's N/N must equal
+    len(queries())."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PARITY.md")) as f:
+        parity = f.read()
+    m = re.search(r"byte-exact Arrow sweep, (\d+)/(\d+) at sf0\.01", parity)
+    assert m, "PARITY.md lost its strict-sweep count sentence"
+    n = len(entrymod.queries())
+    assert (int(m.group(1)), int(m.group(2))) == (n, n), (
+        f"PARITY.md says {m.groups()}, registry has {n} queries"
+    )
+
+
 def test_bench_lists_are_registered():
     """bench.py's HEADLINE and frozen BENCH_SHARED compositions must
     reference only registered queries -- a renamed or mistyped entry

@@ -519,3 +519,54 @@ def test_padding_waste_parity_on_random_data(spark, tmp_path_factory, texts):
     )
     con.close()
     assert got == want
+
+
+# (orderkey, partkey) pairs over tiny pools so multi-part orders (the
+# only edge source) and the single-brand Cauchy-Schwarz degenerate
+# case (ADVICE r6) both occur often.
+brand_edge = st.tuples(
+    st.integers(min_value=1, max_value=8),   # l_orderkey
+    st.integers(min_value=1, max_value=10),  # l_partkey
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(brand_edge, min_size=0, max_size=40),
+    st.integers(min_value=1, max_value=3),  # brand-pool size; 1 = degenerate
+)
+def test_brand_assortativity_parity_on_random_data(
+    spark, tmp_path_factory, rows, n_brands
+):
+    """The 0/0 short-circuit (every stub in one brand makes the
+    denominator zero: Spark NaN vs DuckDB NULL before the fix) plus
+    general mixing-matrix parity on random co-purchase graphs."""
+    import __spark_entry__ as entrymod
+    from kafka_clickhouse_pipeline_spark.operators import graph
+
+    tmp = str(tmp_path_factory.mktemp("brandfuzz"))
+    spark.createDataFrame(
+        rows or [(1, 1)], "l_orderkey bigint, l_partkey bigint"
+    ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    spark.createDataFrame(
+        [(p, f"Brand#{p % n_brands}") for p in range(1, 11)],
+        "p_partkey bigint, p_brand string",
+    ).write.mode("overwrite").parquet(f"{tmp}/part.parquet")
+    got = _norm(
+        [tuple(r) for r in graph.q_brand_assortativity(spark, tmp).collect()]
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp}/{t}.parquet/*.parquet')"
+        )
+    want = _norm(
+        con.execute(entrymod.oracle_sql()["q_brand_assortativity"]).fetchall()
+    )
+    con.close()
+    assert got == want
