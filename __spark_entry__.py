@@ -49,68 +49,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry ordering contract: the driver's correctness run covers the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r01 stopped at exactly
-#: 50 in dict order). Round-6 rotation (VERDICT r5 #1): this window
-#: EMPTIES the never-attested set -- all 27 oracle-backed queries with
-#: no CORRECTNESS_r01..r05 row enter, plus the round-6 additions
-#: q_adamic_adar_capped, q_ann_hamming_topk, q_hamming_recall,
-#: q_dedup_prefix_filter, q_ngram_novelty, q_dedup_clusters_twostar,
-#: q_ppr_copurchase, q_basket_itemsets3, q_skyline_parts,
-#: q_theilsen_hourly, and the round-6 continuation batch
-#: (q_randomwalk_corpus, q_local_clustering_topk, q_ndcg_search_eval,
-#: q_padding_waste, q_brand_assortativity, q_hits_purchases,
-#: q_kaplan_meier, q_markov_stationary) -- 45 first-timers total, so
-#: every oracle-backed query added this round is driver-attested this
-#: round. No re-attest slots remain; the rewritten q_node_jaccard
-#: wedge core is attested through q_node_jaccard_capped, which calls
-#: the same code path with the cap engaged. The two rows-only
-#: sketches (q_approx_distinct_users, q_value_percentiles_approx) stay
-#: out by design: the window contract requires oracle backing, and
-#: their HLL++/t-digest outputs are engine-specific (see their
-#: docstrings). Every rotated-out query remains covered by
-#: tools/strict_check.py, which diffs against the latest CORRECTNESS
-#: file. Within the window, cheap scan-map/stat first-timers run
-#: first, heavy first-timers next, re-attests last -- hedges a
-#: hypothetical time-budgeted driver window so a cut-off still leaves
-#: every first-timer verified.
+#: 50 in dict order). Round-7 rotation (VERDICT r6 #1): the top
+#: obligation this round is LEDGER REPAIR -- the 10 queries whose
+#: latest driver record is still a r01/r02 FAIL (fixed in r2/r3,
+#: strict-green ever since, but rotated out before re-attestation)
+#: re-enter so no query's latest driver record is a FAIL. Next: the
+#: 8 round-7 first-timers (minhash wedge twin + recall audit, KN
+#: bigram LM, char diversity, tokenizer fertility, epoch-shuffle
+#: audit, Hellinger source distance, winsorized means), the 5 queries
+#: whose md5-uniform decode moved to conv() this round (bit-identical
+#: by test, but the attestation should follow the code), the heavy
+#: graph family displaced by the r6 all-first-timer window (per the
+#: NOTES_r6 handoff; includes exact q_node_jaccard, which ADVICE r6
+#: asked to re-attest on the rewritten wedge core's uncapped path),
+#: and the remaining slots re-attest the queries whose only driver
+#: record is r01 (the oldest coverage in the ledger). The two
+#: rows-only sketches (q_approx_distinct_users,
+#: q_value_percentiles_approx) stay out by design (HLL++/t-digest
+#: outputs are engine-specific; see their docstrings). Every
+#: rotated-out query remains covered by tools/strict_check.py. Cheap
+#: first-timers run first, heavy graph re-attests last, hedging a
+#: time-budgeted driver window.
 PRIORITY: tuple[str, ...] = (
     # reference parity core (SURVEY.md section 2.7 + MV transform) --
     # permanently pinned
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # --- first-timers: outlier/stat utilities (scan-map, cheap) ---
-    "q_zscore_outliers", "q_mad_outliers", "q_ewma_hourly",
-    "q_corr_purchase_click", "q_heavy_hitter_users",
-    "q_profile_lineitem",
-    # sampling / split governance
-    "q_sample_systematic", "q_temperature_sample", "q_split_assign",
-    "q_split_leakage_audit", "q_stratified_rebalance",
-    "q_source_mixture_weights", "q_token_budget_selection",
-    # governance / layout audits
-    "q_pii_redact_stats", "q_compaction_plan", "q_bloom_join_audit",
-    # funnel + text scoring
-    "q_funnel_window", "q_funnel_dropoff_time", "q_perplexity_bigram",
-    # multimodal / embedding first-timers
-    "q_dedup_media_exact", "q_media_phash_neardup",
-    "q_embedding_centroid_drift", "q_embedding_debias_abtt",
-    "q_knn_classifier",
-    # binary-embedding search, prefix-filter join, novelty audit
-    # (round-6 additions)
-    "q_ann_hamming_topk", "q_hamming_recall", "q_dedup_prefix_filter",
-    "q_ngram_novelty", "q_dedup_clusters_twostar", "q_ppr_copurchase",
-    "q_basket_itemsets3", "q_skyline_parts", "q_theilsen_hourly",
-    "q_randomwalk_corpus", "q_local_clustering_topk",
-    "q_ndcg_search_eval", "q_padding_waste", "q_brand_assortativity",
-    "q_hits_purchases", "q_kaplan_meier",
-    # heavy graph first-timers (wedge family, capped + exact)
-    "q_node_jaccard_capped", "q_adamic_adar_capped", "q_adamic_adar",
-    "q_betweenness_sampled",
-    # final first-timer (the continuation batch filled every former
-    # re-attest slot: pagerank, census, LPA, kcore, bfs, modularity,
-    # closeness and plain q_node_jaccard all rotated out -- the
-    # rewritten wedge core is attested via q_node_jaccard_capped
-    # above, which calls the same code path; everything rotated out
-    # stays covered by the strict sweep)
-    "q_markov_stationary",
+    # --- round-7 first-timers (cheap scan/agg first) ---
+    "q_tokenizer_fertility", "q_char_diversity", "q_hellinger_sources",
+    "q_epoch_shuffle_audit", "q_winsorized_stats", "q_kneser_ney_bigram",
+    "q_node_jaccard_minhash", "q_wedge_minhash_recall",
+    # --- ledger repair: latest driver record is a r01/r02 FAIL ---
+    "q_having_big_orders", "q_window_top3_parts_per_brand",
+    "q_window_percent_rank", "q_subquery_above_avg_balance",
+    "q_date_functions", "q9_product_type_profit", "q11_important_stock",
+    "q12_shipmode_priority", "q_moving_avg_7d", "q_ann_ivf_topk",
+    # --- conv() decode re-attests (computation unchanged by test,
+    #     but these five consume the swapped md5-uniform decode) ---
+    "q_distinct_kmv", "q_weighted_sample", "q_cms_term_counts",
+    "q_decontaminate_bloom", "q_bootstrap_ci_mean",
+    # --- oldest-ledger re-attests (only driver record is r01) ---
+    "q13_customer_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_untapped_segments", "q2_min_cost_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    # --- displaced heavy graph re-attests (NOTES_r6 handoff;
+    #     q_node_jaccard exact per ADVICE r6) ---
+    "q_node_jaccard", "q_closeness_sampled", "q_modularity_lpa",
+    "q_bfs_hops", "q_kcore_mutual_knn", "q_label_propagation",
+    "q_triangle_count_copurchase", "q_pagerank_copurchase",
+    "q_dedup_clusters",
 )
 
 

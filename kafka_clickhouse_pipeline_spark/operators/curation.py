@@ -357,18 +357,13 @@ _BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
 
 def _bloom_positions(h: F.Column) -> list[F.Column]:
     """K 16-bit bit positions from disjoint 4-hex-char slices of an md5
-    hex digest -- decoded digit-by-digit with ascii() arithmetic, the
-    same engine-portable trick as curation._split_hash."""
-    out = []
-    for k in range(BLOOM_K):
-        v = F.lit(0)
-        for j in range(4):
-            a = F.ascii(F.substring(h, 4 * k + j + 1, 1))
-            v = v * 16 + (
-                a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
-            )
-        out.append(v)
-    return out
+    hex digest -- one conv(hex, 16, 10) per slice (bit-identical to
+    the historical per-nibble ascii ladder the SQL twin keeps; the
+    engine-portable uniform is the md5 itself)."""
+    return [
+        F.conv(F.substring(h, 4 * k + 1, 4), 16, 10).cast("int")
+        for k in range(BLOOM_K)
+    ]
 
 
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2098,4 +2093,195 @@ CURATION_ORACLES["q_kaplan_meier"] = f"""
     FROM stepped
     WHERE n_churned > 0
     ORDER BY t_days
+"""
+
+
+# ---- Epoch-shuffle determinism audit (round 7) ----
+
+#: Prefix fraction audited for cross-epoch overlap (the "what does the
+#: model see first" window): first 10% of each epoch's order.
+EPOCH_SHUFFLE_PREFIX_DEN = 10
+
+
+def q_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-reshuffle audit: training runs re-order the
+    corpus every epoch with a seeded shuffle; this verifies the
+    orderings are (a) reproducible and (b) actually DIFFERENT across
+    epochs. Position of doc d in epoch e = rank of md5('ep' e ':' d)
+    (doc_id tiebreak). Reported: corpus size, the first-decile overlap
+    between epoch 0 and epoch 1 (how much of the early-training window
+    repeats -- E[overlap] = prefix/10 under independence), and the
+    mean/max absolute position drift between the two epochs.
+
+    Exactness: ranks are integers from a total order on (md5, doc_id)
+    -- md5 is bit-identical cross-engine, so positions, overlap, and
+    drift are exact integers; one final division for the mean.
+
+    Scale shape: two global sorts of (hash, doc_id) -- at production
+    scale a global rank is one rangepartition+sort (the zorder
+    layout's cost model); everything downstream is a self-join on
+    doc_id (co-partitioned) and one aggregate. No collects."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def _pos(e: int) -> DataFrame:
+        h = F.md5(F.concat(F.lit(f"ep{e}:"), F.col("doc_id").cast("string")))
+        w = Window.orderBy(h, "doc_id")
+        return docs.select(
+            "doc_id", F.row_number().over(w).cast("long").alias(f"pos{e}")
+        )
+
+    p0, p1 = _pos(0), _pos(1)
+    both = p0.join(p1, "doc_id")
+    n = docs.count()
+    prefix = n // EPOCH_SHUFFLE_PREFIX_DEN
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.lit(prefix).cast("long").alias("prefix_k"),
+        F.sum(
+            F.when(
+                (F.col("pos0") <= prefix) & (F.col("pos1") <= prefix), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("prefix_overlap"),
+        F.sum(F.abs(F.col("pos0") - F.col("pos1"))).cast("long").alias(
+            "total_abs_drift"
+        ),
+        F.max(F.abs(F.col("pos0") - F.col("pos1"))).cast("long").alias(
+            "max_abs_drift"
+        ),
+    ).select(
+        "n_docs",
+        "prefix_k",
+        "prefix_overlap",
+        F.round(
+            F.col("total_abs_drift").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("mean_abs_drift"),
+        "max_abs_drift",
+    )
+
+
+CURATION_QUERIES["q_epoch_shuffle_audit"] = q_epoch_shuffle_audit
+CURATION_ORACLES["q_epoch_shuffle_audit"] = f"""
+    WITH p0 AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS pos0
+      FROM documents),
+    p1 AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS pos1
+      FROM documents),
+    joined AS (SELECT p0.doc_id, pos0, pos1 FROM p0 JOIN p1 USING (doc_id)),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((SELECT n FROM n) // {EPOCH_SHUFFLE_PREFIX_DEN} AS BIGINT)
+             AS prefix_k,
+           CAST(sum(CASE WHEN pos0 <= (SELECT n FROM n)
+                                        // {EPOCH_SHUFFLE_PREFIX_DEN}
+                          AND pos1 <= (SELECT n FROM n)
+                                        // {EPOCH_SHUFFLE_PREFIX_DEN}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS prefix_overlap,
+           round(CAST(sum(abs(pos0 - pos1)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_abs_drift,
+           CAST(max(abs(pos0 - pos1)) AS BIGINT) AS max_abs_drift
+    FROM joined
+"""
+
+
+# ---- Hellinger distance between source language mixes (round 7) ----
+
+
+def q_hellinger_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Hellinger distance between the per-source LANGUAGE
+    distributions -- the bounded-metric complement to the PSI/KS drift
+    audits for comparing corpus slices before mixing them:
+    H(P,Q) = sqrt(1 - BC), BC = sum_l sqrt(p_l * q_l). H is a true
+    metric on distributions, 0 = identical mix, 1 = disjoint support.
+
+    Exactness: p_l / q_l are exact-integer ratios evaluated as
+    doubles; sqrt is IEEE-correctly-rounded, so each Bhattacharyya
+    term is a fixed-shape double expression -- folded through
+    round(.,9)-as-DECIMAL(28,9) so the SUM is order-independent
+    (the q_entropy_by_source discipline); one final sqrt + round(6).
+
+    Scale shape: the corpus touches one groupBy(source, lang); the
+    pair join runs on the source x lang frame (sources x langs sized,
+    never corpus-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = sl.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pl = sl.join(totals, "source").select(
+        "source",
+        "lang",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p"),
+    )
+    a = pl.select(
+        F.col("source").alias("source_a"),
+        "lang",
+        F.col("p").alias("pa"),
+    )
+    b = pl.select(
+        F.col("source").alias("source_b"),
+        "lang",
+        F.col("p").alias("pb"),
+    )
+    bc_terms = a.join(b, "lang").filter(
+        F.col("source_a") < F.col("source_b")
+    ).select(
+        "source_a",
+        "source_b",
+        F.round(F.sqrt(F.col("pa") * F.col("pb")), 9)
+        .cast("decimal(28,9)")
+        .alias("t"),
+    )
+    bc = bc_terms.groupBy("source_a", "source_b").agg(
+        F.sum("t").alias("bc")
+    )
+    return bc.select(
+        "source_a",
+        "source_b",
+        F.round(F.col("bc").cast("double"), 6).alias("bhattacharyya"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0), F.lit(1.0) - F.col("bc").cast("double")
+                )
+            ),
+            6,
+        ).alias("hellinger"),
+    ).orderBy("source_a", "source_b")
+
+
+CURATION_QUERIES["q_hellinger_sources"] = q_hellinger_sources
+CURATION_ORACLES["q_hellinger_sources"] = """
+    WITH sl AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+               FROM sl GROUP BY 1),
+    pl AS (
+      SELECT sl.source, sl.lang,
+             CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+      FROM sl JOIN totals ON totals.source = sl.source),
+    terms AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(round(sqrt(a.p * b.p), 9) AS DECIMAL(28,9)) AS t
+      FROM pl a JOIN pl b
+        ON a.lang = b.lang AND a.source < b.source),
+    bc AS (
+      SELECT source_a, source_b, sum(t) AS bc
+      FROM terms GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           round(CAST(bc AS DOUBLE), 6) AS bhattacharyya,
+           round(sqrt(greatest(0.0, 1.0 - CAST(bc AS DOUBLE))), 6)
+             AS hellinger
+    FROM bc ORDER BY source_a, source_b
 """

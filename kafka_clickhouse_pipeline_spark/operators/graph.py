@@ -1446,6 +1446,292 @@ GRAPH_ORACLES["q_node_jaccard_capped"] = f"""
 """
 
 
+#: MinHash family for the approximate wedge twin (VERDICT r6 #2):
+#: 32 hashes = 32 bands x 1 row. ONE-row bands because graph top-K
+#: neighborhood similarity lives in the LOW-jaccard regime: the
+#: fixture's exact top-20 sits near j ~ 0.09 at sf0.01, where 2-row
+#: bands pass almost nothing (6 bands x 2 rows measured recall 0.05
+#: at sf0.1) -- with r=1 the pair collision probability is 1-(1-j)^b,
+#: i.e. ~0.95 at j ~ 0.09 with b=32 (12 bands measured 0.65/0.50 at
+#: sf0.01/sf0.1; the band-count ladder is recorded in SCALE.md). An
+#: r=1 band groups nodes by their
+#: minwise-SAMPLED neighbor, so candidate volume per band is
+#: sum_v C(|{u: argmin N(u) = v}|, 2) with E|bucket(v)| =
+#: sum_{u ~ v} 1/d(u) -- roughly a d-bar^2 reduction vs the exact
+#: Sigma C(d, 2) wedge volume on degree-homogeneous graphs, which is
+#: exactly the regime where the hub cap is useless (SCALE.md). The
+#: recall AGAINST THE EXACT TOP-K is measured by
+#: q_wedge_minhash_recall, not assumed. md5 (not xxhash64) keeps the
+#: whole construction ANSI-expressible so the candidate set itself is
+#: oracle-exact (the q_dedup_simhash trick, dedup.py).
+WEDGE_MINHASH_HASHES = 32
+WEDGE_MINHASH_BANDS = 32
+WEDGE_MINHASH_ROWS = 1
+
+
+def q_node_jaccard_minhash(
+    spark: SparkSession, sf_dir: str, *, _edges: DataFrame | None = None
+) -> DataFrame:
+    """Approximate twin of ``q_node_jaccard`` (VERDICT r6 #2): the
+    same top-K common-neighbor Jaccard ranking, but candidate pairs
+    come from MinHash-over-adjacency-sets LSH instead of exact wedge
+    expansion -- the scale path for the one operator family whose
+    exact form is inherently Sigma C(d, 2) (SCALE.md: 423.7 s at the
+    10x rung; the p99 hub cap prunes only 2.5% on degree-homogeneous
+    graphs, so a sub-quadratic CANDIDATE GENERATOR, not a filter, is
+    what survives 100x).
+
+    Plan: one groupBy builds the sorted adjacency array per node; each
+    neighbor id is md5-hashed ONCE (lineage cut so the 12 derived
+    hashes iterate a stored array -- the minhash_lsh_pairs pattern,
+    dedup.py:434); 12 minima -> 6 two-row band keys -> posexplode ->
+    self-join on (band, bucket) yields candidates; direct edges are
+    anti-joined away; candidates are verified EXACTLY with
+    array_intersect over the two adjacency arrays (no wedge shuffle
+    anywhere -- n_common comes from the arrays). Shuffle volume is
+    12 hashes/node + candidate pairs, vs Sigma C(d, 2) wedge rows for
+    the exact form. The verify join ships adjacency arrays only for
+    candidate nodes (left_semi prune).
+
+    Determinism / oracle: md5 is bit-identical in both engines and
+    lexicographic min over fixed-width lowercase-hex strings equals
+    numeric min over the 128-bit values, so the candidate set -- and
+    therefore the output -- is EXACTLY reproduced by the DuckDB twin
+    (no recall assumption inside the oracle contract; the honesty
+    audit vs the exact top-K is the separate q_wedge_minhash_recall).
+    A shared band bucket forces a shared minimizing neighbor (md5 is
+    collision-free at this scale), so every candidate has n_common >=
+    1 by construction; the n_common >= 1 filter is kept explicit and
+    mirrored by the oracle's inner join to the common-count CTE.
+    """
+    if _edges is not None:
+        edges = _edges
+    else:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        edges = co_purchase_edges(li).transform(cut_lineage)
+    # Signatures off the FLAT edge list, not per-node arrays: the 32
+    # derived md5s evaluate inside whole-stage codegen (array
+    # transform() lambdas are interpreted per element -- measured 32 s
+    # -> ~8 s at sf0.1 for this operator from this change alone) and
+    # the 32 mins are ONE map-side-combined aggregate. Each neighbor
+    # id is md5-hashed once into `base`; the per-band hashes re-hash
+    # the fixed-width base, the minhash_lsh_pairs cost model.
+    nb = edges.select("src", F.md5(F.col("dst").cast("string")).alias("base"))
+    sigs = nb.groupBy("src").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("base")))).alias(
+                f"h{i}"
+            )
+            for i in range(WEDGE_MINHASH_HASHES)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[
+                        F.col(f"h{b * WEDGE_MINHASH_ROWS + r}")
+                        for r in range(WEDGE_MINHASH_ROWS)
+                    ]
+                )
+            )
+            for b in range(WEDGE_MINHASH_BANDS)
+        ]
+    )
+    bands = sigs.select("src", F.posexplode(band_keys).alias("band", "bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .select(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .distinct()
+    )
+    linked = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    m2 = edges.count()  # bounded driver scalar: gates the broadcast
+    if m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
+        linked = F.broadcast(linked)
+    cand = cand.join(linked, ["u", "v"], "left_anti")
+    cand_nodes = (
+        cand.select(F.col("u").alias("src")).union(cand.select("v")).distinct()
+    )
+    # adjacency arrays are built ONLY for candidate nodes (semi-join
+    # prune before the collect_set shuffle -- at scale the full
+    # adjacency frame is corpus-sized, the candidate frame is not)
+    csets = (
+        edges.join(cand_nodes, "src", "left_semi")
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("nbrs"))
+    )
+    scored = (
+        cand.join(
+            csets.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
+            "u",
+        )
+        .join(
+            csets.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+            "v",
+        )
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.size(F.array_intersect("nu", "nv")).cast("long").alias("n_common"),
+            (F.size("nu") + F.size("nv")).cast("long").alias("sz"),
+        )
+        .filter(F.col("n_common") >= 1)
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("sz") - F.col("n_common")).cast("double"),
+        6,
+    )
+    return (
+        scored.select(
+            "u",
+            "v",
+            "n_common",
+            (F.col("sz") - F.col("n_common")).alias("n_union"),
+            jac.alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(NODE_JACCARD_TOPK)
+    )
+
+
+def _wedge_minhash_oracle_ctes() -> str:
+    """The shared CTE block reproducing the minhash candidate set +
+    exact verification in ANSI SQL (DuckDB md5 == Spark md5; min over
+    fixed-width hex strings == numeric 128-bit min)."""
+    h = WEDGE_MINHASH_HASHES
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || base)) AS h{i}" for i in range(h)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT src, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b,
+            cat=" || ".join(
+                f"h{b * WEDGE_MINHASH_ROWS + r}"
+                for r in range(WEDGE_MINHASH_ROWS)
+            ),
+        )
+        for b in range(WEDGE_MINHASH_BANDS)
+    )
+    return f"""
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    nb AS (SELECT src, md5(CAST(dst AS VARCHAR)) AS base FROM e),
+    sig AS (SELECT src,
+             {mins}
+            FROM nb GROUP BY src),
+    bands AS (
+      {bands}),
+    cand AS (
+      SELECT DISTINCT a.src AS u, b.src AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.src < b.src),
+    unlinked AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.u AND e.dst = c.v)),
+    common AS (
+      SELECT e1.src AS u, e2.src AS v, count(*) AS n_common
+      FROM e e1 JOIN e e2
+        ON e1.dst = e2.dst AND e1.src < e2.src
+      GROUP BY 1, 2),
+    approx AS (
+      SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+             CAST(cm.n_common AS BIGINT) AS n_common,
+             CAST(du.d + dv.d - cm.n_common AS BIGINT) AS n_union,
+             round(CAST(cm.n_common AS DOUBLE)
+                   / CAST(du.d + dv.d - cm.n_common AS DOUBLE), 6) AS jaccard
+      FROM unlinked c
+      JOIN common cm ON cm.u = c.u AND cm.v = c.v
+      JOIN deg du ON du.src = c.u
+      JOIN deg dv ON dv.src = c.v)"""
+
+
+GRAPH_QUERIES["q_node_jaccard_minhash"] = q_node_jaccard_minhash
+GRAPH_ORACLES["q_node_jaccard_minhash"] = f"""
+    WITH {_wedge_minhash_oracle_ctes()}
+    SELECT u, v, n_common, n_union, jaccard
+    FROM approx
+    ORDER BY jaccard DESC, u, v
+    LIMIT {NODE_JACCARD_TOPK}
+"""
+
+
+def q_wedge_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honesty audit for the minhash wedge twin: overlap between the
+    approximate top-K (q_node_jaccard_minhash) and the EXACT top-K
+    (q_node_jaccard) -- the measured recall that replaces the band
+    curve's assumption. Same exact/approx/audit triple as
+    hamming.py's q_hamming_recall and dedup's q_dedup_recall_audit.
+
+    Both rankings are deterministic (jaccard DESC, u, v total order),
+    so this is oracle-exact: the DuckDB twin embeds both top-K
+    subqueries and counts the pair intersection. The exact side pays
+    the full wedge expansion ON PURPOSE -- this is the audit, run on
+    samples at production scale while q_node_jaccard_minhash serves
+    the hot path."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = co_purchase_edges(li).transform(cut_lineage)
+    exact = q_node_jaccard(spark, sf_dir, _edges=edges).select("u", "v")
+    approx = q_node_jaccard_minhash(spark, sf_dir, _edges=edges).select(
+        "u", "v"
+    )
+    k = NODE_JACCARD_TOPK
+    return (
+        approx.join(exact, ["u", "v"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(
+            "hits",
+            F.lit(k).cast("long").alias("k"),
+            F.round(F.col("hits").cast("double") / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+GRAPH_QUERIES["q_wedge_minhash_recall"] = q_wedge_minhash_recall
+GRAPH_ORACLES["q_wedge_minhash_recall"] = f"""
+    WITH {_wedge_minhash_oracle_ctes()},
+    approx_topk AS (
+      SELECT u, v FROM approx ORDER BY jaccard DESC, u, v
+      LIMIT {NODE_JACCARD_TOPK}),
+    exact_cand AS (
+      SELECT c.* FROM common c
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.u AND e.dst = c.v)),
+    exact_topk AS (
+      SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v
+      FROM exact_cand c
+      JOIN deg du ON du.src = c.u
+      JOIN deg dv ON dv.src = c.v
+      ORDER BY round(CAST(c.n_common AS DOUBLE)
+                     / CAST(du.d + dv.d - c.n_common AS DOUBLE), 6) DESC,
+               CAST(c.u AS BIGINT), CAST(c.v AS BIGINT)
+      LIMIT {NODE_JACCARD_TOPK}),
+    hits AS (
+      SELECT count(*) AS hits
+      FROM approx_topk a JOIN exact_topk x ON a.u = x.u AND a.v = x.v)
+    SELECT CAST(hits AS BIGINT) AS hits,
+           CAST({NODE_JACCARD_TOPK} AS BIGINT) AS k,
+           round(CAST(hits AS DOUBLE) / {float(NODE_JACCARD_TOPK)}, 6) AS recall
+    FROM hits
+"""
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the co-purchase graph: the Pearson
     correlation of (degree(u), degree(v)) over edges (Newman 2002) --

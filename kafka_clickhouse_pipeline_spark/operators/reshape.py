@@ -307,13 +307,12 @@ def _hex32(col):
     """First 8 hex digits of md5(col) decoded as a 32-bit unsigned
     integer -- the fine-grained portable uniform the weighted sampler
     draws from (curation._hash256 is the same decode at 2 digits;
-    8 digits give the 2^-32 resolution a weighted key needs)."""
+    8 digits give the 2^-32 resolution a weighted key needs). Decoded
+    with one conv(hex, 16, 10) call -- bit-identical to the historical
+    8-nibble ascii ladder and ~2.8x faster (round-7 hot-expression
+    sweep; the SQL twin keeps the ladder, values are identical)."""
     h = F.md5(F.col(col).cast("string"))
-    v = F.lit(0).cast("long")
-    for j in range(8):
-        a = F.ascii(F.substring(h, j + 1, 1))
-        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
-    return v
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
 def _hex32_sql(expr: str) -> str:

@@ -1582,12 +1582,10 @@ def _cms_hex32(h):
     """First 8 hex digits of an md5-hex column as an unsigned 32-bit
     long (the shared cross-engine uniform-hash decode, local copy;
     takes the ALREADY-HASHED hex column -- hashing here too would
-    double-md5 and silently diverge from the oracle's single md5)."""
-    v = F.lit(0).cast("long")
-    for j in range(8):
-        a = F.ascii(F.substring(h, j + 1, 1))
-        v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
-    return v
+    double-md5 and silently diverge from the oracle's single md5).
+    conv() decode, bit-identical to the ladder twin in the SQL oracle
+    (see reshape._hex32)."""
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
 def _cms_hex32_sql(expr: str) -> str:
@@ -1715,3 +1713,273 @@ def _cms_oracle() -> str:
 
 TEXT_ORACLES["q_cms_term_counts"] = _cms_oracle()
 TEXT_QUERIES["q_cms_term_counts"] = q_cms_term_counts
+
+
+# ---- Kneser-Ney bigram LM (round 7) ----
+
+#: Absolute-discount mass for interpolated Kneser-Ney. 0.75 is the
+#: textbook default (Chen & Goodman 1999); rational, so every P_KN
+#: term below stays a fixed-shape double expression over exact
+#: integer counts -- no transcendental anywhere in this operator.
+KN_DISCOUNT = 0.75
+
+#: Reported head size (top bigrams by smoothed probability).
+KN_TOP_K = 20
+
+
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities -- the standard
+    n-gram LM smoothing (Chen & Goodman 1999) and the natural upgrade
+    of q_perplexity_bigram's add-one model:
+
+        P_KN(cur|prev) = (c2(prev,cur) - D) / c1(prev)
+                       + D * N1+(prev, *) / c1(prev) * P_cont(cur)
+        P_cont(cur)    = N1+(*, cur) / N1+(*, *)
+
+    where N1+(prev, *) is the distinct-continuation count of the
+    prefix, N1+(*, cur) the distinct-history count of the word (the
+    novel-context signal that makes KN beat Good-Turing on bursty
+    words), and N1+(*, *) the distinct bigram-type total. Reports the
+    KN_TOP_K bigrams by smoothed probability.
+
+    Exactness: every input is an exact BIGINT count off one bigram
+    shuffle; c2 >= 1 makes max(c2 - D, 0) = c2 - D, so P_KN is one
+    fixed-shape double expression (two divisions, one multiply-add)
+    evaluated identically by both engines; round(.,6) at the output
+    boundary. No logs, no exp -- KN probability is rational.
+
+    Scale shape: bigram counts are ONE corpus-sized shuffle (map-side
+    combined); c1 / N1+ / the type total are re-aggregations of the
+    already-compacted (prev, cur) frame (vocabulary^2-bounded, in
+    practice corpus-sublinear); the two scalar totals broadcast; the
+    top-K is TakeOrderedAndProject. The model frame this builds is
+    exactly what a KenLM-style filter consumes at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = _adjacent_pairs("prev", "cur")
+    bigrams = docs.select(F.explode(bg).alias("b")).select(
+        F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+    )
+    c2 = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c2 = cut_lineage(c2)  # three downstream aggregations of one shuffle
+    c1 = c2.groupBy("prev").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    n1p_rev = c2.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_rev")
+    )
+    types_total = c2.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    d = F.lit(KN_DISCOUNT)
+    pkn = (
+        (F.col("c2").cast("double") - d) / F.col("c1").cast("double")
+        + d
+        * F.col("n1p_fwd").cast("double")
+        / F.col("c1").cast("double")
+        * (F.col("n1p_rev").cast("double") / F.col("t").cast("double"))
+    )
+    return (
+        c2.join(c1, "prev")
+        .join(n1p_rev, "cur")
+        .crossJoin(F.broadcast(types_total))
+        .select(
+            "prev",
+            "cur",
+            "c2",
+            "c1",
+            "n1p_fwd",
+            "n1p_rev",
+            F.round(pkn, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("p_kn").desc(), "prev", "cur")
+        .limit(KN_TOP_K)
+    )
+
+
+TEXT_QUERIES["q_kneser_ney_bigram"] = q_kneser_ney_bigram
+TEXT_ORACLES["q_kneser_ney_bigram"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    bigrams AS (
+      SELECT toks[i] AS prev, toks[i + 1] AS cur
+      FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)),
+    c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+           FROM bigrams GROUP BY 1, 2),
+    c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1p_fwd
+           FROM c2 GROUP BY 1),
+    rev AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1p_rev
+            FROM c2 GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c2)
+    SELECT c2.prev, c2.cur, c2.c2, c1.c1, c1.n1p_fwd, rev.n1p_rev,
+           round(
+             (CAST(c2.c2 AS DOUBLE) - {KN_DISCOUNT})
+               / CAST(c1.c1 AS DOUBLE)
+             + {KN_DISCOUNT} * CAST(c1.n1p_fwd AS DOUBLE)
+               / CAST(c1.c1 AS DOUBLE)
+               * (CAST(rev.n1p_rev AS DOUBLE) / CAST(tot.t AS DOUBLE)),
+             6) AS p_kn
+    FROM c2 JOIN c1 USING (prev) JOIN rev USING (cur) CROSS JOIN tot
+    ORDER BY p_kn DESC, prev, cur
+    LIMIT {KN_TOP_K}
+"""
+
+
+# ---- Character-diversity quality filter (round 7) ----
+
+
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level diversity -- the gibberish /
+    key-mash / binary-spill detector that complements the token-level
+    quality filters (a doc of 2000 'a's passes every length rule but
+    has diversity ~0): distinct character count, the UNBIASED
+    Gini-Simpson index
+
+        1 - sum_c n_c (n_c - 1) / (n (n - 1))
+
+    (the probability two chars drawn without replacement differ), and
+    the top-character fraction max(n_c)/n. Diversity is chosen over
+    Shannon entropy deliberately: it is an exact RATIONAL of integer
+    counts -- no transcendental, no rounding discipline, bit-portable
+    by construction (the same reason the dedup family reports Jaccard
+    not cosine).
+
+    Scale shape: characters are exploded via an index sequence +
+    substring (bytes-volume map stage, no join), counted with ONE
+    map-side-combined shuffle on (doc_id, char); every metric folds
+    over the compacted (doc, char) frame (bounded by alphabet size per
+    doc). One-char docs yield NULL diversity in both engines (0/0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("same2"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    div = F.lit(1.0) - F.col("same2").cast("double") / (
+        F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars_obs"),
+        "distinct_chars",
+        F.round(F.when(F.col("n") > 1, div), 6).alias("gini_simpson"),
+        F.round(F.col("top_c").cast("double") / F.col("n").cast("double"), 6)
+        .alias("top_char_frac"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUERIES["q_char_diversity"] = q_char_diversity
+TEXT_ORACLES["q_char_diversity"] = """
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+      FROM documents,
+           unnest(generate_series(1, len(text))) AS u(i)),
+    cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+           FROM chars GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS distinct_chars,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS same2,
+             CAST(max(c) AS BIGINT) AS top_c
+      FROM cc GROUP BY 1)
+    SELECT doc_id, n AS n_chars_obs, distinct_chars,
+           round(CASE WHEN n > 1 THEN
+             1.0 - CAST(same2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+           END, 6) AS gini_simpson,
+           round(CAST(top_c AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS top_char_frac
+    FROM agg ORDER BY doc_id
+"""
+
+
+# ---- Tokenizer fertility audit (round 7) ----
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: subword tokens per
+    whitespace word (the q_token_stats BPE-ish boundary split over the
+    same corpus) and bytes per subword token -- the two numbers that
+    decide whether a tokenizer is fair to a language before training
+    on it (high fertility = the language pays more sequence length per
+    word; see the multilingual-tokenizer-parity literature). Exact
+    integer sums, two final divisions, round(.,6).
+
+    Scale shape: pure scan-map (two split+size expressions per doc,
+    no explode), one tiny groupBy(lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpeish = F.split(
+        F.trim(
+            F.regexp_replace(F.col("text"), r"([a-z])([A-Z0-9])", r"$1 $2")
+        ),
+        r"\s+",
+    )
+    per_doc = docs.select(
+        "lang",
+        F.size(_tokens()).cast("long").alias("ws"),
+        F.size(bpeish).cast("long").alias("sub"),
+        F.octet_length("text").cast("long").alias("b"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("sub").cast("long").alias("subword_tokens"),
+        F.sum("b").cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "subword_tokens",
+        F.round(
+            F.col("subword_tokens").cast("double")
+            / F.col("ws_tokens").cast("double"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.col("n_bytes").cast("double")
+            / F.col("subword_tokens").cast("double"),
+            6,
+        ).alias("bytes_per_token"),
+    ).orderBy("lang")
+
+
+TEXT_QUERIES["q_tokenizer_fertility"] = q_tokenizer_fertility
+TEXT_ORACLES["q_tokenizer_fertility"] = """
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS ws,
+             CAST(len(string_split_regex(trim(
+               regexp_replace(text, '([a-z])([A-Z0-9])', '\\1 \\2', 'g')),
+               '\\s+')) AS BIGINT) AS sub,
+             CAST(strlen(text) AS BIGINT) AS b
+      FROM documents),
+    agg AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(sub) AS BIGINT) AS subword_tokens,
+             CAST(sum(b) AS BIGINT) AS n_bytes
+      FROM per_doc GROUP BY 1)
+    SELECT lang, n_docs, ws_tokens, subword_tokens,
+           round(CAST(subword_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE),
+                 6) AS fertility,
+           round(CAST(n_bytes AS DOUBLE) / CAST(subword_tokens AS DOUBLE),
+                 6) AS bytes_per_token
+    FROM agg ORDER BY lang
+"""

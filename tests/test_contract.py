@@ -71,7 +71,7 @@ def test_window_is_50_oracle_backed_with_new_operators():
     assert window[:5] == pinned
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     attested: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-5].json")):
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-6].json")):
         with open(path) as f:
             attested |= set(json.load(f))
     if attested:  # empty in a fresh clone without driver artifacts

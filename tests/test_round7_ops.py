@@ -90,3 +90,91 @@ class TestBrandAssortativityDegenerate:
         assert len(rows) == 1
         assert rows[0]["assortativity"] is None
         assert rows[0]["n_directed_edges"] == rows[0]["n_same_brand"] == 4
+
+
+class TestNodeJaccardMinhash:
+    """The approximate wedge twin (VERDICT r6 #2). The oracle proves
+    cross-engine parity of the WHOLE construction; these pin the
+    semantics parity can't: sound scores, guaranteed recall at j=1,
+    and the linked-pair exclusion."""
+
+    def _identical_neighborhood_rows(self):
+        # parts 1 and 2 each co-ordered with {10, 11, 12}, never
+        # with each other -> N(1) == N(2), jaccard exactly 1.0
+        rows = []
+        for o, spoke in enumerate((10, 11, 12), start=1):
+            rows += [(o, 1), (o, spoke)]
+        for o, spoke in enumerate((10, 11, 12), start=4):
+            rows += [(o, 2), (o, spoke)]
+        return rows
+
+    def test_identical_neighborhoods_always_found(self, spark, tmp_path):
+        """j = 1.0 pairs share the full minhash signature, hence every
+        band bucket -- LSH recall is exactly 1 there, deterministically,
+        not probabilistically."""
+        d = _write_graph(spark, tmp_path, self._identical_neighborhood_rows())
+        got = {(r["u"], r["v"]): r for r in
+               graph.q_node_jaccard_minhash(spark, d).collect()}
+        assert (1, 2) in got, got.keys()
+        r = got[(1, 2)]
+        assert r["n_common"] == 3 and r["n_union"] == 3
+        assert r["jaccard"] == 1.0
+
+    def test_scores_match_exact_operator(self, spark, tmp_path):
+        """Every emitted pair is verified EXACTLY: its (n_common,
+        n_union, jaccard) must equal the exact operator's row for the
+        same pair (the approximation affects WHICH pairs are
+        considered, never their scores)."""
+        d = _write_graph(spark, tmp_path, self._identical_neighborhood_rows())
+        exact = {(r["u"], r["v"]): r for r in
+                 graph.q_node_jaccard(spark, d).collect()}
+        for r in graph.q_node_jaccard_minhash(spark, d).collect():
+            e = exact[(r["u"], r["v"])]
+            assert (r["n_common"], r["n_union"], r["jaccard"]) == (
+                e["n_common"], e["n_union"], e["jaccard"]
+            )
+
+    def test_linked_pairs_excluded(self, spark, tmp_path):
+        rows = self._identical_neighborhood_rows() + [(7, 1), (7, 2)]
+        d = _write_graph(spark, tmp_path, rows)
+        got = {(r["u"], r["v"]) for r in
+               graph.q_node_jaccard_minhash(spark, d).collect()}
+        assert (1, 2) not in got
+
+
+class TestWedgeMinhashRecall:
+    def test_recall_counts_topk_overlap(self, spark, tmp_path):
+        rows = []
+        for o, spoke in enumerate((10, 11, 12), start=1):
+            rows += [(o, 1), (o, spoke)]
+        for o, spoke in enumerate((10, 11, 12), start=4):
+            rows += [(o, 2), (o, spoke)]
+        d = _write_graph(spark, tmp_path, rows)
+        exact = {(r["u"], r["v"]) for r in
+                 graph.q_node_jaccard(spark, d).collect()}
+        approx = {(r["u"], r["v"]) for r in
+                  graph.q_node_jaccard_minhash(spark, d).collect()}
+        row = graph.q_wedge_minhash_recall(spark, d).collect()[0]
+        assert row["hits"] == len(exact & approx)
+        assert row["k"] == graph.NODE_JACCARD_TOPK
+        assert row["recall"] == round(row["hits"] / row["k"], 6)
+
+
+class TestConvHexDecode:
+    def test_conv_decode_matches_nibble_ladder(self, spark):
+        """Round-7 hot-expression swap: conv(substr(md5, 1, 8), 16, 10)
+        must be bit-identical to the historical 8-nibble ascii ladder
+        (the SQL oracles still spell the ladder; equality here is what
+        keeps every md5-uniform consumer on its oracle contract)."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(100_000).select(
+            (F.col("id") * F.lit(7919) + F.lit(13)).alias("x")
+        )
+        h = F.md5(F.col("x").cast("string"))
+        v = F.lit(0).cast("long")
+        for j in range(8):
+            a = F.ascii(F.substring(h, j + 1, 1))
+            v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
+        conv = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        assert df.filter(v != conv).count() == 0
