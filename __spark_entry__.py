@@ -77,6 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "mv_parse_typed",
     # --- round-7 first-timers (cheap scan/agg first) ---
     "q_tokenizer_fertility", "q_char_diversity", "q_hellinger_sources",
+    "q_burstiness_hourly", "q_spearman_corr", "q_audience_overlap",
     "q_epoch_shuffle_audit", "q_winsorized_stats", "q_kneser_ney_bigram",
     "q_node_jaccard_minhash", "q_wedge_minhash_recall",
     # --- ledger repair: latest driver record is a r01/r02 FAIL ---
@@ -94,7 +95,8 @@ PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue", "q19_discounted_revenue",
     "q20_excess_suppliers", "q21_waiting_suppliers",
     "q22_untapped_segments", "q2_min_cost_supplier",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    # (q6/q7/q8 defer to the next rotation: the three late round-7
+    # first-timers above took their slots)
     # --- displaced heavy graph re-attests (NOTES_r6 handoff;
     #     q_node_jaccard exact per ADVICE r6) ---
     "q_node_jaccard", "q_closeness_sampled", "q_modularity_lpa",

@@ -3354,3 +3354,197 @@ ADVANCED_ORACLES["q_winsorized_stats"] = f"""
              AS mean_trimmed
     FROM clamped GROUP BY 1 ORDER BY o_orderpriority
 """
+
+
+# ---- Burstiness (index of dispersion) per event type (round 7) ----
+
+
+def q_burstiness_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type's hourly arrival series: the
+    index of dispersion (Fano factor) VMR = sample-variance / mean of
+    the per-hour counts over the OBSERVED GRID (every hour between the
+    type's first and last event, zero-filled -- without the dense
+    grid, gaps silently vanish and burstiness is understated). VMR ~ 1
+    is Poisson traffic; >> 1 is bursty (retry storms, batch jobs);
+    << 1 is over-regular (schedulers). The one-number triage before
+    pointing the changepoint/anomaly operators at a series.
+
+    Exactness: counts are integers; with S1 = sum y, S2 = sum y^2 over
+    n grid hours, VMR = (n*S2 - S1^2) / ((n-1) * S1) -- every moment
+    an exact BIGINT (S2 <= n * max_count^2, far under 2^63 on any
+    hourly grid), ONE double division at the end. The dense grid is a
+    sequence() explode against the per-type hour span -- no raw-event
+    blowup, the grid is hours-sized.
+
+    Scale shape: one groupBy(type, hour) over the log, a per-type span
+    aggregate, a grid explode joined back (left join, zero-fill), one
+    moment aggregate. All map-side combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    m = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    vmr = (
+        (F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / ((F.col("n_hours") - 1) * F.col("s1")).cast("double")
+    )
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.col("s1").alias("n_events"),
+        F.round(
+            F.col("s1").cast("double") / F.col("n_hours").cast("double"), 6
+        ).alias("mean_per_hour"),
+        F.round(F.when(F.col("n_hours") > 1, vmr), 6).alias("dispersion"),
+    ).orderBy("event_type")
+
+
+ADVANCED_QUERIES["q_burstiness_hourly"] = q_burstiness_hourly
+ADVANCED_ORACLES["q_burstiness_hourly"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+              FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1,
+                                                INTERVAL 1 HOUR)) AS hour
+      FROM spans),
+    dense AS (
+      SELECT g.event_type, COALESCE(h.y, 0) AS y
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hour = g.hour),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(y * y) AS BIGINT) AS s2
+      FROM dense GROUP BY 1)
+    SELECT event_type, n_hours, s1 AS n_events,
+           round(CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE), 6)
+             AS mean_per_hour,
+           round(CASE WHEN n_hours > 1 THEN
+             CAST(n_hours * s2 - s1 * s1 AS DOUBLE)
+               / CAST((n_hours - 1) * s1 AS DOUBLE)
+           END, 6) AS dispersion
+    FROM m ORDER BY event_type
+"""
+
+
+# ---- Spearman rank correlation (round 7) ----
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and
+    extended price, per return flag -- the monotone-association check
+    that is robust where Pearson (q_corr_purchase_click's machinery)
+    is distorted by heavy tails. Computed as the Pearson correlation
+    OF THE RANKS with average-rank tie handling -- the textbook
+    tie-corrected Spearman rho.
+
+    Exactness: average ranks are exact HALF-integers ((2*rank() +
+    count - 1) / 2 over a deterministic window); doubling them gives
+    exact BIGINTs, so every moment (n, Sx, Sy, Sxy, Sxx, Syy over the
+    DOUBLED ranks) is an exact DECIMAL(38,0) sum -- the doubling
+    cancels in the correlation -- and rho assembles in one fixed-shape
+    double expression (sqrt is correctly rounded). Bit-portable
+    without any quantization discipline.
+
+    Scale shape: two window ranks per group (rangepartition+sort,
+    the order-statistic cost), one moment aggregate. No joins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    # doubled average rank = 2*min_rank + ties - 1 (exact integers)
+    ranked = li.select(
+        "l_returnflag",
+        (
+            2 * F.rank().over(wq)
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("l_returnflag", "l_quantity")
+            )
+            - 2
+        ).cast("decimal(19,0)").alias("rx"),
+        (
+            2 * F.rank().over(wp)
+            + F.count(F.lit(1)).over(
+                Window.partitionBy("l_returnflag", "l_extendedprice")
+            )
+            - 2
+        ).cast("decimal(19,0)").alias("ry"),
+    )
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    rho = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(rho, 6).alias("spearman_rho")
+    ).orderBy("l_returnflag")
+
+
+ADVANCED_QUERIES["q_spearman_corr"] = q_spearman_corr
+ADVANCED_ORACLES["q_spearman_corr"] = """
+    WITH ranked AS (
+      SELECT l_returnflag,
+             CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_quantity)
+                  + count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                  - 2 AS DECIMAL(19,0)) AS rx,
+             CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice)
+                  + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+                  - 2 AS DECIMAL(19,0)) AS ry
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(ry) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(rx * ry) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(rx * rx) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(ry * ry) AS DECIMAL(38,0)) AS syy
+      FROM ranked GROUP BY 1)
+    SELECT l_returnflag, n,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS spearman_rho
+    FROM m ORDER BY l_returnflag
+"""

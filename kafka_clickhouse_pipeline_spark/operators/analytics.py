@@ -1611,3 +1611,83 @@ def _markov_oracle() -> str:
 
 ANALYTICS_QUERIES["q_markov_stationary"] = q_markov_stationary
 ANALYTICS_ORACLES["q_markov_stationary"] = _markov_oracle()
+
+
+# ---- Audience overlap between event types (round 7) ----
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: for each type
+    pair, the distinct-user counts, the shared-user count, the Jaccard
+    overlap, and the containment of the smaller audience in the larger
+    -- the segmentation diagnostic behind "do viewers also click?"
+    and the input to any audience-dedup budget. Exact integers + two
+    exact-ratio doubles; types ordered lexicographically per pair.
+
+    Scale shape: ONE distinct over (event_type, user_id) (map-side
+    combined), then the pair join runs on the distinct-audience frame
+    (types x users), never the raw event log; per-type sizes broadcast
+    back onto the pair rows."""
+    ev = load_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    shared = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ANALYTICS_QUERIES["q_audience_overlap"] = q_audience_overlap
+ANALYTICS_ORACLES["q_audience_overlap"] = """
+    WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM aud GROUP BY 1),
+    shared AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM aud a JOIN aud b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b,
+           sa.n AS n_a, sb.n AS n_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) AS jaccard,
+           round(CAST(n_shared AS DOUBLE)
+                 / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+"""

@@ -16,15 +16,20 @@ between publish and marker must not let the replay read its own
 half-published index files); centralizing it here means no writer can
 re-introduce the bug by reordering its own copy of the calls.
 
-LOCAL-FILESYSTEM CONTRACT (ADVICE r4): the protocol publishes with
-``os.rename``-semantics moves and the readers locate committed state
-via ``os.listdir``/``glob``, so state paths must be locally-mounted
-POSIX directories (local disk, NFS). Spark's parquet WRITES would
-appear to succeed against any Hadoop-supported URI (s3://, hdfs://),
-but the marker/reader side would silently see "empty state" there --
-do not point state_path at an object store. On a cluster, the state
-dirs belong on the driver-visible shared filesystem; the datasets the
-engine processes stay wherever Spark reads them from.
+FILESYSTEM ROUTING (VERDICT r6 #8, upgrading the ADVICE r4
+local-filesystem contract): every path operation routes through a
+backend chosen by URI scheme. Plain paths and ``file:`` URIs use the
+POSIX backend (``os``/``glob``/``shutil`` -- byte-identical to the
+original protocol); any other scheme (``s3a://``, ``hdfs://``,
+``abfss://``...) uses the Hadoop FileSystem API through the active
+SparkSession's JVM gateway, so the staged-commit protocol works
+against the same object store Spark writes the parquet to. One
+caveat carries over from Hadoop semantics: ``rename`` on S3 is a
+copy+delete, not atomic -- the protocol stays correct because
+visibility is gated on the single commit MARKER, never on the
+renamed data files (a crash mid-publish is re-swept by batch-id
+prefix on replay), but publish latency on object stores is O(bytes),
+not O(1).
 
 (streaming/sink.py's idempotent_batch_writer implements the same idea
 for partitioned event sinks with a different staging layout.)
@@ -34,16 +39,137 @@ from __future__ import annotations
 
 import glob
 import os
+import posixpath
 import shutil
 from typing import Callable, Sequence
+from urllib.parse import urlparse
+
+
+class _LocalBackend:
+    """POSIX filesystem operations -- the original protocol verbatim."""
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def basename(self, path: str) -> str:
+        return os.path.basename(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def glob(self, pattern: str) -> list[str]:
+        return glob.glob(pattern)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def move(self, src: str, dst: str) -> None:
+        shutil.move(src, dst)
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w") as fh:
+            fh.write(text)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+class _HadoopBackend:
+    """Hadoop FileSystem operations via the active SparkSession's JVM
+    gateway -- used for non-local schemes (s3a://, hdfs://, ...). Needs
+    an active session because the Hadoop conf (credentials, endpoints)
+    lives there; state-store writers always run inside one."""
+
+    def __init__(self, uri: str, spark=None):
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    f"remote state path {uri!r} needs an active "
+                    "SparkSession for the Hadoop FileSystem API"
+                )
+        self._jvm = spark._jvm
+        self._jpath = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(uri).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def join(self, *parts: str) -> str:
+        return posixpath.join(*parts)
+
+    def basename(self, path: str) -> str:
+        return posixpath.basename(path.rstrip("/"))
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._jpath(path))
+
+    def isdir(self, path: str) -> bool:
+        p = self._jpath(path)
+        return self._fs.exists(p) and self._fs.getFileStatus(p).isDirectory()
+
+    def listdir(self, path: str) -> list[str]:
+        return [
+            s.getPath().getName()
+            for s in self._fs.listStatus(self._jpath(path))
+        ]
+
+    def glob(self, pattern: str) -> list[str]:
+        statuses = self._fs.globStatus(self._jpath(pattern))
+        if statuses is None:
+            return []
+        return [s.getPath().toString() for s in statuses]
+
+    def remove(self, path: str) -> None:
+        self._fs.delete(self._jpath(path), False)
+
+    def makedirs(self, path: str) -> None:
+        self._fs.mkdirs(self._jpath(path))
+
+    def move(self, src: str, dst: str) -> None:
+        self._fs.rename(self._jpath(src), self._jpath(dst))
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._jpath(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def rmtree(self, path: str) -> None:
+        self._fs.delete(self._jpath(path), True)
+
+
+def _backend(path: str, spark=None):
+    """Route by URI scheme: plain paths / file: -> POSIX, anything
+    else -> Hadoop FileSystem. Single-char schemes (C:) are Windows
+    drive letters, not URIs."""
+    scheme = urlparse(path).scheme
+    if scheme in ("", "file") or len(scheme) == 1:
+        if scheme == "file":  # Hadoop-style file:/x or file:///x URI
+            return _LocalBackend(), urlparse(path).path
+        return _LocalBackend(), path
+    return _HadoopBackend(path, spark=spark), path
 
 
 def marker_path(out_path: str, batch_id: int) -> str:
-    return os.path.join(out_path, "_commits", str(batch_id))
+    fs, p = _backend(out_path)
+    return fs.join(p, "_commits", str(batch_id))
 
 
 def already_committed(out_path: str, batch_id: int) -> bool:
-    return os.path.exists(marker_path(out_path, batch_id))
+    fs, p = _backend(out_path)
+    return fs.exists(fs.join(p, "_commits", str(batch_id)))
 
 
 def sweep_uncommitted(batch_id: int, *dest_dirs: str) -> None:
@@ -59,31 +185,37 @@ def sweep_uncommitted(batch_id: int, *dest_dirs: str) -> None:
     definition a leftover of a crashed uncommitted attempt, so sweeping
     is always safe."""
     for dest_dir in dest_dirs:
-        for stale in glob.glob(os.path.join(dest_dir, f"b{batch_id}-*")):
-            os.remove(stale)
+        fs, p = _backend(dest_dir)
+        for stale in fs.glob(fs.join(p, f"b{batch_id}-*")):
+            fs.remove(stale)
 
 
 def publish_staged(staging: str, dest_dir: str, batch_id: int) -> None:
     """Move a staging directory's parquet files into ``dest_dir`` under
     batch-id-prefixed names, sweeping any half-published files from a
     previous crashed attempt of the same batch first."""
-    for stale in glob.glob(os.path.join(dest_dir, f"b{batch_id}-*")):
-        os.remove(stale)
-    os.makedirs(dest_dir, exist_ok=True)
-    for f in glob.glob(os.path.join(staging, "*.parquet")):
-        shutil.move(f, os.path.join(dest_dir, f"b{batch_id}-{os.path.basename(f)}"))
+    fs, dest = _backend(dest_dir)
+    sfs, stag = _backend(staging)
+    for stale in fs.glob(fs.join(dest, f"b{batch_id}-*")):
+        fs.remove(stale)
+    fs.makedirs(dest)
+    for f in sfs.glob(sfs.join(stag, "*.parquet")):
+        fs.move(f, fs.join(dest, f"b{batch_id}-{sfs.basename(f)}"))
 
 
 def write_marker(out_path: str, batch_id: int) -> None:
-    marker = marker_path(out_path, batch_id)
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write("committed")
+    fs, p = _backend(out_path)
+    commits = fs.join(p, "_commits")
+    fs.makedirs(commits)
+    fs.write_text(fs.join(commits, str(batch_id)), "committed")
 
 
 def clean_staging(*staging_dirs: str) -> None:
     for staging in staging_dirs:
-        shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+        fs, p = _backend(staging)
+        # staging layout is <dest>/_staging/<batch_id>; drop _staging
+        fs.rmtree(posixpath.dirname(p.rstrip("/")) if "://" in staging
+                  else os.path.dirname(p))
 
 
 def staged_foreach_batch(
@@ -125,11 +257,13 @@ def staged_foreach_batch(
 
 def latest_committed(state_path: str) -> int | None:
     """Highest committed batch id under ``state_path``, or None before
-    the first commit. Local-filesystem only (module docstring)."""
-    commits = os.path.join(state_path, "_commits")
-    if not os.path.isdir(commits):
+    the first commit. Scheme-routed (module docstring): POSIX listdir
+    locally, Hadoop listStatus on object stores."""
+    fs, p = _backend(state_path)
+    commits = fs.join(p, "_commits")
+    if not fs.isdir(commits):
         return None
-    ids = [int(n) for n in os.listdir(commits) if n.isdigit()]
+    ids = [int(n) for n in fs.listdir(commits) if n.isdigit()]
     return max(ids) if ids else None
 
 
@@ -142,7 +276,8 @@ def read_latest_state(spark, state_path: str, schema):
     latest = latest_committed(state_path)
     if latest is None:
         return spark.createDataFrame([], schema)
-    files = sorted(glob.glob(os.path.join(state_path, f"b{latest}-*.parquet")))
+    fs, p = _backend(state_path, spark=spark)
+    files = sorted(fs.glob(fs.join(p, f"b{latest}-*.parquet")))
     if not files:  # marker without files: empty batch
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)

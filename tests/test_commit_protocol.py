@@ -100,3 +100,75 @@ def test_read_latest_state_empty_before_first_commit(tmp_path, spark):
     empty = commit.read_latest_state(spark, str(tmp_path / "none"), schema)
     assert empty.collect() == []
     assert commit.latest_committed(str(tmp_path / "none")) is None
+
+
+# ---- round 7: scheme-routed filesystem backends (VERDICT r6 #8) ----
+
+
+def test_scheme_routing_picks_backends():
+    """Plain paths and file: URIs stay on the POSIX backend; object-
+    store schemes route to the Hadoop backend (constructed lazily --
+    the factory raises without a session only for REMOTE schemes)."""
+    fs, p = commit._backend("/tmp/x")
+    assert isinstance(fs, commit._LocalBackend) and p == "/tmp/x"
+    fs, p = commit._backend("file:///tmp/x")
+    assert isinstance(fs, commit._LocalBackend) and p == "/tmp/x"
+
+
+def test_hadoop_backend_full_protocol_on_file_uri(tmp_path, spark):
+    """The Hadoop backend run end-to-end through the staged-commit
+    protocol against file:/ URIs -- the JVM Hadoop LocalFileSystem is
+    a real FileSystem implementation, so this exercises the exact
+    listStatus/globStatus/rename/create/delete calls an s3a:// or
+    hdfs:// deployment would make (no mocks)."""
+    uri = f"file://{tmp_path}/state"
+    hb = commit._HadoopBackend(uri, spark=spark)
+    # protocol primitives against the Hadoop API
+    hb.makedirs(f"{uri}/_commits")
+    assert hb.isdir(f"{uri}/_commits")
+    hb.write_text(f"{uri}/_commits/0", "committed")
+    assert hb.exists(f"{uri}/_commits/0")
+    assert hb.listdir(f"{uri}/_commits") == ["0"]
+    hb.makedirs(f"{uri}/_staging/1")
+    hb.write_text(f"{uri}/_staging/1/part-0.parquet", "x")
+    staged = hb.glob(f"{uri}/_staging/1/*.parquet")
+    assert len(staged) == 1 and staged[0].endswith("part-0.parquet")
+    hb.move(staged[0], f"{uri}/b1-part-0.parquet")
+    assert hb.exists(f"{uri}/b1-part-0.parquet")
+    assert not hb.exists(f"{uri}/_staging/1/part-0.parquet")
+    hb.remove(f"{uri}/b1-part-0.parquet")
+    assert not hb.exists(f"{uri}/b1-part-0.parquet")
+    hb.rmtree(f"{uri}/_staging")
+    assert not hb.exists(f"{uri}/_staging")
+
+
+def test_staged_protocol_via_forced_hadoop_backend(tmp_path, spark, monkeypatch):
+    """staged_foreach_batch with EVERY path operation forced through
+    the Hadoop backend (file:/ URI localfs): replay no-op, publish,
+    marker, and latest-state read must behave exactly as on POSIX."""
+    real_backend = commit._backend
+
+    def forced(path, spark_arg=None):
+        if path.startswith("/"):
+            return commit._HadoopBackend(f"file://{path}", spark=spark), path
+        return real_backend(path, spark_arg)
+
+    monkeypatch.setattr(commit, "_backend", forced)
+    dest = str(tmp_path / "state")
+    os.makedirs(dest, exist_ok=True)
+    calls = []
+
+    def body(batch_df, batch_id, staging):
+        calls.append(batch_id)
+        os.makedirs(staging[dest], exist_ok=True)
+        with open(os.path.join(staging[dest], "part-0.parquet"), "w") as fh:
+            fh.write("data")
+
+    writer = commit.staged_foreach_batch(dest, [dest], body)
+    writer(None, 7)
+    assert calls == [7]
+    assert commit.already_committed(dest, 7)
+    assert commit.latest_committed(dest) == 7
+    assert os.path.exists(os.path.join(dest, "b7-part-0.parquet"))
+    writer(None, 7)  # replay -> no-op
+    assert calls == [7]

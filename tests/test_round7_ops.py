@@ -178,3 +178,213 @@ class TestConvHexDecode:
             v = v * 16 + (a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48)))
         conv = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
         assert df.filter(v != conv).count() == 0
+
+
+from datetime import datetime
+
+from kafka_clickhouse_pipeline_spark.operators import (  # noqa: E402
+    advanced,
+    analytics,
+    curation,
+    text,
+)
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).write.parquet(
+        f"{d}/events.parquet"
+    )
+    return str(d)
+
+
+def _write_docs(spark, d, rows):
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ).write.parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+class TestBurstinessHourly:
+    def test_constant_rate_has_zero_dispersion(self, spark, tmp_path):
+        rows = [
+            (i, datetime(2024, 1, 1, h), 1, "tick", 1.0, "{}")
+            for i, h in enumerate(range(6))
+        ]
+        d = _write_events(spark, tmp_path, rows)
+        r = {x["event_type"]: x for x in
+             advanced.q_burstiness_hourly(spark, d).collect()}
+        assert r["tick"]["n_hours"] == 6
+        assert r["tick"]["dispersion"] == 0.0
+
+    def test_gap_hours_zero_filled(self, spark, tmp_path):
+        """Two events at hours 0 and 5 -> grid of 6 hours with four
+        zeros; without the dense grid VMR would be 0 (all observed
+        counts equal 1). s1=2, s2=2, n=6: VMR=(12-4)/(5*2)=0.8."""
+        rows = [
+            (1, datetime(2024, 1, 1, 0), 1, "burst", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 5), 1, "burst", 1.0, "{}"),
+        ]
+        d = _write_events(spark, tmp_path, rows)
+        r = advanced.q_burstiness_hourly(spark, d).collect()[0]
+        assert r["n_hours"] == 6
+        assert r["dispersion"] == 0.8
+
+    def test_single_hour_is_null(self, spark, tmp_path):
+        d = _write_events(
+            spark, tmp_path,
+            [(1, datetime(2024, 1, 1, 0), 1, "once", 1.0, "{}")],
+        )
+        r = advanced.q_burstiness_hourly(spark, d).collect()[0]
+        assert r["dispersion"] is None
+
+
+class TestSpearmanCorr:
+    def _write_li(self, spark, d, rows):
+        spark.createDataFrame(
+            rows, "l_returnflag string, l_quantity double, "
+            "l_extendedprice double, l_orderkey bigint, l_partkey bigint"
+        ).write.parquet(f"{d}/lineitem.parquet")
+        return str(d)
+
+    def test_monotone_is_one(self, spark, tmp_path):
+        rows = [("A", float(q), float(q * 10 + 1), q, q) for q in range(1, 6)]
+        d = self._write_li(spark, tmp_path, rows)
+        r = advanced.q_spearman_corr(spark, d).collect()[0]
+        assert r["spearman_rho"] == 1.0
+
+    def test_reversed_is_minus_one(self, spark, tmp_path):
+        rows = [("A", float(q), float(100 - q), q, q) for q in range(1, 6)]
+        d = self._write_li(spark, tmp_path, rows)
+        r = advanced.q_spearman_corr(spark, d).collect()[0]
+        assert r["spearman_rho"] == -1.0
+
+    def test_ties_use_average_ranks(self, spark, tmp_path):
+        """Two tied quantities share the average rank: with values
+        x=(1,1,2), y=(1,2,3), tie-corrected rho = 0.866025 (hand
+        computation via Pearson over ranks (1.5,1.5,3))."""
+        rows = [
+            ("A", 1.0, 1.0, 1, 1),
+            ("A", 1.0, 2.0, 2, 2),
+            ("A", 2.0, 3.0, 3, 3),
+        ]
+        d = self._write_li(spark, tmp_path, rows)
+        r = advanced.q_spearman_corr(spark, d).collect()[0]
+        assert r["spearman_rho"] == 0.866025
+
+
+class TestAudienceOverlap:
+    def test_hand_computed_overlap(self, spark, tmp_path):
+        rows = [
+            (1, datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+            (2, datetime(2024, 1, 1), 2, "view", 1.0, "{}"),
+            (3, datetime(2024, 1, 1), 3, "view", 1.0, "{}"),
+            (4, datetime(2024, 1, 1), 2, "click", 1.0, "{}"),
+            (5, datetime(2024, 1, 1), 3, "click", 1.0, "{}"),
+            (6, datetime(2024, 1, 1), 4, "click", 1.0, "{}"),
+            (7, datetime(2024, 1, 1), 2, "click", 1.0, "{}"),  # dup user
+        ]
+        d = _write_events(spark, tmp_path, rows)
+        r = analytics.q_audience_overlap(spark, d).collect()[0]
+        # click={2,3,4}, view={1,2,3}: shared 2, union 4
+        assert (r["type_a"], r["type_b"]) == ("click", "view")
+        assert (r["n_a"], r["n_b"], r["n_shared"]) == (3, 3, 2)
+        assert r["jaccard"] == 0.5
+        assert r["containment"] == 0.666667
+
+
+class TestCharDiversity:
+    def test_extremes(self, spark, tmp_path):
+        d = _write_docs(spark, tmp_path, [
+            (1, "aaaa", "en", "s", 4),
+            (2, "ab", "en", "s", 2),
+            (3, "x", "en", "s", 1),
+        ])
+        r = {x["doc_id"]: x for x in
+             text.q_char_diversity(spark, d).collect()}
+        assert r[1]["gini_simpson"] == 0.0
+        assert r[1]["distinct_chars"] == 1
+        assert r[1]["top_char_frac"] == 1.0
+        assert r[2]["gini_simpson"] == 1.0
+        assert r[3]["gini_simpson"] is None  # one char: 0/0
+
+
+class TestKneserNeyBigram:
+    def test_hand_computed_probability(self, spark, tmp_path):
+        """Corpus 'a b', 'a b', 'a c': c2(a,b)=2, c2(a,c)=1, c1(a)=3,
+        N1+(a,*)=2, N1+(*,b)=1, N1+(*,c)=1, T=2.
+        P_KN(b|a) = (2-.75)/3 + .75*2/3*(1/2) = 0.666667
+        P_KN(c|a) = (1-.75)/3 + .75*2/3*(1/2) = 0.333333"""
+        d = _write_docs(spark, tmp_path, [
+            (1, "a b", "en", "s", 3),
+            (2, "a b", "en", "s", 3),
+            (3, "a c", "en", "s", 3),
+        ])
+        r = {(x["prev"], x["cur"]): x for x in
+             text.q_kneser_ney_bigram(spark, d).collect()}
+        assert r[("a", "b")]["p_kn"] == 0.666667
+        assert r[("a", "c")]["p_kn"] == 0.333333
+        assert r[("a", "b")]["c2"] == 2 and r[("a", "b")]["c1"] == 3
+
+
+class TestTokenizerFertility:
+    def test_camel_and_digit_boundaries(self, spark, tmp_path):
+        d = _write_docs(spark, tmp_path, [
+            (1, "fooBar x9y", "en", "s", 10),
+        ])
+        r = text.q_tokenizer_fertility(spark, d).collect()[0]
+        # ws tokens: [fooBar, x9y] = 2; subwords: [foo, Bar, x, 9y] = 4
+        assert (r["ws_tokens"], r["subword_tokens"]) == (2, 4)
+        assert r["fertility"] == 2.0
+        assert r["bytes_per_token"] == 2.5
+
+
+class TestEpochShuffleAudit:
+    def test_invariants(self, spark, tmp_path):
+        d = _write_docs(spark, tmp_path, [
+            (i, f"doc {i}", "en", "s", 5) for i in range(40)
+        ])
+        r = curation.q_epoch_shuffle_audit(spark, d).collect()[0]
+        assert r["n_docs"] == 40 and r["prefix_k"] == 4
+        assert 0 <= r["prefix_overlap"] <= 4
+        assert 0 <= r["max_abs_drift"] <= 39
+        assert 0.0 <= r["mean_abs_drift"] <= 39.0
+        # reshuffle actually permutes: drift cannot be identically zero
+        assert r["max_abs_drift"] > 0
+
+
+class TestHellingerSources:
+    def test_identical_and_disjoint_mixes(self, spark, tmp_path):
+        d = _write_docs(spark, tmp_path, [
+            (1, "x", "en", "s1", 1), (2, "x", "de", "s1", 1),
+            (3, "x", "en", "s2", 1), (4, "x", "de", "s2", 1),
+            (5, "x", "fr", "s3", 1), (6, "x", "fr", "s3", 1),
+        ])
+        r = {(x["source_a"], x["source_b"]): x for x in
+             curation.q_hellinger_sources(spark, d).collect()}
+        assert r[("s1", "s2")]["hellinger"] == 0.0
+        # s3 shares no language with s1: BC has no common terms ->
+        # pair row exists only via shared langs; disjoint mixes have
+        # NO join rows, so the pair is absent (documented: absence
+        # means disjoint support, H=1)
+        assert ("s1", "s3") not in r
+
+
+class TestWinsorizedStats:
+    def test_hand_computed_clip(self, spark, tmp_path):
+        """20 rows 1..20, one group: k=1, lo=2, hi=19.
+        raw mean 10.5; winsorized sum = 2+2..19+19 = 210-1-20+2+19=210;
+        mean 10.5 (symmetric); trimmed mean over 2..19 = 10.5."""
+        spark.createDataFrame(
+            [(i, "1-URGENT", float(i)) for i in range(1, 21)],
+            "o_orderkey bigint, o_orderpriority string, o_totalprice double",
+        ).write.parquet(f"{tmp_path}/orders.parquet")
+        r = advanced.q_winsorized_stats(spark, str(tmp_path)).collect()[0]
+        assert (r["n"], r["k_cut"]) == (20, 1)
+        assert (r["lo_val"], r["hi_val"]) == (2.0, 19.0)
+        assert r["mean_raw"] == r["mean_winsorized"] == r["mean_trimmed"] == 10.5

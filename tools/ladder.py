@@ -38,8 +38,24 @@ OFFSET = 1_000_000_000
 #: customer carries n x orders -- the realistic growth direction).
 SALTED_TABLES = ("lineitem", "documents", "embeddings", "events", "orders")
 
+#: Power-law salting mode (VERDICT r6 #4): with --skew, a fixed
+#: percentage of lineitem rows is remapped onto a small shared hub
+#: part set (same hub ids in EVERY replica, so hub degree grows with
+#: replication while the rest of the graph stays the baseline ladder).
+#: 2% of 10x-replicated lineitem over 50 hubs gives hub co-purchase
+#: degrees in the thousands vs the ~10^2 baseline -- the regime where
+#: the p99 degree cap's payoff can be MEASURED instead of asserted
+#: (the fixture graph is degree-homogeneous and the cap prunes ~2.5%).
+#: Hub ids sit above every replica offset (and above 2^32, matching
+#: the 10x rung's packed-pair fallback regime).
+SKEW_PCT = 2
+SKEW_NHUBS = 50
+SKEW_HUB_BASE = 98_000_000_000
 
-def build_replicated(spark, sf_dir: str, n: int, out_dir: str) -> None:
+
+def build_replicated(
+    spark, sf_dir: str, n: int, out_dir: str, skew: bool = False
+) -> None:
     """Write an n-times salted replication of sf_dir into out_dir.
     Non-salted tables are passed through unchanged (symlinked)."""
     from pyspark.sql import functions as F
@@ -66,6 +82,24 @@ def build_replicated(spark, sf_dir: str, n: int, out_dir: str) -> None:
                 rep = base.withColumn(
                     "l_orderkey", F.col("l_orderkey") + off
                 ).withColumn("l_partkey", F.col("l_partkey") + off)
+                if skew:
+                    h = F.md5(
+                        F.concat_ws(
+                            ":", F.col("l_orderkey"), F.col("l_partkey")
+                        )
+                    )
+                    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                    hub = (
+                        F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+                        % SKEW_NHUBS
+                    )
+                    rep = rep.withColumn(
+                        "l_partkey",
+                        F.when(
+                            u % 100 < SKEW_PCT,
+                            F.lit(SKEW_HUB_BASE) + hub,
+                        ).otherwise(F.col("l_partkey")),
+                    )
             elif name == "documents":
                 rep = base.withColumn("doc_id", F.col("doc_id") + off)
                 if r:
@@ -103,6 +137,11 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, nargs="+", default=[1, 4, 10])
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/spark_graft_ladder")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="power-law hub salting of lineitem (see SKEW_* constants)",
+    )
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -114,8 +153,11 @@ def main() -> int:
     qs = entry.queries()
     results: dict[str, dict[int, float]] = {n: {} for n in args.names}
     for n in args.replicas:
-        level_dir = os.path.join(args.workdir, f"{os.path.basename(args.sf)}_x{n}")
-        build_replicated(spark, args.sf, n, level_dir)
+        suffix = "_skew" if args.skew else ""
+        level_dir = os.path.join(
+            args.workdir, f"{os.path.basename(args.sf)}_x{n}{suffix}"
+        )
+        build_replicated(spark, args.sf, n, level_dir, skew=args.skew)
         for name in args.names:
             best = None
             for _ in range(args.runs):
