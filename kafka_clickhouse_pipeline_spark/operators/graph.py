@@ -1481,17 +1481,36 @@ def q_node_jaccard_minhash(
     graphs, so a sub-quadratic CANDIDATE GENERATOR, not a filter, is
     what survives 100x).
 
-    Plan: one groupBy builds the sorted adjacency array per node; each
-    neighbor id is md5-hashed ONCE (lineage cut so the 12 derived
-    hashes iterate a stored array -- the minhash_lsh_pairs pattern,
-    dedup.py:434); 12 minima -> 6 two-row band keys -> posexplode ->
+    Plan: signatures are built off the FLAT edge list (32 derived
+    md5s inside whole-stage codegen; array transform() lambdas are
+    interpreted and measured 4 s slower at sf0.1), aggregated by 32
+    map-side-combined mins; 32 one-row band keys -> posexplode ->
     self-join on (band, bucket) yields candidates; direct edges are
     anti-joined away; candidates are verified EXACTLY with
     array_intersect over the two adjacency arrays (no wedge shuffle
-    anywhere -- n_common comes from the arrays). Shuffle volume is
-    12 hashes/node + candidate pairs, vs Sigma C(d, 2) wedge rows for
-    the exact form. The verify join ships adjacency arrays only for
-    candidate nodes (left_semi prune).
+    anywhere -- n_common comes from the arrays), arrays built only
+    for candidate nodes (left_semi prune before the collect_set).
+
+    MEASURED WORK ACCOUNTING (the honest negative, SCALE.md round 7):
+    one-row-band candidates on a degree-homogeneous graph number
+    ~ b * Sigma d^2 / (2 d-bar) -- a d-bar/b cut vs the exact wedge
+    volume (17.3M vs 101M pairs at sf0.1: 5.8x at d-bar ~ 120,
+    b = 32) -- but the per-candidate array-intersect verify costs
+    ~2 d-bar element ops, so total verify work is ~ b * Sigma d^2,
+    and the twin does NOT beat the packed-key exact plan in this
+    regime (28 s vs 23.6 s warm at sf0.1). Its winning regimes are
+    (a) a HIGH similarity floor -- threshold near-dup queries, where
+    r >= 2 banding collapses candidates superlinearly (the
+    minhash_lsh_pairs setting) -- and (b) d-bar >> b with a verify
+    that is cheaper than the wedge shuffle's disk/network cost
+    (1000-executor clusters are network-bound where this local[32]
+    fixture is CPU-bound). For low-jaccard top-K on homogeneous
+    graphs the production answer remains the capped exact plan
+    (q_node_jaccard_capped; the skewed-ladder measurement in SCALE.md
+    shows where the cap pays). Registered because the recall audit
+    (q_wedge_minhash_recall: 1.0/0.95/0.90 at sf0.001/0.01/0.1) and
+    this law are MEASURED properties a user must see before choosing
+    a candidate generator -- not because it wins on this fixture.
 
     Determinism / oracle: md5 is bit-identical in both engines and
     lexicographic min over fixed-width lowercase-hex strings equals
@@ -1541,7 +1560,13 @@ def q_node_jaccard_minhash(
         ]
     )
     bands = sigs.select("src", F.posexplode(band_keys).alias("band", "bucket"))
-    a, b = bands.alias("a"), bands.alias("b")
+    # shuffle_hash hints: the bands frame and the candidate-node
+    # adjacency sets below are n-scaled -- letting AQE broadcast them
+    # stacks hundreds of MB of pinned hash relations on top of the
+    # gated `linked` broadcast and OOMed the 4x ladder rung; the
+    # shuffle joins cost one candidate-volume-sized exchange each and
+    # keep heap flat at any replication
+    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
             b,
@@ -1572,11 +1597,13 @@ def q_node_jaccard_minhash(
     )
     scored = (
         cand.join(
-            csets.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
+            csets.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+            .hint("shuffle_hash"),
             "u",
         )
         .join(
-            csets.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+            csets.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+            .hint("shuffle_hash"),
             "v",
         )
         .select(

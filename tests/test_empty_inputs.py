@@ -29,6 +29,16 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 
 EMPTY_SENSITIVE = [
+    # round-7 additions (probed against the empty fixture)
+    "q_node_jaccard_minhash",
+    "q_kneser_ney_bigram",
+    "q_char_diversity",
+    "q_tokenizer_fertility",
+    "q_hellinger_sources",
+    "q_winsorized_stats",
+    "q_burstiness_hourly",
+    "q_spearman_corr",
+    "q_audience_overlap",
     "sales_by_hour",
     "status_counts",
     "mv_parse_typed",
@@ -254,6 +264,10 @@ EMPTY_SCALAR = [
     "q_welch_ttest_value",
     "q_zipf_fit",
     "q_brand_assortativity",
+    # round-7 additions (both engines agree on the all-NULL shape:
+    # SUM over zero rows is NULL in Spark and DuckDB alike)
+    "q_wedge_minhash_recall",
+    "q_epoch_shuffle_audit",
 ]
 
 #: Fixed output spines: operators whose empty-input result is a

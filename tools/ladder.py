@@ -42,13 +42,13 @@ SALTED_TABLES = ("lineitem", "documents", "embeddings", "events", "orders")
 #: percentage of lineitem rows is remapped onto a small shared hub
 #: part set (same hub ids in EVERY replica, so hub degree grows with
 #: replication while the rest of the graph stays the baseline ladder).
-#: 2% of 10x-replicated lineitem over 50 hubs gives hub co-purchase
+#: 3% of 10x-replicated lineitem over 50 hubs gives hub co-purchase
 #: degrees in the thousands vs the ~10^2 baseline -- the regime where
 #: the p99 degree cap's payoff can be MEASURED instead of asserted
 #: (the fixture graph is degree-homogeneous and the cap prunes ~2.5%).
 #: Hub ids sit above every replica offset (and above 2^32, matching
 #: the 10x rung's packed-pair fallback regime).
-SKEW_PCT = 2
+SKEW_PCT = 3
 SKEW_NHUBS = 50
 SKEW_HUB_BASE = 98_000_000_000
 
