@@ -402,3 +402,24 @@ def test_wedge_pair_shuffle_is_single_packed_key(spark, sf_dir):
     df2 = graph.q_adamic_adar(spark, sf_dir)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(k#\d+L?\b", plan2)
+
+
+def test_minhash_wedge_twin_plan(spark, sf_dir):
+    """The round-7 approximate wedge twin must (a) contain NO wedge
+    expansion -- no posexplode-of-slice Generate pair stream -- (b)
+    run its n-scaled joins as shuffle joins (the AQE broadcast of the
+    bands/adjacency frames OOMed the 4x ladder rung), (c) stay
+    Python-free with TakeOrderedAndProject for the top-K, and (d)
+    keep the 32 signature mins in ONE hash aggregate over the flat
+    edge list (partial_min x32 on the map side -- the codegen'd
+    signature build)."""
+    from kafka_clickhouse_pipeline_spark.operators import graph
+
+    df = graph.q_node_jaccard_minhash(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "slice(" not in plan, "wedge expansion leaked into the twin"
+    assert plans.python_free(df)
+    assert plans.uses_top_k(df)
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("partial_min(md5(") >= graph.WEDGE_MINHASH_HASHES
