@@ -3548,3 +3548,123 @@ ADVANCED_ORACLES["q_spearman_corr"] = """
              6) AS spearman_rho
     FROM m ORDER BY l_returnflag
 """
+
+
+# ---- Tukey-fence (IQR) outlier screen (round 7, second batch) ----
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen on event values per type: quartiles
+    at EXACT DISCRETE RANKS (value at row ceil(n/4) / ceil(3n/4) of
+    the (value, event_id) total order -- the winsorized-stats
+    selection rule, no interpolation), fences at q +/- 1.5*IQR, and
+    the count/extremes of the flagged tails. The third member of the
+    outlier-screen family (z-score: mean-based, breaks under heavy
+    tails; MAD: median-absolute; IQR: the boxplot rule) -- all three
+    registered so a curation pipeline can compare flag rates.
+
+    Exactness: rank selection picks concrete stored doubles; fences
+    are one fixed-shape double expression; counts are integers.
+
+    Scale shape: one rangepartition+sort per type for the rank, one
+    conditional aggregate for the quartiles, a broadcast-sized fence
+    join back, one final aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    q = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rnk") == F.ceil(F.col("n") / 4), F.col("value"))
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rnk") == F.ceil(3 * F.col("n") / 4), F.col("value")
+            )
+        ).alias("q3"),
+    )
+    fenced = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    joined = ev.select("event_type", "value").join(
+        F.broadcast(fenced), "event_type"
+    )
+    agg = joined.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("q1").alias("q1"),
+        F.max("q3").alias("q3"),
+        F.max("iqr").alias("iqr"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("lo_fence"))
+                | (F.col("value") > F.col("hi_fence")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.round("iqr", 6).alias("iqr"),
+        "n_outliers",
+        F.round(
+            F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+        ).alias("outlier_rate"),
+    ).orderBy("event_type")
+
+
+ADVANCED_QUERIES["q_iqr_outliers"] = q_iqr_outliers
+ADVANCED_ORACLES["q_iqr_outliers"] = """
+    WITH ev AS (SELECT event_type, event_id, value FROM events
+                WHERE value IS NOT NULL),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rnk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM ev),
+    q AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             max(CASE WHEN rnk = ceil(n / 4.0) THEN value END) AS q1,
+             max(CASE WHEN rnk = ceil(3 * n / 4.0) THEN value END) AS q3
+      FROM ranked GROUP BY 1),
+    fenced AS (
+      SELECT event_type, n, q1, q3, q3 - q1 AS iqr,
+             q1 - 1.5 * (q3 - q1) AS lo_fence,
+             q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM q),
+    agg AS (
+      SELECT e.event_type, max(f.n) AS n, max(f.q1) AS q1,
+             max(f.q3) AS q3, max(f.iqr) AS iqr,
+             CAST(sum(CASE WHEN e.value < f.lo_fence
+                             OR e.value > f.hi_fence
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM ev e JOIN fenced f ON f.event_type = e.event_type
+      GROUP BY 1)
+    SELECT event_type, n,
+           round(q1, 6) AS q1, round(q3, 6) AS q3, round(iqr, 6) AS iqr,
+           n_outliers,
+           round(CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS outlier_rate
+    FROM agg ORDER BY event_type
+"""

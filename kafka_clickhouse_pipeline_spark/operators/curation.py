@@ -2285,3 +2285,161 @@ CURATION_ORACLES["q_hellinger_sources"] = """
              AS hellinger
     FROM bc ORDER BY source_a, source_b
 """
+
+
+# ---- Dataset card (round 7, second batch) ----
+
+
+def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-source "dataset card": the summary table a corpus
+    release ships (docs, tokens, vocabulary, mean/median doc length,
+    exact-duplicate rate, dominant language + its share) -- the
+    single-query composite of the per-facet audits, so a mix decision
+    reads ONE frame instead of six.
+
+    Exactness: every component is an exact integer or an exact-rank
+    selection (median at row ceil(n/2) of the (tok_count, doc_id)
+    order); the dominant language is argmax by (count, lang)
+    lexicographic tiebreak; divisions are the only doubles.
+
+    Scale shape: one scan computes per-doc token counts (scan-map);
+    one explode feeds the per-source vocabulary count (map-side
+    combinable distinct); everything else aggregates the per-doc
+    frame. The output is sources-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        "text",
+        "doc_id",
+        F.size(toks).cast("long").alias("tc"),
+    )
+    w = Window.partitionBy("source").orderBy("tc", "doc_id")
+    ranked = per_doc.select(
+        "source",
+        "tc",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n"),
+    )
+    med = ranked.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rnk") == F.ceil(F.col("n") / 2), F.col("tc"))
+        ).alias("p50_doc_tokens")
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tc").cast("long").alias("n_tokens"),
+        F.countDistinct("text").cast("long").alias("n_distinct_texts"),
+    )
+    vocab = (
+        docs.select("source", F.explode(toks).alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").cast("long").alias("vocab_size"))
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wl = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang")
+    )
+    top_lang = (
+        lang_counts.select(
+            "source", "lang", "c", F.row_number().over(wl).alias("r")
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("c").alias("top_lang_docs"),
+        )
+    )
+    return (
+        base.join(med, "source")
+        .join(vocab, "source")
+        .join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("mean_doc_tokens"),
+            "p50_doc_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_texts").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("exact_dup_rate"),
+            "top_lang",
+            F.round(
+                F.col("top_lang_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_QUERIES["q_dataset_card_stats"] = q_dataset_card_stats
+CURATION_ORACLES["q_dataset_card_stats"] = """
+    WITH per_doc AS (
+      SELECT source, lang, text, doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS tc
+      FROM documents),
+    ranked AS (
+      SELECT source, tc,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tc, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM per_doc),
+    med AS (
+      SELECT source,
+             max(CASE WHEN rnk = ceil(n / 2.0) THEN tc END)
+               AS p50_doc_tokens
+      FROM ranked GROUP BY 1),
+    base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tc) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+      FROM per_doc GROUP BY 1),
+    vocab AS (
+      SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS vocab_size
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents)
+      GROUP BY 1),
+    lang_counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    top_lang AS (
+      SELECT source, lang AS top_lang, c AS top_lang_docs
+      FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY c DESC, lang) AS r
+            FROM lang_counts)
+      WHERE r = 1)
+    SELECT b.source, b.n_docs, b.n_tokens, v.vocab_size,
+           round(CAST(b.n_tokens AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6)
+             AS mean_doc_tokens,
+           m.p50_doc_tokens,
+           round(1.0 - CAST(b.n_distinct_texts AS DOUBLE)
+                 / CAST(b.n_docs AS DOUBLE), 6) AS exact_dup_rate,
+           t.top_lang,
+           round(CAST(t.top_lang_docs AS DOUBLE)
+                 / CAST(b.n_docs AS DOUBLE), 6) AS top_lang_share
+    FROM base b
+    JOIN med m ON m.source = b.source
+    JOIN vocab v ON v.source = b.source
+    JOIN top_lang t ON t.source = b.source
+    ORDER BY b.source
+"""

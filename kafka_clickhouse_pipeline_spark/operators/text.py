@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..lineage import cut_lineage
@@ -1982,4 +1983,99 @@ TEXT_ORACLES["q_tokenizer_fertility"] = """
            round(CAST(n_bytes AS DOUBLE) / CAST(subword_tokens AS DOUBLE),
                  6) AS bytes_per_token
     FROM agg ORDER BY lang
+"""
+
+
+# ---- Corpus coverage curve (round 7, second batch) ----
+
+#: Resolution of the coverage curve (deciles of the scan order).
+COVERAGE_BUCKETS = 10
+
+
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-coverage curve of the corpus: scan documents in a
+    deterministic pseudo-ingestion order (md5 of doc_id) and report,
+    per decile of the scan, how many NEW word-3-shingles appear and
+    the cumulative fraction of the corpus's distinct shingles seen --
+    the saturation diagnostic behind "how much of this crawl is
+    marginal novelty" and the data-budget planner's stopping curve
+    (diminishing novelty per added decile = dedup/selection should
+    bite harder).
+
+    Exactness: positions are integer ranks over (md5, doc_id); each
+    distinct shingle is attributed to the MIN decile containing it;
+    counts and the cumulative window are exact integers; one final
+    division per row.
+
+    Scale shape: ONE corpus-sized explode into (shingle, decile) ->
+    min-agg per shingle (map-side combinable; the frame after it is
+    vocabulary-sized) -> 10-row aggregate + cumulative window. The
+    global rank is one rangepartition+sort of (hash, id) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    n = docs.count()
+    positioned = docs.select(
+        "text",
+        F.ceil(
+            F.row_number().over(w) * COVERAGE_BUCKETS / F.lit(n)
+        ).cast("long").alias("decile"),
+    )
+    toks = _tokens()
+    m = F.greatest(F.size(toks) - 2, F.lit(0))
+    tri = F.zip_with(
+        F.slice(toks, 1, m),
+        F.zip_with(
+            F.slice(toks, 2, m),
+            F.slice(toks, 3, m),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    sh = positioned.select("decile", F.explode(tri).alias("sh"))
+    first_seen = sh.groupBy("sh").agg(F.min("decile").alias("d0"))
+    per_decile = first_seen.groupBy("d0").agg(
+        F.count(F.lit(1)).cast("long").alias("new_shingles")
+    )
+    wc = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    total = first_seen.count()
+    return per_decile.select(
+        F.col("d0").alias("decile"),
+        "new_shingles",
+        F.sum("new_shingles").over(wc).cast("long").alias("cum_shingles"),
+    ).select(
+        "decile",
+        "new_shingles",
+        "cum_shingles",
+        F.round(
+            F.col("cum_shingles").cast("double") / F.lit(float(total)), 6
+        ).alias("coverage_frac"),
+    ).orderBy("decile")
+
+
+TEXT_QUERIES["q_coverage_curve"] = q_coverage_curve
+TEXT_ORACLES["q_coverage_curve"] = f"""
+    WITH pos AS (
+      SELECT text,
+             CAST(ceil(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               * {COVERAGE_BUCKETS}.0
+               / (SELECT count(*) FROM documents)) AS BIGINT) AS decile
+      FROM documents),
+    t AS (SELECT decile, string_split_regex(trim(text), '\\s+') AS toks
+          FROM pos),
+    sh AS (
+      SELECT decile, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               AS sh
+      FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0)))
+             AS u(i)),
+    first_seen AS (SELECT sh, min(decile) AS d0 FROM sh GROUP BY sh),
+    per_decile AS (
+      SELECT d0 AS decile, CAST(count(*) AS BIGINT) AS new_shingles
+      FROM first_seen GROUP BY 1)
+    SELECT decile, new_shingles,
+           CAST(sum(new_shingles) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_shingles,
+           round(CAST(sum(new_shingles) OVER (ORDER BY decile) AS DOUBLE)
+                 / (SELECT count(*) FROM first_seen), 6) AS coverage_frac
+    FROM per_decile ORDER BY decile
 """

@@ -30,6 +30,9 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 EMPTY_SENSITIVE = [
     # round-7 additions (probed against the empty fixture)
+    "q_coverage_curve",
+    "q_iqr_outliers",
+    "q_dataset_card_stats",
     "q_node_jaccard_minhash",
     "q_kneser_ney_bigram",
     "q_char_diversity",

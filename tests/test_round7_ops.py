@@ -388,3 +388,62 @@ class TestWinsorizedStats:
         assert (r["n"], r["k_cut"]) == (20, 1)
         assert (r["lo_val"], r["hi_val"]) == (2.0, 19.0)
         assert r["mean_raw"] == r["mean_winsorized"] == r["mean_trimmed"] == 10.5
+
+
+class TestCoverageCurve:
+    def test_saturating_corpus(self, spark, tmp_path):
+        """Ten identical docs: every shingle appears in the first
+        decile -> one output row, coverage 1.0 at decile 1."""
+        d = _write_docs(spark, tmp_path, [
+            (i, "a b c d", "en", "s", 7) for i in range(10)
+        ])
+        rows = text.q_coverage_curve(spark, d).collect()
+        assert len(rows) == 1
+        assert rows[0]["decile"] == 1
+        assert rows[0]["new_shingles"] == 2  # 'a b c', 'b c d'
+        assert rows[0]["coverage_frac"] == 1.0
+
+    def test_disjoint_corpus_accumulates(self, spark, tmp_path):
+        """Ten docs with disjoint vocabulary: each decile contributes
+        exactly its own shingles; cumulative hits 1.0 at decile 10."""
+        d = _write_docs(spark, tmp_path, [
+            (i, f"w{i}a w{i}b w{i}c", "en", "s", 11) for i in range(10)
+        ])
+        rows = text.q_coverage_curve(spark, d).collect()
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        assert all(r["new_shingles"] == 1 for r in rows)
+        assert rows[-1]["coverage_frac"] == 1.0
+
+
+class TestIqrOutliers:
+    def test_hand_computed_fences(self, spark, tmp_path):
+        """Values 1..20 plus an outlier 1000: n=21, q1 at rank
+        ceil(21/4)=6, q3 at rank ceil(63/4)=16 -> q1=6, q3=16,
+        iqr=10, fences [-9, 31] -> exactly one outlier."""
+        rows = [
+            (i, datetime(2024, 1, 1), 1, "buy", float(i), "{}")
+            for i in range(1, 21)
+        ] + [(99, datetime(2024, 1, 1), 1, "buy", 1000.0, "{}")]
+        d = _write_events(spark, tmp_path, rows)
+        r = advanced.q_iqr_outliers(spark, d).collect()[0]
+        assert (r["q1"], r["q3"], r["iqr"]) == (6.0, 16.0, 10.0)
+        assert r["n_outliers"] == 1
+        assert r["outlier_rate"] == round(1 / 21, 6)
+
+
+class TestDatasetCardStats:
+    def test_hand_computed_card(self, spark, tmp_path):
+        d = _write_docs(spark, tmp_path, [
+            (1, "a b", "en", "s1", 3),
+            (2, "a b", "en", "s1", 3),      # exact dup of doc 1
+            (3, "c d e", "de", "s1", 5),
+            (4, "x", "fr", "s2", 1),
+        ])
+        r = {x["source"]: x for x in
+             curation.q_dataset_card_stats(spark, d).collect()}
+        s1 = r["s1"]
+        assert (s1["n_docs"], s1["n_tokens"], s1["vocab_size"]) == (3, 7, 5)
+        assert s1["exact_dup_rate"] == round(1 - 2 / 3, 6)
+        assert s1["p50_doc_tokens"] == 2  # lengths (2,2,3) -> rank 2
+        assert (s1["top_lang"], s1["top_lang_share"]) == ("en", 0.666667)
+        assert r["s2"]["exact_dup_rate"] == 0.0
