@@ -80,6 +80,7 @@ PRIORITY: tuple[str, ...] = (
     "q_burstiness_hourly", "q_spearman_corr", "q_audience_overlap",
     "q_epoch_shuffle_audit", "q_winsorized_stats", "q_kneser_ney_bigram",
     "q_coverage_curve", "q_iqr_outliers", "q_dataset_card_stats",
+    "q_skipgram_pairs", "q_neardup_rate_by_source",
     "q_node_jaccard_minhash", "q_wedge_minhash_recall",
     # --- ledger repair: latest driver record is a r01/r02 FAIL ---
     "q_having_big_orders", "q_window_top3_parts_per_brand",
@@ -93,10 +94,9 @@ PRIORITY: tuple[str, ...] = (
     # --- oldest-ledger re-attests (only driver record is r01) ---
     "q13_customer_order_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q19_discounted_revenue",
     "q2_min_cost_supplier",
-    # (q6/q7/q8/q20/q21/q22 defer to the next rotation: the six late
-    # round-7 first-timers above took their slots)
+    # (q6/q7/q8/q17/q19/q20/q21/q22 defer to the next rotation: the
+    # eight late round-7 first-timers above took their slots)
     # --- displaced heavy graph re-attests (NOTES_r6 handoff;
     #     q_node_jaccard exact per ADVICE r6) ---
     "q_node_jaccard", "q_closeness_sampled", "q_modularity_lpa",

@@ -1500,3 +1500,103 @@ DEDUP_QUERIES = {
 # oracle is the inverted-index oracle verbatim (different plan, same
 # bytes -- the strongest cross-check two implementations can share)
 DEDUP_ORACLES["q_dedup_prefix_filter"] = DEDUP_ORACLES["q_dedup_ngram_jaccard"]
+
+
+# ---- Near-dup rate by source pair (round 7) ----
+
+
+def q_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate ATTRIBUTION: the LSH near-dup pairs aggregated
+    into a source-pair matrix -- within-source pairs reveal template
+    farms, cross-source pairs reveal mirror/scrape overlap (the
+    decision input for "dedup within or across sources?"). Consumes
+    the exact same minhash_lsh_pairs plan as q_dedup_minhash_lsh plus
+    one doc->source attribution join per side.
+
+    The pair rate denominator is per-source doc counts (broadcast),
+    reported as pairs per million doc-pairs of that source
+    combination (n_a*n_b cross pairs, C(n,2) within) -- exact integer
+    arithmetic, one final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    src = docs.select("doc_id", "source")
+    attributed = (
+        pairs.join(src.select(F.col("doc_id").alias("d1"),
+                              F.col("source").alias("s1")), "d1")
+        .join(src.select(F.col("doc_id").alias("d2"),
+                         F.col("source").alias("s2")), "d2")
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+    )
+    counts = attributed.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
+    )
+    sizes = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    denom = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("n_a") * (F.col("n_a") - 1) / 2).cast("long"),
+    ).otherwise((F.col("n_a") * F.col("n_b")).cast("long"))
+    return (
+        counts.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            denom.alias("n_possible_pairs"),
+            F.round(
+                F.col("n_dup_pairs").cast("double")
+                * 1e6
+                / denom.cast("double"),
+                6,
+            ).alias("dup_pairs_per_million"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+DEDUP_QUERIES["q_neardup_rate_by_source"] = q_neardup_rate_by_source
+DEDUP_ORACLES["q_neardup_rate_by_source"] = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes_sh AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT d1, d2 FROM inter
+      JOIN sizes_sh s1 ON d1 = s1.doc_id
+      JOIN sizes_sh s2 ON d2 = s2.doc_id
+      WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6)
+              >= {JACCARD_THRESHOLD}),
+    attributed AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs
+      JOIN documents da ON da.doc_id = d1
+      JOIN documents db ON db.doc_id = d2),
+    counts AS (
+      SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+      FROM attributed GROUP BY 1, 2),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1)
+    SELECT source_a, source_b, n_dup_pairs,
+           CAST(CASE WHEN source_a = source_b
+                     THEN sa.n * (sa.n - 1) / 2
+                     ELSE sa.n * sb.n END AS BIGINT) AS n_possible_pairs,
+           round(CAST(n_dup_pairs AS DOUBLE) * 1e6
+                 / CAST(CASE WHEN source_a = source_b
+                             THEN sa.n * (sa.n - 1) / 2
+                             ELSE sa.n * sb.n END AS DOUBLE), 6)
+             AS dup_pairs_per_million
+    FROM counts
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+"""

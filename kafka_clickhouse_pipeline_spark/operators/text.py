@@ -2079,3 +2079,78 @@ TEXT_ORACLES["q_coverage_curve"] = f"""
                  / (SELECT count(*) FROM first_seen), 6) AS coverage_frac
     FROM per_decile ORDER BY decile
 """
+
+
+# ---- Skip-gram co-occurrence pairs (round 7) ----
+
+#: Context-window radius for skip-gram counting (word2vec's default
+#: neighborhood shape, small enough that the per-doc expansion is
+#: window * tokens, not tokens^2).
+SKIPGRAM_WINDOW = 3
+
+#: Reported head size and the minimum pair count to enter it.
+SKIPGRAM_TOP_K = 20
+SKIPGRAM_MIN_COUNT = 2
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts: unordered token pairs within a
+    +/-SKIPGRAM_WINDOW context, the corpus statistic word2vec/GloVe
+    embeddings train on (and the wider-window complement of
+    q_pmi_collocations' adjacent-bigram association). Top pairs by
+    count with a (w1, w2) tiebreak; pairs below SKIPGRAM_MIN_COUNT
+    are cut.
+
+    Plan: for each offset 1..W, one aligned-slice zip pairs position
+    i with position i+W -- W zipped arrays, ONE explode over their
+    concatenation, so the expansion is W*tokens rows with no per-doc
+    self-join (the tokens^2 trap). Pairs are normalized unordered
+    with least/greatest. Exact integer counts; TakeOrderedAndProject
+    for the head."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    offs = []
+    for off in range(1, SKIPGRAM_WINDOW + 1):
+        m = F.greatest(F.size(toks) - off, F.lit(0))
+        offs.append(
+            F.zip_with(
+                F.slice(toks, 1, m),
+                F.slice(toks, 1 + off, m),
+                lambda a, b: F.struct(
+                    F.least(a, b).alias("w1"), F.greatest(a, b).alias("w2")
+                ),
+            )
+        )
+    pairs = docs.select(
+        F.explode(F.concat(*offs)).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return (
+        counts.filter(F.col("cnt") >= SKIPGRAM_MIN_COUNT)
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(SKIPGRAM_TOP_K)
+    )
+
+
+TEXT_QUERIES["q_skipgram_pairs"] = q_skipgram_pairs
+TEXT_ORACLES["q_skipgram_pairs"] = f"""
+    WITH t AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    pairs AS (
+      SELECT least(toks[i], toks[i + off]) AS w1,
+             greatest(toks[i], toks[i + off]) AS w2
+      FROM t,
+           unnest(generate_series(1, {SKIPGRAM_WINDOW})) AS o(off),
+           unnest(generate_series(1, greatest(len(toks) - off, 0)))
+             AS u(i)),
+    counts AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY 1, 2)
+    SELECT w1, w2, cnt FROM counts
+    WHERE cnt >= {SKIPGRAM_MIN_COUNT}
+    ORDER BY cnt DESC, w1, w2
+    LIMIT {SKIPGRAM_TOP_K}
+"""

@@ -30,6 +30,8 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 EMPTY_SENSITIVE = [
     # round-7 additions (probed against the empty fixture)
+    "q_skipgram_pairs",
+    "q_neardup_rate_by_source",
     "q_coverage_curve",
     "q_iqr_outliers",
     "q_dataset_card_stats",

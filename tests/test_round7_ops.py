@@ -447,3 +447,35 @@ class TestDatasetCardStats:
         assert s1["p50_doc_tokens"] == 2  # lengths (2,2,3) -> rank 2
         assert (s1["top_lang"], s1["top_lang_share"]) == ("en", 0.666667)
         assert r["s2"]["exact_dup_rate"] == 0.0
+
+
+class TestSkipgramPairs:
+    def test_window_and_normalization(self, spark, tmp_path):
+        """'a b c a' with W=3: offsets produce unordered pairs
+        (a,b)x2, (b,c)x1, (a,c)x2, (a,a)x1 -> counts with min_count=2
+        keep (a,b)=2 and (a,c)=2."""
+        d = _write_docs(spark, tmp_path, [(1, "a b c a", "en", "s", 7)])
+        rows = {(r["w1"], r["w2"]): r["cnt"] for r in
+                text.q_skipgram_pairs(spark, d).collect()}
+        assert rows == {("a", "b"): 2, ("a", "c"): 2}
+
+
+class TestNeardupRateBySource:
+    def test_cross_source_attribution(self, spark, tmp_path):
+        """Two exact near-dups in different sources plus one unique
+        doc: one cross-source pair, zero within-source pairs."""
+        body = " ".join(f"tok{i}" for i in range(12))
+        d = _write_docs(spark, tmp_path, [
+            (1, body, "en", "s1", len(body)),
+            (2, body, "en", "s2", len(body)),
+            (3, "completely different words entirely here now " * 2,
+             "en", "s1", 50),
+        ])
+        from kafka_clickhouse_pipeline_spark.operators import dedup
+        rows = {(r["source_a"], r["source_b"]): r for r in
+                dedup.q_neardup_rate_by_source(spark, d).collect()}
+        assert list(rows) == [("s1", "s2")]
+        r = rows[("s1", "s2")]
+        assert r["n_dup_pairs"] == 1
+        assert r["n_possible_pairs"] == 2  # n_s1=2, n_s2=1 -> 2 cross
+        assert r["dup_pairs_per_million"] == 500000.0
