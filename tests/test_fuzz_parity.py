@@ -570,3 +570,121 @@ def test_brand_assortativity_parity_on_random_data(
     )
     con.close()
     assert got == want
+
+
+# ---- round 7: winsorized means + Kneser-Ney fuzz parity ----
+
+
+def _oracle_rows_orders(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet/*.parquet')"
+    )
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+fuzz_order = st.tuples(
+    st.integers(min_value=1, max_value=100_000),
+    st.sampled_from(["1-URGENT", "2-HIGH"]),
+    st.decimals(
+        min_value="0.01", max_value="99999.99", places=2
+    ),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(fuzz_order, min_size=1, max_size=80, unique_by=lambda t: t[0]))
+def test_winsorized_stats_parity_on_random_data(spark, tmp_path_factory, rows):
+    """The winsorized means hit exactly the structures hypothesis
+    varies: tied prices at the cut ranks, tiny groups where k = 0
+    (no clipping), and n*5/100 landing on the DuckDB
+    CAST-rounds-Spark-truncates boundary the build caught -- fuzz the
+    operator against its registered oracle on the same parquet."""
+    import decimal
+
+    import __spark_entry__ as entrymod
+    from kafka_clickhouse_pipeline_spark.operators import advanced
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("o_orderkey", LongType()),
+        StructField("o_orderpriority", StringType()),
+        StructField("o_totalprice", DecimalType(12, 2)),
+    ])
+    tmp = str(tmp_path_factory.mktemp("winsfuzz"))
+    spark.createDataFrame(
+        [(k, p, decimal.Decimal(v)) for k, p, v in rows], schema
+    ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    got = _norm(
+        [
+            tuple(str(v) if isinstance(v, decimal.Decimal) else v for v in r)
+            for r in advanced.q_winsorized_stats(spark, tmp).collect()
+        ]
+    )
+    want = _norm(
+        [
+            tuple(str(v) if isinstance(v, decimal.Decimal) else v for v in r)
+            for r in _oracle_rows_orders(
+                tmp, entrymod.oracle_sql()["q_winsorized_stats"]
+            )
+        ]
+    )
+    assert got == want
+
+
+def _oracle_rows_docs(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+fuzz_text = st.lists(
+    st.sampled_from(["a", "b", "c", "aa", "b9", "Xy"]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(fuzz_text, min_size=0, max_size=20))
+def test_kneser_ney_parity_on_random_data(spark, tmp_path_factory, texts):
+    """KN smoothing's corner cases are structural: singleton bigrams
+    (c2 - D < 1), prefixes with one continuation, empty/one-token
+    docs contributing nothing, and tie-broken head ordering at equal
+    smoothed probability. Fuzz the whole operator vs its oracle."""
+    import __spark_entry__ as entrymod
+    from kafka_clickhouse_pipeline_spark.operators import text as textops
+
+    tmp = str(tmp_path_factory.mktemp("knfuzz"))
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = _norm(
+        [tuple(r) for r in textops.q_kneser_ney_bigram(spark, tmp).collect()]
+    )
+    want = _norm(
+        _oracle_rows_docs(tmp, entrymod.oracle_sql()["q_kneser_ney_bigram"])
+    )
+    assert got == want
