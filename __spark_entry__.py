@@ -49,60 +49,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry ordering contract: the driver's correctness run covers the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r01 stopped at exactly
-#: 50 in dict order). Round-7 rotation (VERDICT r6 #1): the top
-#: obligation this round is LEDGER REPAIR -- the 10 queries whose
-#: latest driver record is still a r01/r02 FAIL (fixed in r2/r3,
-#: strict-green ever since, but rotated out before re-attestation)
-#: re-enter so no query's latest driver record is a FAIL. Next: the
-#: 8 round-7 first-timers (minhash wedge twin + recall audit, KN
-#: bigram LM, char diversity, tokenizer fertility, epoch-shuffle
-#: audit, Hellinger source distance, winsorized means), the 5 queries
-#: whose md5-uniform decode moved to conv() this round (bit-identical
-#: by test, but the attestation should follow the code), the heavy
-#: graph family displaced by the r6 all-first-timer window (per the
-#: NOTES_r6 handoff; includes exact q_node_jaccard, which ADVICE r6
-#: asked to re-attest on the rewritten wedge core's uncapped path),
-#: and the remaining slots re-attest the queries whose only driver
-#: record is r01 (the oldest coverage in the ledger). The two
-#: rows-only sketches (q_approx_distinct_users,
-#: q_value_percentiles_approx) stay out by design (HLL++/t-digest
-#: outputs are engine-specific; see their docstrings). Every
+#: 50 in dict order). Round-8 rotation is chosen BY THE STALENESS
+#: METRIC (VERDICT r7 #3; the bound itself is machine-checked by
+#: tests/test_contract.py::test_attestation_staleness_bound): after
+#: the pinned five come the 8 round-8 first-timers, then the 17
+#: queries whose only driver record is r01 (staleness 7, the ledger's
+#: oldest coverage -- mandatory under the bound), then the 20
+#: cheapest of the 43 r03-stale queries (staleness 5; the remaining
+#: 23 are at the bound this round and become mandatory in the round-9
+#: window). Rows-only sketches stay out by design via
+#: SKETCH_ALLOWLIST (machine-checked, VERDICT r7 #4). Every
 #: rotated-out query remains covered by tools/strict_check.py. Cheap
-#: first-timers run first, heavy graph re-attests last, hedging a
-#: time-budgeted driver window.
+#: entries run first, hedging a time-budgeted driver window.
 PRIORITY: tuple[str, ...] = (
     # reference parity core (SURVEY.md section 2.7 + MV transform) --
     # permanently pinned
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # --- round-7 first-timers (cheap scan/agg first) ---
-    "q_tokenizer_fertility", "q_char_diversity", "q_hellinger_sources",
-    "q_burstiness_hourly", "q_spearman_corr", "q_audience_overlap",
-    "q_epoch_shuffle_audit", "q_winsorized_stats", "q_kneser_ney_bigram",
-    "q_coverage_curve", "q_iqr_outliers", "q_dataset_card_stats",
-    "q_skipgram_pairs", "q_neardup_rate_by_source",
-    "q_node_jaccard_minhash", "q_wedge_minhash_recall",
-    # --- ledger repair: latest driver record is a r01/r02 FAIL ---
-    "q_having_big_orders", "q_window_top3_parts_per_brand",
-    "q_window_percent_rank", "q_subquery_above_avg_balance",
-    "q_date_functions", "q9_product_type_profit", "q11_important_stock",
-    "q12_shipmode_priority", "q_moving_avg_7d", "q_ann_ivf_topk",
-    # --- conv() decode re-attests (computation unchanged by test,
-    #     but these five consume the swapped md5-uniform decode) ---
-    "q_distinct_kmv", "q_weighted_sample", "q_cms_term_counts",
-    "q_decontaminate_bloom", "q_bootstrap_ci_mean",
-    # --- oldest-ledger re-attests (only driver record is r01) ---
-    "q13_customer_order_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q2_min_cost_supplier",
-    # (q6/q7/q8/q17/q19/q20/q21/q22 defer to the next rotation: the
-    # eight late round-7 first-timers above took their slots)
-    # --- displaced heavy graph re-attests (NOTES_r6 handoff;
-    #     q_node_jaccard exact per ADVICE r6) ---
-    "q_node_jaccard", "q_closeness_sampled", "q_modularity_lpa",
-    "q_bfs_hops", "q_kcore_mutual_knn", "q_label_propagation",
-    "q_triangle_count_copurchase", "q_pagerank_copurchase",
-    "q_dedup_clusters",
+    # --- round-8 first-timers ---
+    "q_heaps_law_fit", "q_vocab_coverage_topk",
+    "q_doclen_quantiles_by_lang", "q_langid_confusion",
+    "q_jsd_sources", "q_mutual_info_type_hour",
+    "q_dup_cluster_size_hist", "q_embedding_norm_stats",
+    # --- staleness 7: only driver record is r01 ---
+    "q17_small_quantity_revenue", "q19_discounted_revenue",
+    "q20_excess_suppliers", "q21_waiting_suppliers",
+    "q22_untapped_segments", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share",
+    "q_anti_join_inactive_customers", "q_array_agg_parts_per_brand",
+    "q_distinct_customers_per_segment", "q_fingerprint",
+    "q_intersect_except_customers", "q_null_functions",
+    "q_source_vocab_overlap", "q_string_functions",
+    "q_union_priority_classes",
+    # --- staleness 5 (latest record r03), cheapest 20 by BENCH_r07;
+    #     the other 23 r03-stale queries go mandatory in round 9 ---
+    "q_ntile_acctbal_quartiles", "q_window_running_revenue",
+    "q_pivot_user_event_values", "q_embedding_label_centroids",
+    "q_sample_hash_per_source", "q_lang_id",
+    "q_dedup_quality_canonical", "q_gapfill_hourly",
+    "q_upsert_latest_wins", "q_dedup_exact", "q_chunk_documents",
+    "q_value_percentiles", "q_asof_last_signup", "q_funnel_steps",
+    "q_multimodal_frames", "q_multimodal_resize", "q4_order_priority",
+    "q_retention_cohorts", "q_multimodal_features", "q_quality_score",
+)
+
+#: Rows-only registry entries with NO DuckDB oracle, by design:
+#: HLL++ / t-digest sketch outputs are engine-specific and cannot
+#: hash-match an exact oracle; both are error-bounded against exact
+#: twins in the suite (PARITY.md). Machine-checked by test_contract
+#: (VERDICT r7 #4): any new oracle-less query outside this tuple
+#: fails the suite, so a silent coverage gap cannot reappear.
+SKETCH_ALLOWLIST: tuple[str, ...] = (
+    "q_approx_distinct_users",
+    "q_value_percentiles_approx",
 )
 
 

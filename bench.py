@@ -18,6 +18,14 @@ round-2 33-query list: a cross-round constant-composition number so a
 machine-state step (like the r2->r3 +18% drift) is detectable in one
 figure even as HEADLINE grows.
 
+Round-8 tiering (VERDICT r7 #2/#7): the registry total is split into
+`serving_total` (the reference-parity five, min-of-3 warm),
+`extensions_total` (every production-path extension), and
+`audits_total` (the O(n^2)-by-design exact baselines in AUDITS);
+`headline_total` = serving + extensions, audits excluded. 1-min load
+averages are recorded before/after so a contended run is identifiable
+(the BENCH_r07 lesson).
+
 Each query is fully materialized with the no-op sink (executors do all
 the work, nothing collects to the driver), timed after a session
 warm-up so JVM startup isn't billed to the first query.
@@ -37,12 +45,36 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 #: The reference's four serving queries + the MV transform -- the only
 #: per-query timings small enough to live on the one-line headline.
+#: Timed min-of-3 (every other query is min-of-2): VERDICT r7 #7 --
+#: these five regressed across rounds with zero code change, so the
+#: parity signal gets the extra warm run to stabilize it.
 PARITY = [
     "sales_by_hour",
     "stock_top5",
     "recent_sales",
     "status_counts",
     "mv_parse_typed",
+]
+
+#: AUDIT tier (VERDICT r7 #2): queries that are O(n^2)-by-design exact
+#: baselines or run exact+approx+overlap by construction. They exist to
+#: AUDIT the production paths (docstrings route real workloads to the
+#: capped/LSH/IVF twins), so their cost is a property of the audit, not
+#: of the engine; at sf0.1 they were ~170 s of a 527 s total and drowned
+#: the production-path signal. They are still timed every round (their
+#: own tier total), just excluded from headline_total.
+AUDITS = [
+    # exact all-pairs wedge expansion (production: *_capped / _minhash)
+    "q_node_jaccard",
+    "q_adamic_adar",
+    # runs exact + twin + overlap join by construction
+    "q_wedge_minhash_recall",
+    "q_dedup_recall_audit",
+    "q_hamming_recall",
+    "q_ann_recall_audit",
+    "q_matryoshka_recall",
+    # exact O(n^2) block nested-loop cosine (production: LSH/IVF/PQ)
+    "q_dedup_embedding_cosine",
 ]
 
 #: FROZEN round-2 bench composition (VERDICT r4 #7). Never edit: its
@@ -250,6 +282,11 @@ SHARED_PINNED: dict[str, tuple[str, object]] = {
 def main() -> None:
     import __spark_entry__ as entry
 
+    # machine-state witness (VERDICT r7 #1): BENCH_r07 carried a
+    # uniform ~1.3x smear from a contended box (concurrent pytest /
+    # ladder runs); recording the 1-min load average before and after
+    # lets the next judge tell contention from code regression.
+    load_before = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
@@ -268,10 +305,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def _time(key: str, fn) -> None:
+    def _time(key: str, fn, runs: int = 2) -> None:
         try:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
@@ -288,15 +325,32 @@ def main() -> None:
         if name not in qs:
             errors[name] = "not registered"
     for name in order:
-        _time(name, qs[name])
+        _time(name, qs[name], runs=3 if name in PARITY else 2)
     # canary-pinned variants (see SHARED_PINNED)
     for key, fn in SHARED_PINNED.values():
         _time(key, fn)
 
     total = round(sum(timings.values()), 3)
-    headline_total = round(
-        sum(timings[n] for n in HEADLINE if n in timings), 3
+    # three tiers (VERDICT r7 #2): serving = the reference-parity five,
+    # audits = the O(n^2)-by-design exact baselines, extensions =
+    # everything else; headline_total = serving + extensions (audits
+    # excluded so they can't drown the production-path signal).
+    audit_set = set(AUDITS)
+    serving_total = round(sum(timings[n] for n in PARITY if n in timings), 3)
+    audits_total = round(
+        sum(t for n, t in timings.items() if n in audit_set), 3
     )
+    extensions_total = round(
+        sum(
+            t
+            for n, t in timings.items()
+            if n not in audit_set
+            and n not in PARITY
+            and "[" not in n  # canary-pinned twins are canary-only
+        ),
+        3,
+    )
+    headline_total = round(serving_total + extensions_total, 3)
     try:
         # best of three: the first pass pays stream-init + codegen that
         # a long-running ingest job amortizes away (measured 36k -> 101k
@@ -318,6 +372,7 @@ def main() -> None:
         if not shared_missing
         else None
     )
+    load_after = round(os.getloadavg()[0], 2)
     detail_path = _detail_path()
     with open(detail_path, "w") as fh:
         json.dump(
@@ -329,7 +384,12 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_events_per_sec": ingest_eps,
                 "shared_33_total": shared_total,
+                "serving_total": serving_total,
+                "extensions_total": extensions_total,
+                "audits_total": audits_total,
                 "headline_total": headline_total,
+                "loadavg_before": load_before,
+                "loadavg_after": load_after,
                 **({"errors": errors} if errors else {}),
             },
             fh,
@@ -345,10 +405,14 @@ def main() -> None:
                 "queries": {n: timings[n] for n in PARITY if n in timings},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "shared_33_total": shared_total,
+                "serving_total": serving_total,
+                "extensions_total": extensions_total,
+                "audits_total": audits_total,
                 "headline_total": headline_total,
                 "ingest_events_per_sec": ingest_eps,
                 "n_queries": len(timings),
                 "n_errors": len(errors),
+                "loadavg": [load_before, load_after],
                 "detail": os.path.basename(detail_path),
             }
         )

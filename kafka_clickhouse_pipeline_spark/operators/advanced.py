@@ -3668,3 +3668,97 @@ ADVANCED_ORACLES["q_iqr_outliers"] = """
              AS outlier_rate
     FROM agg ORDER BY event_type
 """
+
+
+# ---- Mutual information: event type x hour-of-day (round 8) ----
+
+
+def q_mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day, reported
+    as each event type's additive MI contribution -- the effect-size
+    companion to q_chi2_type_hour (chi2 answers "is traffic
+    composition hour-dependent AT ALL"; MI answers "by how many nats",
+    which is comparable across tables and sample sizes and is the
+    quantity feature-selection actually ranks by):
+
+        MI = sum_xy (n_xy / n) * ln(n_xy * n / (n_x * n_y))
+
+    Empty cells contribute exactly 0 (lim p->0 of p ln p terms), so
+    unlike the chi2 spine, observed cells suffice -- no margin cross
+    join.
+
+    Exactness: all counts are exact integers from ONE
+    map-side-combined aggregate; each cell term is one fixed-shape
+    double expression folded through round(.,9)-as-DECIMAL(28,9)
+    (order-independent sum); final round(6).
+
+    Scale shape: one corpus aggregate; margins and the term fold run
+    on the (types x 24)-sized cell frame, margins broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.col("event_type"), F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rowm = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    colm = cells.groupBy("hr").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    od = F.col("o").cast("double")
+    nd = F.col("n").cast("double")
+    term = (
+        od / nd
+        * F.log(
+            od * nd / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+        )
+    )
+    terms = (
+        cells.join(broadcast(rowm), "event_type")
+        .join(broadcast(colm), "hr")
+        .crossJoin(broadcast(tot))
+        .select(
+            "event_type",
+            "rt",
+            F.round(term, 9).cast("decimal(28,9)").alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("rt").cast("long").alias("n_events"),
+            F.sum("t").alias("mi"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("mi").cast("double"), 6).alias("mi_part_nats"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ADVANCED_QUERIES["q_mutual_info_type_hour"] = q_mutual_info_type_hour
+ADVANCED_ORACLES["q_mutual_info_type_hour"] = """
+    WITH cells AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rowm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+             FROM cells GROUP BY 1),
+    colm AS (SELECT hr, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT cells.event_type, rt,
+             CAST(round(
+               CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+               * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))), 9)
+               AS DECIMAL(28,9)) AS t
+      FROM cells
+      JOIN rowm ON rowm.event_type = cells.event_type
+      JOIN colm ON colm.hr = cells.hr
+      CROSS JOIN tot)
+    SELECT event_type,
+           CAST(max(rt) AS BIGINT) AS n_events,
+           round(CAST(sum(t) AS DOUBLE), 6) AS mi_part_nats
+    FROM terms GROUP BY event_type ORDER BY event_type
+"""

@@ -2443,3 +2443,137 @@ CURATION_ORACLES["q_dataset_card_stats"] = """
     JOIN top_lang t ON t.source = b.source
     ORDER BY b.source
 """
+
+
+# ---- Jensen-Shannon divergence between source language mixes (round 8) ----
+
+
+def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source LANGUAGE
+    distributions -- the symmetric, always-finite KL complement to
+    q_hellinger_sources (JSD is the mixing-loss number: how many nats
+    a code optimized for the pooled mix loses per sample, which is the
+    quantity a data-mixing decision actually trades). JSD(P,Q) =
+    sum_l [ p/2 ln(2p/(p+q)) + q/2 ln(2q/(p+q)) ], 0 = identical,
+    ln 2 = disjoint support; jsd_norm = JSD/ln2 in [0,1].
+
+    The shared-language join only yields terms where BOTH p and q are
+    nonzero; langs private to one source contribute p/2 ln 2, which
+    sums to (1 - shared_p)/2 ln 2 -- so private mass needs NO outer
+    join, just the shared-p sums. Unlike q_hellinger_sources (which
+    emits no row for disjoint pairs, documented there), the pair spine
+    is the full sources x sources upper triangle, so disjoint pairs
+    emit jsd_norm = 1 explicitly.
+
+    Exactness: p, q are exact-integer ratios as doubles; each ln term
+    and each shared-p term is rounded to 9 dp and summed as
+    DECIMAL(28,9) (the established order-independent discipline); the
+    final expression is fixed-shape double + round(6).
+
+    Scale shape: one corpus groupBy(source, lang); everything after
+    runs on the sources x langs frame and the sources x sources
+    spine."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = sl.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    pl = sl.join(totals, "source").select(
+        "source",
+        "lang",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p"),
+    )
+    a = pl.select(
+        F.col("source").alias("source_a"), "lang", F.col("p").alias("pa")
+    )
+    b = pl.select(
+        F.col("source").alias("source_b"), "lang", F.col("p").alias("pb")
+    )
+    shared = (
+        a.join(b, "lang")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("pa") / 2
+                * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb")))
+                + F.col("pb") / 2
+                * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb"))),
+                9,
+            ).cast("decimal(28,9)").alias("t"),
+            F.round(F.col("pa"), 9).cast("decimal(28,9)").alias("spa"),
+            F.round(F.col("pb"), 9).cast("decimal(28,9)").alias("spb"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("t").alias("shared_term"),
+            F.sum("spa").alias("shared_pa"),
+            F.sum("spb").alias("shared_pb"),
+        )
+    )
+    srcs = totals.select("source")
+    spine = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    ln2 = 0.6931471805599453
+    jsd = (
+        F.coalesce(F.col("shared_term").cast("double"), F.lit(0.0))
+        + (F.lit(1.0) - F.coalesce(F.col("shared_pa").cast("double"), F.lit(0.0)))
+        / 2 * F.lit(ln2)
+        + (F.lit(1.0) - F.coalesce(F.col("shared_pb").cast("double"), F.lit(0.0)))
+        / 2 * F.lit(ln2)
+    )
+    return (
+        spine.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(jsd, 6).alias("jsd_nats"),
+            F.round(jsd / F.lit(ln2), 6).alias("jsd_norm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+CURATION_QUERIES["q_jsd_sources"] = q_jsd_sources
+CURATION_ORACLES["q_jsd_sources"] = """
+    WITH sl AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+               FROM sl GROUP BY 1),
+    pl AS (
+      SELECT sl.source, sl.lang,
+             CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+      FROM sl JOIN totals ON totals.source = sl.source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             sum(CAST(round(
+               a.p / 2 * ln(2.0 * a.p / (a.p + b.p))
+               + b.p / 2 * ln(2.0 * b.p / (a.p + b.p)), 9)
+               AS DECIMAL(28,9))) AS shared_term,
+             sum(CAST(round(a.p, 9) AS DECIMAL(28,9))) AS shared_pa,
+             sum(CAST(round(b.p, 9) AS DECIMAL(28,9))) AS shared_pb
+      FROM pl a JOIN pl b ON a.lang = b.lang AND a.source < b.source
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM totals a JOIN totals b ON a.source < b.source),
+    j AS (
+      SELECT spine.source_a, spine.source_b,
+             coalesce(CAST(shared_term AS DOUBLE), 0.0)
+             + (1.0 - coalesce(CAST(shared_pa AS DOUBLE), 0.0))
+               / 2 * 0.6931471805599453
+             + (1.0 - coalesce(CAST(shared_pb AS DOUBLE), 0.0))
+               / 2 * 0.6931471805599453 AS jsd
+      FROM spine LEFT JOIN shared
+        ON shared.source_a = spine.source_a
+       AND shared.source_b = spine.source_b)
+    SELECT source_a, source_b,
+           round(jsd, 6) AS jsd_nats,
+           round(jsd / 0.6931471805599453, 6) AS jsd_norm
+    FROM j ORDER BY source_a, source_b
+"""

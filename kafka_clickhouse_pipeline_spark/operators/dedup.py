@@ -1516,7 +1516,17 @@ def q_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair rate denominator is per-source doc counts (broadcast),
     reported as pairs per million doc-pairs of that source
     combination (n_a*n_b cross pairs, C(n,2) within) -- exact integer
-    arithmetic, one final division."""
+    arithmetic, one final division.
+
+    RECALL ASSUMPTION (ADVICE r7, same posture as
+    q_node_jaccard_minhash): the Spark side generates candidates via
+    banded LSH (~3e-4 per-pair miss probability near the Jaccard
+    threshold, see minhash_lsh_pairs) while the DuckDB oracle
+    enumerates pairs exactly from an inverted index; a single missed
+    pair flips the aggregated count for BOTH rows of the affected
+    source pair, so byte parity here inherits the LSH recall bound
+    rather than being unconditional. Attested across the strict sweep
+    and the r07 driver window with zero observed misses at sf<=0.1."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs)
     src = docs.select("doc_id", "source")
@@ -1599,4 +1609,63 @@ DEDUP_ORACLES["q_neardup_rate_by_source"] = f"""
     JOIN sizes sa ON sa.source = source_a
     JOIN sizes sb ON sb.source = source_b
     ORDER BY source_a, source_b
+"""
+
+
+# ---- Duplicate-cluster size histogram (round 8) ----
+
+
+def q_dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact-duplicate cluster sizes: for each cluster
+    size s (1 = unique), how many clusters and how many documents sit
+    in clusters of that size, plus each size's share of the corpus --
+    the one-page shape summary a dedup decision reads BEFORE running
+    removal (a corpus whose duplicate mass sits in a few giant
+    template clusters dedups very differently from one with millions
+    of pairs: the former is a cheap top-cluster kill, the latter needs
+    the full pipeline). Same md5-of-normalized-text fingerprint
+    contract as q_dedup_exact, so the histogram explains exactly what
+    that operator would do.
+
+    Exact integers + one division; two map-side-combinable aggregates
+    (corpus -> clusters -> sizes), output bounded by max cluster
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    clusters = (
+        docs.select(fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+    )
+    hist = clusters.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    total = docs.count()
+    return hist.select(
+        F.col("size").alias("cluster_size"),
+        "n_clusters",
+        (F.col("size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        F.round(
+            (F.col("size") * F.col("n_clusters")).cast("double")
+            / F.lit(float(total)),
+            6,
+        ).alias("doc_share"),
+    ).orderBy("cluster_size")
+
+
+DEDUP_QUERIES["q_dup_cluster_size_hist"] = q_dup_cluster_size_hist
+DEDUP_ORACLES["q_dup_cluster_size_hist"] = """
+    WITH clusters AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS fingerprint,
+             CAST(count(*) AS BIGINT) AS size
+      FROM documents GROUP BY 1),
+    hist AS (
+      SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM clusters GROUP BY 1)
+    SELECT size AS cluster_size, n_clusters,
+           CAST(size * n_clusters AS BIGINT) AS n_docs,
+           round(CAST(size * n_clusters AS DOUBLE)
+                 / (SELECT count(*) FROM documents), 6) AS doc_share
+    FROM hist ORDER BY cluster_size
 """

@@ -2402,3 +2402,64 @@ SIMILARITY_ORACLES["q_knn_classifier"] = f"""
     FROM winner w JOIN e ON e.vec_id = w.query_id
     ORDER BY query_id
 """
+
+
+# ---- Embedding norm distribution per label (round 8) ----
+
+
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution of the embedding corpus: count,
+    min, max, and mean vector norm -- the five-minute sanity audit an
+    embedding shipment gets before any similarity work (un-normalized
+    vectors silently break cosine-vs-dot assumptions; a label whose
+    norms collapse toward 0 signals dead encoder outputs; norm drift
+    between labels is the first symptom of a mixed-encoder corpus).
+
+    Determinism: the norm is sqrt of the SEQUENTIAL left-to-right sum
+    of squares (the _dot contract shared with every similarity
+    operator and its list_sum oracle twin -- identical fold order in
+    both engines, so the doubles are bit-equal); min/max compare those
+    bit-equal doubles; the mean folds each norm through
+    round(.,9)-as-DECIMAL(28,9) so the cross-row sum is
+    order-independent. One scan-map + one tiny groupBy(label)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    normed = vecs.select(
+        "label", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+    return (
+        normed.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.min("norm"), 6).alias("norm_min"),
+            F.round(F.max("norm"), 6).alias("norm_max"),
+            F.round(
+                F.sum(F.round(F.col("norm"), 9).cast("decimal(28,9)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("norm_mean"),
+        )
+        .orderBy("label")
+    )
+
+
+SIMILARITY_QUERIES["q_embedding_norm_stats"] = q_embedding_norm_stats
+SIMILARITY_ORACLES["q_embedding_norm_stats"] = """
+    WITH normed AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> x * x))) AS norm
+      FROM embeddings)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(min(norm), 6) AS norm_min,
+           round(max(norm), 6) AS norm_max,
+           round(CAST(sum(CAST(round(norm, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS norm_mean
+    FROM normed GROUP BY label ORDER BY label
+"""

@@ -1851,10 +1851,16 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring (bytes-volume map stage, no join), counted with ONE
     map-side-combined shuffle on (doc_id, char); every metric folds
     over the compacted (doc, char) frame (bounded by alphabet size per
-    doc). One-char docs yield NULL diversity in both engines (0/0)."""
+    doc). One-char docs yield NULL diversity in both engines (0/0).
+    Empty-text docs are filtered BEFORE the index sequence (ADVICE r7):
+    Spark's sequence(1, 0) defaults step to -1 and yields [1, 0] --
+    two phantom empty-string 'chars' -- where DuckDB's
+    generate_series(1, 0) is empty and omits the doc; the explicit
+    length guard makes both engines omit empty docs."""
     docs = load_table(spark, sf_dir, "documents")
     chars = (
-        docs.select(
+        docs.filter(F.length("text") > 0)
+        .select(
             "doc_id",
             "text",
             F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
@@ -2153,4 +2159,428 @@ TEXT_ORACLES["q_skipgram_pairs"] = f"""
     WHERE cnt >= {SKIPGRAM_MIN_COUNT}
     ORDER BY cnt DESC, w1, w2
     LIMIT {SKIPGRAM_TOP_K}
+"""
+
+
+# ---- Heaps'-law vocabulary-growth fit (round 8) ----
+
+#: Number of scan checkpoints for the vocabulary-growth curve (same
+#: resolution as the coverage curve's deciles).
+HEAPS_BUCKETS = 10
+
+
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth -- V(N) = K * N^beta, i.e.
+    ln V = ln K + beta * ln N -- over the same deterministic
+    pseudo-ingestion order as q_coverage_curve (md5 of doc_id): at
+    each scan decile, N = cumulative tokens seen and V = cumulative
+    distinct terms seen; OLS in log-log space gives the Heaps exponent
+    beta, the standard growth-model complement to q_zipf_fit's static
+    rank-frequency slope (natural corpora sit at beta ~ 0.4-0.6;
+    template-heavy corpora flatten early; beta near 1 means the
+    vocabulary is still exploding and the tokenizer vocab is
+    undersized for the crawl).
+
+    Exactness: N and V per decile are exact integers (min-decile
+    attribution for V, the q_coverage_curve trick; a cumulative window
+    for N); the regression uses the q_zipf_fit discipline -- each
+    log-term rounded to 9 dp, summed as DECIMAL(28,9), fixed-shape
+    double expressions over the exact sums.
+
+    Scale shape: one corpus explode -> (term, decile) min-agg
+    (map-side combinable, vocabulary-sized output); per-doc token
+    counts are a scan-map; the regression reduces HEAPS_BUCKETS rows
+    to 1. The global rank is one rangepartition+sort of (hash, id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    n = docs.count()
+    positioned = docs.select(
+        "text",
+        F.ceil(
+            F.row_number().over(w) * HEAPS_BUCKETS / F.lit(n)
+        ).cast("long").alias("decile"),
+    )
+    toks = _tokens()
+    # cumulative tokens per decile
+    per_decile_toks = positioned.groupBy("decile").agg(
+        F.sum(F.size(toks)).cast("long").alias("toks")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum_toks = per_decile_toks.select(
+        "decile", F.sum("toks").over(wc).cast("long").alias("cum_tokens")
+    )
+    # cumulative vocabulary per decile: min-decile attribution
+    first_seen = (
+        positioned.select("decile", F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("decile").alias("d0"))
+    )
+    per_decile_vocab = first_seen.groupBy("d0").agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    # a decile can add zero new terms; keep the token grid as the spine
+    cum_vocab = cum_toks.join(
+        per_decile_vocab, cum_toks.decile == per_decile_vocab.d0, "left"
+    ).select(
+        "decile",
+        "cum_tokens",
+        F.coalesce(F.col("new_terms"), F.lit(0)).alias("new_terms"),
+    ).select(
+        "decile",
+        "cum_tokens",
+        F.sum("new_terms").over(wc).cast("long").alias("cum_vocab"),
+    )
+    lx = F.log(F.col("cum_tokens").cast("double"))
+    ly = F.log(F.col("cum_vocab").cast("double"))
+    terms = cum_vocab.select(
+        F.round(lx, 9).cast("decimal(28,9)").alias("x"),
+        F.round(ly, 9).cast("decimal(28,9)").alias("y"),
+        F.round(lx * lx, 9).cast("decimal(28,9)").alias("xx"),
+        F.round(lx * ly, 9).cast("decimal(28,9)").alias("xy"),
+        F.round(ly * ly, 9).cast("decimal(28,9)").alias("yy"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,9)").alias("sx"),
+        F.sum("y").cast("decimal(38,9)").alias("sy"),
+        F.sum("xx").cast("decimal(38,9)").alias("sxx"),
+        F.sum("xy").cast("decimal(38,9)").alias("sxy"),
+        F.sum("yy").cast("decimal(38,9)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    fit = sums.select(
+        "n",
+        sx.alias("sxd"),
+        sy.alias("syd"),
+        F.try_divide(nd * sxy - sx * sy, nd * sxx - sx * sx).alias("beta"),
+        (nd * sxy - sx * sy).alias("cov_num"),
+        (nd * sxx - sx * sx).alias("var_x"),
+        (nd * syy - sy * sy).alias("var_y"),
+    )
+    return fit.select(
+        F.col("n").alias("n_points"),
+        F.round("beta", 6).alias("beta"),
+        F.round(
+            F.try_divide(F.col("syd") - F.col("beta") * F.col("sxd"),
+                         F.col("n").cast("double")),
+            6,
+        ).alias("ln_k"),
+        F.round(
+            F.try_divide(
+                F.col("cov_num") * F.col("cov_num"),
+                F.col("var_x") * F.col("var_y"),
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+TEXT_QUERIES["q_heaps_law_fit"] = q_heaps_law_fit
+TEXT_ORACLES["q_heaps_law_fit"] = f"""
+    WITH pos AS (
+      SELECT text,
+             CAST(ceil(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               * {HEAPS_BUCKETS}.0
+               / (SELECT count(*) FROM documents)) AS BIGINT) AS decile
+      FROM documents),
+    t AS (SELECT decile, string_split_regex(trim(text), '\\s+') AS toks
+          FROM pos),
+    cum_toks AS (
+      SELECT decile,
+             CAST(sum(sum(len(toks))) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_tokens
+      FROM t GROUP BY decile),
+    first_seen AS (
+      SELECT term, min(decile) AS d0
+      FROM (SELECT decile, unnest(toks) AS term FROM t)
+      WHERE term <> '' GROUP BY term),
+    per_decile_vocab AS (
+      SELECT d0, CAST(count(*) AS BIGINT) AS new_terms
+      FROM first_seen GROUP BY d0),
+    cum_vocab AS (
+      SELECT ct.decile, ct.cum_tokens,
+             CAST(sum(coalesce(pv.new_terms, 0)) OVER (ORDER BY ct.decile)
+                  AS BIGINT) AS cum_vocab
+      FROM cum_toks ct LEFT JOIN per_decile_vocab pv ON pv.d0 = ct.decile),
+    terms AS (
+      SELECT
+        CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+        CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y,
+        CAST(round(ln(CAST(cum_tokens AS DOUBLE))
+                   * ln(CAST(cum_tokens AS DOUBLE)), 9)
+             AS DECIMAL(28,9)) AS xx,
+        CAST(round(ln(CAST(cum_tokens AS DOUBLE))
+                   * ln(CAST(cum_vocab AS DOUBLE)), 9)
+             AS DECIMAL(28,9)) AS xy,
+        CAST(round(ln(CAST(cum_vocab AS DOUBLE))
+                   * ln(CAST(cum_vocab AS DOUBLE)), 9)
+             AS DECIMAL(28,9)) AS yy
+      FROM cum_vocab),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,9)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,9)) AS sy,
+             CAST(sum(xx) AS DECIMAL(38,9)) AS sxx,
+             CAST(sum(xy) AS DECIMAL(38,9)) AS sxy,
+             CAST(sum(yy) AS DECIMAL(38,9)) AS syy
+      FROM terms),
+    fit AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+               AS beta,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y
+      FROM sums)
+    SELECT n AS n_points,
+           round(beta, 6) AS beta,
+           round((syd - beta * sxd) / nullif(CAST(n AS DOUBLE), 0), 6)
+             AS ln_k,
+           round(cov_num * cov_num / nullif(var_x * var_y, 0), 6) AS r2
+    FROM fit
+"""
+
+
+# ---- Vocabulary token-mass coverage at top-K checkpoints (round 8) ----
+
+#: Vocabulary-rank checkpoints at which token-mass coverage is
+#: reported (the fixture vocabulary is small, so the last checkpoints
+#: deliberately exceed it and clamp -- k_effective shows the clamp).
+VOCAB_COVERAGE_KS = (5, 10, 20, 50)
+
+
+def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass CDF of the vocabulary: what fraction of all corpus
+    tokens is covered by the top-K most frequent terms, at each K in
+    VOCAB_COVERAGE_KS -- the sizing curve for a tokenizer vocabulary
+    or a stopword list (the per-source complement is q_oov_rate; this
+    is the corpus-wide budget curve it reads from). K larger than the
+    vocabulary clamps to the vocabulary size; k_effective reports the
+    clamp.
+
+    Exactness: term counts and the cumulative-mass window are exact
+    integers over the (cnt desc, term) total order; one division per
+    checkpoint row.
+
+    Scale shape: one corpus explode -> term counts (map-side
+    combinable; output is vocabulary-sized) -> ONE window cumsum over
+    the vocabulary -> a checkpoints-sized cross-join filter. Nothing
+    corpus-sized past the first aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "term")
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).select(
+        "rnk",
+        F.sum("cnt").over(
+            Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("cum_mass"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("vocab_n"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("total_mass"),
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in VOCAB_COVERAGE_KS], "k long"
+    )
+    return (
+        ranked.join(
+            F.broadcast(ks),
+            F.col("rnk") == F.least(F.col("k"), F.col("vocab_n")),
+        )
+        .select(
+            "k",
+            F.col("rnk").alias("k_effective"),
+            F.col("cum_mass").alias("tokens_covered"),
+            "total_mass",
+            F.round(
+                F.col("cum_mass").cast("double")
+                / F.col("total_mass").cast("double"),
+                6,
+            ).alias("coverage_frac"),
+        )
+        .orderBy("k")
+    )
+
+
+TEXT_QUERIES["q_vocab_coverage_topk"] = q_vocab_coverage_topk
+TEXT_ORACLES["q_vocab_coverage_topk"] = f"""
+    WITH counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      WHERE term <> '' GROUP BY term),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+               AS rnk,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, term) AS BIGINT)
+               AS cum_mass,
+             CAST(count(*) OVER () AS BIGINT) AS vocab_n,
+             CAST(sum(cnt) OVER () AS BIGINT) AS total_mass
+      FROM counts),
+    ks AS (SELECT unnest(ARRAY{list(VOCAB_COVERAGE_KS)}) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           rnk AS k_effective,
+           cum_mass AS tokens_covered,
+           total_mass,
+           round(CAST(cum_mass AS DOUBLE) / CAST(total_mass AS DOUBLE), 6)
+             AS coverage_frac
+    FROM ranked JOIN ks ON rnk = least(k, vocab_n)
+    ORDER BY k
+"""
+
+
+# ---- Per-language document-length quantiles (round 8) ----
+
+#: Percentiles reported by the per-language length profile.
+DOCLEN_PCTS = (25, 50, 75, 90)
+
+
+def q_doclen_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length profile: exact discrete-rank
+    quantiles (p25/p50/p75/p90) of n_chars -- the first table a corpus
+    mix review reads (a language whose median doc is 10x shorter gets
+    shredded by fixed-length packing; see q_pack_sequences). Uses the
+    VALUE AT EXACT RANK rule shared with q_winsorized_stats and
+    q_iqr_outliers: rank ceil(n*p/100) of the (n_chars, doc_id) order,
+    integer arithmetic only (ceil(a/b) = (a+b-1) DIV b), so every
+    output is an exact BIGINT and bit-portable with no interpolation
+    or float discipline.
+
+    Scale shape: one window rank per language partition (the only
+    shuffle), conditional-agg selection of the 4 rank values -- no
+    self-join, no percentile_approx sketch on the exact path."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang"))
+        .cast("long")
+        .alias("n"),
+    )
+    def _at(p: int):
+        target = (F.col("n") * p + 99) / F.lit(100)
+        return F.max(
+            F.when(
+                F.col("rnk") == F.floor(target).cast("long"), F.col("n_chars")
+            )
+        ).cast("long")
+
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            *[_at(p).alias(f"p{p}_chars") for p in DOCLEN_PCTS],
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_QUERIES["q_doclen_quantiles_by_lang"] = q_doclen_quantiles_by_lang
+TEXT_ORACLES["q_doclen_quantiles_by_lang"] = f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars, doc_id) AS BIGINT)
+               AS rnk,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM documents)
+    SELECT lang,
+           max(n) AS n_docs,
+           {", ".join(
+        f"CAST(max(CASE WHEN rnk = (n * {p} + 99) // 100 THEN n_chars END)"
+        f" AS BIGINT) AS p{p}_chars"
+        for p in DOCLEN_PCTS
+    )}
+    FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+
+# ---- Language-ID confusion matrix (round 8) ----
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the q_lang_id heuristic against the
+    declared ``lang`` label: per (declared, predicted) cell, the count
+    and its share of the declared language's documents -- the accuracy
+    audit a language-ID filter needs BEFORE it gates a corpus (a
+    heuristic that maps a whole language to 'und' silently deletes it
+    from the training mix). Same marker-token predictor as q_lang_id
+    (shared STOPWORDS contract), so the two queries stay consistent.
+
+    Exact integer counts + one division; the matrix is
+    (langs x predicted-classes)-sized, never corpus-sized, after one
+    scan-map + groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_markers = F.size(
+        F.filter(_tokens(), lambda x: F.array_contains(stop_arr, x))
+    )
+    pred = F.when(n_markers > 0, F.lit("en")).otherwise(F.lit("und"))
+    cells = (
+        docs.select(F.col("lang").alias("declared_lang"), pred.alias("pred_lang"))
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("declared_lang")
+    return cells.select(
+        "declared_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("share_of_declared"),
+    ).orderBy("declared_lang", "pred_lang")
+
+
+TEXT_QUERIES["q_langid_confusion"] = q_langid_confusion
+TEXT_ORACLES["q_langid_confusion"] = f"""
+    WITH pred AS (
+      SELECT lang AS declared_lang,
+             CASE WHEN len(list_filter(
+                    string_split_regex(trim(text), '\\s+'),
+                    t -> list_contains({list(STOPWORDS)!r}, t))) > 0
+                  THEN 'en' ELSE 'und' END AS pred_lang
+      FROM documents),
+    cells AS (
+      SELECT declared_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY 1, 2)
+    SELECT declared_lang, pred_lang, n_docs,
+           round(CAST(n_docs AS DOUBLE)
+                 / CAST(sum(n_docs) OVER (PARTITION BY declared_lang)
+                        AS DOUBLE), 6) AS share_of_declared
+    FROM cells ORDER BY declared_lang, pred_lang
 """

@@ -131,13 +131,29 @@ class _HadoopBackend:
         return [s.getPath().toString() for s in statuses]
 
     def remove(self, path: str) -> None:
-        self._fs.delete(self._jpath(path), False)
+        # delete() returning false with the file still present means the
+        # sweep failed (permissions, concurrent writer); a swallowed
+        # failure here lets a replay read a half-published file.
+        if not self._fs.delete(self._jpath(path), False) and self._fs.exists(
+            self._jpath(path)
+        ):
+            raise IOError(f"Hadoop delete failed for {path!r}")
 
     def makedirs(self, path: str) -> None:
-        self._fs.mkdirs(self._jpath(path))
+        # Hadoop FileSystem reports most failures via a false return,
+        # not an exception (ADVICE r7); mkdirs is true if the dir now
+        # exists, so a plain false is always a real failure.
+        if not self._fs.mkdirs(self._jpath(path)):
+            raise IOError(f"Hadoop mkdirs failed for {path!r}")
 
     def move(self, src: str, dst: str) -> None:
-        self._fs.rename(self._jpath(src), self._jpath(dst))
+        # rename() returns false (no exception) when src is missing,
+        # dst exists, or dst's parent is missing -- e.g. a zombie-driver
+        # race (ADVICE r7). Swallowing it would let write_marker commit
+        # a batch whose data files never landed; raise so publish_staged
+        # aborts before the marker.
+        if not self._fs.rename(self._jpath(src), self._jpath(dst)):
+            raise IOError(f"Hadoop rename failed: {src!r} -> {dst!r}")
 
     def write_text(self, path: str, text: str) -> None:
         out = self._fs.create(self._jpath(path), True)
@@ -196,6 +212,23 @@ def publish_staged(staging: str, dest_dir: str, batch_id: int) -> None:
     previous crashed attempt of the same batch first."""
     fs, dest = _backend(dest_dir)
     sfs, stag = _backend(staging)
+    # Hadoop rename cannot cross filesystems (it returns false --
+    # silently, per the boolean-return contract above), so a staging
+    # dir on a different scheme/authority than its destination must
+    # fail loudly (ADVICE r7). staged_foreach_batch always derives
+    # staging from dest, so this only fires for hand-rolled callers.
+    def _fs_identity(path: str, backend) -> tuple:
+        if isinstance(backend, _LocalBackend):
+            return ("local",)
+        u = urlparse(path)
+        return (u.scheme, u.netloc)
+
+    if _fs_identity(dest_dir, fs) != _fs_identity(staging, sfs):
+        raise ValueError(
+            f"staging {staging!r} and destination {dest_dir!r} resolve to "
+            "different filesystems; staged publish requires a same-"
+            "filesystem rename (copy across backends is not implemented)"
+        )
     for stale in fs.glob(fs.join(dest, f"b{batch_id}-*")):
         fs.remove(stale)
     fs.makedirs(dest)

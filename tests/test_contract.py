@@ -42,20 +42,36 @@ def test_all_queries_are_callables_with_two_args():
             )
 
 
-def test_window_is_50_oracle_backed_with_new_operators():
-    """Driver window contract after the r6 rotation (VERDICT r5 #1):
-    exactly the first 50 queries() entries form the attested window,
-    the five reference-parity queries stay pinned at the front, every
-    window entry is oracle-backed, and -- the round-6 obligation --
-    the window EMPTIES the never-attested set: every oracle-backed
-    registered query with no row in any committed CORRECTNESS_r01..r05
-    file (including queries newly added this round) must be inside
-    the window. Remaining slots may re-attest previously-green
-    queries (the heavy graph family)."""
+def _attestation_rounds() -> dict[str, int]:
+    """Latest driver-attestation round per query, from every committed
+    CORRECTNESS_r{N}.json (empty in a fresh clone)."""
     import glob
     import json
     import os
+    import re
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                latest[name] = max(latest.get(name, 0), n)
+    return latest
+
+
+def test_window_is_50_oracle_backed_with_new_operators():
+    """Driver window contract (VERDICT r5 #1): exactly the first 50
+    queries() entries form the attested window, the five
+    reference-parity queries stay pinned at the front, every window
+    entry is oracle-backed, and the window EMPTIES the never-attested
+    set: every oracle-backed registered query with no row in any
+    committed CORRECTNESS file (including queries newly added this
+    round) must be inside the window. Remaining slots re-attest by
+    staleness (see test_attestation_staleness_bound)."""
     q, o = entrymod.queries(), entrymod.oracle_sql()
     window = list(q)[:50]
     assert len(window) == 50
@@ -69,18 +85,56 @@ def test_window_is_50_oracle_backed_with_new_operators():
         "mv_parse_typed",
     ]
     assert window[:5] == pinned
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    attested: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r0[1-6].json")):
-        with open(path) as f:
-            attested |= set(json.load(f))
+    attested = set(_attestation_rounds())
     if attested:  # empty in a fresh clone without driver artifacts
         never = [n for n in q if n in o and n not in attested]
         left_out = [n for n in never if n not in window]
         assert not left_out, (
             f"oracle-backed never-attested queries missing from the "
-            f"round-6 window: {left_out}"
+            f"window: {left_out}"
         )
+
+
+def test_attestation_staleness_bound():
+    """Rotation invariant (VERDICT r7 #3): no oracle-backed query's
+    driver attestation may go stale. Staleness at the UPCOMING round
+    (1 + the highest committed CORRECTNESS round) = upcoming_round -
+    latest attested round; queries inside the current PRIORITY window
+    count as 0 (the upcoming run attests them). The bound is 5: with
+    a 50-slot window, 5 pinned entries and ~240 rotating queries, a
+    perfect rotation revisits each query every ~6 rounds, so 5 is the
+    tightest feasible bound -- it FORCES the rotation every round
+    rather than recording a habit. New rows-only sketches are exempt
+    only via the machine-checked SKETCH_ALLOWLIST."""
+    latest = _attestation_rounds()
+    if not latest:
+        return  # fresh clone without driver artifacts
+    upcoming = max(latest.values()) + 1
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    window = set(entrymod.PRIORITY)
+    too_stale = sorted(
+        (upcoming - latest[name], name)
+        for name in q
+        if name in o
+        and name not in window
+        and name in latest
+        and upcoming - latest[name] > 5
+    )
+    assert not too_stale, (
+        f"queries past the 5-round attestation-staleness bound and not "
+        f"in the upcoming window: {too_stale}"
+    )
+
+
+def test_sketch_allowlist_is_exact():
+    """Machine check of the rows-only exclusion (VERDICT r7 #4): the
+    set of registered queries WITHOUT a DuckDB oracle must equal
+    SKETCH_ALLOWLIST exactly -- a new oracle-less query fails here
+    until it is deliberately allowlisted (with the docstring
+    justification test_rows_only_queries_are_documented enforces),
+    and a stale allowlist entry fails the other direction."""
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(q) - set(o) == set(entrymod.SKETCH_ALLOWLIST)
 
 
 def test_strict_sweep_agrees_with_latest_driver_correctness():

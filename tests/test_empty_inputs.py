@@ -29,6 +29,14 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 
 EMPTY_SENSITIVE = [
+    # round-8 additions (probed against the empty fixture)
+    "q_vocab_coverage_topk",
+    "q_doclen_quantiles_by_lang",
+    "q_langid_confusion",
+    "q_jsd_sources",
+    "q_mutual_info_type_hour",
+    "q_dup_cluster_size_hist",
+    "q_embedding_norm_stats",
     # round-7 additions (probed against the empty fixture)
     "q_skipgram_pairs",
     "q_neardup_rate_by_source",
@@ -273,6 +281,8 @@ EMPTY_SCALAR = [
     # SUM over zero rows is NULL in Spark and DuckDB alike)
     "q_wedge_minhash_recall",
     "q_epoch_shuffle_audit",
+    # round-8: ungrouped regression over the (empty) checkpoint frame
+    "q_heaps_law_fit",
 ]
 
 #: Fixed output spines: operators whose empty-input result is a

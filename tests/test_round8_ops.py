@@ -1,0 +1,504 @@
+"""Behavioral tests for the round-8 fixes and operators. Oracle
+parity is covered by the strict sweep; these pin semantics the oracle
+alone can't prove (ADVICE r7 fixes, commit-protocol failure paths,
+and per-operator invariants)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_docs(spark, d, texts, langs=None, sources=None):
+    rows = [
+        (
+            i,
+            t,
+            (langs or ["en"] * len(texts))[i],
+            (sources or ["s0"] * len(texts))[i],
+            len(t),
+        )
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def _oracle_docs(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+class TestCharDiversityEmptyText:
+    """ADVICE r7 (medium): Spark's sequence(1, length) with length 0
+    yields [1, 0] (step defaults to -1), so an unguarded explode emits
+    two phantom empty-string 'chars' and a spurious output row for an
+    empty-text doc, while DuckDB's generate_series(1, 0) omits the doc
+    entirely. The guard must make both engines omit empty docs."""
+
+    def test_empty_text_doc_omitted(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            q_char_diversity,
+        )
+
+        d = _write_docs(spark, tmp_path, ["abca", "", "xx"])
+        rows = {r["doc_id"]: r for r in q_char_diversity(spark, d).collect()}
+        assert set(rows) == {0, 2}, rows  # doc 1 (empty) omitted
+        assert rows[0]["n_chars_obs"] == 4
+        assert rows[2]["n_chars_obs"] == 2
+        # two 'x' chars: unbiased Gini-Simpson = 1 - 2*1/(2*1) = 0
+        assert rows[2]["gini_simpson"] == 0.0
+
+    def test_empty_text_oracle_parity(self, spark, tmp_path):
+        import __spark_entry__ as entrymod
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            q_char_diversity,
+        )
+
+        d = _write_docs(spark, tmp_path, ["", "ab ba", "zzz", ""])
+        got = sorted(tuple(r) for r in q_char_diversity(spark, d).collect())
+        want = sorted(
+            _oracle_docs(d, entrymod.oracle_sql()["q_char_diversity"])
+        )
+        assert [g[:3] for g in got] == [w[:3] for w in want]
+        for g, w in zip(got, want):
+            for gv, wv in zip(g[3:], w[3:]):
+                assert (gv is None) == (wv is None)
+                if gv is not None:
+                    assert math.isclose(gv, wv, abs_tol=1e-9)
+
+
+class TestCommitProtocolFailurePaths:
+    """ADVICE r7 (medium): Hadoop FileSystem reports most failures via
+    a FALSE return, not an exception. A swallowed rename failure lets
+    write_marker commit a batch whose data files never landed."""
+
+    def _fake_backend(self, rename_ok=True, mkdirs_ok=True):
+        from kafka_clickhouse_pipeline_spark.streaming.commit import (
+            _HadoopBackend,
+        )
+
+        class _FakeFs:
+            def rename(self, src, dst):
+                return rename_ok
+
+            def mkdirs(self, p):
+                return mkdirs_ok
+
+            def delete(self, p, recursive):
+                return False
+
+            def exists(self, p):
+                return True  # delete returned false AND path persists
+
+        be = _HadoopBackend.__new__(_HadoopBackend)
+        be._fs = _FakeFs()
+        be._jpath = lambda p: p
+        return be
+
+    def test_rename_false_raises(self):
+        be = self._fake_backend(rename_ok=False)
+        with pytest.raises(IOError, match="rename failed"):
+            be.move("a/x.parquet", "b/x.parquet")
+
+    def test_mkdirs_false_raises(self):
+        be = self._fake_backend(mkdirs_ok=False)
+        with pytest.raises(IOError, match="mkdirs failed"):
+            be.makedirs("a/b")
+
+    def test_delete_false_with_survivor_raises(self):
+        be = self._fake_backend()
+        with pytest.raises(IOError, match="delete failed"):
+            be.remove("a/stale.parquet")
+
+    def test_rename_true_is_silent(self):
+        be = self._fake_backend(rename_ok=True)
+        be.move("a/x.parquet", "b/x.parquet")  # must not raise
+
+    def test_publish_staged_rejects_mixed_schemes(self, tmp_path, monkeypatch):
+        from kafka_clickhouse_pipeline_spark.streaming import commit
+
+        # ADVICE r7 (low): Hadoop rename cannot cross filesystems and
+        # reports it via false -- a mixed-scheme caller must fail
+        # loudly instead. POSIX staging vs (fake) remote dest; the
+        # backend router is stubbed so no real Hadoop FS is needed --
+        # the scheme check must fire BEFORE any filesystem operation.
+        fake_remote = self._fake_backend()
+        orig = commit._backend
+
+        def routed(path, spark=None):
+            if path.startswith("s3a://"):
+                return fake_remote, path
+            return orig(path, spark)
+
+        monkeypatch.setattr(commit, "_backend", routed)
+        with pytest.raises(ValueError, match="different filesystems"):
+            commit.publish_staged(
+                str(tmp_path / "_staging/0"), "s3a://bkt/dest", 0
+            )
+
+
+class TestRenameAsCopyBackend:
+    """VERDICT r7 #6: exercise the staged-commit protocol against an
+    object-store stand-in whose rename is a COPY+DELETE (the s3a
+    semantics), including a crash between publish and marker. The
+    protocol's guarantee is marker-gated visibility; non-atomic rename
+    must cost only latency, never consistency."""
+
+    @pytest.fixture()
+    def copy_backend(self, monkeypatch):
+        import shutil
+
+        from kafka_clickhouse_pipeline_spark.streaming import commit
+
+        moves: list[tuple[str, str]] = []
+
+        class _CopyDeleteBackend(commit._LocalBackend):
+            def move(self, src, dst):  # rename-as-copy, like s3a
+                shutil.copy2(src, dst)
+                import os
+
+                os.remove(src)
+                moves.append((src, dst))
+
+        orig = commit._backend
+
+        def routed(path, spark=None):
+            fs, p = orig(path, spark)
+            if isinstance(fs, commit._LocalBackend):
+                return _CopyDeleteBackend(), p
+            return fs, p
+
+        monkeypatch.setattr(commit, "_backend", routed)
+        return moves
+
+    def test_full_sequence_and_crash_replay(self, tmp_path, copy_backend):
+        import os
+
+        from kafka_clickhouse_pipeline_spark.streaming import commit
+
+        dest = str(tmp_path / "state")
+        os.makedirs(dest)
+
+        calls = {"n": 0}
+
+        def body(batch_df, batch_id, staging):
+            calls["n"] += 1
+            os.makedirs(staging[dest], exist_ok=True)
+            with open(os.path.join(staging[dest], "part-0.parquet"), "w") as f:
+                f.write(f"data-{batch_id}-attempt{calls['n']}")
+
+        writer = commit.staged_foreach_batch(dest, [dest], body)
+
+        # normal batch 0: publish through copy+delete renames
+        writer(None, 0)
+        assert commit.already_committed(dest, 0)
+        assert copy_backend, "copy-delete move path was not exercised"
+        files = [f for f in os.listdir(dest) if f.startswith("b0-")]
+        assert files == ["b0-part-0.parquet"]
+
+        # crash window: batch 1 publishes but dies BEFORE the marker
+        def crashing_writer(batch_df, batch_id):
+            if commit.already_committed(dest, batch_id):
+                return
+            commit.sweep_uncommitted(batch_id, dest)
+            staging = {dest: os.path.join(dest, "_staging", str(batch_id))}
+            body(batch_df, batch_id, staging)
+            commit.publish_staged(staging[dest], dest, batch_id)
+            raise RuntimeError("simulated crash before write_marker")
+
+        with pytest.raises(RuntimeError):
+            crashing_writer(None, 1)
+        assert not commit.already_committed(dest, 1)
+        # half-published file is visible but unmarked
+        assert any(f.startswith("b1-") for f in os.listdir(dest))
+
+        # replay of batch 1 through the enforced sequence: sweeps the
+        # leftover, re-publishes, marks
+        writer(None, 1)
+        assert commit.already_committed(dest, 1)
+        b1 = [f for f in os.listdir(dest) if f.startswith("b1-")]
+        assert b1 == ["b1-part-0.parquet"]
+        with open(os.path.join(dest, b1[0])) as f:
+            # the REPLAYED attempt's bytes, not the crashed attempt's
+            assert f.read() == "data-1-attempt3"
+
+        # replayed committed batch is a no-op
+        n = calls["n"]
+        writer(None, 0)
+        writer(None, 1)
+        assert calls["n"] == n
+
+
+class TestHeapsLawFit:
+    def test_monotone_corpus_beta_bounds(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            q_heaps_law_fit,
+        )
+
+        # vocabulary grows with every doc: beta should be positive and
+        # <= 1 (sublinear-or-linear growth)
+        texts = [" ".join(f"w{i}_{j}" for j in range(5)) for i in range(20)]
+        d = _write_docs(spark, tmp_path, texts)
+        row = q_heaps_law_fit(spark, d).collect()[0]
+        assert row["n_points"] == 10
+        assert 0.0 < row["beta"] <= 1.000001
+        # every token distinct -> V = N exactly -> beta = 1, ln_k = 0
+        assert math.isclose(row["beta"], 1.0, abs_tol=1e-6)
+        assert math.isclose(row["ln_k"], 0.0, abs_tol=1e-6)
+        assert math.isclose(row["r2"], 1.0, abs_tol=1e-6)
+
+    def test_saturating_corpus_flattens(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            q_heaps_law_fit,
+        )
+
+        # one shared word repeated: vocabulary saturates at 1 -> beta 0
+        d = _write_docs(spark, tmp_path, ["w w w"] * 20)
+        row = q_heaps_law_fit(spark, d).collect()[0]
+        assert math.isclose(row["beta"], 0.0, abs_tol=1e-6)
+
+
+class TestVocabCoverage:
+    def test_clamped_checkpoints_and_monotonicity(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            VOCAB_COVERAGE_KS,
+            q_vocab_coverage_topk,
+        )
+
+        # 3-term vocabulary: every checkpoint clamps to 3, coverage 1
+        d = _write_docs(spark, tmp_path, ["a a a b b c"] * 4)
+        rows = q_vocab_coverage_topk(spark, d).collect()
+        assert [r["k"] for r in rows] == sorted(VOCAB_COVERAGE_KS)
+        assert all(r["k_effective"] == 3 for r in rows)
+        assert all(r["coverage_frac"] == 1.0 for r in rows)
+
+    def test_fixture_coverage_monotone(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            q_vocab_coverage_topk,
+        )
+
+        rows = q_vocab_coverage_topk(spark, sf_dir).collect()
+        fracs = [r["coverage_frac"] for r in rows]
+        assert fracs == sorted(fracs)
+        assert all(0 < f <= 1 for f in fracs)
+        covered = [r["tokens_covered"] for r in rows]
+        assert covered == sorted(covered)
+
+
+class TestDoclenQuantiles:
+    def test_exact_rank_rule(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            q_doclen_quantiles_by_lang,
+        )
+
+        # lengths 1..10 for 'en': rank ceil(10*p/100) -> p25=3rd=3,
+        # p50=5th=5, p75=8th=8, p90=9th=9
+        texts = ["x" * n for n in range(1, 11)]
+        d = _write_docs(spark, tmp_path, texts)
+        row = q_doclen_quantiles_by_lang(spark, d).collect()[0]
+        assert row["n_docs"] == 10
+        assert (row["p25_chars"], row["p50_chars"], row["p75_chars"],
+                row["p90_chars"]) == (3, 5, 8, 9)
+
+    def test_single_doc_lang(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            q_doclen_quantiles_by_lang,
+        )
+
+        d = _write_docs(spark, tmp_path, ["abcde"], langs=["fr"])
+        row = q_doclen_quantiles_by_lang(spark, d).collect()[0]
+        # every percentile of a 1-doc language is that doc
+        assert (row["p25_chars"], row["p90_chars"]) == (5, 5)
+
+
+class TestLangidConfusion:
+    def test_cells_and_shares(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            q_langid_confusion,
+        )
+
+        # 'the' is a marker -> pred en; 'xyz' has none -> pred und
+        d = _write_docs(
+            spark,
+            tmp_path,
+            ["the cat", "xyz", "the dog", "qqq"],
+            langs=["en", "en", "de", "de"],
+        )
+        rows = {(r["declared_lang"], r["pred_lang"]): r
+                for r in q_langid_confusion(spark, d).collect()}
+        assert rows[("en", "en")]["n_docs"] == 1
+        assert rows[("en", "und")]["n_docs"] == 1
+        assert rows[("en", "en")]["share_of_declared"] == 0.5
+        # shares sum to 1 per declared language
+        for lang in ("en", "de"):
+            s = sum(r["share_of_declared"] for k, r in rows.items()
+                    if k[0] == lang)
+            assert math.isclose(s, 1.0, abs_tol=1e-9)
+
+    def test_consistent_with_q_lang_id(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            q_lang_id,
+            q_langid_confusion,
+        )
+
+        total = sum(
+            r["n_docs"] for r in q_langid_confusion(spark, sf_dir).collect()
+        )
+        assert total == q_lang_id(spark, sf_dir).count()
+
+
+class TestJsdSources:
+    def test_identical_and_disjoint(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.curation import (
+            q_jsd_sources,
+        )
+
+        # s0/s1 identical lang mixes -> JSD 0; s2 disjoint -> norm 1
+        d = _write_docs(
+            spark,
+            tmp_path,
+            ["t"] * 6,
+            langs=["en", "de", "en", "de", "fr", "fr"],
+            sources=["s0", "s0", "s1", "s1", "s2", "s2"],
+        )
+        rows = {(r["source_a"], r["source_b"]): r
+                for r in q_jsd_sources(spark, d).collect()}
+        assert set(rows) == {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+        assert rows[("s0", "s1")]["jsd_nats"] == 0.0
+        # disjoint support: the spine emits the row (the Hellinger
+        # caveat this operator fixes) with jsd_norm exactly 1
+        assert rows[("s0", "s2")]["jsd_norm"] == 1.0
+        assert rows[("s1", "s2")]["jsd_norm"] == 1.0
+
+    def test_bounds_on_fixture(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.operators.curation import (
+            q_jsd_sources,
+        )
+
+        for r in q_jsd_sources(spark, sf_dir).collect():
+            assert -1e-9 <= r["jsd_norm"] <= 1.0 + 1e-9
+
+
+class TestMutualInfo:
+    def test_independent_is_zero(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.advanced import (
+            q_mutual_info_type_hour,
+        )
+        import datetime
+
+        # perfectly independent 2x2 grid -> MI contribution 0 per type
+        rows = []
+        i = 0
+        for et in ("a", "b"):
+            for hr in (1, 2):
+                for _ in range(5):
+                    rows.append(
+                        (i, datetime.datetime(2024, 1, 1, hr), 1, et, 1.0, "{}")
+                    )
+                    i += 1
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        out = q_mutual_info_type_hour(spark, str(tmp_path)).collect()
+        assert all(r["mi_part_nats"] == 0.0 for r in out)
+        assert all(r["n_events"] == 10 for r in out)
+
+    def test_deterministic_is_ln2(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.advanced import (
+            q_mutual_info_type_hour,
+        )
+        import datetime
+
+        # type fully determines hour, uniform 2x2 -> total MI = ln 2,
+        # split evenly: each type contributes ln(2)/2
+        rows = []
+        for i in range(10):
+            rows.append((i, datetime.datetime(2024, 1, 1, 1), 1, "a", 1.0, "{}"))
+            rows.append(
+                (100 + i, datetime.datetime(2024, 1, 1, 2), 1, "b", 1.0, "{}")
+            )
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        out = q_mutual_info_type_hour(spark, str(tmp_path)).collect()
+        for r in out:
+            assert math.isclose(
+                r["mi_part_nats"], math.log(2) / 2, abs_tol=1e-6
+            )
+
+
+class TestDupClusterHist:
+    def test_histogram_shape(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.dedup import (
+            q_dup_cluster_size_hist,
+        )
+
+        # 3 singletons + one pair + one triple = 8 docs
+        texts = ["u1", "u2", "u3", "dup a", "dup  a", "t", "t ", " t"]
+        d = _write_docs(spark, tmp_path, texts)
+        rows = {r["cluster_size"]: r
+                for r in q_dup_cluster_size_hist(spark, d).collect()}
+        assert rows[1]["n_clusters"] == 3
+        assert rows[2]["n_clusters"] == 1
+        assert rows[3]["n_clusters"] == 1
+        assert sum(r["n_docs"] for r in rows.values()) == 8
+        assert math.isclose(
+            sum(r["doc_share"] for r in rows.values()), 1.0, abs_tol=1e-5
+        )
+
+    def test_consistent_with_dedup_exact(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.operators.dedup import (
+            q_dedup_exact,
+            q_dup_cluster_size_hist,
+        )
+
+        hist = q_dup_cluster_size_hist(spark, sf_dir).collect()
+        n_clusters_hist = sum(r["n_clusters"] for r in hist)
+        assert n_clusters_hist == q_dedup_exact(spark, sf_dir).count()
+
+
+class TestEmbeddingNormStats:
+    def test_bounds_and_counts(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.catalog import load_table
+        from kafka_clickhouse_pipeline_spark.operators.similarity import (
+            q_embedding_norm_stats,
+        )
+
+        rows = q_embedding_norm_stats(spark, sf_dir).collect()
+        n_total = load_table(spark, sf_dir, "embeddings").count()
+        assert sum(r["n_vectors"] for r in rows) == n_total
+        for r in rows:
+            assert 0 <= r["norm_min"] <= r["norm_mean"] <= r["norm_max"]
+
+    def test_known_vectors(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.similarity import (
+            q_embedding_norm_stats,
+        )
+
+        spark.createDataFrame(
+            [(0, [3.0, 4.0], 0), (1, [0.0, 1.0], 0), (2, [6.0, 8.0], 1)],
+            "vec_id bigint, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+        rows = {r["label"]: r
+                for r in q_embedding_norm_stats(spark, str(tmp_path)).collect()}
+        assert rows[0]["norm_min"] == 1.0 and rows[0]["norm_max"] == 5.0
+        assert rows[0]["norm_mean"] == 3.0
+        assert rows[1]["norm_mean"] == 10.0
