@@ -1470,7 +1470,12 @@ WEDGE_MINHASH_ROWS = 1
 
 
 def q_node_jaccard_minhash(
-    spark: SparkSession, sf_dir: str, *, _edges: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    _edges: DataFrame | None = None,
+    bands: int = WEDGE_MINHASH_BANDS,
+    rows: int = WEDGE_MINHASH_ROWS,
 ) -> DataFrame:
     """Approximate twin of ``q_node_jaccard`` (VERDICT r6 #2): the
     same top-K common-neighbor Jaccard ranking, but candidate pairs
@@ -1504,13 +1509,22 @@ def q_node_jaccard_minhash(
     minhash_lsh_pairs setting) -- and (b) d-bar >> b with a verify
     that is cheaper than the wedge shuffle's disk/network cost
     (1000-executor clusters are network-bound where this local[32]
-    fixture is CPU-bound). For low-jaccard top-K on homogeneous
-    graphs the production answer remains the capped exact plan
-    (q_node_jaccard_capped; the skewed-ladder measurement in SCALE.md
-    shows where the cap pays). Registered because the recall audit
-    (q_wedge_minhash_recall: 1.0/0.95/0.90 at sf0.001/0.01/0.1) and
-    this law are MEASURED properties a user must see before choosing
-    a candidate generator -- not because it wins on this fixture.
+    fixture is CPU-bound). Regime (a) is now MEASURED, not asserted
+    (VERDICT r7 #5; SCALE.md round-8 winning-regime ladder,
+    tools/wedge_regime_ladder.py): on a planted-twin fixture
+    (adjacency j 0.50-0.64 over a j ~ 0.006 background),
+    ``bands=16, rows=2`` cuts 190.7M exact wedge pairs to 0.48M
+    candidates (397x) and wins 12.6 s vs 48.3 s at 1x with top-K
+    recall 1.0, while the registered one-row-band geometry on the
+    SAME fixture passes 45.4M candidates and loses (51.3 s) -- the
+    r-knob, not the fixture, is the difference. For low-jaccard top-K
+    on homogeneous graphs the production answer remains the capped
+    exact plan (q_node_jaccard_capped; the skewed-ladder measurement
+    in SCALE.md shows where the cap pays). Registered because the
+    recall audit (q_wedge_minhash_recall: 1.0/0.95/0.90 at
+    sf0.001/0.01/0.1) and these laws are MEASURED properties a user
+    must see before choosing a candidate generator -- not because the
+    default geometry wins on this fixture.
 
     Determinism / oracle: md5 is bit-identical in both engines and
     lexicographic min over fixed-width lowercase-hex strings equals
@@ -1537,26 +1551,29 @@ def q_node_jaccard_minhash(
     # the 32 mins are ONE map-side-combined aggregate. Each neighbor
     # id is md5-hashed once into `base`; the per-band hashes re-hash
     # the fixed-width base, the minhash_lsh_pairs cost model.
+    # band geometry: default one-row bands (the oracle-pinned top-K
+    # setting); ``bands``/``rows`` are the regime knobs -- r >= 2
+    # collapses low-similarity candidates superlinearly (pass
+    # probability 1-(1-j^r)^b), the high-similarity near-dup setting
+    # measured in SCALE.md's round-8 winning-regime ladder
+    n_hashes = bands * rows
     nb = edges.select("src", F.md5(F.col("dst").cast("string")).alias("base"))
     sigs = nb.groupBy("src").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("base")))).alias(
                 f"h{i}"
             )
-            for i in range(WEDGE_MINHASH_HASHES)
+            for i in range(n_hashes)
         ]
     )
     band_keys = F.array(
         *[
             F.md5(
                 F.concat(
-                    *[
-                        F.col(f"h{b * WEDGE_MINHASH_ROWS + r}")
-                        for r in range(WEDGE_MINHASH_ROWS)
-                    ]
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
                 )
             )
-            for b in range(WEDGE_MINHASH_BANDS)
+            for b in range(bands)
         ]
     )
     bands = sigs.select("src", F.posexplode(band_keys).alias("band", "bucket"))

@@ -52,6 +52,17 @@ SKEW_PCT = 3
 SKEW_NHUBS = 50
 SKEW_HUB_BASE = 98_000_000_000
 
+#: Embedding skew mode (VERDICT r7 #8): with --skew, embeddings are
+#: remapped onto K cluster directions with ZIPF(1) sizes (cluster c
+#: gets ~1/(c+1) of the corpus; the head cluster ~20%), by blending
+#: each vector 90/10 with a deterministic per-cluster direction. The
+#: IVF assignment then piles vectors into a few mega-buckets -- the
+#: probe-imbalance stress for the ANN family, the same way the hub
+#: remap stresses wedges (graph ladder). Cluster membership and
+#: directions are xxhash-deterministic, so replicas and reruns agree.
+EMB_SKEW_CLUSTERS = 32
+EMB_SKEW_BLEND = 0.9
+
 
 def build_replicated(
     spark, sf_dir: str, n: int, out_dir: str, skew: bool = False
@@ -71,7 +82,10 @@ def build_replicated(
         dst = table_path(out_dir, name)
         if os.path.exists(dst):
             continue
-        if name not in SALTED_TABLES or n == 1:
+        # n == 1 passes through untouched ONLY without --skew: a
+        # 1x-skew rung must still get the hub/cluster remap, else the
+        # ladder's 1x row silently measures the uniform fixture
+        if name not in SALTED_TABLES or (n == 1 and not skew):
             os.symlink(src, dst)
             continue
         base = load_table(spark, sf_dir, name)
@@ -122,6 +136,42 @@ def build_replicated(
                         F.concat(
                             F.slice("embedding", k + 1, dim - k),
                             F.slice("embedding", 1, k),
+                        ),
+                    )
+                if skew:
+                    # Zipf(1) cluster id via inverse CDF of the
+                    # xxhash-uniform draw: c = floor(e^(u ln(K+1))) - 1
+                    # => P(c) = ln(1 + 1/(c+1)) / ln(K+1) ~ 1/(c+1)
+                    kk = EMB_SKEW_CLUSTERS
+                    u = (
+                        F.pmod(F.xxhash64("vec_id"), F.lit(1_000_003))
+                        .cast("double")
+                        / 1_000_003.0
+                    )
+                    c = (
+                        F.floor(F.exp(u * float(__import__("math").log(kk + 1))))
+                        .cast("long")
+                        - 1
+                    )
+                    # deterministic per-cluster direction in [-1, 1]^dim
+                    center = F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j: (
+                            F.pmod(F.xxhash64(c, j), F.lit(2001))
+                            .cast("double")
+                            - 1000.0
+                        )
+                        / 1000.0,
+                    )
+                    blend = float(EMB_SKEW_BLEND)
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.zip_with(
+                            "embedding",
+                            center,
+                            lambda a, b: (
+                                a.cast("double") * (1.0 - blend) + b * blend
+                            ).cast("float"),
                         ),
                     )
             parts.append(rep)
