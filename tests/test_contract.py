@@ -213,3 +213,7 @@ def test_bench_lists_are_registered():
     assert [n for n in bench.BENCH_SHARED if n not in q] == []
     assert set(bench.PARITY) <= q
     assert set(bench.SHARED_PINNED) <= set(bench.BENCH_SHARED)
+    # the audit tier (round 8) must name real queries, and the serving
+    # five can never be classified as audits
+    assert set(bench.AUDITS) <= q, set(bench.AUDITS) - q
+    assert not set(bench.AUDITS) & set(bench.PARITY)

@@ -128,8 +128,8 @@ def build_replicated(
                 rep = base.withColumn("o_orderkey", F.col("o_orderkey") + off)
             else:  # embeddings: roll the vector r positions
                 rep = base.withColumn("vec_id", F.col("vec_id") + off)
+                dim = len(base.select("embedding").first()[0])
                 if r:
-                    dim = len(base.select("embedding").first()[0])
                     k = r % dim
                     rep = rep.withColumn(
                         "embedding",
