@@ -3762,3 +3762,224 @@ ADVANCED_ORACLES["q_mutual_info_type_hour"] = """
            round(CAST(sum(t) AS DOUBLE), 6) AS mi_part_nats
     FROM terms GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---- SAX motif discovery over the hourly event series (round 8) ----
+
+#: SAX geometry: 4 PAA segments of 6 hours per day-word, 4-letter
+#: alphabet at the standard Gaussian quartile breakpoints.
+SAX_SEGMENTS = 4
+SAX_BREAKPOINTS = (-0.6745, 0.0, 0.6745)
+
+
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) motif counts over the
+    daily event-volume shape: each day's 24 ZERO-FILLED hourly event
+    counts are PAA-compressed into 4 six-hour segment means,
+    z-normalized against the global hourly mean/std, discretized at
+    the Gaussian-quartile breakpoints into letters a-d, and the
+    resulting 4-letter day-words are counted -- the classic
+    time-series motif/novelty primitive (recurring words = the
+    corpus's daily load shapes; hapax words = anomalous days worth a
+    look, the symbolic complement of q_anomaly_seasonal_residual).
+
+    Exactness: hourly counts are exact integers on the dense day x 24
+    spine (gaps count 0 -- without the fill, quiet hours vanish and
+    every word inflates); segment means and the global mean are exact
+    rationals evaluated as one fixed-shape double expression; the
+    population std folds exact integer sums (sum c, sum c^2); letter
+    boundaries compare identically-computed doubles, so the words are
+    bit-equal across engines.
+
+    Scale shape: one corpus aggregate to (day, hour) counts; the
+    spine join, PAA regroup, and word count all run on days x 24
+    rows."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    days = events.select(F.to_date("ts").alias("day")).distinct()
+    hours = spark.range(24).select(F.col("id").cast("long").alias("hr"))
+    spine = days.crossJoin(F.broadcast(hours))
+    dense = spine.join(hourly, ["day", "hr"], "left").select(
+        "day", "hr", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    stats = dense.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    seg = dense.groupBy(
+        "day", (F.col("hr") / F.lit(24 // SAX_SEGMENTS)).cast("long").alias("seg")
+    ).agg(F.sum("c").cast("long").alias("segsum"))
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = F.col("ss").cast("double") / nd - mean * mean
+    z = (
+        F.col("segsum").cast("double") / F.lit(float(24 // SAX_SEGMENTS))
+        - mean
+    ) / F.sqrt(var)
+    b1, b2, b3 = SAX_BREAKPOINTS
+    letter = (
+        F.when(z < F.lit(b1), F.lit("a"))
+        .when(z < F.lit(b2), F.lit("b"))
+        .when(z < F.lit(b3), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    lettered = seg.crossJoin(F.broadcast(stats)).select(
+        "day", "seg", letter.alias("l")
+    )
+    words = (
+        lettered.groupBy("day")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("seg", "l"))).getField("l")
+            ).alias("word")
+        )
+    )
+    total_days = days.count()
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+        .select(
+            "word",
+            "n_days",
+            F.round(
+                F.col("n_days").cast("double") / F.lit(float(max(total_days, 1))),
+                6,
+            ).alias("day_share"),
+        )
+        .orderBy(F.col("n_days").desc(), "word")
+    )
+
+
+ADVANCED_QUERIES["q_sax_motifs"] = q_sax_motifs
+ADVANCED_ORACLES["q_sax_motifs"] = f"""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    spine AS (
+      SELECT day, CAST(h AS BIGINT) AS hr
+      FROM days, unnest(generate_series(0, 23)) AS u(h)),
+    dense AS (
+      SELECT spine.day, spine.hr,
+             CAST(coalesce(hourly.c, 0) AS BIGINT) AS c
+      FROM spine LEFT JOIN hourly
+        ON hourly.day = spine.day AND hourly.hr = spine.hr),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM dense),
+    seg AS (
+      SELECT day, hr // {24 // SAX_SEGMENTS} AS seg,
+             CAST(sum(c) AS BIGINT) AS segsum
+      FROM dense GROUP BY 1, 2),
+    lettered AS (
+      SELECT day, seg,
+             CASE WHEN z < {SAX_BREAKPOINTS[0]} THEN 'a'
+                  WHEN z < {SAX_BREAKPOINTS[1]} THEN 'b'
+                  WHEN z < {SAX_BREAKPOINTS[2]} THEN 'c'
+                  ELSE 'd' END AS l
+      FROM (
+        SELECT day, seg,
+               (CAST(segsum AS DOUBLE) / {float(24 // SAX_SEGMENTS)}
+                - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+        FROM seg CROSS JOIN stats)),
+    words AS (
+      SELECT day, string_agg(l, '' ORDER BY seg) AS word
+      FROM lettered GROUP BY day)
+    SELECT word, CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(count(*) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM days), 1), 6) AS day_share
+    FROM words GROUP BY word
+    ORDER BY n_days DESC, word
+"""
+
+
+# ---- Exponential-decay user lifetime value (round 8) ----
+
+#: Recency half-life (days) and the reported head size.
+LTV_HALF_LIFE_DAYS = 30.0
+LTV_TOP_K = 20
+
+#: Fixed evaluation anchor (the serving-layer convention: relative-
+#: time scoring must anchor on a constant both engines see).
+LTV_ANCHOR = "2024-01-30 00:00:00"
+
+
+def q_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user lifetime value: per user, the sum of
+    purchase values decayed exponentially by age,
+
+        ltv = sum_e value_e * exp(-ln(2) * age_days_e / half_life)
+
+    -- the standard churn-robust ranking for retention/LTV audiences
+    (a user's year-old spike no longer outranks a steady recent
+    buyer). Top-LTV_TOP_K users, deterministic (ltv DESC, user_id).
+
+    Exactness: age is exact integer seconds from the fixed anchor
+    (unix-epoch difference -- no timezone arithmetic); each decayed
+    term is ONE fixed-shape double expression folded through
+    round(.,9)-as-DECIMAL(28,9) so the per-user sum is
+    order-independent; final round(6).
+
+    Scale shape: one scan-map + one map-side-combinable
+    groupBy(user_id); the head is TakeOrderedAndProject."""
+    events = load_table(spark, sf_dir, "events")
+    lam = 0.6931471805599453 / LTV_HALF_LIFE_DAYS
+    age_days = (
+        F.unix_timestamp(F.lit(LTV_ANCHOR).cast("timestamp"))
+        - F.unix_timestamp(F.col("ts"))
+    ).cast("double") / 86400.0
+    term = F.col("value") * F.exp(-F.lit(lam) * age_days)
+    purchases = events.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    return (
+        purchases.select(
+            "user_id",
+            F.round(term, 9).cast("decimal(28,9)").alias("t"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("t").alias("ltv"),
+        )
+        .select(
+            "user_id",
+            "n_purchases",
+            F.round(F.col("ltv").cast("double"), 6).alias("ltv_decayed"),
+        )
+        .orderBy(F.col("ltv_decayed").desc(), "user_id")
+        .limit(LTV_TOP_K)
+    )
+
+
+ADVANCED_QUERIES["q_user_ltv_decay"] = q_user_ltv_decay
+ADVANCED_ORACLES["q_user_ltv_decay"] = f"""
+    WITH terms AS (
+      SELECT user_id,
+             CAST(round(value * exp(-{0.6931471805599453 / LTV_HALF_LIFE_DAYS}
+                 * (CAST(date_diff('second', ts,
+                         TIMESTAMP '{LTV_ANCHOR}') AS DOUBLE) / 86400.0)), 9)
+                  AS DECIMAL(28,9)) AS t
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             sum(t) AS ltv
+      FROM terms GROUP BY 1)
+    SELECT user_id, n_purchases,
+           round(CAST(ltv AS DOUBLE), 6) AS ltv_decayed
+    FROM agg
+    ORDER BY ltv_decayed DESC, user_id
+    LIMIT {LTV_TOP_K}
+"""

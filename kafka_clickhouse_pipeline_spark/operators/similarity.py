@@ -2463,3 +2463,463 @@ SIMILARITY_ORACLES["q_embedding_norm_stats"] = """
                  / CAST(count(*) AS DOUBLE), 6) AS norm_mean
     FROM normed GROUP BY label ORDER BY label
 """
+
+
+# ---- IVF bucket occupancy audit (round 8) ----
+
+
+def q_ivf_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy audit of the stride-IVF index: per centroid,
+    how many vectors its bucket holds and that bucket's share of the
+    corpus -- the skew diagnostic that prices probe imbalance BEFORE a
+    query hits it (SCALE.md round-8 IVF skew ladder: Zipf-clustered
+    corpora triple the max bucket share; probe cost is linear in
+    occupancy, so the knob is finer centroids / bucket splitting above
+    an occupancy bound, and this query is the monitor that knob reads).
+    Same assignment mechanics as q_ann_ivf_topk, so the shares are
+    exactly the buckets that query probes.
+
+    Determinism: assignment is the bit-portable sequential-cumsum
+    cosine with first-max/smallest-id tie-break (the _ann_ivf_oracle
+    contract); counts are exact integers, one division per row.
+
+    Scale shape: one Arrow-batched assignment map over the corpus scan
+    + one tiny groupBy(centroid_id); output is N_CENTROIDS-sized."""
+    vecs = _vectors(spark, sf_dir)
+    rows = _centroid_rows(_stride_centroids(vecs))
+    if not rows:  # empty corpus
+        rows = [(0, [0.0])]
+    assigned = vecs.select(
+        _nearest_centroid_udf(rows)(F.col("v")).alias("centroid_id")
+    )
+    occ = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    total = vecs.count()
+    return occ.select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double") / F.lit(float(total)), 6
+        ).alias("bucket_share"),
+    ).orderBy("centroid_id")
+
+
+SIMILARITY_QUERIES["q_ivf_bucket_occupancy"] = q_ivf_bucket_occupancy
+SIMILARITY_ORACLES["q_ivf_bucket_occupancy"] = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    stride AS (SELECT greatest(1, count(*) // {N_CENTROIDS}) AS s FROM e),
+    cent AS (
+      SELECT vec_id AS centroid_id, v AS cv
+      FROM e, stride WHERE vec_id % stride.s = 0),
+    {_centroid_sims_sql("cent", "sims")},
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM sims) WHERE rn = 1),
+    occ AS (
+      SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM assign GROUP BY 1)
+    SELECT CAST(centroid_id AS BIGINT) AS centroid_id, n_vectors,
+           round(CAST(n_vectors AS DOUBLE)
+                 / (SELECT count(*) FROM e), 6) AS bucket_share
+    FROM occ ORDER BY centroid_id
+"""
+
+
+# ---- Label-centroid confusability matrix (round 8) ----
+
+
+def q_label_confusability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between LABEL CENTROIDS -- the class-geometry
+    audit on top of q_embedding_label_centroids: two labels whose
+    centroids sit at cosine ~1 are unseparable for any
+    centroid-routed system (IVF-per-class, nearest-class-mean
+    classification, class-balanced sampling by centroid distance),
+    and rising pairwise confusability over corpus versions is the
+    standard symptom of label noise or encoder drift.
+
+    Determinism: centroids come from the q_embedding_label_centroids
+    contract (float32 shortest-repr string -> DECIMAL(28,18) exact
+    sums, decimal->string->double means); the pairwise dot and the
+    per-label norms fold each product through
+    round(.,9)-as-DECIMAL(28,9), so every cross-row sum is
+    order-independent; cosine is one fixed-shape double expression.
+
+    Scale shape: the corpus is touched once (the centroid shuffle of
+    q_embedding_label_centroids); everything pairwise runs on the
+    (labels x dim) frame and the labels x labels output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("x").cast("string").cast("decimal(28,18)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("s").cast("string").cast("double") / F.col("n")).alias("m"),
+            "n",
+        )
+    )
+    norms = per_comp.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum(
+            F.round(F.col("m") * F.col("m"), 9).cast("decimal(28,9)")
+        ).alias("nn"),
+    )
+    a = per_comp.select(
+        F.col("label").alias("label_a"), "pos", F.col("m").alias("ma")
+    )
+    b = per_comp.select(
+        F.col("label").alias("label_b"), "pos", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.round(F.col("ma") * F.col("mb"), 9).cast("decimal(28,9)")
+            ).alias("dot")
+        )
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"),
+        F.col("n_vectors").alias("n_a"),
+        F.col("nn").alias("nna"),
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"),
+        F.col("n_vectors").alias("n_b"),
+        F.col("nn").alias("nnb"),
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nna").cast("double"))
+                    * F.sqrt(F.col("nnb").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+SIMILARITY_QUERIES["q_label_confusability"] = q_label_confusability
+SIMILARITY_ORACLES["q_label_confusability"] = """
+    WITH comp AS (
+      SELECT label,
+             CAST(CAST(x AS VARCHAR) AS DECIMAL(28,18)) AS xdec,
+             pos
+      FROM (SELECT label,
+                   unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)),
+    per_comp AS (
+      SELECT label, pos,
+             CAST(CAST(sum(xdec) AS VARCHAR) AS DOUBLE) / count(*) AS m,
+             count(*) AS n
+      FROM comp GROUP BY 1, 2),
+    norms AS (
+      SELECT label,
+             CAST(max(n) AS BIGINT) AS n_vectors,
+             sum(CAST(round(m * m, 9) AS DECIMAL(28,9))) AS nn
+      FROM per_comp GROUP BY 1),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(CAST(round(a.m * b.m, 9) AS DECIMAL(28,9))) AS dot
+      FROM per_comp a JOIN per_comp b
+        ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           na.n_vectors AS n_a, nb.n_vectors AS n_b,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE))
+                    * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS centroid_cosine
+    FROM dots
+    JOIN norms na ON na.label = dots.label_a
+    JOIN norms nb ON nb.label = dots.label_b
+    ORDER BY label_a, label_b
+"""
+
+
+# ---- MMR diversified re-ranking (round 8) ----
+
+#: MMR geometry: candidate pool per query, final diversified size,
+#: relevance/diversity mix.
+MMR_POOL = 10
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of the exact top-MMR_POOL
+    retrieval pool: greedily pick MMR_K results maximizing
+
+        lambda * rel(d) - (1 - lambda) * max_{s in selected} sim(d, s)
+
+    -- the standard diversity-aware second stage of a RAG / retrieval
+    pipeline (near-duplicate hits burn context slots; MMR keeps the
+    pool's coverage). Greedy selection is inherently sequential in K,
+    so the K rounds are UNROLLED over the (queries x pool)-sized frame
+    -- each round is one join + one window argmax over metadata-sized
+    relations, never the corpus (the corpus is touched once by the
+    exact pool scan; at production scale the pool comes from any ANN
+    generator instead, same contract as q_knn_classifier's vote).
+
+    Determinism: relevance and pairwise sims are round(.,6) cosines
+    (the corpus-wide contract), but the MMR combination is EXACT
+    INTEGER arithmetic in 1e-7 units -- score7 = 7 * rel6 - 3 * max6
+    over the 1e6-scaled 6-dp integers (MMR_LAMBDA = 7/10). Rounding
+    the double combination instead is a measured cross-engine trap:
+    rel * 0.7 of a 6-dp value lands EXACTLY on a 7th-decimal half
+    whenever rel's last digit is odd (e.g. 0.371485 * 0.7 =
+    0.2600395), and Spark's BigDecimal HALF_UP vs DuckDB's rounding
+    disagree on which side the binary expansion falls (observed:
+    0.26004 vs 0.260039). Integer scores have no boundary. Each
+    round's argmax breaks exact-tie scores by neighbor_id ascending;
+    round 1 is the pure-relevance argmax. The DuckDB oracle unrolls
+    the identical K rounds as CTE pairs, so selection reproduces
+    bit-for-bit; the reported mmr_score is score7 / 1e7 (one exact
+    small-integer division, identically rounded in both engines)."""
+    assert abs(MMR_LAMBDA * 10 - round(MMR_LAMBDA * 10)) < 1e-12, (
+        "integer MMR scoring assumes a single-decimal lambda"
+    )
+    vecs = _with_norm(_vectors(spark, sf_dir))
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("vn").alias("nn"),
+    )
+    scored = corpus.join(
+        broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+        ).alias("rel"),
+    )
+    pool = grouped_topk(
+        scored, ["query_id"], [("rel", False), ("neighbor_id", True)], MMR_POOL
+    ).select("query_id", "neighbor_id", "rel")
+    # pairwise sims INSIDE each query's pool: (queries x pool^2)-sized
+    pv = pool.join(
+        corpus.select("neighbor_id", "nv", "nn"), "neighbor_id"
+    ).select("query_id", "neighbor_id", "rel", "nv", "nn")
+    p1 = pv.select(
+        "query_id",
+        F.col("neighbor_id").alias("d1"),
+        F.col("nv").alias("v1"),
+        F.col("nn").alias("n1"),
+    )
+    p2 = pv.select(
+        "query_id",
+        F.col("neighbor_id").alias("d2"),
+        F.col("nv").alias("v2"),
+        F.col("nn").alias("n2"),
+    )
+    pair_sims = (
+        p1.join(p2, "query_id")
+        .filter(F.col("d1") != F.col("d2"))
+        .select(
+            "query_id",
+            "d1",
+            "d2",
+            F.round(
+                _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    # 1e6-scaled integer similarities: rel/sim are 6-dp rounds, so
+    # x * 1e6 is an integer up to one ulp -- round(., 0) recovers it
+    # exactly in both engines (no half-boundary: the target IS the
+    # integer)
+    pool = pool.select(
+        "query_id",
+        "neighbor_id",
+        "rel",
+        F.round(F.col("rel") * 1e6, 0).cast("long").alias("rel6"),
+    ).transform(cut_lineage)
+    pair_sims = pair_sims.select(
+        "query_id",
+        "d1",
+        "d2",
+        F.round(F.col("sim") * 1e6, 0).cast("long").alias("sim6"),
+    ).transform(cut_lineage)
+
+    lam_num = int(round(MMR_LAMBDA * 10))  # 7
+    lam_rem = 10 - lam_num  # 3
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score7").desc(), F.col("neighbor_id")
+    )
+    # round 1: pure relevance argmax (score7 in 1e-7 units)
+    selected = (
+        pool.withColumn("score7", F.col("rel6") * lam_num)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            "score7",
+            F.lit(1).cast("long").alias("rank"),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        sel_ids = selected.select(
+            "query_id", F.col("neighbor_id").alias("sel_id")
+        )
+        remaining = pool.join(
+            sel_ids.select(
+                "query_id", F.col("sel_id").alias("neighbor_id")
+            ),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        maxsim = (
+            pair_sims.join(
+                sel_ids,
+                (pair_sims["query_id"] == sel_ids["query_id"])
+                & (pair_sims["d2"] == sel_ids["sel_id"]),
+            )
+            .select(pair_sims["query_id"], "d1", "sim6")
+            .groupBy("query_id", "d1")
+            .agg(F.max("sim6").alias("max6"))
+        )
+        nxt = (
+            remaining.join(
+                maxsim,
+                (remaining["query_id"] == maxsim["query_id"])
+                & (remaining["neighbor_id"] == maxsim["d1"]),
+            )
+            .select(
+                remaining["query_id"],
+                "neighbor_id",
+                "rel",
+                (
+                    F.col("rel6") * lam_num - F.col("max6") * lam_rem
+                ).alias("score7"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                "score7",
+                F.lit(t).cast("long").alias("rank"),
+            )
+        )
+        selected = selected.unionByName(nxt).transform(cut_lineage)
+    return selected.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "rel",
+        (F.col("score7").cast("double") / F.lit(1e7)).alias("mmr_score"),
+    ).orderBy("query_id", "rank")
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-greedy DuckDB twin of q_mmr_diversified_topk (same
+    integer 1e-7-unit scoring -- see the operator docstring for the
+    half-boundary trap that rules out double round here)."""
+    lam_num = int(round(MMR_LAMBDA * 10))
+    lam_rem = 10 - lam_num
+    rounds = [
+        f"""
+    sel1 AS (
+      SELECT query_id, neighbor_id, rel,
+             rel6 * {lam_num} AS score7, CAST(1 AS BIGINT) AS rank
+      FROM (SELECT query_id, neighbor_id, rel, rel6,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel6 * {lam_num} DESC,
+                                               neighbor_id) AS rn
+            FROM pool) WHERE rn = 1),
+    acc1 AS (SELECT * FROM sel1)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        rounds.append(f"""
+    cand{t} AS (
+      SELECT p.query_id, p.neighbor_id, p.rel,
+             p.rel6 * {lam_num} - {lam_rem} * (
+               SELECT max(ps.sim6) FROM pair_sims ps
+               JOIN acc{t - 1} s ON s.query_id = ps.query_id
+                                AND s.neighbor_id = ps.d2
+               WHERE ps.query_id = p.query_id
+                 AND ps.d1 = p.neighbor_id) AS score7
+      FROM pool p
+      WHERE NOT EXISTS (SELECT 1 FROM acc{t - 1} s
+                        WHERE s.query_id = p.query_id
+                          AND s.neighbor_id = p.neighbor_id)),
+    sel{t} AS (
+      SELECT query_id, neighbor_id, rel, score7,
+             CAST({t} AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score7 DESC,
+                                                  neighbor_id) AS rn
+            FROM cand{t}) WHERE rn = 1),
+    acc{t} AS (SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t})""")
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_COS_SQL}, 6) AS rel
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id),
+    pool AS (
+      SELECT query_id, neighbor_id, rel,
+             CAST(round(rel * 1e6, 0) AS BIGINT) AS rel6
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, neighbor_id)
+                        AS rn
+            FROM scored) WHERE rn <= {MMR_POOL}),
+    pair_sims AS (
+      SELECT a.query_id, a.neighbor_id AS d1, b.neighbor_id AS d2,
+             CAST(round(round(
+               list_sum(list_transform(generate_series(1, len(q.v)),
+                                       i -> q.v[i] * c.v[i])) /
+               (sqrt(list_sum(list_transform(generate_series(1, len(q.v)),
+                                             i -> q.v[i] * q.v[i]))) *
+                sqrt(list_sum(list_transform(generate_series(1, len(c.v)),
+                                             i -> c.v[i] * c.v[i])))), 6)
+               * 1e6, 0) AS BIGINT) AS sim6
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+      JOIN e q ON q.vec_id = a.neighbor_id
+      JOIN e c ON c.vec_id = b.neighbor_id),
+    {",".join(rounds)}
+    SELECT query_id, rank, neighbor_id, rel,
+           CAST(score7 AS DOUBLE) / 1e7 AS mmr_score
+    FROM acc{MMR_K}
+    ORDER BY query_id, rank
+    """
+
+
+SIMILARITY_QUERIES["q_mmr_diversified_topk"] = q_mmr_diversified_topk
+SIMILARITY_ORACLES["q_mmr_diversified_topk"] = _mmr_oracle()

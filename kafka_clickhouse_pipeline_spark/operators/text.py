@@ -2584,3 +2584,82 @@ TEXT_ORACLES["q_langid_confusion"] = f"""
                         AS DOUBLE), 6) AS share_of_declared
     FROM cells ORDER BY declared_lang, pred_lang
 """
+
+
+# ---- Per-document OOV-rate gate (round 8) ----
+
+#: Curation threshold: documents whose OOV token share exceeds this
+#: are flagged (tokenizer would shred them into bytes/UNKs).
+DOC_OOV_MAX_RATE = 0.5
+
+
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT out-of-vocabulary rate against the frozen top-N
+    corpus vocabulary, with the keep/flag gate a curation pipeline
+    applies -- the document-level twin of q_oov_rate (which aggregates
+    per source): the source number says WHERE coverage is bad, this
+    says WHICH documents to drop or reroute before training. Same
+    vocabulary contract (top OOV_VOCAB_N terms by count, term
+    tiebreak).
+
+    Exact integer counts, one division, one threshold comparison
+    against the exact rational -- bit-portable.
+
+    Scale shape: identical to q_oov_rate -- one explode, the bounded
+    vocab broadcast LEFT join, one groupBy(doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        freq.orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(OOV_VOCAB_N)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    agg = (
+        terms.join(broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_oov"),
+        )
+    )
+    rate = F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(rate, 6).alias("oov_rate"),
+        F.when(rate > DOC_OOV_MAX_RATE, F.lit("flagged"))
+        .otherwise(F.lit("kept"))
+        .alias("gate"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUERIES["q_doc_oov_rate"] = q_doc_oov_rate
+TEXT_ORACLES["q_doc_oov_rate"] = f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    freq AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+    vocab AS (
+      SELECT term FROM freq
+      ORDER BY cnt DESC, term LIMIT {OOV_VOCAB_N}),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM terms t LEFT JOIN vocab v ON v.term = t.term
+      GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS oov_rate,
+           CASE WHEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     > {DOC_OOV_MAX_RATE}
+                THEN 'flagged' ELSE 'kept' END AS gate
+    FROM agg ORDER BY doc_id
+"""

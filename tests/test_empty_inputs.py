@@ -30,6 +30,12 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 EMPTY_SENSITIVE = [
     # round-8 additions (probed against the empty fixture)
+    "q_doc_oov_rate",
+    "q_sax_motifs",
+    "q_user_ltv_decay",
+    "q_ivf_bucket_occupancy",
+    "q_label_confusability",
+    "q_mmr_diversified_topk",
     "q_vocab_coverage_topk",
     "q_doclen_quantiles_by_lang",
     "q_langid_confusion",
