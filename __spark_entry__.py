@@ -52,11 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 50 in dict order). Round-8 rotation is chosen BY THE STALENESS
 #: METRIC (VERDICT r7 #3; the bound itself is machine-checked by
 #: tests/test_contract.py::test_attestation_staleness_bound): after
-#: the pinned five come the 14 round-8 first-timers, then the 17
+#: the pinned five come the 18 round-8 first-timers, then the 17
 #: queries whose only driver record is r01 (staleness 7, the ledger's
-#: oldest coverage -- mandatory under the bound), then the 14
+#: oldest coverage -- mandatory under the bound), then the 10
 #: cheapest of the 43 r03-stale queries (staleness 5; the remaining
-#: 29 are at the bound this round and become mandatory in the round-9
+#: 33 are at the bound this round and become mandatory in the round-9
 #: window). Rows-only sketches stay out by design via
 #: SKETCH_ALLOWLIST (machine-checked, VERDICT r7 #4). Every
 #: rotated-out query remains covered by tools/strict_check.py. Cheap
@@ -73,7 +73,9 @@ PRIORITY: tuple[str, ...] = (
     "q_dup_cluster_size_hist", "q_embedding_norm_stats",
     "q_doc_oov_rate", "q_sax_motifs", "q_user_ltv_decay",
     "q_ivf_bucket_occupancy", "q_label_confusability",
-    "q_mmr_diversified_topk",
+    "q_mmr_diversified_topk", "q_embedding_anisotropy",
+    "q_retrieval_map_at_k", "q_minhash_estimate_error",
+    "q_mattr_lexical_diversity",
     # --- staleness 7: only driver record is r01 ---
     "q17_small_quantity_revenue", "q19_discounted_revenue",
     "q20_excess_suppliers", "q21_waiting_suppliers",
@@ -84,14 +86,13 @@ PRIORITY: tuple[str, ...] = (
     "q_intersect_except_customers", "q_null_functions",
     "q_source_vocab_overlap", "q_string_functions",
     "q_union_priority_classes",
-    # --- staleness 5 (latest record r03), cheapest 14 by BENCH_r07;
-    #     the other 29 r03-stale queries go mandatory in round 9 ---
+    # --- staleness 5 (latest record r03), cheapest 10 by BENCH_r07;
+    #     the other 33 r03-stale queries go mandatory in round 9 ---
     "q_ntile_acctbal_quartiles", "q_window_running_revenue",
     "q_pivot_user_event_values", "q_embedding_label_centroids",
     "q_sample_hash_per_source", "q_lang_id",
     "q_dedup_quality_canonical", "q_gapfill_hourly",
-    "q_upsert_latest_wins", "q_dedup_exact", "q_chunk_documents",
-    "q_value_percentiles", "q_asof_last_signup", "q_funnel_steps",
+    "q_upsert_latest_wins", "q_dedup_exact",
 )
 
 #: Rows-only registry entries with NO DuckDB oracle, by design:

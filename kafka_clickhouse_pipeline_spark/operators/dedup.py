@@ -1669,3 +1669,133 @@ DEDUP_ORACLES["q_dup_cluster_size_hist"] = """
                  / (SELECT count(*) FROM documents), 6) AS doc_share
     FROM hist ORDER BY cluster_size
 """
+
+
+# ---- MinHash estimator-error audit (round 8) ----
+
+#: Signature width for the md5-based estimator audit (md5 so the
+#: estimate itself is ORACLE-EXACT -- the graph-twin trick; the
+#: production xxhash64 signatures of minhash_lsh_pairs estimate the
+#: same quantity with the same variance law).
+MINHASH_AUDIT_H = 16
+
+
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-error audit of MinHash Jaccard ESTIMATION (distinct
+    from the recall audits, which measure candidate GENERATION): over
+    the exact near-dup pairs (j >= 0.8), compare the H-hash minhash
+    estimate (matching signature components / H) against the exact
+    shingle Jaccard -- the measured counterpart of the Var = j(1-j)/H
+    binomial law a pipeline relies on when it thresholds on the
+    ESTIMATE at scale instead of verifying exactly (the
+    dedup-without-verify posture some 100 TB passes take). One summary
+    row: n_pairs, mean estimate vs mean exact, mean/max absolute
+    error.
+
+    Oracle-exactness: signatures here are md5-derived (lexicographic
+    min over fixed-width hex = numeric 128-bit min, bit-identical in
+    DuckDB -- the q_node_jaccard_minhash trick), so the ESTIMATE
+    itself reproduces exactly; the exact side is the registered
+    inverted-index jaccard (including its DF cap). Means fold through
+    round(.,9)-as-DECIMAL(28,9).
+
+    Scale shape: signature build is one map + one H-min aggregate off
+    the exploded shingle relation; the audit join runs on the
+    (pairs x 1) frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(_shingles(docs), JACCARD_THRESHOLD).select(
+        "d1", "d2", "jaccard"
+    )
+    sh = _shingles(docs)
+    base = F.md5(F.col("shingle"))
+    sigs = sh.select("doc_id", base.alias("b")).groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("b")))).alias(f"h{i}")
+            for i in range(MINHASH_AUDIT_H)
+        ]
+    )
+    s1 = sigs.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_AUDIT_H)],
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_AUDIT_H)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), F.lit(1)).otherwise(F.lit(0))
+        for i in range(MINHASH_AUDIT_H)
+    )
+    est = matches.cast("double") / F.lit(float(MINHASH_AUDIT_H))
+    per_pair = (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            F.round(est, 9).cast("decimal(28,9)").alias("e9"),
+            F.round(F.col("jaccard"), 9).cast("decimal(28,9)").alias("j9"),
+            F.round(F.abs(est - F.col("jaccard")), 9)
+            .cast("decimal(28,9)")
+            .alias("err9"),
+        )
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("e9").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_estimate"),
+        F.round(
+            F.sum("j9").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_exact"),
+        F.round(
+            F.sum("err9").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_abs_err"),
+        F.round(F.max("err9").cast("double"), 6).alias("max_abs_err"),
+    )
+
+
+DEDUP_QUERIES["q_minhash_estimate_error"] = q_minhash_estimate_error
+DEDUP_ORACLES["q_minhash_estimate_error"] = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    kept AS (SELECT doc_id, shingle FROM sh
+             QUALIFY count(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT d1, d2,
+             round(inter * 1.0 / (s1.sz + s2.sz - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE round(inter * 1.0 / (s1.sz + s2.sz - inter), 6)
+            >= {JACCARD_THRESHOLD}),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(
+        f"min(md5('{i}:' || md5(shingle))) AS h{i}"
+        for i in range(MINHASH_AUDIT_H)
+    )}
+      FROM sh GROUP BY doc_id),
+    per_pair AS (
+      SELECT
+        CAST(round(({" + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_AUDIT_H)
+    )}) * 1.0 / {MINHASH_AUDIT_H}, 9) AS DECIMAL(28,9)) AS e9,
+        CAST(round(jaccard, 9) AS DECIMAL(28,9)) AS j9,
+        CAST(round(abs(({" + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_AUDIT_H)
+    )}) * 1.0 / {MINHASH_AUDIT_H} - jaccard), 9) AS DECIMAL(28,9)) AS err9
+      FROM pairs
+      JOIN sigs a ON a.doc_id = pairs.d1
+      JOIN sigs b ON b.doc_id = pairs.d2)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(e9) AS DOUBLE) / count(*), 6) AS mean_estimate,
+           round(CAST(sum(j9) AS DOUBLE) / count(*), 6) AS mean_exact,
+           round(CAST(sum(err9) AS DOUBLE) / count(*), 6) AS mean_abs_err,
+           round(CAST(max(err9) AS DOUBLE), 6) AS max_abs_err
+    FROM per_pair
+"""

@@ -2923,3 +2923,238 @@ def _mmr_oracle() -> str:
 
 SIMILARITY_QUERIES["q_mmr_diversified_topk"] = q_mmr_diversified_topk
 SIMILARITY_ORACLES["q_mmr_diversified_topk"] = _mmr_oracle()
+
+
+# ---- Embedding anisotropy audit (round 8) ----
+
+#: Histogram geometry for the pair-cosine distribution: 20 bins over
+#: [-1, 1].
+ANISO_BINS = 20
+
+
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy audit of the embedding space: the distribution (20-
+    bin histogram + mean) of cosine similarity over a deterministic
+    1-factor pairing of the corpus -- rank r paired with rank r + n/2
+    in vec_id order, so every vector appears in at most one pair and
+    the sample is n/2 INDEPENDENT pairs with no quadratic work. Mean
+    random-pair cosine far above 0 is the classic anisotropy symptom
+    (embeddings collapsed into a narrow cone -- the condition ABTT/
+    whitening corrects, see q_embedding_debias_abtt); the histogram
+    shape separates a tight cone from multi-cluster structure.
+
+    Exactness: the pairing is exact-rank; cosines are the round(.,6)
+    sequential-fold contract; the mean folds through
+    round(.,9)-as-DECIMAL(28,9); bin edges are exact tenths
+    (bin = floor((cos+1)*10) clamped) so bin membership is
+    deterministic on the shared rounded doubles.
+
+    Scale shape: one rank window, one self-join on the shifted rank
+    (n/2 rows), one 20-row aggregate. No corpus x corpus anything."""
+    vecs = _with_norm(_vectors(spark, sf_dir))
+    w = Window.orderBy("vec_id")
+    ranked = vecs.select(
+        "v", "vn", F.row_number().over(w).cast("long").alias("r")
+    )
+    n = vecs.count()
+    m = max(n // 2, 1)
+    a = ranked.select(
+        F.col("r").alias("ra"), F.col("v").alias("va"), F.col("vn").alias("na")
+    )
+    b = ranked.select(
+        (F.col("r") - m).alias("ra"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = a.join(b, "ra").select(cos.alias("cos"))
+    binned = pairs.select(
+        F.least(
+            F.floor((F.col("cos") + 1.0) * 10).cast("long"),
+            F.lit(ANISO_BINS - 1),
+        ).alias("bin"),
+        F.round(F.col("cos"), 9).cast("decimal(28,9)").alias("c9"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    stats = binned.agg(
+        F.sum("c9").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    mean = F.round(
+        F.col("s").cast("double") / F.col("cnt").cast("double"), 6
+    )
+    return (
+        hist.crossJoin(F.broadcast(stats.select(mean.alias("mean_cosine"))))
+        .select(
+            "bin",
+            F.round(F.col("bin") / 10.0 - 1.0, 1).alias("bin_lo"),
+            "n_pairs",
+            "mean_cosine",
+        )
+        .orderBy("bin")
+    )
+
+
+SIMILARITY_QUERIES["q_embedding_anisotropy"] = q_embedding_anisotropy
+SIMILARITY_ORACLES["q_embedding_anisotropy"] = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ranked AS (
+      SELECT v, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS r
+      FROM e),
+    m AS (SELECT greatest(count(*) // 2, 1) AS m FROM e),
+    pairs AS (
+      SELECT round(
+        list_sum(list_transform(generate_series(1, len(a.v)),
+                                i -> a.v[i] * b.v[i])) /
+        (sqrt(list_sum(list_transform(generate_series(1, len(a.v)),
+                                      i -> a.v[i] * a.v[i]))) *
+         sqrt(list_sum(list_transform(generate_series(1, len(b.v)),
+                                      i -> b.v[i] * b.v[i])))), 6) AS cos
+      FROM ranked a JOIN m ON true
+      JOIN ranked b ON b.r = a.r + m.m),
+    binned AS (
+      SELECT least(CAST(floor((cos + 1.0) * 10) AS BIGINT),
+                   {ANISO_BINS - 1}) AS bin,
+             CAST(round(cos, 9) AS DECIMAL(28,9)) AS c9
+      FROM pairs),
+    hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs
+             FROM binned GROUP BY 1),
+    stats AS (SELECT round(CAST(sum(c9) AS DOUBLE) / count(*), 6)
+                AS mean_cosine
+              FROM binned)
+    SELECT bin, round(bin / 10.0 - 1.0, 1) AS bin_lo, n_pairs, mean_cosine
+    FROM hist CROSS JOIN stats ORDER BY bin
+"""
+
+
+# ---- Retrieval MAP@k over the IVF index (round 8) ----
+
+
+def q_retrieval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-relevance retrieval evaluation of the IVF index:
+    precision@k and average-precision@k per query, with relevance =
+    "neighbor shares the query's label" -- the standard labeled-corpus
+    retrieval metric (MAP) that complements q_ann_recall_audit's
+    rank-agreement view: recall says the ANN index reproduces brute
+    force, MAP says the EMBEDDING GEOMETRY itself retrieves the right
+    class. AP@k normalizes by min(R, k) with R = the query's corpus
+    class size minus itself, so a query whose class has fewer than k
+    members is not penalized for the impossible.
+
+    Exactness: relevance, hit prefix-counts, and R are exact integers
+    (one window over the k-row result set; one broadcast class-size
+    join); P@k and AP@k are exact rationals, round(6).
+
+    Scale shape: everything downstream of the (already-registered)
+    IVF search runs on queries x k rows."""
+    ivf = q_ann_ivf_topk(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    class_sizes = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("class_n")
+    )
+    labeled = (
+        ivf.join(F.broadcast(qlab), "query_id")
+        .join(F.broadcast(nlab), "neighbor_id")
+        .select(
+            "query_id",
+            "qlabel",
+            "rank",
+            F.when(F.col("nlabel") == F.col("qlabel"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    per_pos = labeled.select(
+        "query_id",
+        "qlabel",
+        "rank",
+        "rel",
+        F.sum("rel").over(w).cast("long").alias("hits"),
+    )
+    agg = per_pos.groupBy("query_id", "qlabel").agg(
+        F.max("rank").cast("long").alias("k"),
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.round(
+                    F.col("hits").cast("double") / F.col("rank").cast("double"),
+                    9,
+                ).cast("decimal(28,9)"),
+            ).otherwise(F.lit(0).cast("decimal(28,9)"))
+        ).alias("ap_num"),
+    )
+    joined = agg.join(
+        F.broadcast(class_sizes.select(F.col("label").alias("qlabel"), "class_n")),
+        "qlabel",
+    )
+    denom = F.least(F.col("class_n") - 1, F.col("k"))
+    return joined.select(
+        "query_id",
+        F.col("qlabel").alias("label"),
+        "n_rel",
+        F.round(
+            F.col("n_rel").cast("double") / F.col("k").cast("double"), 6
+        ).alias("p_at_k"),
+        F.round(
+            F.col("ap_num").cast("double")
+            / F.greatest(denom, F.lit(1)).cast("double"),
+            6,
+        ).alias("ap_at_k"),
+    ).orderBy("query_id")
+
+
+SIMILARITY_QUERIES["q_retrieval_map_at_k"] = q_retrieval_map_at_k
+SIMILARITY_ORACLES["q_retrieval_map_at_k"] = f"""
+    WITH ivf AS ({_ann_ivf_oracle()}),
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    class_sizes AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS class_n
+      FROM lab GROUP BY 1),
+    labeled AS (
+      SELECT ivf.query_id, ql.label AS qlabel, ivf.rank,
+             CAST(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS BIGINT)
+               AS rel
+      FROM ivf
+      JOIN lab ql ON ql.vec_id = ivf.query_id
+      JOIN lab nl ON nl.vec_id = ivf.neighbor_id),
+    per_pos AS (
+      SELECT query_id, qlabel, rank, rel,
+             CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rank)
+                  AS BIGINT) AS hits
+      FROM labeled),
+    agg AS (
+      SELECT query_id, qlabel,
+             CAST(max(rank) AS BIGINT) AS k,
+             CAST(sum(rel) AS BIGINT) AS n_rel,
+             sum(CASE WHEN rel = 1
+                 THEN CAST(round(CAST(hits AS DOUBLE)
+                                 / CAST(rank AS DOUBLE), 9)
+                           AS DECIMAL(28,9))
+                 ELSE CAST(0 AS DECIMAL(28,9)) END) AS ap_num
+      FROM per_pos GROUP BY 1, 2)
+    SELECT query_id, qlabel AS label, n_rel,
+           round(CAST(n_rel AS DOUBLE) / CAST(k AS DOUBLE), 6) AS p_at_k,
+           round(CAST(ap_num AS DOUBLE)
+                 / CAST(greatest(least(class_n - 1, k), 1) AS DOUBLE), 6)
+             AS ap_at_k
+    FROM agg JOIN class_sizes ON class_sizes.label = agg.qlabel
+    ORDER BY query_id
+"""

@@ -2663,3 +2663,75 @@ TEXT_ORACLES["q_doc_oov_rate"] = f"""
                 THEN 'flagged' ELSE 'kept' END AS gate
     FROM agg ORDER BY doc_id
 """
+
+
+# ---- MATTR lexical diversity (round 8) ----
+
+#: Moving-average type-token-ratio window (the standard MATTR window
+#: is 50-500 on real prose; 20 keeps the fixture docs multi-window).
+MATTR_WINDOW = 20
+
+
+def q_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-Average Type-Token Ratio per document: the mean of
+    distinct-token counts over every MATTR_WINDOW-token sliding
+    window, divided by the window size -- the length-robust lexical-
+    diversity score (plain TTR collapses as docs grow, so it cannot
+    gate a mixed-length corpus; MATTR is the standard fix) that
+    complements q_char_diversity's character-level signal and the
+    repetition filters' n-gram view. Docs shorter than the window
+    fall back to plain TTR (one full-doc window).
+
+    Exactness: per-window distinct counts are exact integers (one
+    array_distinct per slice); the MATTR numerator is their exact
+    integer sum; one final division, round(6).
+
+    Scale shape: pure scan-map -- the sliding windows are per-doc
+    array slices (W * tokens element touches per doc, no explode, no
+    shuffle except the presentation sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    w = MATTR_WINDOW
+    win_distincts = F.transform(
+        F.sequence(F.lit(1), n - w + 1),
+        lambda i: F.size(F.array_distinct(F.slice(toks, i, F.lit(w)))),
+    )
+    long_mattr = F.aggregate(
+        win_distincts, F.lit(0).cast("long"), lambda a, x: a + x
+    ).cast("double") / ((n - w + 1) * w).cast("double")
+    short_ttr = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.greatest(n - w + 1, F.lit(1)).cast("long").alias("n_windows"),
+        F.round(F.when(n >= w, long_mattr).otherwise(short_ttr), 6).alias(
+            "mattr"
+        ),
+    ).orderBy("doc_id")
+
+
+TEXT_QUERIES["q_mattr_lexical_diversity"] = q_mattr_lexical_diversity
+TEXT_ORACLES["q_mattr_lexical_diversity"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+             len(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents),
+    scored AS (
+      SELECT doc_id, n,
+             greatest(n - {MATTR_WINDOW} + 1, 1) AS n_windows,
+             CASE WHEN n >= {MATTR_WINDOW} THEN
+               CAST(list_sum(list_transform(
+                 generate_series(1, n - {MATTR_WINDOW} + 1),
+                 i -> len(list_distinct(
+                   toks[i : i + {MATTR_WINDOW} - 1])))) AS DOUBLE)
+               / ((n - {MATTR_WINDOW} + 1) * {MATTR_WINDOW})
+             ELSE
+               CAST(len(list_distinct(toks)) AS DOUBLE) / n
+             END AS mattr
+      FROM t)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           round(mattr, 6) AS mattr
+    FROM scored ORDER BY doc_id
+"""

@@ -30,6 +30,9 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 EMPTY_SENSITIVE = [
     # round-8 additions (probed against the empty fixture)
+    "q_embedding_anisotropy",
+    "q_retrieval_map_at_k",
+    "q_mattr_lexical_diversity",
     "q_doc_oov_rate",
     "q_sax_motifs",
     "q_user_ltv_decay",
@@ -289,6 +292,8 @@ EMPTY_SCALAR = [
     "q_epoch_shuffle_audit",
     # round-8: ungrouped regression over the (empty) checkpoint frame
     "q_heaps_law_fit",
+    # round-8: ungrouped summary over the (empty) audited pair frame
+    "q_minhash_estimate_error",
 ]
 
 #: Fixed output spines: operators whose empty-input result is a

@@ -708,3 +708,135 @@ class TestDocOovRate:
         assert sum(r["n_oov"] for r in rows) == sum(
             r["n_oov"] for r in per_source
         )
+
+
+class TestEmbeddingAnisotropy:
+    def test_histogram_totals_and_mean_bounds(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.catalog import load_table
+        from kafka_clickhouse_pipeline_spark.operators.similarity import (
+            q_embedding_anisotropy,
+        )
+
+        rows = q_embedding_anisotropy(spark, sf_dir).collect()
+        n = load_table(spark, sf_dir, "embeddings").count()
+        # 1-factor pairing: n - n//2 pairs, every vector in <= 1 pair
+        assert sum(r["n_pairs"] for r in rows) == n - n // 2
+        means = {r["mean_cosine"] for r in rows}
+        assert len(means) == 1  # global mean repeated per bin
+        assert -1 <= means.pop() <= 1
+        assert all(0 <= r["bin"] <= 19 for r in rows)
+
+    def test_identical_vectors_collapse_to_top_bin(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.similarity import (
+            q_embedding_anisotropy,
+        )
+
+        spark.createDataFrame(
+            [(i, [1.0, 0.0], 0) for i in range(6)],
+            "vec_id bigint, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+        rows = q_embedding_anisotropy(spark, str(tmp_path)).collect()
+        # all pair cosines are exactly 1 -> clamped into bin 19
+        assert [(r["bin"], r["n_pairs"]) for r in rows] == [(19, 3)]
+        assert rows[0]["mean_cosine"] == 1.0
+
+
+class TestRetrievalMapAtK:
+    def test_bounds_and_perfect_case(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.operators.similarity import (
+            N_QUERIES,
+            q_retrieval_map_at_k,
+        )
+
+        rows = q_retrieval_map_at_k(spark, sf_dir).collect()
+        assert len(rows) == N_QUERIES
+        for r in rows:
+            assert 0 <= r["p_at_k"] <= 1
+            assert 0 <= r["ap_at_k"] <= 1 + 1e-9
+            # all-relevant prefix implies AP = 1 when class is large
+            if r["n_rel"] == 5 and r["p_at_k"] == 1.0:
+                assert r["ap_at_k"] == 1.0
+
+    def test_small_class_not_penalized(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.similarity import (
+            q_retrieval_map_at_k,
+        )
+
+        # query 0's class has only 2 members (R = 1 < k): if its one
+        # classmate is retrieved first, AP must be 1.0, not 1/k
+        rows = [(0, [1.0, 0.0], 7), (1, [0.99, 0.1], 7)]
+        rows += [(i, [0.1 * i - 1.0, 1.0], 1) for i in range(2, 30)]
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+        out = {r["query_id"]: r
+               for r in q_retrieval_map_at_k(spark, str(tmp_path)).collect()}
+        assert out[0]["n_rel"] == 1
+        assert out[0]["ap_at_k"] == 1.0
+
+
+class TestMinhashEstimateError:
+    def test_error_within_binomial_law(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.operators.dedup import (
+            MINHASH_AUDIT_H,
+            q_minhash_estimate_error,
+        )
+
+        row = q_minhash_estimate_error(spark, sf_dir).collect()[0]
+        assert row["n_pairs"] > 0
+        # estimates live on the k/H grid
+        assert abs(row["mean_estimate"] * MINHASH_AUDIT_H
+                   * row["n_pairs"]
+                   - round(row["mean_estimate"] * MINHASH_AUDIT_H
+                           * row["n_pairs"])) < 1e-3
+        # j >= 0.8 pairs: sd <= sqrt(0.8*0.2/16) = 0.1; max err within
+        # ~5 sd and mean err well under one sd
+        assert row["max_abs_err"] <= 0.5
+        assert row["mean_abs_err"] <= 0.12
+        assert abs(row["mean_estimate"] - row["mean_exact"]) <= 0.1
+
+    def test_identical_docs_estimate_one(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.dedup import (
+            q_minhash_estimate_error,
+        )
+
+        d = _write_docs(spark, tmp_path, ["a b c d e f", "a b c d e f"])
+        row = q_minhash_estimate_error(spark, d).collect()[0]
+        assert row["n_pairs"] == 1
+        assert row["mean_estimate"] == 1.0
+        assert row["mean_exact"] == 1.0
+        assert row["max_abs_err"] == 0.0
+
+
+class TestMattrLexicalDiversity:
+    def test_short_doc_falls_back_to_ttr(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            q_mattr_lexical_diversity,
+        )
+
+        d = _write_docs(spark, tmp_path, ["a b a b"])
+        row = q_mattr_lexical_diversity(spark, d).collect()[0]
+        assert row["n_tokens"] == 4 and row["n_windows"] == 1
+        assert row["mattr"] == 0.5  # 2 types / 4 tokens
+
+    def test_all_distinct_long_doc_is_one(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            MATTR_WINDOW,
+            q_mattr_lexical_diversity,
+        )
+
+        n = MATTR_WINDOW * 2
+        d = _write_docs(spark, tmp_path, [" ".join(f"w{i}" for i in range(n))])
+        row = q_mattr_lexical_diversity(spark, d).collect()[0]
+        assert row["n_windows"] == n - MATTR_WINDOW + 1
+        assert row["mattr"] == 1.0
+
+    def test_repetitive_long_doc_scores_low(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.operators.text import (
+            MATTR_WINDOW,
+            q_mattr_lexical_diversity,
+        )
+
+        d = _write_docs(spark, tmp_path, ["x " * (MATTR_WINDOW * 3)])
+        row = q_mattr_lexical_diversity(spark, d).collect()[0]
+        assert row["mattr"] == round(1 / MATTR_WINDOW, 6)
