@@ -423,3 +423,55 @@ def test_minhash_wedge_twin_plan(spark, sf_dir):
     assert "ShuffledHashJoin" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("partial_min(md5(") >= graph.WEDGE_MINHASH_HASHES
+
+
+def test_round8_operator_plan_shapes(spark, sf_dir):
+    """Round-8 additions: the shapes that matter at 1000 executors --
+    bounded-side broadcasts, top-K without global sort, and zero
+    Python outside the sanctioned Arrow kernels."""
+    from kafka_clickhouse_pipeline_spark.operators import (
+        curation as cur,
+        dedup as dd,
+        similarity as sim,
+        text as tx,
+    )
+
+    # LTV head is a map-side heap, not a global sort
+    assert plans.uses_top_k(advanced.q_user_ltv_decay(spark, sf_dir))
+    # the frozen vocab probes as a broadcast on both OOV paths
+    assert plans.count_broadcast_joins(tx.q_doc_oov_rate(spark, sf_dir)) >= 1
+    # the checkpoint probe is a NON-equi condition (rnk = least(k,
+    # vocab_n) mixes both sides), so it compiles to a broadcast
+    # nested-loop over 4 x vocabulary rows -- broadcast either way
+    assert "Broadcast" in plans.simple_plan(
+        tx.q_vocab_coverage_topk(spark, sf_dir)
+    )
+    # MMR: the K unrolled rounds stay pure-expression (no Python
+    # anywhere). The pool's query-side broadcast sits behind the
+    # lineage cuts, so it is not visible in this final plan -- the
+    # shared brute-force pipeline's broadcast is asserted by its own
+    # plan test.
+    mmr = sim.q_mmr_diversified_topk(spark, sf_dir)
+    assert plans.python_free(mmr)
+    # pure-expression scan-map/agg operators
+    for df in (
+        tx.q_heaps_law_fit(spark, sf_dir),
+        tx.q_mattr_lexical_diversity(spark, sf_dir),
+        tx.q_langid_confusion(spark, sf_dir),
+        cur.q_jsd_sources(spark, sf_dir),
+        advanced.q_sax_motifs(spark, sf_dir),
+        advanced.q_mutual_info_type_hour(spark, sf_dir),
+        dd.q_dup_cluster_size_hist(spark, sf_dir),
+        dd.q_minhash_estimate_error(spark, sf_dir),
+        sim.q_embedding_norm_stats(spark, sf_dir),
+        sim.q_embedding_anisotropy(spark, sf_dir),
+        sim.q_label_confusability(spark, sf_dir),
+    ):
+        assert plans.python_free(df), plans.simple_plan(df)[:400]
+    # IVF occupancy and MAP@k ride the sanctioned Arrow assignment
+    # kernel -- batched, never row-at-a-time
+    for df in (
+        sim.q_ivf_bucket_occupancy(spark, sf_dir),
+        sim.q_retrieval_map_at_k(spark, sf_dir),
+    ):
+        assert plans.rowwise_python_free(df)
