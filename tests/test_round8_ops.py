@@ -840,3 +840,95 @@ class TestMattrLexicalDiversity:
         d = _write_docs(spark, tmp_path, ["x " * (MATTR_WINDOW * 3)])
         row = q_mattr_lexical_diversity(spark, d).collect()[0]
         assert row["mattr"] == round(1 / MATTR_WINDOW, 6)
+
+
+class TestMmrFuzzAgainstReference:
+    """Property test: the K unrolled DataFrame rounds must equal an
+    INDEPENDENT pure-Python greedy MMR on random inputs -- the oracle
+    proves Spark==DuckDB, this proves both equal the algorithm's
+    definition (same integer 1e-7 scoring, same tie-breaks)."""
+
+    def _reference_mmr(self, vecs, n_queries, pool_n, k, lam_num=7):
+        import math as m
+
+        def cos(u, v):
+            dot = nu = nv = 0.0
+            for x, y in zip(u, v):
+                dot += x * y
+                nu += x * x
+                nv += y * y
+            return round(dot / (m.sqrt(nu) * m.sqrt(nv)), 6)
+
+        out = {}
+        ids = sorted(vecs)
+        for q in ids:
+            if q >= n_queries:
+                continue
+            rel = {
+                d: cos(vecs[q], vecs[d]) for d in ids if d != q
+            }
+            pool = sorted(rel, key=lambda d: (-rel[d], d))[:pool_n]
+            rel6 = {d: round(rel[d] * 1e6) for d in pool}
+            sim6 = {
+                (a, b): round(cos(vecs[a], vecs[b]) * 1e6)
+                for a in pool
+                for b in pool
+                if a != b
+            }
+            selected = []
+            for t in range(1, k + 1):
+                best = None
+                for d in pool:
+                    if d in selected:
+                        continue
+                    if not selected:
+                        score = rel6[d] * lam_num
+                    else:
+                        score = rel6[d] * lam_num - (10 - lam_num) * max(
+                            sim6[(d, s)] for s in selected
+                        )
+                    key = (-score, d)
+                    if best is None or key < best[0]:
+                        best = (key, d, score)
+                selected.append(best[1])
+                out[(q, t)] = (best[1], best[2])
+        return out
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_reference_on_random_vectors(self, spark, tmp_path, seed):
+        import random
+
+        from kafka_clickhouse_pipeline_spark.operators.similarity import (
+            MMR_K,
+            MMR_POOL,
+            N_QUERIES,
+            q_mmr_diversified_topk,
+        )
+
+        rng = random.Random(seed)
+        n = 40
+        dim = 8
+        vecs = {
+            i: [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+            for i in range(n)
+        }
+        # float32 storage: round-trip the values through float32 so the
+        # reference sees exactly what Spark reads back from parquet
+        import struct
+
+        vecs = {
+            i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+            for i, v in vecs.items()
+        }
+        d = str(tmp_path / f"mmr{seed}")
+        spark.createDataFrame(
+            [(i, v, 0) for i, v in vecs.items()],
+            "vec_id bigint, embedding array<float>, label int",
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"],
+                                         round(r["mmr_score"] * 1e7))
+            for r in q_mmr_diversified_topk(spark, d).collect()
+        }
+        want = self._reference_mmr(vecs, N_QUERIES, MMR_POOL, MMR_K)
+        assert got == want
