@@ -49,50 +49,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry ordering contract: the driver's correctness run covers the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r01 stopped at exactly
-#: 50 in dict order). Round-8 rotation is chosen BY THE STALENESS
-#: METRIC (VERDICT r7 #3; the bound itself is machine-checked by
-#: tests/test_contract.py::test_attestation_staleness_bound): after
-#: the pinned five come the 18 round-8 first-timers, then the 17
-#: queries whose only driver record is r01 (staleness 7, the ledger's
-#: oldest coverage -- mandatory under the bound), then the 10
-#: cheapest of the 43 r03-stale queries (staleness 5; the remaining
-#: 33 are at the bound this round and become mandatory in the round-9
-#: window). Rows-only sketches stay out by design via
+#: 50 in dict order). Round-9 rotation is FORCED by the staleness
+#: metric (machine-checked by
+#: tests/test_contract.py::test_attestation_staleness_bound, which was
+#: deliberately left RED on the round-8 tree as the tripwire --
+#: VERDICT r8 #1): after the pinned five come the 33 queries whose
+#: latest driver record is r03 (staleness 6 at the upcoming round 9,
+#: past the tier-1 bound of 5 -- mandatory, the exact list from the
+#: NOTES_r8 Round-9 handoff), then the free slots: round-9
+#: first-timers plus the cheapest r04-stale queries (staleness 5,
+#: mandatory next round if left out -- taking the cheap ones now eases
+#: the round-10 window). Rows-only sketches stay out by design via
 #: SKETCH_ALLOWLIST (machine-checked, VERDICT r7 #4). Every
-#: rotated-out query remains covered by tools/strict_check.py. Cheap
-#: entries run first, hedging a time-budgeted driver window.
+#: rotated-out query remains covered by tools/strict_check.py (the
+#: tier-2 leg of the two-tier bound, VERDICT r8 #5). Within each
+#: group, cheap entries (BENCH_DETAIL_r08 warm timings) run first,
+#: hedging a time-budgeted driver window.
 PRIORITY: tuple[str, ...] = (
     # reference parity core (SURVEY.md section 2.7 + MV transform) --
     # permanently pinned
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # --- round-8 first-timers ---
-    "q_heaps_law_fit", "q_vocab_coverage_topk",
-    "q_doclen_quantiles_by_lang", "q_langid_confusion",
-    "q_jsd_sources", "q_mutual_info_type_hour",
-    "q_dup_cluster_size_hist", "q_embedding_norm_stats",
-    "q_doc_oov_rate", "q_sax_motifs", "q_user_ltv_decay",
-    "q_ivf_bucket_occupancy", "q_label_confusability",
-    "q_mmr_diversified_topk", "q_embedding_anisotropy",
-    "q_retrieval_map_at_k", "q_minhash_estimate_error",
-    "q_mattr_lexical_diversity",
-    # --- staleness 7: only driver record is r01 ---
-    "q17_small_quantity_revenue", "q19_discounted_revenue",
-    "q20_excess_suppliers", "q21_waiting_suppliers",
-    "q22_untapped_segments", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share",
-    "q_anti_join_inactive_customers", "q_array_agg_parts_per_brand",
-    "q_distinct_customers_per_segment", "q_fingerprint",
-    "q_intersect_except_customers", "q_null_functions",
-    "q_source_vocab_overlap", "q_string_functions",
-    "q_union_priority_classes",
-    # --- staleness 5 (latest record r03), cheapest 10 by BENCH_r07;
-    #     the other 33 r03-stale queries go mandatory in round 9 ---
-    "q_ntile_acctbal_quartiles", "q_window_running_revenue",
-    "q_pivot_user_event_values", "q_embedding_label_centroids",
-    "q_sample_hash_per_source", "q_lang_id",
-    "q_dedup_quality_canonical", "q_gapfill_hourly",
-    "q_upsert_latest_wins", "q_dedup_exact",
+    # --- staleness 6 (latest record r03): mandatory under the tier-1
+    #     bound; cheap-first by BENCH_DETAIL_r08 ---
+    "q_chunk_documents", "q_asof_last_signup", "q_value_percentiles",
+    "q_token_stats", "q_funnel_steps", "q_multimodal_features",
+    "q_retention_cohorts", "q4_order_priority", "q_quality_score",
+    "q_rollup_revenue", "q_pack_sequences", "q_multimodal_frames",
+    "q_multimodal_resize", "q_json_extract_stats",
+    "q_ann_bruteforce_topk", "q_cube_revenue", "q3_shipping_priority",
+    "q_sessionize", "q_perplexity_unigram", "q_tfidf_top_terms",
+    "q1_pricing_summary", "q_hypertable_rollup",
+    "q18_large_volume_customers", "q5_revenue_by_nation",
+    "q_unpivot_lineitem_measures", "q_quality_gopher",
+    "q_decontaminate_shingle_overlap", "q10_top_returning_customers",
+    "q_range_join_quantity_bands", "q_fingerprint_winnow",
+    "q_dedup_minhash_lsh", "q_curation_pipeline", "q_dedup_simhash",
+    # --- free slots: staleness 5 (latest record r04), cheapest first;
+    #     round-9 first-timers displace the tail of this list as they
+    #     land (test_window_is_50 forces never-attested into the
+    #     window) ---
+    "q_event_transitions", "q_benford_totalprice", "q_zorder_layout",
+    "q_autocorr_hourly", "q_trend_by_type",
+    "q_embedding_int8_quantize", "q_oov_rate", "q_media_phash",
+    "q_chi2_type_hour", "q_gini_customer_revenue", "q_ks_value_drift",
+    "q_paragraph_dedup",
 )
 
 #: Rows-only registry entries with NO DuckDB oracle, by design:
