@@ -92,8 +92,9 @@ PRIORITY: tuple[str, ...] = (
     "q_event_transitions", "q_benford_totalprice", "q_zorder_layout",
     "q_autocorr_hourly", "q_trend_by_type",
     "q_embedding_int8_quantize", "q_oov_rate", "q_media_phash",
-    "q_chi2_type_hour", "q_gini_customer_revenue", "q_ks_value_drift",
-    "q_paragraph_dedup",
+    "q_chi2_type_hour", "q_gini_customer_revenue",
+    # --- round-9 first-timers ---
+    "q_ann_ivf_split_topk", "q_neardup_threshold_minhash",
 )
 
 #: Rows-only registry entries with NO DuckDB oracle, by design:

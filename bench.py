@@ -279,6 +279,85 @@ SHARED_PINNED: dict[str, tuple[str, object]] = {
 }
 
 
+def _versions() -> dict[str, str]:
+    """Library/runtime version witness (VERDICT r8 #2): the Arrow-UDF
+    ANN family drifted 3.7x across rounds on byte-identical code, and
+    nothing recorded whether the Arrow serialization stack changed
+    under it. Every bench artifact now pins the exact
+    pyspark/pyarrow/pandas/numpy/duckdb/python/JVM versions next to
+    the loadavg so environment drift is mechanically distinguishable
+    from code regression."""
+    import platform
+
+    import duckdb
+    import numpy
+    import pandas
+    import pyarrow
+    import pyspark
+
+    java = "unknown"
+    try:
+        release = os.path.join(os.environ.get("JAVA_HOME", ""), "release")
+        with open(release) as fh:
+            for line in fh:
+                if line.startswith("JAVA_VERSION="):
+                    java = line.split("=", 1)[1].strip().strip('"')
+                    break
+    except OSError:
+        pass
+    return {
+        "pyspark": pyspark.__version__,
+        "pyarrow": pyarrow.__version__,
+        "pandas": pandas.__version__,
+        "numpy": numpy.__version__,
+        "duckdb": duckdb.__version__,
+        "python": platform.python_version(),
+        "java": java,
+    }
+
+
+#: How many most-recent canary observations define the variance band.
+CANARY_BAND_WINDOW = 6
+
+
+def _canary_band() -> dict:
+    """Machine-variance band as a machine artifact (VERDICT r8 #7):
+    the frozen shared-33 canary's observed spread on THIS box, from
+    the last CANARY_BAND_WINDOW entries of CANARY_HISTORY.jsonl (every
+    bench run appends its own observation after timing). NOTES_r8
+    measured 29.9-41.6 s (+/-30%) across three same-day idle runs of
+    identical code; emitting the band next to each round's number lets
+    a judge mechanically separate machine noise from code movement."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "CANARY_HISTORY.jsonl")
+    obs: list[dict] = []
+    if os.path.exists(path):
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    obs.append(json.loads(line))
+    recent = [
+        o["shared_33_total"]
+        for o in obs[-CANARY_BAND_WINDOW:]
+        if o.get("shared_33_total") is not None
+    ]
+    if not recent:
+        return {"n": 0}
+    return {
+        "n": len(recent),
+        "min": min(recent),
+        "max": max(recent),
+        "spread_pct": round(100.0 * (max(recent) - min(recent)) / min(recent), 1),
+    }
+
+
+def _append_canary(record: dict) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "CANARY_HISTORY.jsonl"), "a") as fh:
+        fh.write(json.dumps(record) + "\n")
+
+
 def main() -> None:
     import __spark_entry__ as entry
 
@@ -287,6 +366,8 @@ def main() -> None:
     # ladder runs); recording the 1-min load average before and after
     # lets the next judge tell contention from code regression.
     load_before = round(os.getloadavg()[0], 2)
+    versions = _versions()
+    canary_band = _canary_band()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
@@ -373,6 +454,14 @@ def main() -> None:
         else None
     )
     load_after = round(os.getloadavg()[0], 2)
+    _append_canary(
+        {
+            "detail": os.path.basename(_detail_path()),
+            "shared_33_total": shared_total,
+            "loadavg": [load_before, load_after],
+            "versions": versions,
+        }
+    )
     detail_path = _detail_path()
     with open(detail_path, "w") as fh:
         json.dump(
@@ -390,6 +479,8 @@ def main() -> None:
                 "headline_total": headline_total,
                 "loadavg_before": load_before,
                 "loadavg_after": load_after,
+                "versions": versions,
+                "canary_band_prior": canary_band,
                 **({"errors": errors} if errors else {}),
             },
             fh,
@@ -413,6 +504,12 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "loadavg": [load_before, load_after],
+                "versions": "|".join(
+                    f"{k}{v}"
+                    for k, v in versions.items()
+                    if k in ("pyspark", "pyarrow", "pandas", "numpy", "java")
+                ),
+                "canary_band_prior": canary_band,
                 "detail": os.path.basename(detail_path),
             }
         )

@@ -3188,3 +3188,248 @@ def _hits_oracle() -> str:
 
 GRAPH_QUERIES["q_hits_purchases"] = q_hits_purchases
 GRAPH_ORACLES["q_hits_purchases"] = _hits_oracle()
+
+
+# ---- Threshold near-dup via r=2 MinHash banding (round 9) ----
+
+#: The MEASURED winning geometry from the round-8 regime ladder
+#: (SCALE.md, tools/wedge_regime_ladder.py; VERDICT r8 #4): 16 bands
+#: of 2 rows. Pass probability at adjacency-jaccard j is
+#: 1-(1-j^2)^16 -- 0.990 at j=0.5, ~6e-4 at the fixture's j~0.006
+#: background -- which is what cut 190.7M exact wedge pairs to 0.48M
+#: candidates (397x) and won 3.8x/7.2x/7.0x at 1x/2x/4x with top-K
+#: recall 1.0 on the planted-twin ladder. This operator registers
+#: that posture as a first-class, driver-attested query instead of a
+#: ladder-only keyword path.
+NEARDUP_BANDS = 16
+NEARDUP_ROWS = 2
+#: Similarity floor as an exact integer ratio (jaccard >= NUM/DEN):
+#: the threshold decision is n_common * DEN >= n_union * NUM in both
+#: engines, no float compare anywhere near the cut.
+NEARDUP_JACCARD_NUM = 1
+NEARDUP_JACCARD_DEN = 2
+#: Planted-twin fixture knobs: the co-purchase background tops out at
+#: adjacency-jaccard ~0.12 (no real near-dups at any committed SF),
+#: so the registered demo plants a deterministic twin for every
+#: NEARDUP_TWIN_STRIDE-th part -- a shifted node id keeping each of
+#: the original's edges iff the first md5 nibble of "src:dst" is
+#: < 'c' (12/16 = 75% expected retention -> twin-vs-original jaccard
+#: ~0.75, comfortably above the 0.5 floor). The planting is PART OF
+#: THE QUERY (and its oracle), not of the testdata; the general
+#: operator is neardup_threshold_pairs.
+NEARDUP_TWIN_STRIDE = 50
+NEARDUP_TWIN_OFFSET = 1_000_000_000
+NEARDUP_TWIN_KEEP_BELOW = "c"
+
+
+def neardup_threshold_pairs(
+    edges: DataFrame,
+    *,
+    bands: int = NEARDUP_BANDS,
+    rows: int = NEARDUP_ROWS,
+    num: int = NEARDUP_JACCARD_NUM,
+    den: int = NEARDUP_JACCARD_DEN,
+) -> DataFrame:
+    """All unlinked node pairs with adjacency-set jaccard >= num/den,
+    candidates from (bands x rows) MinHash banding, verified exactly.
+
+    This is q_node_jaccard_minhash's machinery pointed at its MEASURED
+    winning regime: THRESHOLD near-dup hunting (dedup, entity
+    resolution, twin detection), where r >= 2 banding suppresses the
+    low-similarity background superlinearly (pass prob 1-(1-j^r)^b)
+    instead of the one-row top-K geometry the oracle pins there. Same
+    scale shape: codegen md5 signatures off the flat edge list, one
+    map-side-combined min-agg, band-bucket self-join (shuffle_hash --
+    the bands frame is corpus-sized, never broadcast), left_semi-
+    pruned adjacency arrays for exact array_intersect verification of
+    the (threshold-suppressed) candidate stream. No wedge expansion,
+    no driver state beyond the edge-count broadcast gate.
+
+    Recall law (not oracle-relevant -- the oracle reproduces the
+    BANDED candidate set exactly, md5-for-md5): a true pair at the
+    floor j = 0.5 is missed with probability (1-0.25)^16 = 1.0%, and
+    ever-higher-j pairs exponentially less; the regime ladder measured
+    top-K recall 1.0 on planted twins at j in [0.50, 0.64]."""
+    n_hashes = bands * rows
+    nb = edges.select("src", F.md5(F.col("dst").cast("string")).alias("base"))
+    sigs = nb.groupBy("src").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("base")))).alias(
+                f"h{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "src", F.posexplode(band_keys).alias("band", "bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .select(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .distinct()
+    )
+    linked = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    if edges.count() // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
+        linked = F.broadcast(linked)
+    cand = cand.join(linked, ["u", "v"], "left_anti")
+    cand_nodes = (
+        cand.select(F.col("u").alias("src")).union(cand.select("v")).distinct()
+    )
+    csets = (
+        edges.join(cand_nodes, "src", "left_semi")
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("nbrs"))
+    )
+    scored = (
+        cand.join(
+            csets.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+            .hint("shuffle_hash"),
+            "u",
+        )
+        .join(
+            csets.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+            .hint("shuffle_hash"),
+            "v",
+        )
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.size(F.array_intersect("nu", "nv")).cast("long").alias("n_common"),
+            (
+                (F.size("nu") + F.size("nv")).cast("long")
+                - F.size(F.array_intersect("nu", "nv")).cast("long")
+            ).alias("n_union"),
+        )
+        # exact-integer threshold: jaccard >= num/den with no float
+        .filter(F.col("n_common") * den >= F.col("n_union") * num)
+    )
+    return scored.select(
+        "u",
+        "v",
+        "n_common",
+        "n_union",
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_union").cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).orderBy(F.col("jaccard").desc(), "u", "v")
+
+
+def planted_twin_edges(edges: DataFrame) -> DataFrame:
+    """The deterministic twin augmentation of the registered demo:
+    every NEARDUP_TWIN_STRIDE-th node is copied to id + OFFSET with
+    an md5-selected ~75% subset of its out-edges."""
+    twins = (
+        edges.filter(F.col("src") % NEARDUP_TWIN_STRIDE == 0)
+        .filter(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("src"), F.col("dst"))), 1, 1
+            )
+            < NEARDUP_TWIN_KEEP_BELOW
+        )
+        .select(
+            (F.col("src") + NEARDUP_TWIN_OFFSET).alias("src"), F.col("dst")
+        )
+    )
+    return edges.unionByName(twins)
+
+
+def q_neardup_threshold_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold near-dup over the co-purchase graph at the winning
+    r=2 geometry, demonstrated on the planted-twin augmentation (see
+    NEARDUP_TWIN_* -- the committed fixtures have no true adjacency
+    near-dups, so the demo plants deterministic ones the same way the
+    regime ladder did, inside the query AND its oracle). Emits every
+    unlinked pair at jaccard >= 0.5 with its exact counts -- the
+    production posture VERDICT r8 #4 asked to see driver-attested:
+    reference for the family's semantics is the exact q_node_jaccard
+    (web-app/app.py has no graph ops; this family extends SURVEY.md
+    section 2's analytics for LLM-pipeline dedup)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = planted_twin_edges(
+        co_purchase_edges(li).transform(cut_lineage)
+    )
+    return neardup_threshold_pairs(edges)
+
+
+def _neardup_threshold_oracle() -> str:
+    h = NEARDUP_BANDS * NEARDUP_ROWS
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || base)) AS h{i}" for i in range(h)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT src, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b,
+            cat=" || ".join(
+                f"h{b * NEARDUP_ROWS + r}" for r in range(NEARDUP_ROWS)
+            ),
+        )
+        for b in range(NEARDUP_BANDS)
+    )
+    return f"""
+    WITH eb AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    tw AS (
+      SELECT src + {NEARDUP_TWIN_OFFSET} AS src, dst FROM (
+        SELECT src, dst FROM eb
+        WHERE src % {NEARDUP_TWIN_STRIDE} = 0
+          AND substr(md5(CAST(src AS VARCHAR) || ':'
+                         || CAST(dst AS VARCHAR)), 1, 1)
+              < '{NEARDUP_TWIN_KEEP_BELOW}')),
+    e AS (SELECT * FROM eb UNION ALL SELECT * FROM tw),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    nb AS (SELECT src, md5(CAST(dst AS VARCHAR)) AS base FROM e),
+    sig AS (SELECT src,
+             {mins}
+            FROM nb GROUP BY src),
+    bands AS (
+      {bands}),
+    cand AS (
+      SELECT DISTINCT a.src AS u, b.src AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.src < b.src),
+    unlinked AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.u AND e.dst = c.v)),
+    common AS (
+      SELECT e1.src AS u, e2.src AS v, count(*) AS n_common
+      FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT c.u, c.v, cm.n_common,
+             du.d + dv.d - cm.n_common AS n_union
+      FROM unlinked c
+      JOIN common cm ON cm.u = c.u AND cm.v = c.v
+      JOIN deg du ON du.src = c.u
+      JOIN deg dv ON dv.src = c.v)
+    SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_union AS BIGINT) AS n_union,
+           round(CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+             AS jaccard
+    FROM scored
+    WHERE n_common * {NEARDUP_JACCARD_DEN} >= n_union * {NEARDUP_JACCARD_NUM}
+    ORDER BY jaccard DESC, u, v
+    """
+
+
+GRAPH_QUERIES["q_neardup_threshold_minhash"] = q_neardup_threshold_minhash
+GRAPH_ORACLES["q_neardup_threshold_minhash"] = _neardup_threshold_oracle()

@@ -3158,3 +3158,140 @@ SIMILARITY_ORACLES["q_retrieval_map_at_k"] = f"""
     FROM agg JOIN class_sizes ON class_sizes.label = agg.qlabel
     ORDER BY query_id
 """
+
+
+# ---- Occupancy-bounded bucket-split IVF (round 9, VERDICT r8 #3) ----
+
+#: A stride bucket is "oversized" when it holds more than
+#: IVF_SPLIT_BOUND_NUM / N_CENTROIDS of the corpus (2x the even
+#: share). Exact-integer comparison (nv * N_CENTROIDS > num * n) so
+#: the split decision is bit-portable to the DuckDB oracle.
+IVF_SPLIT_BOUND_NUM = 2
+#: Each oversized bucket is re-seeded with up to this many
+#: stride-sampled member centroids (its original centroid is
+#: retired; members may re-elect it).
+IVF_SPLIT_FACTOR = 4
+
+
+def q_ann_ivf_split_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with occupancy-bounded bucket splitting -- the knob the
+    round-8 skew ladder priced (SCALE.md: Zipf clustering triples the
+    max stride-bucket share 0.04 -> 0.14; probe cost is linear in
+    occupancy, so one hot bucket becomes the straggler/memory risk at
+    scale when max_share x n exceeds a task's work quantum).
+
+    Mechanics: build the stride index, assign once, measure occupancy
+    (q_ivf_bucket_occupancy's aggregate), then re-seed every bucket
+    holding > IVF_SPLIT_BOUND_NUM/N_CENTROIDS of the corpus with up to
+    IVF_SPLIT_FACTOR of its own members (per-bucket vec_id-ordered
+    rank, picks at rank 1, 1+q, ... where q = ceil(nv/factor) -- all
+    deterministic), and run the standard IVF search against the
+    augmented centroid set. Buckets under the bound keep their
+    original centroid, so the uniform-corpus behavior is IDENTICAL to
+    q_ann_ivf_topk (no bucket trips the bound) and the knob only pays
+    its extra assignment pass where skew exists.
+
+    Scale shape: two Arrow-batched assignment maps over the corpus
+    scan (no shuffle), one tiny occupancy groupBy, one rank window
+    over ONLY the oversized buckets' (vec_id, centroid_id) pairs --
+    the vectors themselves never ride that shuffle; the <= factor x
+    N_CENTROIDS split picks broadcast-join back to the corpus for
+    their vectors. Centroid sets stay bounded model metadata
+    (<= IVF_SPLIT_FACTOR x N_CENTROIDS rows collected), exactly like
+    every other IVF variant here.
+
+    Determinism/oracle: every decision is exact-integer or the
+    bit-portable sequential-cumsum cosine (_seq_sims), so the DuckDB
+    twin re-derives the identical split set, assignment, probes and
+    ranking."""
+    vecs = _vectors(spark, sf_dir)
+    return _ivf_search(vecs, split_centroids(vecs))
+
+
+def split_centroids(vecs: DataFrame) -> DataFrame:
+    """The occupancy-bounded centroid augmentation of
+    q_ann_ivf_split_topk, exposed so tests and ladders can measure
+    occupancy/recall against the augmented set directly."""
+    cent0 = _stride_centroids(vecs)
+    rows0 = _centroid_rows(cent0)
+    if not rows0:  # empty corpus
+        rows0 = [(0, [0.0])]
+    assigned0 = vecs.select(
+        "vec_id", _nearest_centroid_udf(rows0)(F.col("v")).alias("centroid_id")
+    )
+    total = vecs.count()
+    occ = assigned0.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    oversized = occ.filter(
+        F.col("nv") * F.lit(N_CENTROIDS) > F.lit(IVF_SPLIT_BOUND_NUM * total)
+    )
+    keep = cent0.join(
+        oversized.select("centroid_id"), "centroid_id", "left_anti"
+    ).select("centroid_id", "cv")
+    # rank ONLY oversized-bucket members; ids-only so vectors stay put
+    members = assigned0.join(broadcast(oversized), "centroid_id")
+    ranked = members.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("centroid_id").orderBy("vec_id")
+        ),
+    )
+    pick_ids = ranked.filter(
+        (F.col("rn") - 1)
+        % F.expr(f"(nv + {IVF_SPLIT_FACTOR - 1}) DIV {IVF_SPLIT_FACTOR}")
+        == 0
+    ).select("vec_id")
+    splits = vecs.join(broadcast(pick_ids), "vec_id").select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    return keep.unionByName(splits)
+
+
+def _ann_ivf_split_oracle() -> str:
+    """Exact DuckDB twin of q_ann_ivf_split_topk: stride centroids,
+    one assignment round, exact-integer occupancy bound, the same
+    rank-stride member re-seeding, then the shared IVF
+    assignment/probe/search/rank tail against the augmented set."""
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        stride AS (SELECT greatest(1, count(*) // {N_CENTROIDS}) AS s FROM e),
+        cent AS (
+          SELECT vec_id AS centroid_id, v AS cv
+          FROM e, stride WHERE vec_id % stride.s = 0),
+        {_centroid_sims_sql("cent", "sims0")},
+        assign0 AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM sims0) WHERE rn = 1),
+        tot AS (SELECT count(*) AS n FROM e),
+        occ AS (SELECT centroid_id, count(*) AS nv
+                FROM assign0 GROUP BY 1),
+        oversized AS (
+          SELECT centroid_id, nv FROM occ, tot
+          WHERE nv * {N_CENTROIDS} > {IVF_SPLIT_BOUND_NUM} * tot.n),
+        keep AS (
+          SELECT c.centroid_id, c.cv FROM cent c
+          WHERE c.centroid_id NOT IN (SELECT centroid_id FROM oversized)),
+        memb AS (
+          SELECT a.vec_id, o.nv,
+                 row_number() OVER (PARTITION BY a.centroid_id
+                                    ORDER BY a.vec_id) AS rn
+          FROM assign0 a JOIN oversized o USING (centroid_id)),
+        splits AS (
+          SELECT e.vec_id AS centroid_id, e.v AS cv
+          FROM memb m JOIN e ON e.vec_id = m.vec_id
+          WHERE (m.rn - 1)
+                % ((m.nv + {IVF_SPLIT_FACTOR - 1}) // {IVF_SPLIT_FACTOR})
+                = 0),
+        cent2 AS (SELECT * FROM keep UNION ALL SELECT * FROM splits),
+        {_ivf_search_sql("cent2")}
+    """
+
+
+SIMILARITY_QUERIES["q_ann_ivf_split_topk"] = q_ann_ivf_split_topk
+SIMILARITY_ORACLES["q_ann_ivf_split_topk"] = _ann_ivf_split_oracle()

@@ -77,6 +77,7 @@ EMPTY_SENSITIVE = [
     "q_dedup_clusters",
     "q_ann_bruteforce_topk",
     "q_ann_ivf_topk",
+    "q_ann_ivf_split_topk",
     "q_ann_ivf_kmeans_topk",
     "q_multimodal_features",
     "q_multimodal_frames",
@@ -107,6 +108,7 @@ EMPTY_SENSITIVE = [
     "q_mad_outliers",
     "q_window_percent_rank",
     "q_pagerank_copurchase",
+    "q_neardup_threshold_minhash",
     "q_dedup_containment",
     "q_cube_revenue",
     "q_decontaminate_shingle_overlap",
