@@ -38,6 +38,7 @@ for partitioned event sinks with a different staging layout.)
 from __future__ import annotations
 
 import glob
+import json
 import os
 import posixpath
 import shutil
@@ -78,6 +79,10 @@ class _LocalBackend:
     def write_text(self, path: str, text: str) -> None:
         with open(path, "w") as fh:
             fh.write(text)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
 
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
@@ -162,6 +167,17 @@ class _HadoopBackend:
         finally:
             out.close()
 
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._jpath(path))
+        try:
+            # commons-io ships with Hadoop; toString drains the
+            # FSDataInputStream without a Python-side read loop
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
     def rmtree(self, path: str) -> None:
         self._fs.delete(self._jpath(path), True)
 
@@ -206,10 +222,13 @@ def sweep_uncommitted(batch_id: int, *dest_dirs: str) -> None:
             fs.remove(stale)
 
 
-def publish_staged(staging: str, dest_dir: str, batch_id: int) -> None:
+def publish_staged(staging: str, dest_dir: str, batch_id: int) -> list[str]:
     """Move a staging directory's parquet files into ``dest_dir`` under
     batch-id-prefixed names, sweeping any half-published files from a
-    previous crashed attempt of the same batch first."""
+    previous crashed attempt of the same batch first. Returns the
+    published destination FILE NAMES -- the marker manifest
+    (write_marker) records them so readers never depend on a listing
+    (object-store list-after-write lag; see read_latest_state)."""
     fs, dest = _backend(dest_dir)
     sfs, stag = _backend(staging)
     # Hadoop rename cannot cross filesystems (it returns false --
@@ -232,15 +251,56 @@ def publish_staged(staging: str, dest_dir: str, batch_id: int) -> None:
     for stale in fs.glob(fs.join(dest, f"b{batch_id}-*")):
         fs.remove(stale)
     fs.makedirs(dest)
+    published: list[str] = []
     for f in sfs.glob(sfs.join(stag, "*.parquet")):
-        fs.move(f, fs.join(dest, f"b{batch_id}-{sfs.basename(f)}"))
+        name = f"b{batch_id}-{sfs.basename(f)}"
+        fs.move(f, fs.join(dest, name))
+        published.append(name)
+    return published
 
 
-def write_marker(out_path: str, batch_id: int) -> None:
+def write_marker(
+    out_path: str,
+    batch_id: int,
+    manifest: dict[str, list[str]] | None = None,
+) -> None:
+    """Drop the commit marker. When ``manifest`` is given (dest dir ->
+    published file names, from publish_staged), it is recorded IN the
+    marker so state readers can resolve the batch's files by exact
+    path instead of listing the directory: on object stores a LIST can
+    lag a PUT (s3a list-after-write), and a reader that globs right
+    after the marker appears could see a committed batch as empty.
+    GET-after-PUT of the named files is consistent, so the manifest
+    closes that window. Markers without a manifest ("committed") stay
+    readable -- readers fall back to the glob."""
     fs, p = _backend(out_path)
     commits = fs.join(p, "_commits")
     fs.makedirs(commits)
-    fs.write_text(fs.join(commits, str(batch_id)), "committed")
+    text = (
+        "committed"
+        if manifest is None
+        else json.dumps({"v": 2, "files": manifest})
+    )
+    fs.write_text(fs.join(commits, str(batch_id)), text)
+
+
+def read_marker_manifest(
+    marker_dir: str, batch_id: int
+) -> dict[str, list[str]] | None:
+    """The dest-dir -> published-file-names manifest recorded in a
+    commit marker, or None for legacy "committed" markers."""
+    fs, p = _backend(marker_dir)
+    path = fs.join(p, "_commits", str(batch_id))
+    if not fs.exists(path):
+        return None
+    text = fs.read_text(path)
+    try:
+        doc = json.loads(text)
+    except ValueError:
+        return None
+    if isinstance(doc, dict) and isinstance(doc.get("files"), dict):
+        return {k.rstrip("/"): v for k, v in doc["files"].items()}
+    return None
 
 
 def clean_staging(*staging_dirs: str) -> None:
@@ -280,9 +340,11 @@ def staged_foreach_batch(
             d: os.path.join(d, "_staging", str(batch_id)) for d in dest_dirs
         }
         body(batch_df, batch_id, staging)
-        for d in dest_dirs:
-            publish_staged(staging[d], d, batch_id)
-        write_marker(marker_dir, batch_id)
+        manifest = {
+            d.rstrip("/"): publish_staged(staging[d], d, batch_id)
+            for d in dest_dirs
+        }
+        write_marker(marker_dir, batch_id, manifest)
         clean_staging(*staging.values())
 
     return _write
@@ -305,12 +367,27 @@ def read_latest_state(spark, state_path: str, schema):
     batch only (each batch republishes the whole summary). Empty frame
     before the first commit or for an empty committed batch. The
     append-delta states (drift, mixture) read ALL committed files
-    instead and keep their own readers."""
+    instead and keep their own readers.
+
+    File resolution prefers the marker's manifest (exact published
+    names recorded by staged_foreach_batch) over a directory listing:
+    on object stores a LIST can lag the PUTs it follows, and a glob
+    taken in that window would misread a committed batch as empty.
+    Only legacy manifest-less markers fall back to the glob."""
     latest = latest_committed(state_path)
     if latest is None:
         return spark.createDataFrame([], schema)
     fs, p = _backend(state_path, spark=spark)
-    files = sorted(fs.glob(fs.join(p, f"b{latest}-*.parquet")))
-    if not files:  # marker without files: empty batch
+    manifest = read_marker_manifest(state_path, latest)
+    if manifest is not None and state_path.rstrip("/") in manifest:
+        names = [
+            n
+            for n in manifest[state_path.rstrip("/")]
+            if n.endswith(".parquet")
+        ]
+        files = sorted(fs.join(p, n) for n in names)
+    else:
+        files = sorted(fs.glob(fs.join(p, f"b{latest}-*.parquet")))
+    if not files:  # manifest-confirmed (or legacy-glob) empty batch
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)

@@ -172,3 +172,179 @@ def test_staged_protocol_via_forced_hadoop_backend(tmp_path, spark, monkeypatch)
     assert os.path.exists(os.path.join(dest, "b7-part-0.parquet"))
     writer(None, 7)  # replay -> no-op
     assert calls == [7]
+
+
+class TestListAfterWriteLag:
+    """VERDICT r8 #6: the staged-commit protocol against an object
+    store whose LIST lags its PUTs (s3a list-after-write semantics):
+    files written by move/write_text stay INVISIBLE to glob/listdir
+    until the store 'settles', while exists() (a GET) stays
+    consistent, and rename follows Hadoop semantics (raises via the
+    false-return contract when dst exists). The protocol must never
+    commit a marker over an unswept double-publish; a replay inside
+    the lag window may fail loudly, and a replay after the lag clears
+    must converge to exactly-once output."""
+
+    @pytest.fixture()
+    def lag_fs(self, monkeypatch):
+        import shutil
+
+        hidden: set[str] = set()
+
+        class _ListLagBackend(commit._LocalBackend):
+            def move(self, src, dst):
+                if os.path.exists(dst):  # Hadoop rename-false contract
+                    raise IOError(f"Hadoop rename failed: {src!r} -> {dst!r}")
+                shutil.move(src, dst)
+                hidden.add(dst)
+
+            def write_text(self, path, text):
+                super().write_text(path, text)
+                hidden.add(path)
+
+            def remove(self, path):  # deletes are GET-consistent
+                super().remove(path)
+                hidden.discard(path)
+
+            def glob(self, pattern):
+                return [
+                    f for f in super().glob(pattern) if f not in hidden
+                ]
+
+            def listdir(self, path):
+                return [
+                    n
+                    for n in super().listdir(path)
+                    if os.path.join(path, n) not in hidden
+                ]
+
+        orig = commit._backend
+
+        def routed(path, spark=None):
+            fs, p = orig(path, spark)
+            if isinstance(fs, commit._LocalBackend):
+                return _ListLagBackend(), p
+            return fs, p
+
+        monkeypatch.setattr(commit, "_backend", routed)
+
+        def settle():
+            hidden.clear()
+
+        return settle
+
+    def test_crash_replay_converges_under_list_lag(self, tmp_path, lag_fs):
+        settle = lag_fs
+        dest = str(tmp_path / "state")
+        os.makedirs(dest)
+        attempts = {"n": 0}
+
+        def body(batch_df, batch_id, staging):
+            attempts["n"] += 1
+            os.makedirs(staging[dest], exist_ok=True)
+            with open(
+                os.path.join(staging[dest], "part-0.parquet"), "w"
+            ) as f:
+                f.write(f"attempt{attempts['n']}")
+
+        # crash between publish and marker, with the published file
+        # NOT yet visible to LIST
+        def crashing(batch_df, batch_id):
+            commit.sweep_uncommitted(batch_id, dest)
+            staging = {dest: os.path.join(dest, "_staging", str(batch_id))}
+            body(batch_df, batch_id, staging)
+            commit.publish_staged(staging[dest], dest, batch_id)
+            raise RuntimeError("crash before write_marker")
+
+        with pytest.raises(RuntimeError, match="crash"):
+            crashing(None, 0)
+        assert not commit.already_committed(dest, 0)
+
+        # replay INSIDE the lag window: the sweep's glob cannot see
+        # the leftover, so re-publish hits the existing dst and the
+        # Hadoop rename contract fails the batch LOUDLY -- no marker,
+        # no silent overwrite, no duplicate
+        writer = commit.staged_foreach_batch(dest, [dest], body)
+        with pytest.raises(IOError, match="rename failed"):
+            writer(None, 0)
+        assert not commit.already_committed(dest, 0)
+
+        # lag clears; the next replay sweeps the crashed attempt and
+        # commits exactly one file with the replayed attempt's bytes
+        settle()
+        writer(None, 0)
+        assert commit.already_committed(dest, 0)
+        files = [f for f in os.listdir(dest) if f.startswith("b0-")]
+        assert files == ["b0-part-0.parquet"]
+        with open(os.path.join(dest, files[0])) as f:
+            assert f.read() == f"attempt{attempts['n']}"
+
+    def test_reader_sees_committed_state_through_manifest(
+        self, tmp_path, lag_fs, spark
+    ):
+        """The marker manifest closes the reader-side window: a batch
+        whose files a LIST cannot yet see must still be readable the
+        instant its marker is visible (exists/GET consistent)."""
+        dest = str(tmp_path / "state")
+        os.makedirs(dest)
+
+        def body(batch_df, batch_id, staging):
+            spark.createDataFrame(
+                [(1, "a")], "id bigint, s string"
+            ).coalesce(1).write.mode("overwrite").parquet(staging[dest])
+
+        writer = commit.staged_foreach_batch(dest, [dest], body)
+        writer(None, 0)
+        # everything this batch wrote is still LIST-hidden (no settle)
+        fs, p = commit._backend(dest)
+        assert fs.glob(os.path.join(p, "b0-*.parquet")) == []
+        # ...yet latest_committed + the manifest resolve the state.
+        # NB: listdir on _commits is also lagged, which models a
+        # reader polling an eventually-consistent store; the marker
+        # becomes listable on settle, the data files may still lag.
+        with open(os.path.join(dest, "_commits", "0")) as f:
+            assert '"files"' in f.read()
+
+        manifest = commit.read_marker_manifest(dest, 0)
+        assert manifest is not None and len(manifest[dest]) == 1
+
+        # settle (markers are tiny and written last; in the hazard the
+        # marker is visible first), then prove the reader resolves the
+        # data files WITHOUT any LIST at all -- manifest-only
+        lag_fs()
+        real_glob = commit._LocalBackend.glob
+
+        def no_files_glob(self, pattern):
+            if "b0-" in pattern:
+                raise AssertionError(
+                    "reader used a LIST to resolve committed files"
+                )
+            return real_glob(self, pattern)
+
+        commit._LocalBackend.glob = no_files_glob
+        try:
+            out = commit.read_latest_state(
+                spark, dest, "id bigint, s string"
+            )
+            assert [tuple(r) for r in out.collect()] == [(1, "a")]
+        finally:
+            commit._LocalBackend.glob = real_glob
+
+    def test_legacy_marker_falls_back_to_glob(self, tmp_path, spark):
+        dest = str(tmp_path / "state")
+        os.makedirs(os.path.join(dest, "_commits"))
+        spark.createDataFrame(
+            [(2, "b")], "id bigint, s string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stg"))
+        part = next(
+            f
+            for f in os.listdir(tmp_path / "stg")
+            if f.endswith(".parquet")
+        )
+        os.rename(
+            tmp_path / "stg" / part, os.path.join(dest, f"b0-{part}")
+        )
+        with open(os.path.join(dest, "_commits", "0"), "w") as f:
+            f.write("committed")  # pre-manifest marker
+        out = commit.read_latest_state(spark, dest, "id bigint, s string")
+        assert [tuple(r) for r in out.collect()] == [(2, "b")]
