@@ -454,14 +454,17 @@ def main() -> None:
         else None
     )
     load_after = round(os.getloadavg()[0], 2)
-    _append_canary(
-        {
-            "detail": os.path.basename(_detail_path()),
-            "shared_33_total": shared_total,
-            "loadavg": [load_before, load_after],
-            "versions": versions,
-        }
-    )
+    # the canary is defined at sf0.1 -- a smoke run at another SF must
+    # not pollute the band's history
+    if SF_DIR.rstrip("/").endswith("sf0.1"):
+        _append_canary(
+            {
+                "detail": os.path.basename(_detail_path()),
+                "shared_33_total": shared_total,
+                "loadavg": [load_before, load_after],
+                "versions": versions,
+            }
+        )
     detail_path = _detail_path()
     with open(detail_path, "w") as fh:
         json.dump(

@@ -1691,3 +1691,148 @@ ANALYTICS_ORACLES["q_audience_overlap"] = """
     JOIN sizes sb ON sb.event_type = type_b
     ORDER BY type_a, type_b
 """
+
+
+# ---- Salted two-stage aggregation (round 9) ----
+
+#: Salt fan-out for the skew-immune aggregation demo. 32 matches the
+#: engine's shuffle-partition default: a key that is 100% of the input
+#: still lands at most 1/32nd of its rows on any one reducer in
+#: stage 1.
+SALTED_AGG_SALTS = 32
+SALTED_AGG_TOPK = 20
+
+
+def q_salted_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part revenue via EXPLICIT two-stage salted aggregation --
+    the canonical skew-immunization pattern, registered so its
+    equivalence contract is driver-attested rather than asserted in
+    docs (SCALE.md's key-skew section prices the failure mode;
+    q_key_skew_audit is the monitor, this is the remedy).
+
+    Mechanics: stage 1 groups by (l_partkey, salt) where salt =
+    pmod(xxhash64(l_orderkey), 32) -- a hot part's rows spread over 32
+    reducers, each emitting one exact-decimal partial; stage 2 groups
+    the <= 32 partials per key. Catalyst's own partial aggregation
+    already map-side-combines a plain groupBy, so on HOMOGENEOUS keys
+    this plan only adds one small exchange -- the explicit salt earns
+    its keep when a single key's post-combine partials still swamp one
+    reducer (mapper count x hot keys), the straggler regime a
+    1000-executor shuffle hits long before local[32] does.
+
+    Equivalence is EXACT, not approximate: the partial sums are
+    DECIMAL(28,4) (associative, order-independent), so
+    salted-then-merged totals are bit-identical to the direct groupBy
+    -- that equality is what the DuckDB oracle (a plain GROUP BY, no
+    salt anywhere) certifies, and what float sums could never promise.
+    Output money through the canon string boundary; top-K by revenue
+    keeps the result bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    ).cast("decimal(28,4)")
+    salted = li.select(
+        "l_partkey",
+        revenue.alias("rev"),
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(SALTED_AGG_SALTS)).alias(
+            "salt"
+        ),
+    )
+    partials = salted.groupBy("l_partkey", "salt").agg(
+        F.sum("rev").alias("rev_part"),
+        F.count(F.lit(1)).alias("n_part"),
+    )
+    merged = partials.groupBy("l_partkey").agg(
+        F.sum("rev_part").alias("rev"),
+        F.sum("n_part").alias("n_items"),
+    )
+    return (
+        merged.select(
+            big("l_partkey").alias("l_partkey"),
+            money("rev", 4).alias("revenue"),
+            big("n_items").alias("n_items"),
+        )
+        .orderBy(
+            F.col("revenue").cast("decimal(28,4)").desc(), "l_partkey"
+        )
+        .limit(SALTED_AGG_TOPK)
+    )
+
+
+ANALYTICS_QUERIES["q_salted_agg_revenue"] = q_salted_agg_revenue
+ANALYTICS_ORACLES["q_salted_agg_revenue"] = f"""
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS DECIMAL(28,4))) AS STRING) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY CAST(revenue AS DECIMAL(28,4)) DESC, l_partkey
+    LIMIT {SALTED_AGG_TOPK}
+"""
+
+
+def q_salted_join_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand shipped volume via an EXPLICIT salt-replicated shuffle
+    join -- the join-side companion of q_salted_agg_revenue's
+    aggregation pattern. A shuffle join on a skewed key sends every
+    row of the hot key to ONE reducer; salting the fact side and
+    REPLICATING the dim side once per salt bounds any reducer at
+    1/SALTED_AGG_SALTS of the hot key's rows, at the cost of a
+    SALTED_AGG_SALTS-times-larger (but dim-sized, so tiny) build side.
+
+    On this engine the first-choice remedies remain broadcast (part IS
+    broadcast-able here -- the shuffle_hash hint deliberately disables
+    it to exercise the pattern) and AQE skew-join splitting (reactive,
+    post-shuffle); the explicit salt is the plan-stable form that works
+    where neither applies: a build side too big to broadcast AND a
+    probe-side key hot enough that one AQE sub-split still straggles,
+    e.g. null-heavy or default-valued foreign keys at 100 TB.
+
+    Equivalence is exact: every (l_partkey, salt) fact row meets
+    exactly one replicated dim row (its key's copy for that salt), so
+    the joined multiset -- and the decimal sums over it -- is
+    identical to the unsalted join the DuckDB oracle runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    salted = li.select(
+        "l_partkey",
+        _dec("l_quantity").alias("qty"),
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(SALTED_AGG_SALTS)).alias(
+            "salt"
+        ),
+    )
+    salts = spark.range(SALTED_AGG_SALTS).select(
+        F.col("id").cast("long").alias("salt")
+    )
+    replicated = (
+        part.select("p_partkey", "p_brand")
+        .crossJoin(broadcast(salts))
+        .hint("shuffle_hash")
+    )
+    joined = salted.join(
+        replicated,
+        (F.col("l_partkey") == F.col("p_partkey"))
+        & (salted["salt"] == replicated["salt"]),
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            money(F.sum("qty")).alias("total_qty"),
+            big(F.count(F.lit(1))).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ANALYTICS_QUERIES["q_salted_join_brand_volume"] = q_salted_join_brand_volume
+ANALYTICS_ORACLES["q_salted_join_brand_volume"] = """
+    SELECT p_brand,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS STRING)
+             AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""

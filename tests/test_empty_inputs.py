@@ -109,6 +109,8 @@ EMPTY_SENSITIVE = [
     "q_window_percent_rank",
     "q_pagerank_copurchase",
     "q_neardup_threshold_minhash",
+    "q_salted_agg_revenue",
+    "q_salted_join_brand_volume",
     "q_dedup_containment",
     "q_cube_revenue",
     "q_decontaminate_shingle_overlap",

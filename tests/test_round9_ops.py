@@ -192,3 +192,104 @@ class TestNeardupThresholdMinhash:
         assert [(r["u"], r["v"], r["n_common"], r["n_union"]) for r in rows] == [
             (1, 2, 8, 12)
         ]
+
+
+class TestSaltedPatterns:
+    """The two skew-immunization patterns must be EXACTLY equivalent
+    to their unsalted forms (that is their entire contract; the DuckDB
+    oracles certify it against plain SQL, these certify it against
+    plain Spark) and must actually take the salted physical plans."""
+
+    def test_salted_agg_equals_direct_groupby(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.catalog import load_table
+        from kafka_clickhouse_pipeline_spark.functions.canon import (
+            big,
+            money,
+        )
+        from kafka_clickhouse_pipeline_spark.operators.analytics import (
+            DEC,
+            SALTED_AGG_TOPK,
+            _dec,
+            q_salted_agg_revenue,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem")
+        revenue = (
+            _dec("l_extendedprice")
+            * (F.lit(1).cast(DEC) - _dec("l_discount"))
+        ).cast("decimal(28,4)")
+        direct = (
+            li.groupBy("l_partkey")
+            .agg(
+                money(F.sum(revenue), 4).alias("revenue"),
+                big(F.count(F.lit(1))).alias("n_items"),
+            )
+            .select(big("l_partkey").alias("l_partkey"), "revenue", "n_items")
+            .orderBy(
+                F.col("revenue").cast("decimal(28,4)").desc(), "l_partkey"
+            )
+            .limit(SALTED_AGG_TOPK)
+        )
+        assert [tuple(r) for r in q_salted_agg_revenue(spark, sf_dir).collect()] == [
+            tuple(r) for r in direct.collect()
+        ]
+
+    def test_salted_join_equals_plain_join(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.catalog import load_table
+        from kafka_clickhouse_pipeline_spark.functions.canon import (
+            big,
+            money,
+        )
+        from kafka_clickhouse_pipeline_spark.operators.analytics import (
+            _dec,
+            q_salted_join_brand_volume,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        plain = (
+            li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(
+                money(F.sum(_dec("l_quantity"))).alias("total_qty"),
+                big(F.count(F.lit(1))).alias("n_items"),
+            )
+            .orderBy("p_brand")
+        )
+        assert [
+            tuple(r)
+            for r in q_salted_join_brand_volume(spark, sf_dir).collect()
+        ] == [tuple(r) for r in plain.collect()]
+
+    def test_salted_join_plan_is_shuffled_not_broadcast(self, spark, sf_dir):
+        """The dim side is broadcast-able here by size; the pattern
+        only demonstrates anything if the hint actually forces the
+        shuffled-hash path with the salt in the join keys."""
+        from kafka_clickhouse_pipeline_spark.operators.analytics import (
+            q_salted_join_brand_volume,
+        )
+
+        plan = (
+            q_salted_join_brand_volume(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ShuffledHashJoin" in plan, plan[:2000]
+        assert "BroadcastHashJoin" not in plan.split("ShuffledHashJoin")[0], (
+            "dim side was broadcast despite the hint"
+        )
+
+    def test_salted_agg_plan_has_two_aggregate_stages(self, spark, sf_dir):
+        from kafka_clickhouse_pipeline_spark.operators.analytics import (
+            q_salted_agg_revenue,
+        )
+
+        plan = (
+            q_salted_agg_revenue(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # (partial, final) per stage x 2 explicit stages
+        assert plan.count("HashAggregate") >= 4, plan[:2000]
