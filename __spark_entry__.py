@@ -91,8 +91,9 @@ PRIORITY: tuple[str, ...] = (
     #     window) ---
     "q_event_transitions", "q_benford_totalprice", "q_zorder_layout",
     "q_autocorr_hourly", "q_trend_by_type",
-    "q_embedding_int8_quantize", "q_oov_rate", "q_media_phash",
+    "q_embedding_int8_quantize", "q_oov_rate",
     # --- round-9 first-timers ---
+    "q_click_purchase_attribution",
     "q_salted_agg_revenue", "q_salted_join_brand_volume",
     "q_ann_ivf_split_topk", "q_neardup_threshold_minhash",
 )

@@ -1836,3 +1836,91 @@ ANALYTICS_ORACLES["q_salted_join_brand_volume"] = """
     GROUP BY p_brand
     ORDER BY p_brand
 """
+
+
+def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution over the events table: every purchase,
+    credited to the SAME USER's most recent click within the trailing
+    30-minute window (ties to the larger click_id), or explicitly
+    unattributed. The batch form of streaming/attribution.py -- the
+    candidate join is the same expression the native watermarked
+    stream-stream join runs; this adds the last-touch row_number
+    selection the stream defers to its sink reducer.
+
+    Scale shape: both sides are one filtered scan of events; the range
+    join shuffles on user_id only (per-user click/purchase sets meet
+    in one task; the 30-minute predicate prunes pairs inside the
+    task). The selection window repartitions by purchase_id -- bounded
+    by purchases x matched clicks, already window-pruned. gap_us is an
+    exact integer (unix_micros difference; DuckDB epoch_us), never a
+    float duration."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..streaming.attribution import (
+        ATTRIBUTION_WINDOW_MINUTES,
+        attribution_candidates_batch,
+    )
+
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    cand = attribution_candidates_batch(
+        clicks, purchases, window_minutes=ATTRIBUTION_WINDOW_MINUTES
+    )
+    all_p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = all_p.join(
+        cand.select("purchase_id", "click_id", "click_ts", "gap_us"),
+        "purchase_id",
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc_nulls_last(), F.col("click_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            big("purchase_id").alias("purchase_id"),
+            big("user_id").alias("user_id"),
+            ts_str("purchase_ts").alias("purchase_ts"),
+            big("click_id").alias("click_id"),
+            big("gap_us").alias("gap_us"),
+            F.when(F.col("click_id").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("attributed"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ANALYTICS_QUERIES["q_click_purchase_attribution"] = q_click_purchase_attribution
+ANALYTICS_ORACLES["q_click_purchase_attribution"] = """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY c.cts DESC NULLS LAST, c.click_id DESC) AS rn
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.cts <= p.pts
+       AND c.cts >= p.pts - INTERVAL 30 MINUTE)
+    SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(CASE WHEN click_id IS NULL THEN NULL
+                ELSE epoch_us(pts) - epoch_us(cts) END AS BIGINT) AS gap_us,
+           CAST(CASE WHEN click_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS attributed
+    FROM j WHERE rn = 1
+    ORDER BY purchase_id
+"""

@@ -1,0 +1,156 @@
+"""Last-touch attribution: native watermarked stream-stream join.
+
+The other streaming operators here (sessions, funnel, dedup, drift...)
+are foreachBatch state machines because their semantics need
+cross-batch custom state. Attribution candidates are different: "every
+(purchase, click) pair of the same user with the click inside the
+trailing window" is EXACTLY the shape Structured Streaming's
+stream-stream inner join with event-time range condition + watermarks
+executes natively -- the engine keys both sides by user_id, buffers
+each side's rows in join state, and the watermark plus the range
+bound lets it EVICT state deterministically (a click older than
+max_event_time - watermark - window can never join a future purchase,
+so Spark drops it). No foreachBatch, no custom state store: this is
+the Spark-first form, and the state bound is
+O(events inside watermark + window) per user-key partition, not
+O(stream length).
+
+Two layers:
+- ``attribution_candidates_stream``: the pure streaming transform
+  (works on any two streams with (event_id, user_id, ts) columns).
+- ``attribution_candidates_batch``: the SAME join expression applied
+  to batch frames -- literally the identical Column objects -- so the
+  streamed candidate set provably matches the batch set on on-time
+  data (tested), the incremental-dedup "pure transform twin" design.
+
+Last-touch SELECTION (one click per purchase) happens downstream --
+in batch (analytics.q_click_purchase_attribution) or over the
+candidate sink -- because chaining a per-purchase max-aggregation
+after a stream-stream join would stack a second stateful operator;
+candidates land append-only and the reducer is a trivial
+groupBy(purchase).max over the (purchase-windowed, so bounded) sink.
+
+Reference: the reference pipeline has no joins at all (SURVEY.md
+section 2; web-app/app.py serves single-table aggregates); this
+extends the streaming family the same way the batch join operators
+extend section 2's SQL surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: A click can be credited to a purchase up to this many minutes later.
+ATTRIBUTION_WINDOW_MINUTES = 30
+#: Late-data bound: events later than this behind the stream's max
+#: event time are dropped from join state (and from results).
+ATTRIBUTION_WATERMARK = "10 minutes"
+
+
+def _sides(clicks: DataFrame, purchases: DataFrame):
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c, p
+
+
+def _join_cond(c: DataFrame, p: DataFrame, window_minutes: int):
+    return (
+        (p["p_user"] == c["c_user"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (
+            c["click_ts"]
+            >= p["purchase_ts"]
+            - F.expr(f"INTERVAL {int(window_minutes)} MINUTES")
+        )
+    )
+
+
+def _project(joined: DataFrame) -> DataFrame:
+    return joined.select(
+        F.col("purchase_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("purchase_ts"),
+        F.col("click_id"),
+        F.col("click_ts"),
+        (
+            # events.ts surfaces as TIMESTAMP_NTZ (catalog.load_table);
+            # unix_micros needs TIMESTAMP -- the cast is exact under the
+            # UTC session the whole repo assumes (functions/canon.py)
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def attribution_candidates_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    window_minutes: int = ATTRIBUTION_WINDOW_MINUTES,
+    watermark: str = ATTRIBUTION_WATERMARK,
+) -> DataFrame:
+    """Streaming (purchase, click) candidate pairs: same user, click
+    within [purchase_ts - window, purchase_ts]. Both sides carry the
+    watermark -- required for an inner stream-stream join's state
+    EVICTION (without it, join state grows with the stream); with it,
+    Spark proves from the range condition which buffered rows are
+    dead. Append output mode; results are final once emitted."""
+    c, p = _sides(
+        clicks.withWatermark("ts", watermark),
+        purchases.withWatermark("ts", watermark),
+    )
+    return _project(p.join(c, _join_cond(c, p, window_minutes)))
+
+
+def attribution_candidates_batch(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    window_minutes: int = ATTRIBUTION_WINDOW_MINUTES,
+) -> DataFrame:
+    """The identical join applied to batch frames (the equivalence
+    twin the stream tests compare against)."""
+    c, p = _sides(clicks, purchases)
+    return _project(p.join(c, _join_cond(c, p, window_minutes)))
+
+
+def attribution_file_pipeline(
+    spark,
+    events_in: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    window_minutes: int = ATTRIBUTION_WINDOW_MINUTES,
+    watermark: str = ATTRIBUTION_WATERMARK,
+):
+    """File-source demo pipeline: one event stream (parquet dir with
+    the events schema) split into click/purchase sides, joined, landed
+    append-only as parquet. Returns the DataStreamWriter (caller picks
+    the trigger)."""
+    from ..schemas import EVENTS_SCHEMA
+
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_in)
+    )
+    cand = attribution_candidates_stream(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        window_minutes=window_minutes,
+        watermark=watermark,
+    )
+    return (
+        cand.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

@@ -111,6 +111,7 @@ EMPTY_SENSITIVE = [
     "q_neardup_threshold_minhash",
     "q_salted_agg_revenue",
     "q_salted_join_brand_volume",
+    "q_click_purchase_attribution",
     "q_dedup_containment",
     "q_cube_revenue",
     "q_decontaminate_shingle_overlap",
