@@ -1857,23 +1857,30 @@ def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     from ..streaming.attribution import (
         ATTRIBUTION_WINDOW_MINUTES,
-        attribution_candidates_batch,
+        _join_cond,
+        _sides,
     )
 
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    clicks = ev.filter(F.col("event_type") == "click")
-    cand = attribution_candidates_batch(
-        clicks, purchases, window_minutes=ATTRIBUTION_WINDOW_MINUTES
+    # the LEFT join uses the module's shared _join_cond directly (one
+    # purchases scan; the inner-join candidate helper would rescan
+    # purchases to recover the unattributed rows), so the predicate
+    # stays the single shared expression the stream runs
+    c, p = _sides(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
     )
-    all_p = purchases.select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    joined = all_p.join(
-        cand.select("purchase_id", "click_id", "click_ts", "gap_us"),
+    joined = p.join(
+        c, _join_cond(c, p, ATTRIBUTION_WINDOW_MINUTES), "left"
+    ).select(
         "purchase_id",
-        "left",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("gap_us"),
     )
     w = Window.partitionBy("purchase_id").orderBy(
         F.col("click_ts").desc_nulls_last(), F.col("click_id").desc()
