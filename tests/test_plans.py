@@ -475,3 +475,49 @@ def test_round8_operator_plan_shapes(spark, sf_dir):
         sim.q_retrieval_map_at_k(spark, sf_dir),
     ):
         assert plans.rowwise_python_free(df)
+
+
+def test_attribution_pushdown_pruning_python_free(spark, sf_dir):
+    """q_click_purchase_attribution: the event_type predicates reach
+    BOTH parquet scans, only the four referenced columns are read, and
+    there are exactly two scans (the left-join restructure; the
+    first draft paid three), no Python anywhere."""
+    df = analytics.q_click_purchase_attribution(spark, sf_dir)
+    assert plans.has_pushed_filters(df)
+    assert plans.python_free(df)
+    cols = plans.scan_read_schema(df, "events")
+    assert cols and set(cols) <= {"event_id", "ts", "user_id", "event_type"}, cols
+    # formatted output names each scan once in the tree and once in
+    # the details section -> 2 scans = 4 mentions
+    assert plans.formatted_plan(df).count("Scan parquet") == 4
+
+
+def test_salted_join_is_shuffled_hash_python_free(spark, sf_dir):
+    df = analytics.q_salted_join_brand_volume(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p.split("ShuffledHashJoin")[0]
+    assert plans.python_free(df)
+
+
+def test_neardup_threshold_scan_pruned(spark, sf_dir):
+    """The signature build must read only (l_orderkey, l_partkey) from
+    lineitem -- the 16-column table never rides the edge shuffle. The
+    registered query cuts lineage after the edge build (the parquet
+    scan is invisible behind the checkpoint), so the pruning assertion
+    runs on the same pipeline composed WITHOUT the cut."""
+    from kafka_clickhouse_pipeline_spark.catalog import load_table
+    from kafka_clickhouse_pipeline_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    df = graph.neardup_threshold_pairs(
+        graph.planted_twin_edges(graph.co_purchase_edges(li))
+    )
+    cols = plans.scan_read_schema(df, "lineitem")
+    assert cols and set(cols) <= {"l_orderkey", "l_partkey"}, cols
+    assert plans.python_free(df)
+    assert plans.python_free(
+        graph.q_neardup_threshold_minhash(spark, sf_dir)
+    )
