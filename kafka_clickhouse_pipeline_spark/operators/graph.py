@@ -1469,6 +1469,105 @@ WEDGE_MINHASH_BANDS = 32
 WEDGE_MINHASH_ROWS = 1
 
 
+def minhash_adjacency_pairs_scored(
+    edges: DataFrame, *, bands: int, rows: int
+) -> DataFrame:
+    """ONE MinHash-LSH stage shared by the top-K audit geometry
+    (q_node_jaccard_minhash, bands=32/rows=1, oracle-pinned) and the
+    production threshold geometry (neardup_threshold_pairs,
+    bands=16/rows=2) -- VERDICT r9 #5: the two twins previously each
+    carried a private copy of the identical signature build, so a fix
+    to one could silently diverge from the other's attested path.
+
+    Pipeline (every stage's rationale is measured, see the callers'
+    docstrings): per-neighbor md5 off the FLAT edge list (whole-stage
+    codegen; array transform() lambdas are interpreted and were 4 s
+    slower at sf0.1) -> bands*rows map-side-combined min-aggregates ->
+    band keys -> posexplode -> band-bucket self-join (shuffle_hash: the
+    bands frame is corpus-sized, never broadcast -- AQE broadcasting it
+    OOMed the 4x ladder rung) -> direct edges anti-joined away (build
+    side broadcast only under the edge-count gate) -> adjacency arrays
+    built ONLY for candidate nodes (left_semi prune before the
+    collect_set shuffle) -> exact array_intersect verification.
+
+    Returns (u, v, n_common, n_union) for every unlinked candidate
+    pair, UNFILTERED: the top-K caller keeps n_common >= 1, the
+    threshold caller applies its exact-integer jaccard floor.
+    Determinism: md5 is bit-identical in Spark and DuckDB and
+    lexicographic min over fixed-width lowercase-hex equals numeric min
+    over the 128-bit values, so both callers' DuckDB oracles reproduce
+    the candidate set md5-for-md5."""
+    n_hashes = bands * rows
+    nb = edges.select("src", F.md5(F.col("dst").cast("string")).alias("base"))
+    sigs = nb.groupBy("src").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("base")))).alias(
+                f"h{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "src", F.posexplode(band_keys).alias("band", "bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .select(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .distinct()
+    )
+    linked = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    # bounded driver scalar: gates the anti-join build-side broadcast
+    if edges.count() // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
+        linked = F.broadcast(linked)
+    cand = cand.join(linked, ["u", "v"], "left_anti")
+    cand_nodes = (
+        cand.select(F.col("u").alias("src")).union(cand.select("v")).distinct()
+    )
+    csets = (
+        edges.join(cand_nodes, "src", "left_semi")
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("nbrs"))
+    )
+    return (
+        cand.join(
+            csets.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+            .hint("shuffle_hash"),
+            "u",
+        )
+        .join(
+            csets.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+            .hint("shuffle_hash"),
+            "v",
+        )
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.size(F.array_intersect("nu", "nv")).cast("long").alias("n_common"),
+            (F.size("nu") + F.size("nv")).cast("long").alias("sz"),
+        )
+        .select(
+            "u",
+            "v",
+            "n_common",
+            (F.col("sz") - F.col("n_common")).alias("n_union"),
+        )
+    )
+
+
 def q_node_jaccard_minhash(
     spark: SparkSession,
     sf_dir: str,
@@ -1544,106 +1643,22 @@ def q_node_jaccard_minhash(
             "l_orderkey", "l_partkey"
         )
         edges = co_purchase_edges(li).transform(cut_lineage)
-    # Signatures off the FLAT edge list, not per-node arrays: the 32
-    # derived md5s evaluate inside whole-stage codegen (array
-    # transform() lambdas are interpreted per element -- measured 32 s
-    # -> ~8 s at sf0.1 for this operator from this change alone) and
-    # the 32 mins are ONE map-side-combined aggregate. Each neighbor
-    # id is md5-hashed once into `base`; the per-band hashes re-hash
-    # the fixed-width base, the minhash_lsh_pairs cost model.
-    # band geometry: default one-row bands (the oracle-pinned top-K
+    # ONE shared signature/candidate/verify stage with the threshold
+    # twin (minhash_adjacency_pairs_scored, VERDICT r9 #5) -- band
+    # geometry: default one-row bands (the oracle-pinned top-K
     # setting); ``bands``/``rows`` are the regime knobs -- r >= 2
     # collapses low-similarity candidates superlinearly (pass
     # probability 1-(1-j^r)^b), the high-similarity near-dup setting
-    # measured in SCALE.md's round-8 winning-regime ladder
-    n_hashes = bands * rows
-    nb = edges.select("src", F.md5(F.col("dst").cast("string")).alias("base"))
-    sigs = nb.groupBy("src").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("base")))).alias(
-                f"h{i}"
-            )
-            for i in range(n_hashes)
-        ]
-    )
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat(
-                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    bands = sigs.select("src", F.posexplode(band_keys).alias("band", "bucket"))
-    # shuffle_hash hints: the bands frame and the candidate-node
-    # adjacency sets below are n-scaled -- letting AQE broadcast them
-    # stacks hundreds of MB of pinned hash relations on top of the
-    # gated `linked` broadcast and OOMed the 4x ladder rung; the
-    # shuffle joins cost one candidate-volume-sized exchange each and
-    # keep heap flat at any replication
-    a, b = bands.alias("a"), bands.alias("b").hint("shuffle_hash")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.src") < F.col("b.src")),
-        )
-        .select(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
-        .distinct()
-    )
-    linked = edges.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    )
-    m2 = edges.count()  # bounded driver scalar: gates the broadcast
-    if m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
-        linked = F.broadcast(linked)
-    cand = cand.join(linked, ["u", "v"], "left_anti")
-    cand_nodes = (
-        cand.select(F.col("u").alias("src")).union(cand.select("v")).distinct()
-    )
-    # adjacency arrays are built ONLY for candidate nodes (semi-join
-    # prune before the collect_set shuffle -- at scale the full
-    # adjacency frame is corpus-sized, the candidate frame is not)
-    csets = (
-        edges.join(cand_nodes, "src", "left_semi")
-        .groupBy("src")
-        .agg(F.collect_set("dst").alias("nbrs"))
-    )
-    scored = (
-        cand.join(
-            csets.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
-            .hint("shuffle_hash"),
-            "u",
-        )
-        .join(
-            csets.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
-            .hint("shuffle_hash"),
-            "v",
-        )
-        .select(
-            F.col("u").cast("long").alias("u"),
-            F.col("v").cast("long").alias("v"),
-            F.size(F.array_intersect("nu", "nv")).cast("long").alias("n_common"),
-            (F.size("nu") + F.size("nv")).cast("long").alias("sz"),
-        )
-        .filter(F.col("n_common") >= 1)
-    )
+    # measured in SCALE.md's round-8 winning-regime ladder.
+    scored = minhash_adjacency_pairs_scored(
+        edges, bands=bands, rows=rows
+    ).filter(F.col("n_common") >= 1)
     jac = F.round(
-        F.col("n_common").cast("double")
-        / (F.col("sz") - F.col("n_common")).cast("double"),
+        F.col("n_common").cast("double") / F.col("n_union").cast("double"),
         6,
     )
     return (
-        scored.select(
-            "u",
-            "v",
-            "n_common",
-            (F.col("sz") - F.col("n_common")).alias("n_union"),
-            jac.alias("jaccard"),
-        )
+        scored.select("u", "v", "n_common", "n_union", jac.alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), "u", "v")
         .limit(NODE_JACCARD_TOPK)
     )
@@ -3250,73 +3265,13 @@ def neardup_threshold_pairs(
     floor j = 0.5 is missed with probability (1-0.25)^16 = 1.0%, and
     ever-higher-j pairs exponentially less; the regime ladder measured
     top-K recall 1.0 on planted twins at j in [0.50, 0.64]."""
-    n_hashes = bands * rows
-    nb = edges.select("src", F.md5(F.col("dst").cast("string")).alias("base"))
-    sigs = nb.groupBy("src").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("base")))).alias(
-                f"h{i}"
-            )
-            for i in range(n_hashes)
-        ]
-    )
-    band_keys = F.array(
-        *[
-            F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]))
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(
-        "src", F.posexplode(band_keys).alias("band", "bucket")
-    )
-    a, b = banded.alias("a"), banded.alias("b").hint("shuffle_hash")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.src") < F.col("b.src")),
-        )
-        .select(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
-        .distinct()
-    )
-    linked = edges.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    )
-    if edges.count() // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
-        linked = F.broadcast(linked)
-    cand = cand.join(linked, ["u", "v"], "left_anti")
-    cand_nodes = (
-        cand.select(F.col("u").alias("src")).union(cand.select("v")).distinct()
-    )
-    csets = (
-        edges.join(cand_nodes, "src", "left_semi")
-        .groupBy("src")
-        .agg(F.collect_set("dst").alias("nbrs"))
-    )
-    scored = (
-        cand.join(
-            csets.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
-            .hint("shuffle_hash"),
-            "u",
-        )
-        .join(
-            csets.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
-            .hint("shuffle_hash"),
-            "v",
-        )
-        .select(
-            F.col("u").cast("long").alias("u"),
-            F.col("v").cast("long").alias("v"),
-            F.size(F.array_intersect("nu", "nv")).cast("long").alias("n_common"),
-            (
-                (F.size("nu") + F.size("nv")).cast("long")
-                - F.size(F.array_intersect("nu", "nv")).cast("long")
-            ).alias("n_union"),
-        )
-        # exact-integer threshold: jaccard >= num/den with no float
-        .filter(F.col("n_common") * den >= F.col("n_union") * num)
-    )
+    # ONE shared signature/candidate/verify stage with the top-K audit
+    # twin (minhash_adjacency_pairs_scored, VERDICT r9 #5); only the
+    # exact-integer threshold below differs: jaccard >= num/den with
+    # no float anywhere near the cut.
+    scored = minhash_adjacency_pairs_scored(
+        edges, bands=bands, rows=rows
+    ).filter(F.col("n_common") * den >= F.col("n_union") * num)
     return scored.select(
         "u",
         "v",
