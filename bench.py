@@ -24,7 +24,11 @@ Round-8 tiering (VERDICT r7 #2/#7): the registry total is split into
 `audits_total` (the O(n^2)-by-design exact baselines in AUDITS);
 `headline_total` = serving + extensions, audits excluded. 1-min load
 averages are recorded before/after so a contended run is identifiable
-(the BENCH_r07 lesson).
+(the BENCH_r07 lesson). Round-10 (VERDICT r9 #4): the audit tier runs
+at AUDIT_SF_DIR (sf0.01) under `name[audit@sfX]` keys -- their value
+is the cross-check (which the strict sweep re-attests at sf0.01 every
+round anyway), not the timing, and at sf0.1 they burned 127 s/round
+(23.6% of the sweep) re-proving a measured negative.
 
 Each query is fully materialized with the no-op sink (executors do all
 the work, nothing collects to the driver), timed after a session
@@ -61,8 +65,11 @@ PARITY = [
 #: AUDIT the production paths (docstrings route real workloads to the
 #: capped/LSH/IVF twins), so their cost is a property of the audit, not
 #: of the engine; at sf0.1 they were ~170 s of a 527 s total and drowned
-#: the production-path signal. They are still timed every round (their
-#: own tier total), just excluded from headline_total.
+#: the production-path signal. Round-10 (VERDICT r9 #4): they re-prove
+#: the same Sigma C(d,2) point every round, so the sweep times them at
+#: the REDUCED fixture (AUDIT_SF_DIR, sf0.01 -- where the committed
+#: strict sweep attests them anyway) under ``name[audit@sfX]`` keys;
+#: full-scale numbers live in the SCALE.md ladders, run on demand.
 AUDITS = [
     # exact all-pairs wedge expansion (production: *_capped / _minhash)
     "q_node_jaccard",
@@ -75,7 +82,19 @@ AUDITS = [
     "q_matryoshka_recall",
     # exact O(n^2) block nested-loop cosine (production: LSH/IVF/PQ)
     "q_dedup_embedding_cosine",
+    # the oracle-pinned one-row-band top-K geometry: its docstring says
+    # it does NOT win on this fixture (the threshold twin
+    # q_neardup_threshold_minhash is the registered production posture,
+    # still timed at full SF); in-sweep it re-proved that negative for
+    # ~35 s/round (VERDICT r9 #5)
+    "q_node_jaccard_minhash",
 ]
+
+#: Where the audit tier is timed (VERDICT r9 #4): one SF down from the
+#: headline fixture. Overridable for ladder work.
+AUDIT_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.01"
+)
 
 #: FROZEN round-2 bench composition (VERDICT r4 #7). Never edit: its
 #: subtotal is the cross-round machine-state canary. New queries go in
@@ -386,40 +405,49 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def _time(key: str, fn, runs: int = 2) -> None:
+    def _time(key: str, fn, runs: int = 2, sf_dir: str = SF_DIR) -> None:
         try:
             best = float("inf")
             for _ in range(runs):
                 t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
             timings[key] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 - one bad query must not zero the bench
             errors[key] = f"{type(exc).__name__}: {exc}"[:300]
 
     # full registry (VERDICT r5 #4): HEADLINE order first so the
-    # cross-round per-query diff lines up, then the rest sorted
-    order = [n for n in HEADLINE if n in qs] + sorted(
-        n for n in qs if n not in HEADLINE
+    # cross-round per-query diff lines up, then the rest sorted.
+    # Audit-tier queries run at the reduced fixture under bracketed
+    # keys (VERDICT r9 #4), never at SF_DIR.
+    audit_set = set(AUDITS)
+    order = [n for n in HEADLINE if n in qs and n not in audit_set] + sorted(
+        n for n in qs if n not in HEADLINE and n not in audit_set
     )
     for name in HEADLINE:
         if name not in qs:
             errors[name] = "not registered"
     for name in order:
         _time(name, qs[name], runs=3 if name in PARITY else 2)
+    # audit tier at the reduced fixture (labeled keys so a cross-round
+    # diff can never silently compare sf0.01 against an old sf0.1 run)
+    audit_sf = AUDIT_SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    for name in AUDITS:
+        if name in qs:
+            _time(f"{name}[audit@sf{audit_sf}]", qs[name], sf_dir=AUDIT_SF_DIR)
     # canary-pinned variants (see SHARED_PINNED)
     for key, fn in SHARED_PINNED.values():
         _time(key, fn)
 
     total = round(sum(timings.values()), 3)
     # three tiers (VERDICT r7 #2): serving = the reference-parity five,
-    # audits = the O(n^2)-by-design exact baselines, extensions =
+    # audits = the O(n^2)-by-design exact baselines (timed at
+    # AUDIT_SF_DIR under bracketed keys since round 10), extensions =
     # everything else; headline_total = serving + extensions (audits
     # excluded so they can't drown the production-path signal).
-    audit_set = set(AUDITS)
     serving_total = round(sum(timings[n] for n in PARITY if n in timings), 3)
     audits_total = round(
-        sum(t for n, t in timings.items() if n in audit_set), 3
+        sum(t for n, t in timings.items() if "[audit@" in n), 3
     )
     extensions_total = round(
         sum(
@@ -427,7 +455,7 @@ def main() -> None:
             for n, t in timings.items()
             if n not in audit_set
             and n not in PARITY
-            and "[" not in n  # canary-pinned twins are canary-only
+            and "[" not in n  # bracketed keys: audits + canary twins
         ),
         3,
     )
@@ -479,6 +507,9 @@ def main() -> None:
                 "serving_total": serving_total,
                 "extensions_total": extensions_total,
                 "audits_total": audits_total,
+                "audit_sf": float(audit_sf)
+                if audit_sf.replace(".", "").isdigit()
+                else audit_sf,
                 "headline_total": headline_total,
                 "loadavg_before": load_before,
                 "loadavg_after": load_after,
@@ -502,6 +533,9 @@ def main() -> None:
                 "serving_total": serving_total,
                 "extensions_total": extensions_total,
                 "audits_total": audits_total,
+                "audit_sf": float(audit_sf)
+                if audit_sf.replace(".", "").isdigit()
+                else audit_sf,
                 "headline_total": headline_total,
                 "ingest_events_per_sec": ingest_eps,
                 "n_queries": len(timings),

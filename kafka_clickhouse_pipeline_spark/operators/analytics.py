@@ -1903,6 +1903,70 @@ def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_reduce_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution via the SINK-SIDE reducer shape
+    (VERDICT r9 #2): the stream's candidate join
+    (streaming/attribution.py attribution_candidates_batch -- literally
+    the Column objects the watermarked stream-stream join runs)
+    followed by ``last_touch_reduce``'s groupBy-max_by selection, the
+    exact computation a deployment runs over the landed candidate
+    parquet. Differs from q_click_purchase_attribution in PLAN, not
+    semantics: a partial-aggregating groupBy (shuffle carries
+    O(purchases)) instead of a row_number window (shuffle carries
+    O(candidates)), and inner-join candidates only -- unattributed
+    purchases are the sink's non-rows, so this emits the attributed
+    subset. The DuckDB oracle replays the same semantics in window
+    form, certifying the two shapes agree."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..streaming.attribution import (
+        attribution_candidates_batch,
+        last_touch_reduce,
+    )
+
+    cand = attribution_candidates_batch(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return last_touch_reduce(cand).select(
+        big("purchase_id").alias("purchase_id"),
+        big("user_id").alias("user_id"),
+        ts_str("purchase_ts").alias("purchase_ts"),
+        big("click_id").alias("click_id"),
+        big("gap_us").alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+ANALYTICS_QUERIES["q_attribution_reduce_candidates"] = (
+    q_attribution_reduce_candidates
+)
+ANALYTICS_ORACLES["q_attribution_reduce_candidates"] = """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY c.cts DESC, c.click_id DESC) AS rn
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.cts <= p.pts
+       AND c.cts >= p.pts - INTERVAL 30 MINUTE)
+    SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(epoch_us(pts) - epoch_us(cts) AS BIGINT) AS gap_us
+    FROM j WHERE rn = 1
+    ORDER BY purchase_id
+"""
+
+
 ANALYTICS_QUERIES["q_click_purchase_attribution"] = q_click_purchase_attribution
 ANALYTICS_ORACLES["q_click_purchase_attribution"] = """
     WITH p AS (

@@ -24,11 +24,14 @@ Two layers:
   data (tested), the incremental-dedup "pure transform twin" design.
 
 Last-touch SELECTION (one click per purchase) happens downstream --
-in batch (analytics.q_click_purchase_attribution) or over the
-candidate sink -- because chaining a per-purchase max-aggregation
-after a stream-stream join would stack a second stateful operator;
-candidates land append-only and the reducer is a trivial
-groupBy(purchase).max over the (purchase-windowed, so bounded) sink.
+in batch (analytics.q_click_purchase_attribution /
+q_attribution_reduce_candidates) or over the candidate sink
+(``last_touch_reduce``) -- because chaining a per-purchase
+max-aggregation after a stream-stream join would stack a second
+stateful operator; candidates land append-only and the reducer is a
+bounded groupBy-max_by over the (purchase-windowed) sink, pinned
+equal to the batch query's attributed subset by
+tests/test_attribution_stream.py.
 
 Reference: the reference pipeline has no joins at all (SURVEY.md
 section 2; web-app/app.py serves single-table aggregates); this
@@ -121,6 +124,39 @@ def attribution_candidates_batch(
     twin the stream tests compare against)."""
     c, p = _sides(clicks, purchases)
     return _project(p.join(c, _join_cond(c, p, window_minutes)))
+
+
+def last_touch_reduce(candidates: DataFrame) -> DataFrame:
+    """Sink-side last-touch selection over the append-only candidate
+    sink -- the bounded groupBy-max reducer the module docstring
+    promises (tested end-to-end in VERDICT r9 #2: candidates land via
+    the stream, this reduces them, and the result is pinned equal to
+    the batch query's attributed subset across checkpointed
+    availableNow runs).
+
+    One ``max_by`` aggregate per purchase over the packed
+    (click_ts, click_id) order key -- the same tie-break as the batch
+    query's ``row_number`` window (latest click wins, ties to the
+    larger click_id), but as a partial-aggregating groupBy: map-side
+    combine collapses each partition to one row per purchase before
+    the exchange, so the shuffle carries O(purchases), not
+    O(candidates). Per-purchase candidate counts are already bounded
+    by the attribution window, and replayed sink files are impossible
+    by the landing protocol, so the reduction is exact, not
+    approximate. Idempotent: re-running over the same sink returns the
+    same frame."""
+    best = F.max_by(
+        F.struct("user_id", "purchase_ts", "click_id", "click_ts", "gap_us"),
+        F.struct("click_ts", "click_id"),
+    ).alias("best")
+    return candidates.groupBy("purchase_id").agg(best).select(
+        "purchase_id",
+        F.col("best.user_id").alias("user_id"),
+        F.col("best.purchase_ts").alias("purchase_ts"),
+        F.col("best.click_id").alias("click_id"),
+        F.col("best.click_ts").alias("click_ts"),
+        F.col("best.gap_us").alias("gap_us"),
+    )
 
 
 def attribution_file_pipeline(

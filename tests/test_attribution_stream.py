@@ -126,6 +126,82 @@ class TestAttributionStream:
             "late click behind the watermark must not produce a candidate"
         )
 
+    def test_sink_reducer_matches_batch_query(self, spark, tmp_path):
+        """VERDICT r9 #2: close the loop end-to-end -- candidates land
+        via the stream across TWO checkpointed availableNow runs (all
+        on-time data), the sink-side ``last_touch_reduce`` reads the
+        landed parquet, and its output must equal the attributed
+        subset of the batch query q_click_purchase_attribution AND the
+        registered reducer-shaped form q_attribution_reduce_candidates
+        on the same events. Includes a same-timestamp tie (clicks 8/9
+        at t=50) so the groupBy-max_by tie-break is pinned against the
+        window form's ORDER BY, not just the happy path."""
+        from pyspark.sql import functions as SF
+
+        from kafka_clickhouse_pipeline_spark.functions.canon import (
+            big,
+            ts_str,
+        )
+        from kafka_clickhouse_pipeline_spark.operators.analytics import (
+            q_attribution_reduce_candidates,
+            q_click_purchase_attribution,
+        )
+        from kafka_clickhouse_pipeline_spark.streaming.attribution import (
+            last_touch_reduce,
+        )
+
+        d = str(tmp_path)
+        chunk_a = [
+            _ev(1, 7, "click", 0),
+            _ev(2, 7, "click", 20),
+            _ev(3, 7, "purchase", 25),  # last touch: click 2
+        ]
+        chunk_b = [
+            _ev(4, 7, "click", 40),
+            _ev(5, 7, "purchase", 55),  # last touch: click 4
+            _ev(8, 9, "click", 50),
+            _ev(9, 9, "click", 50),  # tie on ts -> larger click_id
+            _ev(10, 9, "purchase", 60),  # last touch: click 9
+            _ev(11, 8, "purchase", 58),  # no click: unattributed
+        ]
+        _write_chunk(spark, d, chunk_a, "a")
+        _run_available_now(spark, d)
+        _write_chunk(spark, d, chunk_b, "b")
+        _run_available_now(spark, d)
+
+        reduced = last_touch_reduce(
+            spark.read.parquet(os.path.join(d, "out"))
+        ).select(
+            big("purchase_id").alias("purchase_id"),
+            big("user_id").alias("user_id"),
+            ts_str("purchase_ts").alias("purchase_ts"),
+            big("click_id").alias("click_id"),
+            big("gap_us").alias("gap_us"),
+        )
+        got = {tuple(r) for r in reduced.collect()}
+        assert {(r[0], r[3]) for r in got} == {(3, 2), (5, 4), (10, 9)}
+
+        # the same events as a fixture table for the batch forms
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir, exist_ok=True)
+        spark.createDataFrame(
+            chunk_a + chunk_b, EVENTS_SCHEMA
+        ).write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+
+        batch = q_click_purchase_attribution(spark, sf_dir)
+        attributed = {
+            tuple(r)
+            for r in batch.filter(SF.col("attributed") == 1)
+            .drop("attributed")
+            .collect()
+        }
+        assert got == attributed, (got, attributed)
+        registered = {
+            tuple(r)
+            for r in q_attribution_reduce_candidates(spark, sf_dir).collect()
+        }
+        assert got == registered, (got, registered)
+
     def test_gap_is_exact_integer_micros(self, spark, tmp_path):
         rows = [
             _ev(1, 7, "click", 0),
