@@ -20,20 +20,25 @@ EVENT_TIME_FORMAT = "yyyy-MM-dd HH:mm:ss"
 def parse_datetime_best_effort(col: Column | str, *formats: str) -> Column:
     """ClickHouse ``parseDateTimeBestEffortOrNull`` (generate_data.py:215,236).
 
-    Lenient string->timestamp: null on failure, never an error (the
-    engine runs ANSI-off, session.py, so to_timestamp is null-on-
-    mismatch). The reference's producer emits exactly one format, so
-    one format string is semantically sufficient; extra formats are
-    coalesced in order for true best-effort behavior. The multi-format
-    and null-on-failure legs are driver-attested by
+    Lenient string->timestamp: null on failure, never an error --
+    ``try_to_timestamp``, NOT ``to_timestamp``, so the OrNull contract
+    holds under ANY session config: plain ``to_timestamp`` is
+    null-on-mismatch only with ANSI off (session.py sets that, but the
+    DRIVER evaluates queries in its own plain session where Spark 4
+    defaults ANSI ON and to_timestamp THROWS -- caught live by the
+    round-10 driver simulation the moment a fixture actually exercised
+    a mismatched format). The reference's producer emits exactly one
+    format, so one format string is semantically sufficient; extra
+    formats are coalesced in order for true best-effort behavior. The
+    multi-format and null-on-failure legs are driver-attested by
     q_mv_parse_multiformat (operators/pipeline_queries.py, VERDICT r9
     #7), which drives coalesce branches 1-3 plus the corrupt leg
     against a ground-truth oracle.
     """
     c = F.col(col) if isinstance(col, str) else col
     fmts = formats or (EVENT_TIME_FORMAT,)
-    attempts = [F.to_timestamp(c, f) for f in fmts]
-    attempts.append(F.to_timestamp(c))  # final fallback: Spark's own lenient parse
+    attempts = [F.try_to_timestamp(c, F.lit(f)) for f in fmts]
+    attempts.append(F.try_to_timestamp(c))  # final fallback: Spark's lenient parse
     return F.coalesce(*attempts)
 
 
