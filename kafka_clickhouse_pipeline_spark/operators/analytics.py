@@ -1785,10 +1785,19 @@ def q_salted_join_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     On this engine the first-choice remedies remain broadcast (part IS
     broadcast-able here -- the shuffle_hash hint deliberately disables
     it to exercise the pattern) and AQE skew-join splitting (reactive,
-    post-shuffle); the explicit salt is the plan-stable form that works
-    where neither applies: a build side too big to broadcast AND a
-    probe-side key hot enough that one AQE sub-split still straggles,
-    e.g. null-heavy or default-valued foreign keys at 100 TB.
+    post-shuffle); the explicit salt is the plan-stable form for the
+    regimes where neither applies. That triage is MEASURED, not
+    asserted (SCALE.md "Round-10 AQE-skew-join crossover ladder",
+    tools/aqe_skew_ladder.py): a 33x-row-skew hot key never trips
+    AQE's DEFAULT byte trigger (256 MB skewedPartitionThresholdInBytes
+    -- a bytes trigger cannot see a task-time straggler that is small
+    in bytes, and a column-pruned constant hot key COMPRESSES below
+    any threshold); tuned thresholds win where they can be set
+    (33.1x -> 2.1x max-task-rows at the best wall), and the salt
+    matches tuned AQE's spread (9.0x -> 2.2x at hot=0.2) with no
+    runtime replanner at all -- its residual is balls-in-bins
+    collision of (hot key, salt) buckets, shrinkable by raising
+    SALTED_AGG_SALTS.
 
     Equivalence is exact: every (l_partkey, salt) fact row meets
     exactly one replicated dim row (its key's copy for that salt), so
