@@ -152,6 +152,7 @@ HEADLINE = [
     "q_knn_graph",
     "q_ann_ivf_topk",
     "q_ann_pq_topk",
+    "q_ann_ivf_pq_topk",
     "q_fingerprint_winnow",
     "q_multimodal_features",
     "q_sessionize",

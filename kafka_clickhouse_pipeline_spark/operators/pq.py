@@ -84,6 +84,13 @@ def stride_codebooks(vecs: DataFrame) -> np.ndarray:
         .orderBy("vec_id")
         .collect()
     )
+    if not rows:
+        # vec_ids outside the dense-[0, n) fixture convention can miss
+        # every stride anchor; degrade to trivial codebooks (callers
+        # substitute a zero centroid) instead of crashing -- scores
+        # collapse and ranking falls back to neighbor_id order, the
+        # same contract as an empty corpus
+        return np.zeros((PQ_M, PQ_K, 0))
     X = _seq_normalize(np.stack([np.asarray(r["v"], dtype="float64") for r in rows]))
     dim = X.shape[1]
     sub = dim // PQ_M
@@ -230,9 +237,13 @@ def q_ann_pq_topk(
         RERANK,
         rank_col="pq_rank",
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(vecs, candidates)
 
-    # exact cosine re-rank of the tiny candidate set (JVM arithmetic,
-    # norms hoisted -- same formulation as the exact operators)
+
+def _exact_rerank(vecs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact cosine re-rank of a tiny (query_id, neighbor_id)
+    candidate set (JVM arithmetic, norms hoisted -- same formulation
+    as the exact operators). Shared by the PQ and IVF-PQ pipelines."""
     from .similarity import _dot, _with_norm
 
     normed = _with_norm(vecs)
@@ -259,22 +270,133 @@ def q_ann_pq_topk(
     ).orderBy("query_id", "rank")
 
 
-def _pq_oracle() -> str:
-    """Exact DuckDB twin of q_ann_pq_topk (stride codebooks). Every
-    stage reproduces bit-identically (see module docstring): stride
-    anchors, sequential-fold normalization, per-subspace squared
-    distances (ties to the smallest centroid id), ADC = left-assoc sum
-    of the 8 LUT dots, top-RERANK by (score DESC, neighbor_id), exact
-    cosine re-rank with the shared _COS_SQL arithmetic."""
-    from .similarity import _COS_SQL
+def _query_lut(vecs: DataFrame, books: np.ndarray):
+    """(query ids asc, LUT[q, m, k] = <query subvector m, centroid
+    (m, k)>) -- the bounded driver-side model metadata both ADC paths
+    share. Sequential-cumsum dots, bit-identical to the oracle's
+    list_sum fold."""
+    qrows = vecs.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    if not qrows:
+        return np.array([], dtype="int64"), None
+    qids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    Q = _seq_normalize(np.stack([np.asarray(r["v"], dtype="float64") for r in qrows]))
+    sub = books.shape[2]
+    k_eff = books.shape[1]
+    lut = np.empty((len(qids), PQ_M, k_eff))
+    for m in range(PQ_M):
+        Qm = Q[:, m * sub : (m + 1) * sub]
+        lut[:, m, :] = np.cumsum(Qm[:, None, :] * books[m][None, :, :], axis=2)[
+            :, :, -1
+        ]
+    return qids, lut
 
-    m_terms = " + ".join(
-        f"max(CASE WHEN c.m = {m} THEN l.l END)" for m in range(PQ_M)
+
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer + PQ-ADC bucket scan + exact re-rank --
+    the FAISS-IVFPQ composite, and THE standard shape for 1e10-1e12
+    vector corpora: the registered single-technique forms each leave
+    one axis unsolved at that scale. Plain IVF (q_ann_ivf_topk) prunes
+    the scan to ~nprobe/n_centroids of the corpus but still reads
+    4*dim bytes per probed vector; plain PQ (q_ann_pq_topk) cuts scan
+    state to PQ_M bytes/vector (32x at 64-d) but scans EVERY vector's
+    codes for every query. The composite multiplies the two savings:
+    per query, (nprobe/n_centroids) x (PQ_M/4*dim) of the brute-force
+    bytes -- at the ladder's measured constants that is the difference
+    between a memory-resident probe and a disk-bound scan at 1e11
+    vectors. Execution shape: ONE corpus pass computes both the coarse
+    assignment and the PQ codes (two Arrow-batched pure maps, no
+    shuffle); the query probe set (N_QUERIES x NPROBE rows) broadcasts
+    to the coded corpus, ADC scores the probed buckets' codes via a
+    vectorized LUT lookup (the M x K LUT per query is driver-side
+    model metadata, like the centroids); the PQ top-RERANK re-rank
+    exactly. The only shuffles are the two grouped top-k merges.
+
+    Oracle: every stage is the same deterministic machinery the two
+    parents' oracles already certify -- stride coarse centroids +
+    sequential-cumsum assignment/probe decisions (q_ann_ivf_topk's
+    contract), stride PQ anchors + sequential-fold encode/LUT/ADC
+    (q_ann_pq_topk's contract) -- composed in one SQL twin, so the
+    composite is exactly reproduced, not approximately."""
+    vecs = _vectors(spark, sf_dir)
+    from .similarity import (
+        NPROBE,
+        _centroid_rows,
+        _nearest_centroid_udf,
+        _probe_centroids_udf,
+        _stride_centroids,
     )
+
+    cents = _stride_centroids(vecs)
+    rows = _centroid_rows(cents)
+    if not rows:  # empty corpus
+        rows = [(0, [0.0])]
+    books = stride_codebooks(vecs)
+    if books.size == 0:
+        books = np.zeros((PQ_M, PQ_K, 1))
+
+    # one corpus pass: coarse bucket + byte codes, both pure maps
+    assigned = vecs.select(
+        "vec_id",
+        _nearest_centroid_udf(rows)(F.col("v")).alias("centroid_id"),
+        _encode_udf(books)(F.col("v")).alias("codes"),
+    )
+    probed = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            _probe_centroids_udf(rows, NPROBE)(F.col("v"))
+        ).alias("centroid_id"),
+    )
+    qids, lut = _query_lut(vecs, books)
+    if lut is None:  # no queries -> empty result, PQ-shaped
+        return assigned.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(1).alias("rank"),
+        ).limit(0)
+    qid_to_idx = {int(q): i for i, q in enumerate(qids)}
+
+    @F.pandas_udf("double")
+    def adc(query_id: pd.Series, codes: pd.Series) -> pd.Series:
+        if not len(query_id):
+            return pd.Series([], dtype="float64")
+        qi = query_id.map(qid_to_idx).to_numpy(dtype="int64")
+        C = np.stack(codes.to_numpy())
+        s = np.zeros(len(C))
+        for m in range(PQ_M):  # sequential in m: matches the oracle's
+            s = s + lut[qi, m, C[:, m]]  # left-assoc l0+l1+...+l7
+        return pd.Series(s)
+
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc(F.col("query_id"), F.col("codes")).alias("approx_score"),
+        )
+    )
+    candidates = grouped_topk(
+        scored,
+        ["query_id"],
+        [("approx_score", False), ("neighbor_id", True)],
+        RERANK,
+        rank_col="pq_rank",
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(vecs, candidates)
+
+
+def _pq_code_ctes() -> str:
+    """The PQ encode/LUT CTE block shared by the PQ and IVF-PQ oracles
+    (one attested SQL path, like the Spark side's shared helpers).
+    Expects CTE ``raw`` (vec_id, v double list) in scope; emits
+    ``params`` (anchor stride, subspace dim), ``nv`` (sequential-fold
+    normalized vectors), ``anch`` (stride anchors), ``ms`` (subspace
+    ids), ``d2``/``code`` (per-subspace nearest-anchor codes, ties to
+    the smallest centroid id), and ``lut`` (per-query subvector-vs-
+    anchor dots)."""
     return f"""
-        WITH raw AS (
-          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
         params AS (
           SELECT greatest(1, count(*) // {PQ_K}) AS stride,
                  (SELECT len(v) // {PQ_M} FROM raw LIMIT 1) AS sd
@@ -307,19 +429,22 @@ def _pq_oracle() -> str:
                  list_sum(list_transform(generate_series(1, p.sd),
                    i -> q.u[ms.m * p.sd + i] * a.u[ms.m * p.sd + i])) AS l
           FROM nv q, anch a, ms, params p
-          WHERE q.vec_id < {N_QUERIES}),
-        adc AS (
-          SELECT l.query_id, c.vec_id AS neighbor_id, {m_terms} AS score
-          FROM code c JOIN lut l ON l.m = c.m AND l.cid = c.cid
-          WHERE c.vec_id <> l.query_id
-          GROUP BY l.query_id, c.vec_id),
+          WHERE q.vec_id < {N_QUERIES})"""
+
+
+def _rerank_tail_sql() -> str:
+    """Top-RERANK candidate cut + exact-cosine re-rank tail shared by
+    both PQ oracles. Expects ``adc`` (query_id, neighbor_id, score)
+    and ``e`` (vec_id, v) in scope."""
+    from .similarity import _COS_SQL
+
+    return f"""
         cand AS (
           SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY score DESC, neighbor_id) AS rn
             FROM adc) WHERE rn <= {RERANK}),
-        e AS (SELECT vec_id, v FROM raw),
         scored AS (
           SELECT cand.query_id, cand.neighbor_id,
                  round({_COS_SQL}, 6) AS cosine
@@ -337,10 +462,82 @@ def _pq_oracle() -> str:
     """
 
 
+_M_TERMS = " + ".join(
+    f"max(CASE WHEN c.m = {m} THEN l.l END)" for m in range(PQ_M)
+)
+
+
+def _pq_oracle() -> str:
+    """Exact DuckDB twin of q_ann_pq_topk (stride codebooks). Every
+    stage reproduces bit-identically (see module docstring): stride
+    anchors, sequential-fold normalization, per-subspace squared
+    distances (ties to the smallest centroid id), ADC = left-assoc sum
+    of the 8 LUT dots, top-RERANK by (score DESC, neighbor_id), exact
+    cosine re-rank with the shared _COS_SQL arithmetic."""
+    return f"""
+        WITH raw AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        e AS (SELECT vec_id, v FROM raw),
+        {_pq_code_ctes()},
+        adc AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, {_M_TERMS} AS score
+          FROM code c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+          WHERE c.vec_id <> l.query_id
+          GROUP BY l.query_id, c.vec_id),
+        {_rerank_tail_sql()}
+    """
+
+
+def _ivf_pq_oracle() -> str:
+    """Exact DuckDB twin of q_ann_ivf_pq_topk: the IVF oracle's coarse
+    CTEs (stride centroids, sequential-cumsum assignment/probe with
+    smallest-id tie-breaks) composed with the PQ oracle's encode/LUT
+    block; ADC runs only over (query, probed-bucket member) pairs."""
+    from .similarity import N_CENTROIDS, NPROBE, _centroid_sims_sql
+
+    return f"""
+        WITH raw AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        e AS (SELECT vec_id, v FROM raw),
+        cstride AS (SELECT greatest(1, count(*) // {N_CENTROIDS}) AS s FROM e),
+        cent AS (
+          SELECT vec_id AS centroid_id, v AS cv
+          FROM e, cstride WHERE vec_id % cstride.s = 0),
+        {_centroid_sims_sql("cent", "sims")},
+        assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM sims) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM sims WHERE vec_id < {N_QUERIES}) WHERE rn <= {NPROBE}),
+        {_pq_code_ctes()},
+        adc AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id, {_M_TERMS} AS score
+          FROM code c
+          JOIN assign a ON a.vec_id = c.vec_id
+          JOIN probes p ON p.centroid_id = a.centroid_id
+          JOIN lut l ON l.m = c.m AND l.cid = c.cid
+                    AND l.query_id = p.query_id
+          WHERE c.vec_id <> l.query_id
+          GROUP BY l.query_id, c.vec_id),
+        {_rerank_tail_sql()}
+    """
+
+
 PQ_QUERIES = {
     "q_ann_pq_topk": q_ann_pq_topk,  # oracle-checked (stride codebooks)
+    "q_ann_ivf_pq_topk": q_ann_ivf_pq_topk,
 }
 
 PQ_ORACLES = {
     "q_ann_pq_topk": _pq_oracle(),
+    "q_ann_ivf_pq_topk": _ivf_pq_oracle(),
 }

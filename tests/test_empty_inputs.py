@@ -112,6 +112,10 @@ EMPTY_SENSITIVE = [
     "q_salted_agg_revenue",
     "q_salted_join_brand_volume",
     "q_click_purchase_attribution",
+    # round-10 additions (probed against the empty fixture)
+    "q_attribution_reduce_candidates",
+    "q_mv_parse_multiformat",
+    "q_ann_ivf_pq_topk",
     "q_dedup_containment",
     "q_cube_revenue",
     "q_decontaminate_shingle_overlap",
