@@ -521,3 +521,22 @@ def test_neardup_threshold_scan_pruned(spark, sf_dir):
     assert plans.python_free(
         graph.q_neardup_threshold_minhash(spark, sf_dir)
     )
+
+
+def test_ivf_pq_composite_plan(spark, sf_dir):
+    """Round-10 IVF-PQ composite: the probe set must BROADCAST to the
+    coded corpus (never shuffle the corpus by bucket), Python stays in
+    the sanctioned Arrow kernels (assignment/encode/ADC -- no
+    row-at-a-time), the top-RERANK and final top-k ride the pruned
+    grouped-topk shape, and there is no cartesian anywhere."""
+    from kafka_clickhouse_pipeline_spark.operators import pq as P
+
+    df = P.q_ann_ivf_pq_topk(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert plans.rowwise_python_free(df)
+    # corpus pruned to the two referenced columns at the scan
+    cols = plans.scan_read_schema(df, "embeddings")
+    assert cols and set(cols) <= {"vec_id", "embedding"}, cols
