@@ -85,6 +85,45 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over (mktsegment), (orderpriority), ():
+    the two independent marginals plus the grand total WITHOUT the
+    pair level -- the reporting shape neither ROLLUP nor CUBE can
+    express (ROLLUP is the prefix chain, CUBE is the full lattice;
+    this is a hand-picked slice of the lattice). Completes the
+    multi-level aggregation family (q_rollup_revenue, q_cube_revenue).
+
+    Same scale shape as the siblings: Spark expands the requested sets
+    map-side (one fact scan regardless of set count) and the shuffle
+    carries partial aggregates per level, so cost at 100 TB is one
+    scan + a (levels x group-cardinality) exchange -- strictly cheaper
+    than CUBE here (3 sets vs 4). grouping_id disambiguates a subtotal
+    NULL from a data NULL, same contract as q_cube_revenue (whose
+    zero-row edge note applies here too)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.groupingSets(
+            [["c_mktsegment"], ["o_orderpriority"], []],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            money(F.sum(F.col("o_totalprice").cast(DEC))).alias("total_price"),
+        )
+        .orderBy(
+            "gid",
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every purchase event, the timestamp of the same
     user's most recent signup at-or-before the purchase.
@@ -202,6 +241,15 @@ ADVANCED_ORACLES: dict[str, str] = {
                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "q_grouping_sets_revenue": """
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(GROUPING(c_mktsegment, o_orderpriority) AS INT) AS gid,
+               count(*) AS n_orders,
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
     """,
     "q_asof_last_signup": """
@@ -513,6 +561,7 @@ ADVANCED_QUERIES = {
     "q_gapfill_hourly": q_gapfill_hourly,
     "q_rollup_revenue": q_rollup_revenue,
     "q_cube_revenue": q_cube_revenue,
+    "q_grouping_sets_revenue": q_grouping_sets_revenue,
     "q_asof_last_signup": q_asof_last_signup,
     "q_approx_distinct_users": q_approx_distinct_users,  # rows-only
     "q_profile_lineitem": q_profile_lineitem,
