@@ -87,10 +87,10 @@ PRIORITY: tuple[str, ...] = (
     "q_dialect_top_words", "q_k_anonymity_audit",
     "q_ab_test_conversion", "q_day_over_day", "q_corpus_stats",
     "q_freshness_audit", "q_welch_ttest_value", "q_dedup_incremental",
-    "q_entropy_by_source",
     # --- round-10 first-timers ---
     "q_attribution_reduce_candidates", "q_mv_parse_multiformat",
     "q_ann_ivf_pq_topk", "q_grouping_sets_revenue",
+    "q_asof_nearest_signup",
 )
 
 #: Rows-only registry entries with NO DuckDB oracle, by design:

@@ -160,6 +160,72 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: for every purchase, the same user's closest
+    signup in EITHER direction (ties to the earlier side) — the
+    bidirectional variant of q_asof_last_signup, i.e. pandas
+    merge_asof(direction='nearest') at Spark scale. Backward-only
+    as-of answers "state at event time"; nearest answers alignment
+    questions (match a reading to the closest calibration, a label to
+    the closest snapshot) where the relevant anchor may come after.
+
+    Same scale shape as the backward form: union both event kinds,
+    ONE shuffle on user_id, then two ordered window passes over the
+    same sort (running max of signup ts from the left = latest
+    at-or-before; running min from the right = earliest at-or-after)
+    — no range join, no per-row probing, no skew amplification beyond
+    the user key itself. The side/gap decision is exact integer
+    microseconds. Determinism under equal timestamps: the window sort
+    is the TOTAL order (ts, event_type DESC, event_id) — an equal-time
+    signup sorts before the purchase and is therefore its 'before'
+    anchor with gap 0 in both engines, never a frame-order coin flip."""
+    events = load_table(spark, sf_dir, "events")
+    relevant = events.filter(
+        F.col("event_type").isin("purchase", "signup")
+    ).select("event_id", "user_id", "ts", "event_type")
+    order = [F.col("ts"), F.col("event_type").desc(), F.col("event_id")]
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    after = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    w = relevant.withColumn("prev_ts", F.max(signup_ts).over(before)).withColumn(
+        "next_ts", F.min(signup_ts).over(after)
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    pg = us("ts") - us("prev_ts")
+    ng = us("next_ts") - us("ts")
+    pick_prev = F.col("next_ts").isNull() | (
+        F.col("prev_ts").isNotNull() & (pg <= ng)
+    )
+    return (
+        w.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            ts_str("ts").alias("ts"),
+            ts_str(
+                F.when(pick_prev, F.col("prev_ts")).otherwise(F.col("next_ts"))
+            ).alias("nearest_signup_ts"),
+            F.when(
+                F.col("prev_ts").isNull() & F.col("next_ts").isNull(),
+                F.lit(None).cast("string"),
+            )
+            .when(pick_prev, F.lit("before"))
+            .otherwise(F.lit("after"))
+            .alias("side"),
+            F.when(pick_prev, pg).otherwise(ng).cast("long").alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type (HyperLogLog++,
     rsd=0.01). Sketches merge associatively -> partial aggregation
@@ -251,6 +317,40 @@ ADVANCED_ORACLES: dict[str, str] = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
+    "q_asof_nearest_signup": """
+        WITH rel AS (
+          SELECT event_id, user_id, ts, event_type FROM events
+          WHERE event_type IN ('purchase', 'signup')),
+        w AS (
+          SELECT *,
+            max(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+              PARTITION BY user_id ORDER BY ts, event_type DESC, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+            min(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+              PARTITION BY user_id ORDER BY ts, event_type DESC, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+          FROM rel)
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               strftime(CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev_ts)
+                              <= epoch_us(next_ts) - epoch_us(ts))
+                        THEN prev_ts ELSE next_ts END,
+                        '%Y-%m-%d %H:%M:%S') AS nearest_signup_ts,
+               CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+                    WHEN next_ts IS NULL OR (prev_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev_ts)
+                              <= epoch_us(next_ts) - epoch_us(ts))
+                    THEN 'before' ELSE 'after' END AS side,
+               CAST(CASE WHEN next_ts IS NULL OR (prev_ts IS NOT NULL
+                          AND epoch_us(ts) - epoch_us(prev_ts)
+                              <= epoch_us(next_ts) - epoch_us(ts))
+                    THEN epoch_us(ts) - epoch_us(prev_ts)
+                    ELSE epoch_us(next_ts) - epoch_us(ts) END AS BIGINT)
+                 AS gap_us
+        FROM w WHERE event_type = 'purchase'
+        ORDER BY event_id
     """,
     "q_asof_last_signup": """
         WITH purchases AS (
@@ -562,6 +662,7 @@ ADVANCED_QUERIES = {
     "q_rollup_revenue": q_rollup_revenue,
     "q_cube_revenue": q_cube_revenue,
     "q_grouping_sets_revenue": q_grouping_sets_revenue,
+    "q_asof_nearest_signup": q_asof_nearest_signup,
     "q_asof_last_signup": q_asof_last_signup,
     "q_approx_distinct_users": q_approx_distinct_users,  # rows-only
     "q_profile_lineitem": q_profile_lineitem,

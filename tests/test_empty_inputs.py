@@ -117,6 +117,7 @@ EMPTY_SENSITIVE = [
     "q_mv_parse_multiformat",
     "q_ann_ivf_pq_topk",
     "q_grouping_sets_revenue",  # Spark: 0 rows on empty (cube edge note)
+    "q_asof_nearest_signup",
     "q_dedup_containment",
     "q_cube_revenue",
     "q_decontaminate_shingle_overlap",

@@ -142,3 +142,64 @@ class TestIvfPq:
             "vec_id long, embedding array<float>, label int",
         ).write.parquet(f"{d}/embeddings.parquet")
         assert q_ann_ivf_pq_topk(spark, d).count() == 0  # no queries
+
+
+class TestAsofNearest:
+    def test_before_after_tie_and_none(self, spark, tmp_path):
+        """Handcrafted cases: nearest picks the closer side, exact-tie
+        goes to 'before', equal-timestamp signup counts as before with
+        gap 0, and a user with no signup gets NULLs."""
+        import datetime
+
+        from kafka_clickhouse_pipeline_spark.operators.advanced import (
+            q_asof_nearest_signup,
+        )
+        from kafka_clickhouse_pipeline_spark.schemas import EVENTS_SCHEMA
+
+        t0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+        def ev(eid, user, etype, minutes):
+            return (
+                eid,
+                t0 + datetime.timedelta(minutes=minutes),
+                user,
+                etype,
+                1.0,
+                "{}",
+            )
+
+        rows = [
+            # user 1: signup at 0 and 100, purchase at 30 -> before (gap 30m)
+            ev(1, 1, "signup", 0),
+            ev(2, 1, "purchase", 30),
+            ev(3, 1, "signup", 100),
+            # user 2: signup at 50, purchase at 10 -> after (gap 40m)
+            ev(4, 2, "purchase", 10),
+            ev(5, 2, "signup", 50),
+            # user 3: signups at 0 and 60, purchase at 30 -> exact tie
+            # -> before
+            ev(6, 3, "signup", 0),
+            ev(7, 3, "purchase", 30),
+            ev(8, 3, "signup", 60),
+            # user 4: signup exactly at purchase ts -> before, gap 0
+            ev(9, 4, "signup", 20),
+            ev(10, 4, "purchase", 20),
+            # user 5: no signup at all -> NULLs
+            ev(11, 5, "purchase", 40),
+        ]
+        d = str(tmp_path)
+        spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(
+            f"{d}/events.parquet"
+        )
+        got = {
+            r["event_id"]: (r["side"], r["gap_us"])
+            for r in q_asof_nearest_signup(spark, d).collect()
+        }
+        m = 60 * 1_000_000
+        assert got == {
+            2: ("before", 30 * m),
+            4: ("after", 40 * m),
+            7: ("before", 30 * m),
+            10: ("before", 0),
+            11: (None, None),
+        }, got
