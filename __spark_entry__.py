@@ -49,48 +49,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry ordering contract: the driver's correctness run covers the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r01 stopped at exactly
-#: 50 in dict order). Round-10 rotation (VERDICT r9 #1): the two-tier
-#: staleness bound forces ZERO mandatory entries this round (NOTES_r9
-#: section 2's capacity table), which is exactly when staleness debt
-#: would accumulate -- so the free slots go OLDEST-FIRST: after the
-#: pinned five come ALL 32 queries whose latest driver record is r04
-#: (staleness 6, tier-2-carried by the committed strict sweep; the
-#: oldest cohort in the ledger), then the 11 cheapest r05-stale
-#: queries (staleness 5 -- taking the cheap ones now eases the r11
-#: window), then the round-10 first-timers (never attested --
-#: test_window_is_50 forces them in). Rows-only sketches stay out by
-#: design via SKETCH_ALLOWLIST (machine-checked, VERDICT r7 #4).
-#: Every rotated-out query remains covered by tools/strict_check.py
-#: (the tier-2 leg of the two-tier bound, VERDICT r8 #5). Within each
-#: group, cheap entries (BENCH_DETAIL_r09 warm timings) run first,
-#: hedging a time-budgeted driver window.
+#: 50 in dict order). Round-11 rotation (VERDICT r10 #1, oldest-first
+#: regime): after the pinned five come ALL 31 queries whose latest
+#: driver record is r05 (staleness 6 entering r11 -- the oldest cohort
+#: in the ledger; without rotating them in they breach the tier-1
+#: bound, see test_attestation_staleness_bound), then the 14 cheapest
+#: r06-stale queries (staleness 5 -- taking the cheap ones now eases
+#: the r12 window). No round-11 first-timers: this is an optimization
+#: round, the registry composition is frozen. Rows-only sketches stay
+#: out by design via SKETCH_ALLOWLIST (machine-checked, VERDICT r7
+#: #4). Every rotated-out query remains covered by
+#: tools/strict_check.py (the tier-2 leg of the two-tier bound,
+#: VERDICT r8 #5). Within each group, cheap entries (BENCH_DETAIL_r10
+#: warm timings) run first, hedging a time-budgeted driver window.
 PRIORITY: tuple[str, ...] = (
     # reference parity core (SURVEY.md section 2.7 + MV transform) --
     # permanently pinned
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # --- staleness 6 (latest record r04): the oldest cohort, ALL of
-    #     it, cheap-first by BENCH_DETAIL_r09 ---
-    "q_gini_customer_revenue", "q_chi2_type_hour", "q_ks_value_drift",
-    "q_classifier_auc", "q_media_phash", "q_scd2_user_status",
-    "q_paragraph_dedup", "q_bpe_pair_counts",
-    "q_fuzzy_canonical_parts", "q_quota_sample", "q_fuzzy_match_parts",
-    "q_key_skew_audit", "q_constraint_audit",
-    "q_quality_classifier_hashed", "q_dsir_importance",
-    "q_psi_value_drift", "q_calibration_bins", "q_repetition_filters",
-    "q_boilerplate_ngrams", "q_semantic_dedup", "q_bpe_train_merges",
-    "q_ann_recall_audit", "q_basket_lift", "q_tokenize_bpe_apply",
-    "q_dedup_incremental_near", "q_hard_negatives", "q_knn_graph",
-    "q_dedup_embedding_lsh", "q_embedding_top_pc", "q_triplet_mining",
-    "q_dialect_flags_report", "q_cluster_topics",
-    # --- free slots: staleness 5 (latest record r05), cheapest first ---
-    "q_dialect_top_words", "q_k_anonymity_audit",
-    "q_ab_test_conversion", "q_day_over_day", "q_corpus_stats",
-    "q_freshness_audit", "q_welch_ttest_value", "q_dedup_incremental",
-    # --- round-10 first-timers ---
-    "q_attribution_reduce_candidates", "q_mv_parse_multiformat",
-    "q_ann_ivf_pq_topk", "q_grouping_sets_revenue",
-    "q_asof_nearest_signup",
+    # --- staleness 6 (latest record r05): the oldest cohort, ALL of
+    #     it, cheap-first by BENCH_DETAIL_r10 ---
+    "q_cusum_changepoint", "q_mann_whitney_value",
+    "q_entropy_by_source", "q_division_every_year",
+    "q_dialect_daily_events", "q_zipf_fit", "q_pareto_revenue_share",
+    "q_anomaly_seasonal_residual", "q_ewma_backtest",
+    "q_holt_backtest", "q_pmi_collocations", "q_histogram_value",
+    "q_heavy_hitters", "q_seasonality_profile",
+    "q_session_peak_overlap", "q_ann_lsh_topk", "q_interevent_times",
+    "q_rfm_segments", "q_dedup_embedding_cosine", "q_ann_pq_topk",
+    "q_bm25_search", "q_degree_distribution", "q_dedup_containment",
+    "q_dedup_substring_windows", "q_dedup_ngram_jaccard",
+    "q_degree_assortativity", "q_matryoshka_recall",
+    "q_silhouette_kmeans", "q_rrf_hybrid_search",
+    "q_ann_ivf_kmeans_topk", "q_dedup_recall_audit",
+    # --- free slots: staleness 5 (latest record r06), cheapest first ---
+    "q_sample_systematic", "q_split_assign", "q_heavy_hitter_users",
+    "q_dedup_media_exact", "q_stratified_rebalance",
+    "q_source_mixture_weights", "q_token_budget_selection",
+    "q_corr_purchase_click", "q_compaction_plan", "q_padding_waste",
+    "q_pii_redact_stats", "q_skyline_parts", "q_zscore_outliers",
+    "q_kaplan_meier",
 )
 
 #: Rows-only registry entries with NO DuckDB oracle, by design:
