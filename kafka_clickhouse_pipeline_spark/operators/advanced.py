@@ -2910,6 +2910,11 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     purch = events.filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     ).select("event_id", F.col("value").cast("decimal(12,2)").alias("v"))
+    # B-way explode + one md5 per (event, replicate) off a one-row-
+    # group parquet scan ran as a single 3.9 s task (r11 profile);
+    # spread the purchases first so the replication fans out across
+    # the cluster.
+    purch = purch.repartition(spark.sparkContext.defaultParallelism)
     pairs = purch.select(
         "v",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),

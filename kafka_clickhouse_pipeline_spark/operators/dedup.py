@@ -285,6 +285,11 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
         )
         .distinct()
+        # the bare-id candidate set is tiny in bytes (AQE coalesces it
+        # to ~5 partitions) but each pair pays two array joins + an
+        # array_intersect downstream -- spread it first (r11 profile:
+        # the verify stages ran 5-wide on 32 cores)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # per-pair set intersection (the PPJoin verification step): joining
     # the candidate list back onto the exploded index would re-expand

@@ -1270,8 +1270,16 @@ def q_node_jaccard(
         min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
     )
     # wedge expansion: for each center, all u < v neighbor pairs
-    # (sorted-slice: exactly C(d,2) rows)
-    pairs = _expand_wedges(adj, [])
+    # (sorted-slice: exactly C(d,2) rows). The adjacency aggregate is
+    # small in BYTES (one array row per node), so AQE coalesces it to
+    # a handful of partitions -- but the expansion stage downstream
+    # fans each row out to C(d,2) pair rows, work AQE's byte heuristic
+    # cannot see (measured r11: 12 tasks / 149 s executor time on 32
+    # cores, 20 idle). Spread the centers round-robin over the same
+    # wedge-count-derived width as the pair shuffle before expanding
+    # (guide section 2: size partitioning from the data, here the
+    # exact wedge count already in hand).
+    pairs = _expand_wedges(adj.repartition(parts), [])
     key_type = dict(edges.dtypes)["src"]
     packable = (
         max_id is not None
@@ -1468,6 +1476,13 @@ WEDGE_MINHASH_HASHES = 32
 WEDGE_MINHASH_BANDS = 32
 WEDGE_MINHASH_ROWS = 1
 
+#: Node-count gate for broadcasting the per-neighbor minhash rows
+#: (n_hashes 32-char hex strings per node, ~1.1 KB/row at 32 hashes:
+#: the cap keeps the broadcast near 165 MB). Above it the hash attach
+#: falls back to a shuffle join -- still an average-degree-factor md5
+#: saving over hashing per edge row.
+MINHASH_HASH_BROADCAST_MAX_NODES = 150_000
+
 
 def minhash_adjacency_pairs_scored(
     edges: DataFrame, *, bands: int, rows: int
@@ -1498,14 +1513,45 @@ def minhash_adjacency_pairs_scored(
     over the 128-bit values, so both callers' DuckDB oracles reproduce
     the candidate set md5-for-md5."""
     n_hashes = bands * rows
-    nb = edges.select("src", F.md5(F.col("dst").cast("string")).alias("base"))
-    sigs = nb.groupBy("src").agg(
+    # h_i(dst) = md5(i : md5(dst)) depends only on (i, dst), yet the
+    # previous shape evaluated it once per EDGE row -- n_hashes * |E|
+    # md5 calls where only n_hashes * |V| distinct values exist (r11
+    # profile: the signature stage was ~390 s CPU at sf0.1, ~47M md5s
+    # for 640k distinct values, ~dbar = 73x redundant). Hash each
+    # distinct neighbor once, attach the 32-wide hash row to the edge
+    # list, and min-aggregate the columns: bit-identical signatures
+    # (same md5 values, same lexicographic mins), md5 cost divided by
+    # the average degree. The hash frame is |V| x n_hashes hex strings
+    # (~1.1 KB/row); broadcast it under a node-count gate so the join
+    # adds no shuffle (the gated fallback is a shuffle join -- still a
+    # degree-factor md5 win, guide section 4.2/2.3).
+    nodes = edges.select("dst").distinct()
+    dst_hashes = nodes.select(
+        "dst",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("base")))).alias(
-                f"h{i}"
-            )
+            F.md5(
+                F.concat(
+                    F.lit(f"{i}:"), F.md5(F.col("dst").cast("string"))
+                )
+            ).alias(f"h{i}")
             for i in range(n_hashes)
-        ]
+        ],
+    )
+    # ~(33 * n_hashes) B of hex per row: 150k nodes ~ 165 MB broadcast.
+    if nodes.count() <= MINHASH_HASH_BROADCAST_MAX_NODES:
+        dst_hashes = F.broadcast(dst_hashes)
+    sigs = (
+        edges.join(dst_hashes, "dst")
+        .groupBy("src")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)])
+        # the signature aggregate is ~1 KB/node, so AQE coalesces it
+        # to ~1 partition -- and the band explode plus the bucket
+        # self-join's exchange write then run single-task (r11
+        # profile at sf0.01: one 30 s task emitting 12.5M candidate
+        # rows). Spread the signatures first; the groupBy above keeps
+        # its map-side partial mins (this repartition is AFTER the
+        # aggregate, so the wide joined rows never cross a shuffle).
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism)
     )
     band_keys = F.array(
         *[
@@ -2277,8 +2323,12 @@ def q_adamic_adar(
         min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
     )
     # sorted-slice expansion + packed pair key (same shape and gate as
-    # q_node_jaccard) with the center weight riding along each wedge
-    pairs = _expand_wedges(adjw, ["w"])
+    # q_node_jaccard) with the center weight riding along each wedge.
+    # Round-robin the centers over the wedge-derived width first: the
+    # adjacency rows are few bytes but expand to C(d,2) pairs each,
+    # so AQE leaves the expansion stage under-parallelized (see
+    # q_node_jaccard).
+    pairs = _expand_wedges(adjw.repartition(parts), ["w"])
     key_type = dict(edges.dtypes)["src"]
     packable = (
         max_id is not None
@@ -2486,6 +2536,16 @@ def q_betweenness_sampled(
             .select(
                 "source", "node", "sigma", F.lit(hop).cast("long").alias("dist")
             )
+            # The (source, node) state is small in bytes, so AQE
+            # coalesces the aggregate to ONE partition -- and because
+            # the edge list sits under the auto-broadcast threshold,
+            # the NEXT hop's edge join then streams this frame in a
+            # single task while 31 cores idle (measured r11: two 1-task
+            # stages of 8.5 s and 8.9 s, each fanning out 20M rows).
+            # Pin the checkpointed frontier at cluster width instead;
+            # the fanout joins (forward hop and backward Brandes sweep)
+            # both stream it map-side against broadcast edges.
+            .repartition(spark.sparkContext.defaultParallelism)
             .transform(cut_lineage)
         )
         levels.append(nxt)

@@ -722,6 +722,12 @@ def q_knn_graph(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
+        # the bare-id pair set is a few MB, so AQE coalesces it to a
+        # handful of partitions -- but every pair downstream pays two
+        # vector joins + an Arrow dot, cost the byte heuristic cannot
+        # see (r11 profile: 8.5 s CPU across 6 tasks on 32 cores).
+        # Spread the pairs before the scoring stage.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     dot = seq_dot_arrow()
     scored = (
@@ -1082,6 +1088,9 @@ def q_hard_negatives(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
+        # spread the AQE-coalesced pair set before the label/vector
+        # joins + Arrow scoring (see q_knn_graph)
+        .repartition(spark.sparkContext.defaultParallelism)
         .join(
             labels.select(F.col("vec_id").alias("query_id"), "label"),
             "query_id",
@@ -1192,6 +1201,9 @@ def q_triplet_mining(
         .filter(F.col("other_id") != F.col("anchor_id"))
         .select("anchor_id", "other_id")
         .distinct()
+        # spread the AQE-coalesced pair set before the label/vector
+        # joins + Arrow scoring (see q_knn_graph)
+        .repartition(spark.sparkContext.defaultParallelism)
         .join(
             labels.select(F.col("vec_id").alias("anchor_id"), "label"),
             "anchor_id",

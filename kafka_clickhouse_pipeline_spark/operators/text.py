@@ -2689,7 +2689,15 @@ def q_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure scan-map -- the sliding windows are per-doc
     array slices (W * tokens element touches per doc, no explode, no
     shuffle except the presentation sort)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # The documents fixture is one parquet row group -> a 1-task scan,
+    # and the windowed array work below is W * tokens element touches
+    # per doc -- measured r11: 4.4 s in a single task while 31 cores
+    # idled. Spread docs across the cluster before the heavy map
+    # (guide section 2.5 input skew: repartition right after the read
+    # when the source cannot be split).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = _tokens()
     n = F.size(toks)
     w = MATTR_WINDOW

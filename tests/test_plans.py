@@ -410,9 +410,13 @@ def test_minhash_wedge_twin_plan(spark, sf_dir):
     run its n-scaled joins as shuffle joins (the AQE broadcast of the
     bands/adjacency frames OOMed the 4x ladder rung), (c) stay
     Python-free with TakeOrderedAndProject for the top-K, and (d)
-    keep the 32 signature mins in ONE hash aggregate over the flat
-    edge list (partial_min x32 on the map side -- the codegen'd
-    signature build)."""
+    keep the 32 signature mins in ONE map-side-combined hash
+    aggregate, with the md5s evaluated once per DISTINCT neighbor
+    (r11: h_i(dst) depends only on (i, dst), so hashing per edge row
+    re-computed every value avg-degree times; the build now hashes
+    the distinct-neighbor frame and min-aggregates the joined
+    columns -- partial_min over plain column refs, no md5 inside the
+    aggregate)."""
     from kafka_clickhouse_pipeline_spark.operators import graph
 
     df = graph.q_node_jaccard_minhash(spark, sf_dir)
@@ -422,7 +426,10 @@ def test_minhash_wedge_twin_plan(spark, sf_dir):
     assert plans.uses_top_k(df)
     assert "ShuffledHashJoin" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("partial_min(md5(") >= graph.WEDGE_MINHASH_HASHES
+    # signature mins aggregate plain columns (h0..h31) ...
+    assert plan.count("partial_min(h") >= graph.WEDGE_MINHASH_HASHES
+    # ... and no md5 is evaluated per edge row inside the aggregate
+    assert plan.count("partial_min(md5(") == 0
 
 
 def test_round8_operator_plan_shapes(spark, sf_dir):
