@@ -258,7 +258,12 @@ PAGERANK_ITERS = 5
 PAGERANK_BROADCAST_MAX_NODES = 4_000_000
 
 
-def pagerank_fixed_point(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+def pagerank_fixed_point(
+    edges: DataFrame | None,
+    iters: int = PAGERANK_ITERS,
+    *,
+    _adj: DataFrame | None = None,
+) -> DataFrame:
     """Synchronous PageRank (damping 0.85) over a directed edge list in
     which every node has at least one out-edge (symmetric graphs
     qualify; no dangling-mass redistribution needed). Returns
@@ -271,28 +276,40 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataF
     PAGERANK_BROADCAST_MAX_NODES), a plain shuffle join beyond that --
     then one shuffle of per-destination partial sums; partial
     aggregation means that shuffle carries O(nodes), not O(edges),
-    regardless of graph size. Edge list is checkpointed once so the
-    (possibly expensive) edge derivation never re-runs per round; rank
-    lineage is truncated every round."""
-    edges = edges.select("src", "dst").transform(cut_lineage)
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .transform(cut_lineage)
-    )
-    n = deg.count()
-    spark = edges.sparkSession
+    regardless of graph size. The materialized frame is the PER-NODE
+    ADJACENCY (r11): one array row per node is ~10x smaller than the
+    flat edge checkpoint in deserialized row objects (20.6 MB vs
+    200.8 MB at sf0.1 -- per-row overhead dominates 2-long rows), so
+    the per-round scan the loop pays ``iters`` times reads a tenth of
+    the blocks; the rounds see a flat (src, dst) view via explode
+    (codegen, no extra shuffle) and degree is a map-side size().
+    collect_list (not collect_set) preserves duplicate-edge
+    multiplicity for generic callers; ``_adj`` lets a caller hand in
+    an already-grouped adjacency (e.g. co_purchase_adjacency, which
+    skips the edge-dedup exchange entirely). Rank lineage is truncated
+    every round."""
+    adj = (
+        _adj
+        if _adj is not None
+        else edges.select("src", "dst")
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+    ).transform(cut_lineage)
+    deg = adj.select("src", F.size("nbrs").alias("d"))
+    n = adj.count()
+    spark = adj.sparkSession
     if n == 0:
         return spark.createDataFrame([], "node bigint, r bigint")
+    edges_v = adj.select("src", F.explode("nbrs").alias("dst"))
     r0 = PAGERANK_SCALE // n
     teleport = (PAGERANK_SCALE * 15 // 100) // n
-    ranks = deg.select(
+    ranks = adj.select(
         F.col("src").alias("node"), F.lit(r0).cast("long").alias("r")
     )
     small_enough = n <= PAGERANK_BROADCAST_MAX_NODES
     for _ in range(iters):
         ranks = _pagerank_round(
-            edges, deg, ranks, teleport, broadcast_ranks=small_enough
+            edges_v, deg, ranks, teleport, broadcast_ranks=small_enough
         ).transform(cut_lineage)
     return ranks
 
@@ -330,10 +347,10 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TPC-H orders hold <= 7 items) -- linear in lineitem, never
     quadratic in the catalog -- followed by an edge-dedup shuffle."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # grouped pair expansion, not a self-join: measured 3.0 s -> 1.6 s
-    # at sf0.1 (see co_purchase_edges)
-    edges = co_purchase_edges(li)
-    ranks = pagerank_fixed_point(edges)
+    # grouped pair expansion, not a self-join (see co_purchase_edges);
+    # handing in the adjacency skips the edge-dedup exchange -- the
+    # collect_set dedups inside the one groupBy (r11)
+    ranks = pagerank_fixed_point(None, _adj=co_purchase_adjacency(li))
     return (
         # 8-dp display rank via integer half-up then exact double divide
         # (engine round() implementations differ in last-ulp cases;
@@ -372,18 +389,20 @@ def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(V) -- the reason PPR is computed per-query in production
     recommenders while global PageRank is a batch job. Teleport mass
     goes only to seeds (full-outer-join merge with the contribution
-    frame, coalesce-0 both sides)."""
+    frame, coalesce-0 both sides).
+
+    Prep (r11): the checkpointed frame is the per-node adjacency
+    (~10x smaller in deserialized rows than the flat edge list); the
+    per-round spread join reads it and explodes map-side, degree is a
+    size() projection, and the seed draw scans |V| rows instead of
+    distinct-ing |E|."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .transform(cut_lineage)
-    )
+    adj = co_purchase_adjacency(li).transform(cut_lineage)
+    edges = adj.select("src", F.explode("nbrs").alias("dst"))
+    deg = adj.select("src", F.size("nbrs").alias("d"))
     seed_order = [F.md5(F.col("src").cast("string")), F.col("src")]
     seeds = (
-        edges.select("src")
-        .distinct()
+        adj.select("src")
         .orderBy(*seed_order)
         .limit(PPR_SEEDS)
         .select(F.col("src").alias("node"))
@@ -504,6 +523,39 @@ def co_purchase_edges(li: DataFrame) -> DataFrame:
     )
 
 
+def co_purchase_adjacency(li: DataFrame) -> DataFrame:
+    """Per-node sorted adjacency arrays of the co-purchase graph --
+    the same node->neighbor sets ``co_purchase_edges(li).groupBy(src)
+    .collect_set(dst)`` yields, built with one shuffle FEWER: the
+    order-group pair stream feeds the src groupBy directly and
+    collect_set performs the dedup the edge form paid a separate
+    ``distinct`` exchange for (r11, guide section 2.4 "remove shuffles
+    outright").
+
+    This is the wedge family's prep frame: degree, the undirected
+    linked set, the wedge census and the pack-gate bounds are all
+    cheap map-side derivations of it (one array row per node), so
+    checkpointing THIS instead of the flat edge list turns the 6-7
+    prep passes q_node_jaccard/q_adamic_adar made over the fat edge
+    checkpoint (~200 MB deserialized at sf0.1, one groupBy re-scan
+    per derivation) into scans of a |V|-row frame."""
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    und = sets.select(F.posexplode("ps").alias("i", "src"), "ps").select(
+        "src",
+        F.explode(F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))).alias(
+            "dst"
+        ),
+    )
+    sym = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sym.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs")
+    )
+
+
 #: Node-id ceiling for the packed-pair fast path: both wedge endpoints
 #: must fit in 32 unsigned bits for (u << 32) | v to be collision-free
 #: in one BIGINT. TPC-H partkeys blow past this near SF ~10,000, so the
@@ -536,27 +588,6 @@ def _expand_wedges(adj: DataFrame, extra: list[str]) -> DataFrame:
     )
 
 
-def _pack_gate_bounds(edges: DataFrame, sizes, max_degree: int | None):
-    """Node-id bounds that gate the packed-pair fast path.
-
-    Uncapped, the wedge centers ARE the full node universe (every dst
-    of the symmetric edge list is also a src), so the min/max already
-    aggregated over the adjacency frame bound both endpoints for free.
-    With ``max_degree`` engaged the centers are filtered but the
-    ``nbrs`` arrays still contain capped-out hubs as ENDPOINTS
-    (ADVICE r6, medium): a dropped hub with id >= 2^32 while surviving
-    centers sit below it would silently enable packing and collide
-    (u << 32) + v with (u + 1, v - 2^32). Bound off the UNFILTERED
-    edge frame instead -- one cheap scan of the already-materialized
-    (localCheckpoint'ed) edge list."""
-    if max_degree is None:
-        return sizes.min_id, sizes.max_id
-    b = edges.agg(
-        F.min("src").alias("min_id"), F.max("src").alias("max_id")
-    ).collect()[0]
-    return b.min_id, b.max_id
-
-
 def _pack_pair() -> "F.Column":
     """(u << 32) | v as one BIGINT: halves the shuffle row to a single
     8-byte key (one hash, one comparison per row in the pair
@@ -584,6 +615,18 @@ def _unpack_pair(df: DataFrame, key_type: str) -> DataFrame:
 #: each task's path fanout comfortably in-memory even on skewed
 #: inputs (degree orientation bounds per-source fanout to O(sqrt(m))).
 _TRIANGLE_EDGES_PER_TASK = 50_000
+
+#: Broadcast the oriented adjacency-array frame (one row per node,
+#: array entries summing to the oriented edge count) below this edge
+#: count -- ~8 B/entry plus per-row overhead keeps the broadcast under
+#: ~150 MB at the bound. Broadcasting it makes BOTH intersection joins
+#: map-side, so the per-edge rows carrying the fat ``nu`` arrays never
+#: cross a shuffle (r11 profile: the repartition-by-hi exchange moved
+#: 268 MB for 1.2M rows at sf0.1 -- guide section 2.3 "shuffle keys,
+#: not payloads"). Above the gate the original shuffle-join shape is
+#: kept: at true 100 TB scale the arrays cannot broadcast and paying
+#: the exchange is correct.
+_TRIANGLE_ADJ_BROADCAST_MAX_EDGES = 10_000_000
 
 
 def q_triangle_count_copurchase(
@@ -627,12 +670,25 @@ def q_triangle_count_copurchase(
     each undirected edge with probability p via a deterministic md5
     coin, count on the sparsified graph, and scale -- triangles by
     1/p^3, wedges by 1/p^2 (each survives iff all its edges do). Output
-    schema is unchanged; values become unbiased estimates."""
+    schema is unchanged; values become unbiased estimates.
+
+    Prep (r11): one checkpointed adjacency frame replaces the flat
+    edge checkpoint -- degree is a map-side size() and the undirected
+    edge list an explode of it, so the distinct exchange and the
+    repeated passes over the fat edge block disappear; the source
+    endpoint's degree rides out of the explode for free, leaving ONE
+    size-gated broadcast join to attach the destination degree. Under
+    _TRIANGLE_ADJ_BROADCAST_MAX_EDGES both intersection joins
+    broadcast the adjacency arrays, so the per-edge rows carrying
+    ``nu`` never cross an exchange (guide section 2.3/3.1); above the
+    gate the original width-scaled shuffle joins are kept."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
+    adj0 = co_purchase_adjacency(li).transform(cut_lineage)
     # directed edge list has both orientations, so out-degree = degree
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    und = edges.filter(F.col("src") < F.col("dst"))
+    deg = adj0.select("src", F.size("nbrs").alias("d"))
+    und = adj0.select(
+        "src", F.size("nbrs").alias("ds"), F.explode("nbrs").alias("dst")
+    ).filter(F.col("src") < F.col("dst"))
     if edge_sample is not None:
         if not 0.0 < edge_sample <= 1.0:
             raise ValueError(f"edge_sample must be in (0, 1], got {edge_sample}")
@@ -645,14 +701,13 @@ def q_triangle_count_copurchase(
             10,
         ).cast("long")
         und = und.filter(coin < F.lit(int(edge_sample * 2**32)))
-    # orient by (degree, id): lo = the lower-(d, id) endpoint
-    ranked = und.join(
-        deg.select(F.col("src").alias("s_"), F.col("d").alias("ds")),
-        F.col("src") == F.col("s_"),
-    ).join(
-        deg.select(F.col("src").alias("d_"), F.col("d").alias("dd")),
-        F.col("dst") == F.col("d_"),
-    )
+    n_nodes = adj0.count()
+    # orient by (degree, id): lo = the lower-(d, id) endpoint. ds came
+    # out of the explode; dd is one degree join (size-gated broadcast)
+    dd = deg.select(F.col("src").alias("d_"), F.col("d").alias("dd"))
+    if n_nodes <= NODE_JACCARD_BROADCAST_MAX_NODES:
+        dd = F.broadcast(dd)
+    ranked = und.join(dd, F.col("dst") == F.col("d_"))
     src_first = (F.col("ds") < F.col("dd")) | (
         (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
     )
@@ -674,28 +729,41 @@ def q_triangle_count_copurchase(
         .agg(F.array_sort(F.collect_list("hi")).alias("nbrs"))
         .transform(cut_lineage)
     )
-    # explicit hash repartitions matching each join's required
-    # distribution: no extra exchange is inserted, and the width grows
-    # with the data instead of the session's fixed default
-    with_nu = oriented.repartition(parts, "lo").join(
-        adj.select(F.col("lo").alias("u_"), F.col("nbrs").alias("nu")),
-        F.col("lo") == F.col("u_"),
-    )
-    triangles = (
-        with_nu.repartition(parts, "hi")
-        .join(
-            adj.select(F.col("lo").alias("v_"), F.col("nbrs").alias("nv")),
-            F.col("hi") == F.col("v_"),
+    adj_u = adj.select(F.col("lo").alias("u_"), F.col("nbrs").alias("nu"))
+    adj_v = adj.select(F.col("lo").alias("v_"), F.col("nbrs").alias("nv"))
+    if n_edges <= _TRIANGLE_ADJ_BROADCAST_MAX_EDGES:
+        # map-side intersections: only the bare (lo, hi) pairs cross
+        # the round-robin spread; the arrays ride in the broadcast
+        base = oriented.repartition(parts)
+        paired = base.join(F.broadcast(adj_u), F.col("lo") == F.col("u_")).join(
+            F.broadcast(adj_v), F.col("hi") == F.col("v_")
         )
-        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t"))
-    )
-    wedges = (
-        und.select(F.explode(F.array("src", "dst")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("w"))
-    )
+    else:
+        # explicit hash repartitions matching each join's required
+        # distribution: no extra exchange is inserted, and the width
+        # grows with the data instead of the session's fixed default
+        with_nu = oriented.repartition(parts, "lo").join(
+            adj_u, F.col("lo") == F.col("u_")
+        )
+        paired = with_nu.repartition(parts, "hi").join(
+            adj_v, F.col("hi") == F.col("v_")
+        )
+    triangles = paired.select(
+        F.size(F.array_intersect("nu", "nv")).alias("c")
+    ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t"))
+    if edge_sample is None:
+        # full-graph wedge census straight off the degree arrays --
+        # no explode, no groupBy shuffle
+        wedges = adj0.select(F.size("nbrs").alias("d")).agg(
+            F.sum(F.expr("d * (d - 1) div 2")).alias("w")
+        )
+    else:
+        wedges = (
+            und.select(F.explode(F.array("src", "dst")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("w"))
+        )
     p = 1.0 if edge_sample is None else edge_sample
     t_est = (F.col("t") / F.lit(p**3)).cast("long") if edge_sample else F.col("t")
     w_est = (F.col("w") / F.lit(p**2)).cast("long") if edge_sample else F.col("w")
@@ -739,21 +807,30 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-tie-break variant trades convergence speed for determinism --
     the right trade when results must be auditable."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
-    return lpa_labels(edges).select(
+    adj = co_purchase_adjacency(li).transform(cut_lineage)
+    return lpa_labels(
+        adj.select("src", F.explode("nbrs").alias("dst")),
+        _nodes=adj.select("src"),
+    ).select(
         F.col("node").alias("partkey"), F.col("label").alias("community")
     ).orderBy("partkey")
 
 
-def lpa_labels(edges: DataFrame) -> DataFrame:
+def lpa_labels(edges: DataFrame, *, _nodes: DataFrame | None = None) -> DataFrame:
     """The LPA loop shared by q_label_propagation and the modularity
     audit: (src, dst) directed edges -> (node, label) after LPA_ROUNDS
-    synchronous rounds (see q_label_propagation for the contract)."""
+    synchronous rounds (see q_label_propagation for the contract).
+    ``_nodes`` (optional, one column of already-distinct node ids)
+    skips the label-init distinct when the caller has the node
+    universe in hand -- r11: both callers pass the adjacency frame's
+    src column, and ``edges`` is its explode, so each LPA round scans
+    the ~10x-smaller adjacency checkpoint instead of a flat edge
+    checkpoint."""
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
+        _nodes.select(F.col(_nodes.columns[0]).alias("node"))
+        if _nodes is not None
+        else edges.select(F.col("src").alias("node")).distinct()
+    ).withColumn("label", F.col("node"))
     small = labels.count() <= LPA_BROADCAST_MAX_NODES
     for _ in range(LPA_ROUNDS):
         labels = _lpa_round(edges, labels, broadcast_labels=small).transform(
@@ -795,10 +872,10 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     float log2: libm exactness at power-of-two boundaries is not
     contractual across engines, integer string length is."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    deg = (
-        co_purchase_edges(li)
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
+    # degree = adjacency array size: the collect_set groupBy dedups,
+    # so the separate edge-distinct exchange disappears (r11)
+    deg = co_purchase_adjacency(li).select(
+        "src", F.size("nbrs").cast("long").alias("d")
     )
     bucket = (F.length(F.conv(F.col("d").cast("string"), 10, 2)) - 1).cast("long")
     return (
@@ -1128,21 +1205,28 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed once up front).
 
     Oracle: recursive CTE computing min hop distance with the same
-    depth cap."""
+    depth cap.
+
+    Prep (r11): the checkpointed frame is the per-node adjacency --
+    each hop joins the frontier against |V| array rows and explodes
+    the matched neighbor lists map-side, instead of re-scanning a
+    flat edge checkpoint ~10x its size in deserialized rows; the seed
+    draw needs no distinct (adjacency src is the node universe)."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = co_purchase_edges(li).transform(cut_lineage)
+    adj = co_purchase_adjacency(
+        li.select("l_orderkey", "l_partkey")
+    ).transform(cut_lineage)
     visited = (
-        edges.select("src")
+        adj.select("src")
         .filter(F.col("src") % 100 == 1)
-        .distinct()
         .select(F.col("src").alias("node"), F.lit(0).cast("long").alias("hops"))
         .transform(cut_lineage)
     )
     frontier = visited.select("node")
     for hop in range(1, BFS_MAX_HOPS + 1):
         nxt = (
-            edges.join(frontier, edges["src"] == frontier["node"])
-            .select(F.col("dst").alias("node"))
+            adj.join(frontier, adj["src"] == frontier["node"])
+            .select(F.explode("nbrs").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("long").alias("hops"))
@@ -1194,6 +1278,7 @@ def q_node_jaccard(
     *,
     max_degree: int | None = None,
     _edges: DataFrame | None = None,
+    _adj: DataFrame | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction over the co-purchase graph: for
     node pairs that share at least one neighbor but are NOT directly
@@ -1233,38 +1318,58 @@ def q_node_jaccard(
     the pair volume. Default None keeps the oracle contract exact.
     Past the broadcast gates the degree/anti joins fall back to
     shuffle joins on the pair key -- correct, just no longer free.
-    ``_edges`` lets the capped wrapper hand in its already-built edge
-    frame so the co-purchase self-group is not computed twice."""
-    if _edges is not None:
-        edges = _edges
+    ``_edges`` / ``_adj`` let wrappers hand in an already-built edge
+    or adjacency frame so the co-purchase self-group is not computed
+    twice.
+
+    Prep (r11, guide section 1.2 "don't compute things you throw
+    away"): everything before the expansion -- degree, the capped
+    adjacency, the wedge census, the pack-gate bounds, the linked
+    anti-join set -- derives from ONE checkpointed adjacency frame
+    (|V| array rows) instead of the flat edge checkpoint the earlier
+    shape re-aggregated per derivation (6-7 groupBy passes over a
+    ~200 MB deserialized block at sf0.1). The census and the bounds
+    collapse into a single driver collect: the bounds must cover the
+    UNFILTERED node universe under the cap (a dropped hub above 2^32
+    must still disable packing, ADVICE r6), so the aggregate runs
+    over the full frame with the cap as a conditional inside."""
+    if _adj is not None:
+        adj0 = _adj
+    elif _edges is not None:
+        adj0 = (
+            _edges.groupBy("src")
+            .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+            .transform(cut_lineage)
+        )
     else:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
-        edges = co_purchase_edges(li).transform(cut_lineage)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    adj = edges.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+        adj0 = co_purchase_adjacency(li).transform(cut_lineage)
+    deg = adj0.select("src", F.size("nbrs").alias("d"))
+    adj = adj0
     if max_degree is not None:
         adj = adj.filter(F.size("nbrs") <= max_degree)
     # exact wedge count (bounded driver scalars) sizes the pair shuffle
-    # and decides the broadcast gates
-    sizes = adj.agg(
+    # and decides the broadcast gates; min/max span ALL nodes (hubs
+    # above the cap included) so the pack gate stays collision-safe
+    keep = (
+        F.lit(True)
+        if max_degree is None
+        else (F.size("nbrs") <= F.lit(max_degree))
+    )
+    dsz = F.size("nbrs").cast("long")
+    sizes = adj0.agg(
         F.coalesce(
-            F.sum(
-                (
-                    F.size("nbrs").cast("long")
-                    * (F.size("nbrs") - 1).cast("long")
-                ).cast("long")
-            )
-            / 2,
+            F.sum(F.when(keep, (dsz * (dsz - 1)).cast("long"))) / 2,
             F.lit(0),
         ).alias("wedges"),
-        F.count(F.lit(1)).alias("nodes"),
-        F.coalesce(F.sum(F.size("nbrs").cast("long")), F.lit(0)).alias("m2"),
+        F.coalesce(F.sum(F.when(keep, F.lit(1))), F.lit(0)).alias("nodes"),
+        F.coalesce(F.sum(F.when(keep, dsz)), F.lit(0)).alias("m2"),
         F.min("src").alias("min_id"),
         F.max("src").alias("max_id"),
     ).collect()[0]
-    min_id, max_id = _pack_gate_bounds(edges, sizes, max_degree)
+    min_id, max_id = sizes.min_id, sizes.max_id
     parts = max(
         spark.sparkContext.defaultParallelism,
         min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
@@ -1280,7 +1385,7 @@ def q_node_jaccard(
     # (guide section 2: size partitioning from the data, here the
     # exact wedge count already in hand).
     pairs = _expand_wedges(adj.repartition(parts), [])
-    key_type = dict(edges.dtypes)["src"]
+    key_type = dict(adj0.dtypes)["src"]
     packable = (
         max_id is not None
         and 0 <= int(min_id)
@@ -1300,8 +1405,9 @@ def q_node_jaccard(
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    linked = edges.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
+    linked = (
+        adj0.select(F.col("src").alias("u"), F.explode("nbrs").alias("v"))
+        .filter(F.col("u") < F.col("v"))
     )
     if sizes.m2 is not None and sizes.m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
         linked = F.broadcast(linked)
@@ -1408,14 +1514,16 @@ def q_node_jaccard_capped(
     Determinism / oracle: the cap is the DISCRETE quantile (see
     _discrete_degree_cap). The registered oracle interpolates
     DEGREE_CAP_PCT, so only the default ``pct`` is on the oracle
-    contract; other values are ad-hoc production knobs. The edge
+    contract; other values are ad-hoc production knobs. The adjacency
     frame built for the histogram is passed through to q_node_jaccard
-    so the co-purchase self-group runs once (ADVICE r5)."""
+    so the co-purchase self-group runs once (ADVICE r5; r11 moved the
+    shared frame from the flat edge list to the adjacency arrays --
+    degree is a map-side size() of it)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    adj0 = co_purchase_adjacency(li).transform(cut_lineage)
+    deg = adj0.select("src", F.size("nbrs").alias("d"))
     cap = _discrete_degree_cap(deg, pct)
-    return q_node_jaccard(spark, sf_dir, max_degree=cap, _edges=edges)
+    return q_node_jaccard(spark, sf_dir, max_degree=cap, _adj=adj0)
 
 
 GRAPH_QUERIES["q_node_jaccard_capped"] = q_node_jaccard_capped
@@ -1485,7 +1593,7 @@ MINHASH_HASH_BROADCAST_MAX_NODES = 150_000
 
 
 def minhash_adjacency_pairs_scored(
-    edges: DataFrame, *, bands: int, rows: int
+    adj: DataFrame, *, bands: int, rows: int, _nodes: DataFrame | None = None
 ) -> DataFrame:
     """ONE MinHash-LSH stage shared by the top-K audit geometry
     (q_node_jaccard_minhash, bands=32/rows=1, oracle-pinned) and the
@@ -1501,9 +1609,9 @@ def minhash_adjacency_pairs_scored(
     band keys -> posexplode -> band-bucket self-join (shuffle_hash: the
     bands frame is corpus-sized, never broadcast -- AQE broadcasting it
     OOMed the 4x ladder rung) -> direct edges anti-joined away (build
-    side broadcast only under the edge-count gate) -> adjacency arrays
-    built ONLY for candidate nodes (left_semi prune before the
-    collect_set shuffle) -> exact array_intersect verification.
+    side broadcast only under the edge-count gate) -> the input
+    adjacency pruned to candidate nodes (left_semi; r11 -- no
+    re-grouping) -> exact array_intersect verification.
 
     Returns (u, v, n_common, n_union) for every unlinked candidate
     pair, UNFILTERED: the top-K caller keeps n_common >= 1, the
@@ -1511,8 +1619,22 @@ def minhash_adjacency_pairs_scored(
     Determinism: md5 is bit-identical in Spark and DuckDB and
     lexicographic min over fixed-width lowercase-hex equals numeric min
     over the 128-bit values, so both callers' DuckDB oracles reproduce
-    the candidate set md5-for-md5."""
+    the candidate set md5-for-md5.
+
+    Input contract (r11): ``adj`` is the (ideally checkpointed)
+    per-node adjacency -- (src, nbrs array). The stage derives its
+    flat edge view by explode (codegen, no shuffle) and the
+    exact-verify adjacency arrays are a left_semi PRUNE of ``adj``
+    itself: the old per-candidate collect_set re-shuffle of the edge
+    list is gone, as are 4-5 repeated scans of a flat edge checkpoint
+    ~10x this frame's deserialized size. ``_nodes`` (one column named
+    dst) may hand in a SUPERSET of the distinct neighbor universe
+    when the caller knows it -- e.g. the src universe of a symmetric
+    graph, or of a twin-augmented one (twins point only at original
+    nodes) -- skipping the explode+distinct; surplus rows are dropped
+    by the inner hash join and only pad the broadcast."""
     n_hashes = bands * rows
+    edges = adj.select("src", F.explode("nbrs").alias("dst"))
     # h_i(dst) = md5(i : md5(dst)) depends only on (i, dst), yet the
     # previous shape evaluated it once per EDGE row -- n_hashes * |E|
     # md5 calls where only n_hashes * |V| distinct values exist (r11
@@ -1525,7 +1647,7 @@ def minhash_adjacency_pairs_scored(
     # (~1.1 KB/row); broadcast it under a node-count gate so the join
     # adds no shuffle (the gated fallback is a shuffle join -- still a
     # degree-factor md5 win, guide section 4.2/2.3).
-    nodes = edges.select("dst").distinct()
+    nodes = _nodes if _nodes is not None else edges.select("dst").distinct()
     dst_hashes = nodes.select(
         "dst",
         *[
@@ -1577,17 +1699,19 @@ def minhash_adjacency_pairs_scored(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
     # bounded driver scalar: gates the anti-join build-side broadcast
-    if edges.count() // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
+    m2 = adj.agg(
+        F.coalesce(F.sum(F.size("nbrs").cast("long")), F.lit(0)).alias("m2")
+    ).collect()[0].m2
+    if m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
         linked = F.broadcast(linked)
     cand = cand.join(linked, ["u", "v"], "left_anti")
     cand_nodes = (
         cand.select(F.col("u").alias("src")).union(cand.select("v")).distinct()
     )
-    csets = (
-        edges.join(cand_nodes, "src", "left_semi")
-        .groupBy("src")
-        .agg(F.collect_set("dst").alias("nbrs"))
-    )
+    # exact-verify arrays: prune the already-built adjacency -- no
+    # collect_set re-shuffle (array_intersect/size are order- and
+    # dedup-insensitive to the array representation)
+    csets = adj.join(cand_nodes, "src", "left_semi").select("src", "nbrs")
     return (
         cand.join(
             csets.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
@@ -1619,6 +1743,7 @@ def q_node_jaccard_minhash(
     sf_dir: str,
     *,
     _edges: DataFrame | None = None,
+    _adj: DataFrame | None = None,
     bands: int = WEDGE_MINHASH_BANDS,
     rows: int = WEDGE_MINHASH_ROWS,
 ) -> DataFrame:
@@ -1682,22 +1807,33 @@ def q_node_jaccard_minhash(
     1 by construction; the n_common >= 1 filter is kept explicit and
     mirrored by the oracle's inner join to the common-count CTE.
     """
-    if _edges is not None:
-        edges = _edges
+    if _adj is not None:
+        adj0 = _adj
+    elif _edges is not None:
+        adj0 = (
+            _edges.groupBy("src")
+            .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+            .transform(cut_lineage)
+        )
     else:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
-        edges = co_purchase_edges(li).transform(cut_lineage)
+        adj0 = co_purchase_adjacency(li).transform(cut_lineage)
     # ONE shared signature/candidate/verify stage with the threshold
     # twin (minhash_adjacency_pairs_scored, VERDICT r9 #5) -- band
     # geometry: default one-row bands (the oracle-pinned top-K
     # setting); ``bands``/``rows`` are the regime knobs -- r >= 2
     # collapses low-similarity candidates superlinearly (pass
     # probability 1-(1-j^r)^b), the high-similarity near-dup setting
-    # measured in SCALE.md's round-8 winning-regime ladder.
+    # measured in SCALE.md's round-8 winning-regime ladder. The graph
+    # is symmetric, so the adjacency src universe IS the neighbor
+    # universe (_nodes skips the explode+distinct).
     scored = minhash_adjacency_pairs_scored(
-        edges, bands=bands, rows=rows
+        adj0,
+        bands=bands,
+        rows=rows,
+        _nodes=adj0.select(F.col("src").alias("dst")),
     ).filter(F.col("n_common") >= 1)
     jac = F.round(
         F.col("n_common").cast("double") / F.col("n_union").cast("double"),
@@ -1790,9 +1926,12 @@ def q_wedge_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    edges = co_purchase_edges(li).transform(cut_lineage)
-    exact = q_node_jaccard(spark, sf_dir, _edges=edges).select("u", "v")
-    approx = q_node_jaccard_minhash(spark, sf_dir, _edges=edges).select(
+    # ONE checkpointed adjacency feeds both sides (r11): the exact
+    # wedge expansion and the minhash signature/verify stages all
+    # consume (src, nbrs) directly
+    adj0 = co_purchase_adjacency(li).transform(cut_lineage)
+    exact = q_node_jaccard(spark, sf_dir, _adj=adj0).select("u", "v")
+    approx = q_node_jaccard_minhash(spark, sf_dir, _adj=adj0).select(
         "u", "v"
     )
     k = NODE_JACCARD_TOPK
@@ -1853,20 +1992,21 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     One double assembly at the end, sqrt correctly rounded ->
     bit-portable.
 
-    Scale shape: degree frame from one groupBy; the two edge-degree
-    attachments are size-gated BROADCAST joins (8 bytes/node, the
-    node-Jaccard gate) so the edge list -- the big frame -- never
-    re-shuffles; ONE map-side-combined aggregate folds the moments."""
+    Scale shape (r11): one checkpointed adjacency frame -- the source
+    endpoint's degree rides out of the explode for free, leaving ONE
+    size-gated broadcast degree join (8 bytes/node, the node-Jaccard
+    gate) to attach the destination degree; the edge view never
+    shuffles; ONE map-side-combined aggregate folds the moments."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    n_nodes = deg.count()  # bounded driver scalar: gates the broadcasts
-    du = deg.select(F.col("src").alias("s_"), F.col("d").alias("du"))
-    dv = deg.select(F.col("src").alias("d_"), F.col("d").alias("dv"))
+    adj = co_purchase_adjacency(li).transform(cut_lineage)
+    n_nodes = adj.count()  # bounded driver scalar: gates the broadcast
+    dv = adj.select(F.col("src").alias("d_"), F.size("nbrs").alias("dv"))
     if n_nodes <= NODE_JACCARD_BROADCAST_MAX_NODES:
-        du, dv = F.broadcast(du), F.broadcast(dv)
+        dv = F.broadcast(dv)
     paired = (
-        edges.join(du, F.col("src") == F.col("s_"))
+        adj.select(
+            F.size("nbrs").alias("du"), F.explode("nbrs").alias("dst")
+        )
         .join(dv, F.col("dst") == F.col("d_"))
         .select(
             F.col("du").cast("decimal(19,0)").alias("x"),
@@ -1940,8 +2080,9 @@ def q_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (size-gated broadcast, the LPA-round pattern) + two map-side
     combined aggregates. Nothing beyond the LPA loop's own cost."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
-    labels = lpa_labels(edges)
+    adj = co_purchase_adjacency(li).transform(cut_lineage)
+    edges = adj.select("src", F.explode("nbrs").alias("dst"))
+    labels = lpa_labels(edges, _nodes=adj.select("src"))
     n_nodes = labels.count()
     lab = (
         F.broadcast(labels)
@@ -1962,7 +2103,7 @@ def q_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ls").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    deg = adj.select("src", F.size("nbrs").alias("d"))
     dmass = (
         deg.join(
             lab.select(F.col("node").alias("src"), "label"), "src"
@@ -2086,13 +2227,17 @@ def q_closeness_sampled(
     form -- the bitmap is pure execution strategy)."""
     from pyspark.sql.window import Window
 
+    # r11 prep: the checkpointed frame is the per-node adjacency
+    # (~10x smaller deserialized than the flat edge list); each hop
+    # joins the broadcast frontier against |V| array rows and explodes
+    # the matched neighbor lists map-side, and the landmark draw /
+    # node count scan |V| rows with no distinct.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
+    adj = co_purchase_adjacency(li).transform(cut_lineage)
     n_words = (landmarks + 63) // 64
     seed_order = [F.md5(F.col("src").cast("string")), F.col("src")]
     seeds = (
-        edges.select("src")
-        .distinct()
+        adj.select("src")
         .orderBy(*seed_order)
         .limit(landmarks)
         .select(
@@ -2100,7 +2245,7 @@ def q_closeness_sampled(
             (F.row_number().over(Window.orderBy(*seed_order)) - 1).alias("idx"),
         )
     )
-    n_nodes = edges.select("src").distinct().count()
+    n_nodes = adj.count()
     word = (F.col("idx") / 64).cast("int")
     # SQL-expr shiftleft: the pyspark function wants a literal int for
     # numBits, the SQL form takes a column
@@ -2125,8 +2270,12 @@ def q_closeness_sampled(
         if n_nodes <= NODE_JACCARD_BROADCAST_MAX_NODES:
             f = F.broadcast(f)
         neigh = (
-            edges.join(f, edges["src"] == f["fsrc"])
-            .groupBy(F.col("dst").alias("node"))
+            adj.join(f, adj["src"] == f["fsrc"])
+            .select(
+                F.explode("nbrs").alias("node"),
+                *[F.col(f"fb{j}") for j in range(n_words)],
+            )
+            .groupBy("node")
             .agg(*[F.expr(f"bit_or(fb{j})").alias(f"nb{j}") for j in range(n_words)])
         )
         merged = neigh.join(visited, "node", "full_outer").select(
@@ -2246,6 +2395,7 @@ def q_adamic_adar(
     *,
     max_degree: int | None = None,
     _edges: DataFrame | None = None,
+    _adj: DataFrame | None = None,
 ) -> DataFrame:
     """Adamic-Adar link prediction over the co-purchase graph: for
     non-adjacent node pairs sharing at least one neighbor, the AA
@@ -2283,15 +2433,26 @@ def q_adamic_adar(
     expansion -- on skewed graphs hub wedges are C(d,2)-quadratic
     pair volume carrying ~zero AA weight each (1/ln(d) -> 0), so the
     cap removes the scale-killer while barely moving top-K scores.
-    Default None keeps the registered oracle contract exact."""
-    if _edges is not None:
-        edges = _edges
+    Default None keeps the registered oracle contract exact.
+
+    Prep mirrors q_node_jaccard (r11): one checkpointed adjacency
+    frame feeds the degree weights, the census+bounds single collect,
+    the expansion and the linked anti-join set -- no repeated passes
+    over a flat edge checkpoint."""
+    if _adj is not None:
+        adj0 = _adj
+    elif _edges is not None:
+        adj0 = (
+            _edges.groupBy("src")
+            .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+            .transform(cut_lineage)
+        )
     else:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
-        edges = co_purchase_edges(li).transform(cut_lineage)
-    adj = edges.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+        adj0 = co_purchase_adjacency(li).transform(cut_lineage)
+    adj = adj0
     if max_degree is not None:
         adj = adj.filter(F.size("nbrs") <= max_degree)
     adjw = adj.select(
@@ -2304,20 +2465,23 @@ def q_adamic_adar(
         .cast("long")
         .alias("w"),
     ).filter(F.size("nbrs") >= 2)
-    sizes = adj.agg(
+    keep = (
+        F.lit(True)
+        if max_degree is None
+        else (F.size("nbrs") <= F.lit(max_degree))
+    )
+    dsz = F.size("nbrs").cast("long")
+    sizes = adj0.agg(
         F.coalesce(
-            F.sum(
-                (F.size("nbrs").cast("long") * (F.size("nbrs") - 1).cast("long"))
-            )
-            / 2,
+            F.sum(F.when(keep, dsz * (dsz - 1))) / 2,
             F.lit(0),
         ).alias("wedges"),
-        F.count(F.lit(1)).alias("nodes"),
-        F.coalesce(F.sum(F.size("nbrs").cast("long")), F.lit(0)).alias("m2"),
+        F.coalesce(F.sum(F.when(keep, F.lit(1))), F.lit(0)).alias("nodes"),
+        F.coalesce(F.sum(F.when(keep, dsz)), F.lit(0)).alias("m2"),
         F.min("src").alias("min_id"),
         F.max("src").alias("max_id"),
     ).collect()[0]
-    min_id, max_id = _pack_gate_bounds(edges, sizes, max_degree)
+    min_id, max_id = sizes.min_id, sizes.max_id
     parts = max(
         spark.sparkContext.defaultParallelism,
         min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
@@ -2329,7 +2493,7 @@ def q_adamic_adar(
     # so AQE leaves the expansion stage under-parallelized (see
     # q_node_jaccard).
     pairs = _expand_wedges(adjw.repartition(parts), ["w"])
-    key_type = dict(edges.dtypes)["src"]
+    key_type = dict(adj0.dtypes)["src"]
     packable = (
         max_id is not None
         and 0 <= int(min_id)
@@ -2351,8 +2515,9 @@ def q_adamic_adar(
         scored_pairs = (
             pairs.repartition(parts, "u", "v").groupBy("u", "v").agg(*aggs)
         )
-    linked = edges.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
+    linked = (
+        adj0.select(F.col("src").alias("u"), F.explode("nbrs").alias("v"))
+        .filter(F.col("u") < F.col("v"))
     )
     if sizes.m2 is not None and sizes.m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
         linked = F.broadcast(linked)
@@ -2419,14 +2584,15 @@ def q_adamic_adar_capped(
     Determinism / oracle: same discrete-quantile cap as
     q_node_jaccard_capped (_discrete_degree_cap); the registered
     oracle interpolates DEGREE_CAP_PCT so only the default ``pct``
-    is on the oracle contract. The edge frame built for the degree
-    histogram is passed through so the co-purchase self-group runs
-    once."""
+    is on the oracle contract. The adjacency frame built for the
+    degree histogram is passed through so the co-purchase self-group
+    runs once (r11: the shared frame is the adjacency arrays; degree
+    is a map-side size() of it)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    adj0 = co_purchase_adjacency(li).transform(cut_lineage)
+    deg = adj0.select("src", F.size("nbrs").alias("d"))
     cap = _discrete_degree_cap(deg, pct)
-    return q_adamic_adar(spark, sf_dir, max_degree=cap, _edges=edges)
+    return q_adamic_adar(spark, sf_dir, max_degree=cap, _adj=adj0)
 
 
 GRAPH_QUERIES["q_adamic_adar_capped"] = q_adamic_adar_capped
@@ -2504,12 +2670,15 @@ def q_betweenness_sampled(
     the decimal as a fixed-scale string (canon money convention)."""
     from pyspark.sql.window import Window
 
+    # r11 prep: the checkpointed frame is the per-node adjacency --
+    # the forward hops and the backward Brandes sweep each join it
+    # per hop (9+ scans total), so the ~10x-smaller array-row block
+    # is what gets re-read; matched neighbor lists explode map-side.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
+    adj = co_purchase_adjacency(li).transform(cut_lineage)
     seed_order = [F.md5(F.col("src").cast("string")), F.col("src")]
     seeds = (
-        edges.select("src")
-        .distinct()
+        adj.select("src")
         .orderBy(*seed_order)
         .limit(sources)
         .select(F.col("src").alias("source"))
@@ -2528,8 +2697,8 @@ def q_betweenness_sampled(
             "source", F.col("node").alias("fnode"), "sigma"
         )
         nxt = (
-            edges.join(frontier, edges["src"] == frontier["fnode"])
-            .select("source", F.col("dst").alias("node"), "sigma")
+            adj.join(frontier, adj["src"] == frontier["fnode"])
+            .select("source", F.explode("nbrs").alias("node"), "sigma")
             .join(visited, ["source", "node"], "left_anti")
             .groupBy("source", "node")
             .agg(F.sum("sigma").cast("long").alias("sigma"))
@@ -2578,17 +2747,21 @@ def q_betweenness_sampled(
         cur = levels[hop].select(
             "source", "node", F.col("sigma").alias("sigma_v")
         )
+        expanded = cur.join(adj, cur["node"] == adj["src"]).select(
+            "source", "node", "sigma_v", F.explode("nbrs").alias("edst")
+        )
+        wsucc = succ.select(
+            F.col("source").alias("wsource"), "wnode", "sigma_w", "delta_w"
+        )
         term = (
-            cur.alias("v")
-            .join(edges.alias("ed"), F.col("v.node") == F.col("ed.src"))
-            .join(
-                succ.alias("w"),
-                (F.col("ed.dst") == F.col("w.wnode"))
-                & (F.col("v.source") == F.col("w.source")),
+            expanded.join(
+                wsucc,
+                (F.col("edst") == F.col("wnode"))
+                & (F.col("source") == F.col("wsource")),
             )
             .select(
-                F.col("v.source").alias("source"),
-                F.col("v.node").alias("node"),
+                "source",
+                "node",
                 # nanos -> double is exact below 2^53; every op here
                 # is a single correctly-rounded IEEE op mirrored
                 # verbatim in the oracle, so the floored quantity is
@@ -2786,20 +2959,18 @@ def q_randomwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the serving surface along SURVEY.md section 2's extension track.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
     # id-sorted adjacency ARRAYS (one row per node) instead of an
     # edge-level row_number window: the same ordering contract as the
     # oracle's row_number-over-(src ORDER BY dst), but each step scans
     # a node-sized frame and indexes with element_at -- no window
-    # shuffle, and the per-step probe is O(nodes) not O(edges)
-    adj = (
-        edges.groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .transform(cut_lineage)
-    )
+    # shuffle, and the per-step probe is O(nodes) not O(edges).
+    # r11: built directly by the shared adjacency helper -- the old
+    # shape checkpointed the flat edge list first and re-grouped it,
+    # paying the edge-dedup exchange and a 10x-fatter materialization
+    # that only the seed draw ever read.
+    adj = co_purchase_adjacency(li).transform(cut_lineage)
     seeds = (
-        edges.select("src")
-        .distinct()
+        adj.select("src")
         .orderBy(F.md5(F.col("src").cast("string")), "src")
         .limit(RANDOM_WALK_SEEDS)
     )
@@ -2927,18 +3098,26 @@ def q_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: integer triangle/degree counts; ONE double division
     2.0*t / (d*(d-1)) (both factors exact integers well under 2^52),
     round 6 -- bit-portable. Nodes with d >= LCC_MIN_DEGREE and zero
-    triangles stay in the ranking at 0.0 (left join, coalesce)."""
+    triangles stay in the ranking at 0.0 (left join, coalesce).
+
+    Prep (r11): mirrors q_triangle_count_copurchase -- one
+    checkpointed adjacency frame (degree/undirected list derived
+    map-side, the source degree riding out of the explode), one
+    size-gated broadcast degree join for the orientation, and under
+    _TRIANGLE_ADJ_BROADCAST_MAX_EDGES both intersection joins
+    broadcast the oriented adjacency so the ``nu`` arrays never cross
+    an exchange (268 MB for 1.2M rows at sf0.1 before)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    und = edges.filter(F.col("src") < F.col("dst"))
-    ranked = und.join(
-        deg.select(F.col("src").alias("s_"), F.col("d").alias("ds")),
-        F.col("src") == F.col("s_"),
-    ).join(
-        deg.select(F.col("src").alias("d_"), F.col("d").alias("dd")),
-        F.col("dst") == F.col("d_"),
-    )
+    adj0 = co_purchase_adjacency(li).transform(cut_lineage)
+    deg = adj0.select("src", F.size("nbrs").alias("d"))
+    und = adj0.select(
+        "src", F.size("nbrs").alias("ds"), F.explode("nbrs").alias("dst")
+    ).filter(F.col("src") < F.col("dst"))
+    n_all_nodes = adj0.count()
+    dd = deg.select(F.col("src").alias("d_"), F.col("d").alias("dd"))
+    if n_all_nodes <= NODE_JACCARD_BROADCAST_MAX_NODES:
+        dd = F.broadcast(dd)
+    ranked = und.join(dd, F.col("dst") == F.col("d_"))
     src_first = (F.col("ds") < F.col("dd")) | (
         (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
     )
@@ -2957,19 +3136,23 @@ def q_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("hi")).alias("nbrs"))
         .transform(cut_lineage)
     )
-    with_nu = oriented.repartition(parts, "lo").join(
-        adj.select(F.col("lo").alias("u_"), F.col("nbrs").alias("nu")),
-        F.col("lo") == F.col("u_"),
-    )
-    tri = (
-        with_nu.repartition(parts, "hi")
-        .join(
-            adj.select(F.col("lo").alias("v_"), F.col("nbrs").alias("nv")),
-            F.col("hi") == F.col("v_"),
+    adj_u = adj.select(F.col("lo").alias("u_"), F.col("nbrs").alias("nu"))
+    adj_v = adj.select(F.col("lo").alias("v_"), F.col("nbrs").alias("nv"))
+    if n_edges <= _TRIANGLE_ADJ_BROADCAST_MAX_EDGES:
+        paired = (
+            oriented.repartition(parts)
+            .join(F.broadcast(adj_u), F.col("lo") == F.col("u_"))
+            .join(F.broadcast(adj_v), F.col("hi") == F.col("v_"))
         )
-        .select(
-            "lo", "hi", F.explode(F.array_intersect("nu", "nv")).alias("w")
+    else:
+        with_nu = oriented.repartition(parts, "lo").join(
+            adj_u, F.col("lo") == F.col("u_")
         )
+        paired = with_nu.repartition(parts, "hi").join(
+            adj_v, F.col("hi") == F.col("v_")
+        )
+    tri = paired.select(
+        "lo", "hi", F.explode(F.array_intersect("nu", "nv")).alias("w")
     )
     tcounts = (
         tri.select(F.explode(F.array("lo", "hi", "w")).alias("node"))
@@ -3050,7 +3233,14 @@ def q_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one global aggregate and one |brands|-sized aggregate. No window,
     no iteration."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = co_purchase_edges(li).transform(cut_lineage)
+    # r11: the edge view explodes straight out of the adjacency
+    # groupBy with NO materialization of its own -- the only consumer
+    # is the brand-tagging join below, whose output is the checkpoint
+    # both aggregates scan; the old shape checkpointed the flat edge
+    # list too, a 200 MB block read exactly once.
+    edges = co_purchase_adjacency(li).select(
+        "src", F.explode("nbrs").alias("dst")
+    )
     brand = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_brand")
     )
@@ -3298,12 +3488,14 @@ NEARDUP_TWIN_KEEP_BELOW = "c"
 
 
 def neardup_threshold_pairs(
-    edges: DataFrame,
+    edges: DataFrame | None,
     *,
     bands: int = NEARDUP_BANDS,
     rows: int = NEARDUP_ROWS,
     num: int = NEARDUP_JACCARD_NUM,
     den: int = NEARDUP_JACCARD_DEN,
+    _adj: DataFrame | None = None,
+    _nodes: DataFrame | None = None,
 ) -> DataFrame:
     """All unlinked node pairs with adjacency-set jaccard >= num/den,
     candidates from (bands x rows) MinHash banding, verified exactly.
@@ -3328,9 +3520,16 @@ def neardup_threshold_pairs(
     # ONE shared signature/candidate/verify stage with the top-K audit
     # twin (minhash_adjacency_pairs_scored, VERDICT r9 #5); only the
     # exact-integer threshold below differs: jaccard >= num/den with
-    # no float anywhere near the cut.
+    # no float anywhere near the cut. ``_adj`` hands in an
+    # already-grouped adjacency (the r11 stage contract); the plain
+    # ``edges`` path groups here -- collect_set reproduces the
+    # distinct-edge semantics the old flat-edge stage had.
+    if _adj is None:
+        _adj = edges.groupBy("src").agg(
+            F.sort_array(F.collect_set("dst")).alias("nbrs")
+        )
     scored = minhash_adjacency_pairs_scored(
-        edges, bands=bands, rows=rows
+        _adj, bands=bands, rows=rows, _nodes=_nodes
     ).filter(F.col("n_common") * den >= F.col("n_union") * num)
     return scored.select(
         "u",
@@ -3363,6 +3562,34 @@ def planted_twin_edges(edges: DataFrame) -> DataFrame:
     return edges.unionByName(twins)
 
 
+def planted_twin_adjacency(adj: DataFrame) -> DataFrame:
+    """planted_twin_edges on the ADJACENCY representation (r11): the
+    twin rows are a map-side array filter of the original node's
+    neighbor list -- the md5 coin string is the same
+    concat_ws(":", original_src, dst), so the kept edge set is
+    bit-identical to grouping planted_twin_edges' output. No shuffle:
+    the augmentation is a projection + union over the checkpointed
+    adjacency."""
+    twins = (
+        adj.filter(F.col("src") % NEARDUP_TWIN_STRIDE == 0)
+        # two projections ON PURPOSE: the md5 coin must see the
+        # ORIGINAL node id, and a same-select output alias "src"
+        # (src + OFFSET) would capture the lambda's F.col("src")
+        .select(
+            "src",
+            F.filter(
+                "nbrs",
+                lambda d: F.substring(
+                    F.md5(F.concat_ws(":", F.col("src"), d)), 1, 1
+                )
+                < F.lit(NEARDUP_TWIN_KEEP_BELOW),
+            ).alias("nbrs"),
+        )
+        .select((F.col("src") + NEARDUP_TWIN_OFFSET).alias("src"), "nbrs")
+    )
+    return adj.unionByName(twins)
+
+
 def q_neardup_threshold_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold near-dup over the co-purchase graph at the winning
     r=2 geometry, demonstrated on the planted-twin augmentation (see
@@ -3377,10 +3604,17 @@ def q_neardup_threshold_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    edges = planted_twin_edges(
-        co_purchase_edges(li).transform(cut_lineage)
+    # r11: ONE checkpointed adjacency; twins are a map-side array
+    # filter of it (planted_twin_adjacency) instead of re-deriving the
+    # twin edge rows on every one of the stage's 4-5 passes over a
+    # flat edge checkpoint. Twins point only at original nodes, so
+    # the original src universe covers every neighbor (_nodes).
+    adj0 = co_purchase_adjacency(li).transform(cut_lineage)
+    return neardup_threshold_pairs(
+        None,
+        _adj=planted_twin_adjacency(adj0),
+        _nodes=adj0.select(F.col("src").alias("dst")),
     )
-    return neardup_threshold_pairs(edges)
 
 
 def _neardup_threshold_oracle() -> str:

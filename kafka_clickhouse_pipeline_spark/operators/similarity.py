@@ -579,6 +579,72 @@ def seq_dot_arrow():
     return dot
 
 
+#: Byte gate for the id-keyed pair-scoring fast path (r11, guide
+#: section 8 "decide with small rows, move big rows once"): when the
+#: whole normalized corpus fits comfortably as ONE executor-shared
+#: Spark broadcast (ids + matrix + norms; fetched once per worker,
+#: NOT per task), candidate pairs are scored by BARE ID -- the
+#: per-pair vector payloads never ride the pair shuffle and never
+#: cross the Arrow boundary (measured r11: the join+seq_dot shape
+#: shipped ~2 GB of duplicated 128-dim arrays JVM->Python for ~1M
+#: pairs at sf0.1 -- 145 s task runtime vs 25 s CPU in the kNN stage,
+#: the gap all Python-transfer wait). Above the gate (the 100 TB
+#: regime) callers keep the join + seq_dot_arrow shape: a corpus that
+#: big cannot broadcast, and paying the exchange is correct.
+PAIR_SCORE_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def pair_cosine_by_id(
+    normed: DataFrame, pairs: DataFrame, qcol: str, ncol: str
+):
+    """Gated fast path: ``pairs`` + a ``cosine`` column (round 6),
+    scored by an Arrow kernel that looks both vectors up in a
+    broadcast (ids, matrix, norms) snapshot of ``normed`` -- or None
+    when the corpus exceeds PAIR_SCORE_BROADCAST_MAX_BYTES, in which
+    case the caller keeps its join shape.
+
+    Bit-exactness: the matrix/norms are COLLECTED from the same
+    ``normed`` frame the join shape would attach (identical IEEE
+    doubles -- vn is not recomputed), the dot is the same
+    left-to-right np.cumsum fold as seq_dot_arrow, and the final
+    dot / (qn * nn) is the same two correctly-rounded IEEE ops the
+    SQL expression performs, so the scores -- and the oracle hash --
+    are unchanged."""
+    import numpy as _np
+
+    spark = normed.sparkSession
+    size_row = normed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.max(F.size("v")), F.lit(0)).alias("d"),
+    ).collect()[0]
+    if (
+        size_row.n == 0
+        or size_row.n * size_row.d * 8 > PAIR_SCORE_BROADCAST_MAX_BYTES
+    ):
+        return None
+    pdf = normed.select("vec_id", "v", "vn").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype="int64")
+    order = _np.argsort(ids)
+    ids = ids[order]
+    M = _np.stack(pdf["v"].to_numpy()[order])
+    Vn = pdf["vn"].to_numpy(dtype="float64")[order]
+    bc = spark.sparkContext.broadcast((ids, M, Vn))
+
+    @F.pandas_udf("double")
+    def cos(q: pd.Series, n: pd.Series) -> pd.Series:
+        if not len(q):
+            return pd.Series([], dtype="float64")
+        ids_, M_, Vn_ = bc.value
+        qi = _np.searchsorted(ids_, q.to_numpy())
+        ni = _np.searchsorted(ids_, n.to_numpy())
+        dots = _np.cumsum(M_[qi] * M_[ni], axis=1)[:, -1]
+        return pd.Series(dots / (Vn_[qi] * Vn_[ni]))
+
+    return pairs.withColumn(
+        "cosine", F.round(cos(F.col(qcol), F.col(ncol)), 6)
+    )
+
+
 def lsh_band_keys(
     code: Column, bands: int = LSH_BANDS, n_planes: int = N_PLANES
 ) -> Column:
@@ -729,32 +795,42 @@ def q_knn_graph(
         # Spread the pairs before the scoring stage.
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    dot = seq_dot_arrow()
-    scored = (
-        pairs.join(
-            normed.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("v").alias("qv"),
-                F.col("vn").alias("qn"),
-            ),
-            "query_id",
+    # id-keyed scoring under the broadcast gate: the pair frame stays
+    # two bare ids end to end and the corpus matrix ships once per
+    # worker (r11, guide section 8); past the gate the vectors rejoin
+    # by id and seq_dot_arrow scores them (the prior shape, correct at
+    # corpus sizes that cannot broadcast)
+    scored = pair_cosine_by_id(normed, pairs, "query_id", "neighbor_id")
+    if scored is None:
+        dot = seq_dot_arrow()
+        scored = (
+            pairs.join(
+                normed.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                    F.col("vn").alias("qn"),
+                ),
+                "query_id",
+            )
+            .join(
+                normed.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("nv"),
+                    F.col("vn").alias("nn"),
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+                    6,
+                ).alias("cosine"),
+            )
         )
-        .join(
-            normed.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("v").alias("nv"),
-                F.col("vn").alias("nn"),
-            ),
-            "neighbor_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
-            ).alias("cosine"),
-        )
-    )
+    else:
+        scored = scored.select("query_id", "neighbor_id", "cosine")
     return grouped_topk(
         scored, ["query_id"], [("cosine", False), ("neighbor_id", True)], KNN_K
     ).orderBy("query_id", "rank")
@@ -1104,34 +1180,47 @@ def q_hard_negatives(
         )
         .filter(F.col("neg_label") != F.col("label"))
     )
-    dot = seq_dot_arrow()
-    scored = (
-        pairs.join(
-            normed.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("v").alias("qv"),
-                F.col("vn").alias("qn"),
-            ),
-            "query_id",
-        )
-        .join(
-            normed.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("v").alias("nv"),
-                F.col("vn").alias("nn"),
-            ),
-            "neighbor_id",
-        )
-        .select(
+    # id-keyed scoring under the broadcast gate (see q_knn_graph /
+    # pair_cosine_by_id); past the gate the vectors rejoin by id
+    fast = pair_cosine_by_id(normed, pairs, "query_id", "neighbor_id")
+    if fast is not None:
+        scored = fast.select(
             "query_id",
             "label",
             F.col("neighbor_id").alias("negative_id"),
             "neg_label",
-            F.round(
-                dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
-            ).alias("cosine"),
+            "cosine",
         )
-    )
+    else:
+        dot = seq_dot_arrow()
+        scored = (
+            pairs.join(
+                normed.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                    F.col("vn").alias("qn"),
+                ),
+                "query_id",
+            )
+            .join(
+                normed.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("nv"),
+                    F.col("vn").alias("nn"),
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "query_id",
+                "label",
+                F.col("neighbor_id").alias("negative_id"),
+                "neg_label",
+                F.round(
+                    dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
     return (
         grouped_topk(
             scored, ["query_id"], [("cosine", False), ("negative_id", True)], 1
@@ -1191,8 +1280,7 @@ def q_triplet_mining(
             )
         ).alias("band_key"),
     )
-    dot = seq_dot_arrow()
-    scored = (
+    cand = (
         banded.select(F.col("vec_id").alias("anchor_id"), "band_key")
         .join(
             banded.select(F.col("vec_id").alias("other_id"), "band_key"),
@@ -1215,32 +1303,44 @@ def q_triplet_mining(
             ),
             "other_id",
         )
-        .join(
-            normed.select(
-                F.col("vec_id").alias("anchor_id"),
-                F.col("v").alias("qv"),
-                F.col("vn").alias("qn"),
-            ),
-            "anchor_id",
-        )
-        .join(
-            normed.select(
-                F.col("vec_id").alias("other_id"),
-                F.col("v").alias("ov"),
-                F.col("vn").alias("on_"),
-            ),
-            "other_id",
-        )
-        .select(
-            "anchor_id",
-            "label",
-            "other_id",
-            "other_label",
-            F.round(
-                dot(F.col("qv"), F.col("ov")) / (F.col("qn") * F.col("on_")), 6
-            ).alias("cosine"),
-        )
     )
+    # id-keyed scoring under the broadcast gate (see q_knn_graph /
+    # pair_cosine_by_id); past the gate the vectors rejoin by id
+    fast = pair_cosine_by_id(normed, cand, "anchor_id", "other_id")
+    if fast is not None:
+        scored = fast.select(
+            "anchor_id", "label", "other_id", "other_label", "cosine"
+        )
+    else:
+        dot = seq_dot_arrow()
+        scored = (
+            cand.join(
+                normed.select(
+                    F.col("vec_id").alias("anchor_id"),
+                    F.col("v").alias("qv"),
+                    F.col("vn").alias("qn"),
+                ),
+                "anchor_id",
+            )
+            .join(
+                normed.select(
+                    F.col("vec_id").alias("other_id"),
+                    F.col("v").alias("ov"),
+                    F.col("vn").alias("on_"),
+                ),
+                "other_id",
+            )
+            .select(
+                "anchor_id",
+                "label",
+                "other_id",
+                "other_label",
+                F.round(
+                    dot(F.col("qv"), F.col("ov")) / (F.col("qn") * F.col("on_")),
+                    6,
+                ).alias("cosine"),
+            )
+        )
     pos = grouped_topk(
         scored.filter(F.col("other_label") == F.col("label")),
         ["anchor_id"],
