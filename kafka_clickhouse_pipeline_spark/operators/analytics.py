@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.canon import big, money, ts_str
+from ..lineage import cut_lineage
 
 DEC = "decimal(18,2)"
 
@@ -1484,6 +1485,12 @@ ANALYTICS_ORACLES["q_funnel_dropoff_time"] = f"""
 MARKOV_ITERS = 8
 MARKOV_SCALE = 10**12
 
+#: Collect-and-fold the chain on the driver at or below this many
+#: transition cells (|core states|^2 bound); it is model metadata, not
+#: data -- event-type vocabularies are enums, so even a generous bound
+#: is a few MB. Above it the distributed join rounds run unchanged.
+MARKOV_DRIVER_FOLD_MAX_CELLS = 250_000
+
 
 def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the first-order event-type Markov
@@ -1516,8 +1523,14 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.col("event_type").alias("next_type"),
     ).filter(F.col("prev_type").isNotNull())
-    counts = pairs.groupBy("prev_type", "next_type").agg(
-        F.count(F.lit(1)).alias("c")
+    # r11: materialize the (tiny, |types|^2-bounded) transition counts
+    # once -- states / core / row totals / the driver fold all derive
+    # from it, so the corpus-sized lag-window pass runs exactly once
+    # instead of once per downstream action (guide section 5.2).
+    counts = (
+        pairs.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(cut_lineage)
     )
     states = counts.select(F.col("prev_type").alias("s")).distinct()
     core = counts.join(
@@ -1538,19 +1551,52 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "event_type string, pi_scaled bigint, pi double"
         )
-    pi = core_states.select(
-        "s", F.lit(MARKOV_SCALE // n).cast("decimal(38,0)").alias("m")
-    )
-    for _ in range(MARKOV_ITERS):
-        pi = (
-            trans.join(pi, trans["prev_type"] == pi["s"])
-            .select(
-                F.col("next_type").alias("s"),
-                F.expr("CAST(m * c AS DECIMAL(38,0)) div r").alias("t"),
-            )
-            .groupBy("s")
-            .agg(F.sum("t").cast("decimal(38,0)").alias("m"))
+    if n * n <= MARKOV_DRIVER_FOLD_MAX_CELLS:
+        # r11 (guide sections 1.3/5.4): the restricted chain is at most
+        # |event types|^2 cells -- model metadata at ANY corpus scale,
+        # the same class as q_embedding_top_pc's collected dim^2
+        # covariance. Folding the MARKOV_ITERS rounds on the driver
+        # replaces 8 lazy join rounds (~24 AQE-scheduled stages of pure
+        # latency over a ~25-row frame; measured r11: 34 stages, 2.6 s
+        # executor time, 4.8 s wall) with exact integer arithmetic:
+        # Python // on non-negative ints IS DECIMAL(38,0) `div`, and
+        # the sums are exact, so pi is bit-identical to the join form
+        # (and the unchanged oracle). Past the gate -- a state space
+        # too big to collect -- the distributed join rounds below run.
+        cells = [
+            (r["prev_type"], r["next_type"], int(r["c"]), int(r["r"]))
+            for r in trans.collect()
+        ]
+        # core states == distinct prev_type of trans (r > 0 by
+        # construction), so the collected cells already carry them
+        pi_d: dict[str, int] = {
+            prev_type: MARKOV_SCALE // n for prev_type, _, _, _ in cells
+        }
+        for _ in range(MARKOV_ITERS):
+            nxt: dict[str, int] = {}
+            for prev_type, next_type, c, rr in cells:
+                m = pi_d.get(prev_type)
+                if m is not None:
+                    nxt[next_type] = nxt.get(next_type, 0) + (m * c) // rr
+            pi_d = nxt
+        pi = spark.createDataFrame(
+            [(s, str(m)) for s, m in pi_d.items()],
+            "s string, m_str string",
+        ).select("s", F.col("m_str").cast("decimal(38,0)").alias("m"))
+    else:
+        pi = core_states.select(
+            "s", F.lit(MARKOV_SCALE // n).cast("decimal(38,0)").alias("m")
         )
+        for _ in range(MARKOV_ITERS):
+            pi = (
+                trans.join(pi, trans["prev_type"] == pi["s"])
+                .select(
+                    F.col("next_type").alias("s"),
+                    F.expr("CAST(m * c AS DECIMAL(38,0)) div r").alias("t"),
+                )
+                .groupBy("s")
+                .agg(F.sum("t").cast("decimal(38,0)").alias("m"))
+            )
     return (
         pi.select(
             F.col("s").alias("event_type"),

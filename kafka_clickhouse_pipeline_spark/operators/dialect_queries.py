@@ -71,8 +71,26 @@ TOP_WORDS_CH = """
 """
 
 
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Floor the scan parallelism under the heavy aggregate (guide
+    section 2.5): the fixture's single-file parquet splits into fewer
+    scan tasks than cores, which serializes the expensive PARTIAL
+    aggregation (quantileExact buffers + the uniqExact distinct
+    expand run inside the scan stage -- measured r11: 3 tasks / 3.2 s
+    of a 4.4 s wall). Repartition only when the scan is narrower than
+    the cluster width, so a real table (whose scan already splits to
+    >= cores) never pays an added fact-table shuffle -- the condition,
+    not the constant, is what makes this scale-safe."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def q_dialect_flags_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _spread_scan(load_table(spark, sf_dir, "lineitem")).createOrReplaceTempView(
+        "lineitem"
+    )
     out = run_clickhouse_sql(spark, FLAGS_REPORT_CH)
     return out.select(
         "flag",

@@ -55,10 +55,19 @@ def connected_components(
     # comparison starts at round 2 (one fewer job).
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = None
+    # r11 (guide section 3.1): the label frame is one row per
+    # edge-touched node; under the PageRank node gate broadcast it so
+    # the (checkpointed) edge list never reshuffles across rounds --
+    # each round becomes a map-side join + one O(nodes) min shuffle.
+    # Above the gate the shuffle-join rounds stay.
+    bcast_labels = labels.count() <= PAGERANK_BROADCAST_MAX_NODES
     for _ in range(max_iter):
         # each node adopts the min label among itself and its neighbors
         neighbor_labels = (
-            sym.join(labels, sym["dst"] == labels["node"])
+            sym.join(
+                F.broadcast(labels) if bcast_labels else labels,
+                sym["dst"] == labels["node"],
+            )
             .select(F.col("src").alias("node"), "label")
         )
         # checkpoint per round: the convergence check and the next round
@@ -131,6 +140,12 @@ def connected_components_twostar(
         return (row["n"], row["s"])
 
     prev = signature(canon)
+    # r11 (guide section 3.1): the per-center minimum frames are one
+    # row per surviving node; under the PageRank node gate broadcast
+    # them so the (shrinking, checkpointed) edge set never reshuffles
+    # for the rewire joins -- each round keeps only the dedup
+    # exchanges. Above the gate the shuffle joins stay.
+    bcast_mins = edge_nodes.count() <= PAGERANK_BROADCAST_MAX_NODES
     for _ in range(max_iter):
         if prev[0] == 0:
             break
@@ -142,6 +157,8 @@ def connected_components_twostar(
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        if bcast_mins:
+            mins = F.broadcast(mins)
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
@@ -159,6 +176,8 @@ def connected_components_twostar(
         # SMALL-STAR: canonical (u > v) adjacency; connect each
         # center's smaller neighbors AND itself to their minimum
         smins = e1.groupBy("u").agg(F.min("v").alias("m"))
+        if bcast_mins:
+            smins = F.broadcast(smins)
         small = (
             e1.join(smins, "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
@@ -400,6 +419,14 @@ def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = co_purchase_adjacency(li).transform(cut_lineage)
     edges = adj.select("src", F.explode("nbrs").alias("dst"))
     deg = adj.select("src", F.size("nbrs").alias("d"))
+    # r11 (guide section 3.1): the nonzero-rank frame is bounded by |V|
+    # (and usually far smaller -- it IS the walk frontier); under the
+    # PageRank node gate broadcast it so the adjacency never reshuffles
+    # across rounds -- each spread is then a map-side join + one
+    # O(frontier) partial-sum shuffle. Above the gate the plain
+    # shuffle-join rounds stay (a billion-node frontier cannot
+    # broadcast).
+    bcast_state = adj.count() <= PAGERANK_BROADCAST_MAX_NODES
     seed_order = [F.md5(F.col("src").cast("string")), F.col("src")]
     seeds = (
         adj.select("src")
@@ -419,9 +446,12 @@ def q_ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = seeds.select("node", F.lit(r0).cast("long").alias("r"))
     for _ in range(PPR_ITERS):
         contribs = (
-            ranks.join(deg, ranks["node"] == deg["src"])
+            (F.broadcast(ranks) if bcast_state else ranks)
+            .join(deg, ranks["node"] == deg["src"])
             .select("src", F.expr("r div d").alias("c"))
         )
+        if bcast_state:
+            contribs = F.broadcast(contribs)
         spread = (
             edges.join(contribs, "src")
             .groupBy(F.col("dst").alias("node"))
@@ -962,13 +992,19 @@ def q_kcore_mutual_knn(
     no-argument call keeps the contractual fixture geometry."""
     from .similarity import q_knn_graph
 
+    # The mutual self-join consumes the kNN edge list TWICE; without a
+    # lineage cut Spark recomputes the whole banded-candidate + scoring
+    # DAG once per side (measured r11: the kNN stages dominated this
+    # query end to end). Materialize the tiny (n x k)-row edge list
+    # once -- guide section 5.2 (reuse across multiple actions /
+    # consumers), same policy kcore_edges already applies per round.
     knn = q_knn_graph(
         spark,
         sf_dir,
         target_cosine=target_cosine,
         n_planes=n_planes,
         bands=bands,
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").transform(cut_lineage)
     mutual = (
         knn.alias("a")
         .join(
@@ -1223,12 +1259,27 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cut_lineage)
     )
     frontier = visited.select("node")
+    # r11 (guide section 3.1): frontier and visited are bounded by |V|;
+    # under the node gate broadcast both so each hop is a map-side
+    # probe of the checkpointed adjacency + one distinct shuffle --
+    # the adjacency itself never reshuffles. Above the gate the
+    # shuffle joins stay (a billion-node visited set cannot broadcast).
+    bcast_state = adj.count() <= PAGERANK_BROADCAST_MAX_NODES
     for hop in range(1, BFS_MAX_HOPS + 1):
         nxt = (
-            adj.join(frontier, adj["src"] == frontier["node"])
+            adj.join(
+                F.broadcast(frontier) if bcast_state else frontier,
+                adj["src"] == frontier["node"],
+            )
             .select(F.explode("nbrs").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                F.broadcast(visited.select("node"))
+                if bcast_state
+                else visited.select("node"),
+                "node",
+                "left_anti",
+            )
             .select("node", F.lit(hop).cast("long").alias("hops"))
             .transform(cut_lineage)
         )
@@ -2457,12 +2508,18 @@ def q_adamic_adar(
         adj = adj.filter(F.size("nbrs") <= max_degree)
     adjw = adj.select(
         "nbrs",
+        # int32, not long: d >= 2 bounds the nano-quantized weight by
+        # floor(1e9/ln 2 + .5) = 1,442,695,041 < 2^31, so the weight
+        # rides the ~wedge-count-sized exchange as 4 bytes; Spark's
+        # sum() promotes int to long, making the pair aggregate the
+        # same exact long sum as before (r11, guide section 2.3
+        # "narrower types across the big shuffle").
         F.floor(
             F.lit(1.0) / F.log(F.size("nbrs").cast("double"))
             * F.lit(1000000000.0)
             + F.lit(0.5)
         )
-        .cast("long")
+        .cast("int")
         .alias("w"),
     ).filter(F.size("nbrs") >= 2)
     keep = (
@@ -3357,16 +3414,26 @@ def q_hits_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = edges.select("c").distinct().select(
         "c", F.lit(1).cast("decimal(38,0)").alias("h")
     )
+    # r11 (guide section 3.1): the score frames are one row per
+    # customer / per part; under the PageRank node gate broadcast them
+    # so the checkpointed edge list never reshuffles across rounds --
+    # each half-round becomes a map-side join + one O(nodes)
+    # partial-sum shuffle. Above the gate (billion-node sides) the
+    # shuffle-join rounds stay.
+    # conservative gate: |customers|, |parts| <= |edges|, and counting
+    # the checkpointed edge frame is a near-free cached-partition scan
+    # (a countDistinct per side would cost a real aggregate job).
+    bcast_scores = edges.count() <= PAGERANK_BROADCAST_MAX_NODES
     a = None
     for _ in range(HITS_ROUNDS):
         a = (
-            edges.join(h, "c")
+            edges.join(F.broadcast(h) if bcast_scores else h, "c")
             .groupBy("p")
             .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
             .transform(cut_lineage)
         )
         h = (
-            edges.join(a, "p")
+            edges.join(F.broadcast(a) if bcast_scores else a, "p")
             .groupBy("c")
             .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
             .transform(cut_lineage)

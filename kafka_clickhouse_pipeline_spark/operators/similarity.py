@@ -233,7 +233,14 @@ def kmeans_centroids(vecs: DataFrame, iters: int = 3) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("cv")
         )
-        centroids = centroids.transform(cut_lineage)  # cut lineage per round
+        # no per-round lineage cut (r11): every round (and every
+        # consumer) COLLECTS the centroid table into UDF literals via
+        # _centroid_rows, so each round's plan is already rooted at
+        # ``vecs`` plus constants -- lineage cannot nest across rounds.
+        # The old eager localCheckpoint here was one extra scheduled
+        # job per round that materialized rows the very next statement
+        # collected anyway (guide section 5.3: don't persist what you
+        # immediately drain to the driver).
     return centroids
 
 
