@@ -640,6 +640,113 @@ def _unpack_pair(df: DataFrame, key_type: str) -> DataFrame:
     )
 
 
+def _wedge_pairs_reduce_arrow(
+    spark: SparkSession,
+    pairs_packed: DataFrame,
+    *,
+    deg: DataFrame,
+    linked: DataFrame,
+    topk: int,
+) -> DataFrame:
+    """Per-shuffle-partition vectorized reduce of the packed wedge-pair
+    stream (r11 optimization round, guide sections 4.2 "hand whole
+    batches to vectorized native libraries" and 8 "decide with small
+    rows"): ONE Arrow kernel per partition replaces the planner-forced
+    partial+final HashAggregate pass over the ~Sigma C(d,2) pair rows
+    (each of the 138.6M sf0.1 rows was hashed TWICE in one stage --
+    the partial pass reduces ~nothing because wedge pairs are near
+    unique, see OPTIMIZATION_r11.md "examined and rejected") AND the
+    downstream anti-join + 100M-row top-K scan: the kernel
+    sort-uniques the packed keys (exact integer counts), drops linked
+    pairs by binary search against a per-worker broadcast of the
+    packed linked array, and emits only a provable SUPERSET of the
+    global top-``topk`` contenders (a few dozen rows per partition),
+    so everything downstream of the pair exchange handles
+    |parts| x ~topk rows.
+
+    Single-column contract (measured, OPTIMIZATION_r11.md): the ONLY
+    payload crossing the Arrow boundary is the packed 8-byte key.
+    A 140M-row (k BIGINT, w INT) two-column stream measured 2.0x the
+    wall of the k-only stream (71.5 s vs 35.0 s mapInPandas), which
+    is why the weighted Adamic-Adar twin KEEPS the JVM hash-aggregate
+    shape -- its per-row weight would double the boundary cost and
+    erase the win. mapInArrow, not mapInPandas: the same k-only
+    micro-benchmark ran 26.2 s as raw Arrow batches vs 35.0 s with
+    the per-batch pandas wrapping.
+
+    Exactness: counts are exact int64; the caller re-derives every
+    OUTPUT value with the same Spark expressions as the fallback
+    shape, so emitted rows are bit-identical -- the kernel only
+    SELECTS. Selection proof (final order is round(c/un, 6) DESC,
+    u, v): with t0 = the partition's topk-th largest unrounded ratio,
+    pairs with ratio >= t0 - 2e-6 are emitted. round(x, 6) moves x by
+    <= 5e-7 (+ulp), so an excluded pair's rounded value sits > 1e-6
+    BELOW the rounded value of >= topk same-partition pairs --
+    strictly dominated before the (u, v) tiebreak can matter. The
+    kernel's ratio is the same correctly-rounded IEEE double division
+    Spark evaluates, so the margin argument is exact.
+
+    State: the packed linked array (8 B/edge) and the (ids, degree)
+    arrays (16 B/node) ride one sc.broadcast fetched once per
+    WORKER -- the same data volume the fallback shape already
+    broadcasts as JVM hash relations under the identical
+    NODE_JACCARD_BROADCAST_MAX_* gates; callers must gate this path
+    on those same bounds. Per-task state is the partition's pair
+    slice (~_WEDGE_PAIRS_PER_TASK x 8 B, bounded by the same
+    wedge-count-derived ``parts`` at any scale)."""
+    import numpy as np
+    import pyarrow as pa
+
+    lk = np.sort(
+        linked.select(_pack_pair())
+        .toPandas()["k"]
+        .to_numpy()
+        .astype(np.int64, copy=False)
+    )
+    dp = deg.toPandas()
+    ids = dp["src"].to_numpy().astype(np.int64, copy=False)
+    order = np.argsort(ids)
+    deg_ids = ids[order]
+    deg_vals = dp["d"].to_numpy().astype(np.int64, copy=False)[order]
+    bc = spark.sparkContext.broadcast((lk, deg_ids, deg_vals, int(topk)))
+
+    def reduce_part(batches):
+        lk_, ids_, dvals_, k_top = bc.value
+        ks = [b.column(0).to_numpy(zero_copy_only=False) for b in batches]
+        if not ks:
+            return
+        k = np.concatenate(ks)
+        if k.size == 0:
+            return
+        uk, cnt = np.unique(k, return_counts=True)
+        cnt = cnt.astype(np.int64, copy=False)
+        if lk_.size and uk.size:
+            pos = np.minimum(np.searchsorted(lk_, uk), lk_.size - 1)
+            keep = lk_[pos] != uk
+            uk, cnt = uk[keep], cnt[keep]
+        if uk.size == 0:
+            return
+        ku = uk.view(np.uint64)
+        u = (ku >> np.uint64(32)).astype(np.int64)
+        v = (ku & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        du = dvals_[np.searchsorted(ids_, u)]
+        dv = dvals_[np.searchsorted(ids_, v)]
+        n_union = du + dv - cnt
+        if cnt.size > k_top:
+            ratio = cnt / n_union
+            t0 = np.partition(ratio, ratio.size - k_top)[ratio.size - k_top]
+            sel = ratio >= t0 - 2e-6
+            u, v, cnt, n_union = u[sel], v[sel], cnt[sel], n_union[sel]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(u), pa.array(v), pa.array(cnt), pa.array(n_union)],
+            ["u", "v", "n_common", "n_union"],
+        )
+
+    return pairs_packed.mapInArrow(
+        reduce_part, "u long, v long, n_common long, n_union long"
+    )
+
+
 #: Oriented edges per shuffle task for the triangle 2-hop join. The
 #: 2-path intermediate is the memory hot spot; ~50k edges/task keeps
 #: each task's path fanout comfortably in-memory even on skewed
@@ -1442,6 +1549,35 @@ def q_node_jaccard(
         and 0 <= int(min_id)
         and int(max_id) < _PAIR_PACK_MAX_ID
     )
+    linked = (
+        adj0.select(F.col("src").alias("u"), F.explode("nbrs").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+    )
+    jac = F.round(
+        F.col("n_common").cast("double") / F.col("n_union").cast("double"), 6
+    )
+    # In-kernel reduce fast path (r11 opt round): gated on the SAME
+    # node/edge bounds that authorize the fallback's JVM broadcasts of
+    # the identical degree/linked frames -- above them (the 100 TB
+    # regime) the hash-aggregate + shuffle-join shape below is kept.
+    if (
+        packable
+        and sizes.nodes <= NODE_JACCARD_BROADCAST_MAX_NODES
+        and sizes.m2 is not None
+        and sizes.m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES
+    ):
+        reduced = _wedge_pairs_reduce_arrow(
+            spark,
+            pairs.select(_pack_pair()).repartition(parts, "k"),
+            deg=deg,
+            linked=linked,
+            topk=NODE_JACCARD_TOPK,
+        )
+        return (
+            reduced.select("u", "v", "n_common", "n_union", jac.alias("jaccard"))
+            .orderBy(F.col("jaccard").desc(), "u", "v")
+            .limit(NODE_JACCARD_TOPK)
+        )
     if packable:
         common = _unpack_pair(
             pairs.select(_pack_pair())
@@ -1456,10 +1592,6 @@ def q_node_jaccard(
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
-    linked = (
-        adj0.select(F.col("src").alias("u"), F.explode("nbrs").alias("v"))
-        .filter(F.col("u") < F.col("v"))
-    )
     if sizes.m2 is not None and sizes.m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
         linked = F.broadcast(linked)
     du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
@@ -1478,9 +1610,6 @@ def q_node_jaccard(
                 "n_union"
             ),
         )
-    )
-    jac = F.round(
-        F.col("n_common").cast("double") / F.col("n_union").cast("double"), 6
     )
     return (
         scored.select("u", "v", "n_common", "n_union", jac.alias("jaccard"))
@@ -2556,6 +2685,17 @@ def q_adamic_adar(
         and 0 <= int(min_id)
         and int(max_id) < _PAIR_PACK_MAX_ID
     )
+    linked = (
+        adj0.select(F.col("src").alias("u"), F.explode("nbrs").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+    )
+    # NO in-kernel reduce here, deliberately (r11 opt round, measured):
+    # unlike q_node_jaccard's key-only stream, the AA pair rows must
+    # carry the per-wedge weight, and a (k BIGINT, w INT) two-column
+    # 140M-row stream measured 2.0x the k-only stream's wall across
+    # the Arrow boundary (71.5 s vs 35.0 s) -- the boundary cost would
+    # erase the aggregate win, so the weighted form keeps the JVM
+    # hash-aggregate + broadcast-anti-join shape.
     aggs = [
         F.sum("w").cast("long").alias("aa"),
         F.count(F.lit(1)).alias("n_common"),
@@ -2572,10 +2712,6 @@ def q_adamic_adar(
         scored_pairs = (
             pairs.repartition(parts, "u", "v").groupBy("u", "v").agg(*aggs)
         )
-    linked = (
-        adj0.select(F.col("src").alias("u"), F.explode("nbrs").alias("v"))
-        .filter(F.col("u") < F.col("v"))
-    )
     if sizes.m2 is not None and sizes.m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES:
         linked = F.broadcast(linked)
     return (

@@ -107,7 +107,13 @@ def python_free(df: DataFrame) -> bool:
     plan -- the whole query runs JVM-side."""
     plan = formatted_plan(df)
     return not any(
-        marker in plan for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+        marker in plan
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "MapInPandas",
+            "MapInArrow",
+        )
     )
 
 

@@ -388,20 +388,34 @@ def test_label_propagation_broadcast_is_size_gated(spark):
 
 def test_wedge_pair_shuffle_is_single_packed_key(spark, sf_dir):
     """The round-6 wedge fast path: with node ids under 2^32 the pair
-    aggregate must exchange ONE packed BIGINT key (hashpartitioning on
-    k), not the two-column (u, v) pair -- and stay Python-free with
-    TakeOrderedAndProject for the top-K."""
+    stream must exchange ONE packed BIGINT key (hashpartitioning on
+    k), not the two-column (u, v) pair. Since the r11 optimization
+    round, below the broadcast gates the pair reduce is ONE vectorized
+    Arrow kernel per shuffle partition (MapInArrow: sort-unique +
+    linked prune + top-K superset pre-selection) -- there must be NO
+    JVM hash aggregate of the ~Sigma C(d,2) pair rows left in the
+    plan (the partial+final HashAggregate pass hashed every pair row
+    twice), and the global top-K over the kernel's
+    few-rows-per-partition output stays TakeOrderedAndProject."""
     from kafka_clickhouse_pipeline_spark.operators import graph
 
     df = graph.q_node_jaccard(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(k#\d+L?\b", plan), plan[:2000]
-    assert plans.python_free(df)
+    assert "MapInArrow" in plan
+    # the pair aggregate is gone: no count/sum hash-aggregate downstream
+    # of the packed-key exchange (the only aggregate left is the bounded
+    # sizes/census collect upstream)
+    assert "partial_count" not in plan, plan[:2000]
     assert plans.uses_top_k(df)
 
+    # the weighted twin deliberately KEEPS the JVM hash-aggregate: its
+    # per-row weight would double the Arrow boundary cost (measured
+    # 2.0x, see q_adamic_adar) -- packed key, no Python
     df2 = graph.q_adamic_adar(spark, sf_dir)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(k#\d+L?\b", plan2)
+    assert plans.python_free(df2)
 
 
 def test_minhash_wedge_twin_plan(spark, sf_dir):
