@@ -568,7 +568,18 @@ def co_purchase_adjacency(li: DataFrame) -> DataFrame:
     checkpointing THIS instead of the flat edge list turns the 6-7
     prep passes q_node_jaccard/q_adamic_adar made over the fat edge
     checkpoint (~200 MB deserialized at sf0.1, one groupBy re-scan
-    per derivation) into scans of a |V|-row frame."""
+    per derivation) into scans of a |V|-row frame.
+
+    Partitioning is left to AQE ON PURPOSE (r11 opt round, measured
+    negative): the frame coalesces to ~10 partitions at sf0.1, and
+    forcing it to cluster width (src-hash repartition before the
+    groupBy) measured ~2x the executorCpuTime on every consumer's
+    per-round scan (SMT: 10 concurrent CPU-bound tasks already
+    saturate the physical cores; 32 share them) AND lost the build's
+    map-side partial collect_set (agg stage 3.3 s -> 22.4 s CPU) --
+    q_modularity_lpa wall 7.9 s -> 14.7 s. The explicit-width wins in
+    this family (wedge expansion, betweenness frontier) spread 1-12
+    task stages, not 10-task ones."""
     sets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -1828,18 +1839,31 @@ def minhash_adjacency_pairs_scored(
     # adds no shuffle (the gated fallback is a shuffle join -- still a
     # degree-factor md5 win, guide section 4.2/2.3).
     nodes = _nodes if _nodes is not None else edges.select("dst").distinct()
+    # BINARY hash representation (r11 opt round, guide section 2.3
+    # "narrower types"): the per-neighbor hashes ride the signature
+    # join and the min-aggregate as unhex(md5(...)) -- 16 bytes vs a
+    # 32-char hex string -- and are restored to the EXACT oracle hex
+    # (lower(hex(b)) == the original lowercase md5 string, roundtrip-
+    # pinned by tests) only where a band key concatenates them.
+    # Equivalence: '0'<'1'<...<'f' in ASCII means unsigned byte order
+    # of the unhexed value equals lexicographic order of the fixed-
+    # width lowercase hex, so min(unhex(h)) == unhex(min(h)) --
+    # bit-identical signatures, candidate sets md5-for-md5.
     dst_hashes = nodes.select(
         "dst",
         *[
-            F.md5(
-                F.concat(
-                    F.lit(f"{i}:"), F.md5(F.col("dst").cast("string"))
+            F.unhex(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{i}:"), F.md5(F.col("dst").cast("string"))
+                    )
                 )
             ).alias(f"h{i}")
             for i in range(n_hashes)
         ],
     )
-    # ~(33 * n_hashes) B of hex per row: 150k nodes ~ 165 MB broadcast.
+    # ~(17 * n_hashes) B per row: 150k nodes ~ 85 MB broadcast at 32
+    # hashes (half the hex-string form's).
     if nodes.count() <= MINHASH_HASH_BROADCAST_MAX_NODES:
         dst_hashes = F.broadcast(dst_hashes)
     sigs = (
@@ -1855,9 +1879,23 @@ def minhash_adjacency_pairs_scored(
         # aggregate, so the wide joined rows never cross a shuffle).
         .repartition(edges.sparkSession.sparkContext.defaultParallelism)
     )
+    # band key: md5 over the EXACT hex-string concatenation the oracle
+    # computes (lower(hex(b)) restores the original lowercase md5
+    # string), then back to 16-byte binary for the bucket self-join --
+    # unhex is injective on valid hex, so binary equality IS hex
+    # equality and the candidate set is unchanged.
     band_keys = F.array(
         *[
-            F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)]))
+            F.unhex(
+                F.md5(
+                    F.concat(
+                        *[
+                            F.lower(F.hex(F.col(f"h{b * rows + r}")))
+                            for r in range(rows)
+                        ]
+                    )
+                )
+            )
             for b in range(bands)
         ]
     )
