@@ -49,46 +49,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Registry ordering contract: the driver's correctness run covers the
 #: FIRST 50 ``queries()`` entries (CORRECTNESS_r01 stopped at exactly
-#: 50 in dict order). Round-11 rotation (VERDICT r10 #1, oldest-first
+#: 50 in dict order). Round-12 rotation (VERDICT r11 #9, oldest-first
 #: regime): after the pinned five come ALL 31 queries whose latest
-#: driver record is r05 (staleness 6 entering r11 -- the oldest cohort
+#: driver record is r06 (staleness 6 entering r12 -- the oldest cohort
 #: in the ledger; without rotating them in they breach the tier-1
 #: bound, see test_attestation_staleness_bound), then the 14 cheapest
-#: r06-stale queries (staleness 5 -- taking the cheap ones now eases
-#: the r12 window). No round-11 first-timers: this is an optimization
+#: r07-stale queries (staleness 5 -- taking the cheap ones now eases
+#: the next window). No round-12 first-timers: this is an optimization
 #: round, the registry composition is frozen. Rows-only sketches stay
 #: out by design via SKETCH_ALLOWLIST (machine-checked, VERDICT r7
 #: #4). Every rotated-out query remains covered by
 #: tools/strict_check.py (the tier-2 leg of the two-tier bound,
-#: VERDICT r8 #5). Within each group, cheap entries (BENCH_DETAIL_r10
-#: warm timings) run first, hedging a time-budgeted driver window.
+#: VERDICT r8 #5). Within each group, cheap entries
+#: (BENCH_DETAIL_r11_baseline idle timings) run first, hedging a
+#: time-budgeted driver window.
 PRIORITY: tuple[str, ...] = (
     # reference parity core (SURVEY.md section 2.7 + MV transform) --
     # permanently pinned
     "sales_by_hour", "stock_top5", "recent_sales", "status_counts",
     "mv_parse_typed",
-    # --- staleness 6 (latest record r05): the oldest cohort, ALL of
-    #     it, cheap-first by BENCH_DETAIL_r10 ---
-    "q_cusum_changepoint", "q_mann_whitney_value",
-    "q_entropy_by_source", "q_division_every_year",
-    "q_dialect_daily_events", "q_zipf_fit", "q_pareto_revenue_share",
-    "q_anomaly_seasonal_residual", "q_ewma_backtest",
-    "q_holt_backtest", "q_pmi_collocations", "q_histogram_value",
-    "q_heavy_hitters", "q_seasonality_profile",
-    "q_session_peak_overlap", "q_ann_lsh_topk", "q_interevent_times",
-    "q_rfm_segments", "q_dedup_embedding_cosine", "q_ann_pq_topk",
-    "q_bm25_search", "q_degree_distribution", "q_dedup_containment",
-    "q_dedup_substring_windows", "q_dedup_ngram_jaccard",
-    "q_degree_assortativity", "q_matryoshka_recall",
-    "q_silhouette_kmeans", "q_rrf_hybrid_search",
-    "q_ann_ivf_kmeans_topk", "q_dedup_recall_audit",
-    # --- free slots: staleness 5 (latest record r06), cheapest first ---
-    "q_sample_systematic", "q_split_assign", "q_heavy_hitter_users",
-    "q_dedup_media_exact", "q_stratified_rebalance",
-    "q_source_mixture_weights", "q_token_budget_selection",
-    "q_corr_purchase_click", "q_compaction_plan", "q_padding_waste",
-    "q_pii_redact_stats", "q_skyline_parts", "q_zscore_outliers",
-    "q_kaplan_meier",
+    # --- staleness 6 (latest record r06): the oldest cohort, ALL of
+    #     it, cheap-first by BENCH_DETAIL_r11_baseline ---
+    "q_embedding_centroid_drift", "q_temperature_sample",
+    "q_ann_hamming_topk", "q_ewma_hourly", "q_profile_lineitem",
+    "q_mad_outliers", "q_funnel_dropoff_time", "q_hamming_recall",
+    "q_media_phash_neardup", "q_knn_classifier", "q_funnel_window",
+    "q_basket_itemsets3", "q_ngram_novelty", "q_bloom_join_audit",
+    "q_perplexity_bigram", "q_brand_assortativity",
+    "q_ndcg_search_eval", "q_markov_stationary", "q_hits_purchases",
+    "q_theilsen_hourly", "q_split_leakage_audit",
+    "q_embedding_debias_abtt", "q_randomwalk_corpus",
+    "q_dedup_clusters_twostar", "q_local_clustering_topk",
+    "q_dedup_prefix_filter", "q_adamic_adar", "q_ppr_copurchase",
+    "q_adamic_adar_capped", "q_betweenness_sampled",
+    "q_node_jaccard_capped",
+    # --- free slots: staleness 5 (latest record r07), cheapest first ---
+    "q_moving_avg_7d", "q_window_top3_parts_per_brand",
+    "q_subquery_above_avg_balance", "q_window_percent_rank",
+    "q14_promo_revenue", "q_epoch_shuffle_audit", "q15_top_supplier",
+    "q_date_functions", "q_tokenizer_fertility", "q_audience_overlap",
+    "q13_customer_order_distribution", "q_burstiness_hourly",
+    "q_hellinger_sources", "q12_shipmode_priority",
 )
 
 #: Rows-only registry entries with NO DuckDB oracle, by design:

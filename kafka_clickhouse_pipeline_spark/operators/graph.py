@@ -740,8 +740,19 @@ def _wedge_pairs_reduce_arrow(
         ku = uk.view(np.uint64)
         u = (ku >> np.uint64(32)).astype(np.int64)
         v = (ku & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        du = dvals_[np.searchsorted(ids_, u)]
-        dv = dvals_[np.searchsorted(ids_, v)]
+        qu = np.minimum(np.searchsorted(ids_, u), ids_.size - 1)
+        qv = np.minimum(np.searchsorted(ids_, v), ids_.size - 1)
+        # membership guard (VERDICT r11 #8): searchsorted returns an
+        # insertion point, so a pair node absent from the degree
+        # broadcast would silently read a NEIGHBOR's degree -- fail
+        # loudly instead (currently unreachable: deg spans all adj0
+        # src and the graph is symmetric, but one refactor away).
+        if not ((ids_[qu] == u).all() and (ids_[qv] == v).all()):
+            raise AssertionError(
+                "wedge pair node missing from degree broadcast"
+            )
+        du = dvals_[qu]
+        dv = dvals_[qv]
         n_union = du + dv - cnt
         if cnt.size > k_top:
             ratio = cnt / n_union
