@@ -252,7 +252,16 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # The documents fixture is one parquet row group -> a 1-task scan,
+    # so the per-doc rolling-hash kernel (K*len multiplies per doc)
+    # ran serially (r12, VERDICT r11 #5; measured: the winnow map is
+    # one task while 31 cores idle). Spread docs across the cluster
+    # before the heavy map -- exactly the q_mattr_lexical_diversity
+    # fix (guide section 2.5 input skew: repartition right after the
+    # read when the source cannot be split).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return (
         docs.select("doc_id", norm.alias("norm"))
