@@ -800,6 +800,111 @@ def _wedge_pairs_reduce_arrow(
     )
 
 
+def _wedge_weighted_reduce_arrow(
+    spark: SparkSession,
+    pairs_packed: DataFrame,
+    *,
+    weight_by_degree: dict[int, int],
+    linked: DataFrame,
+    vbits: int,
+    dbits: int,
+    topk: int,
+) -> DataFrame:
+    """Weighted (Adamic-Adar) twin of ``_wedge_pairs_reduce_arrow``
+    (r12). The r11 round measured the obvious weighted kernel -- a
+    (k BIGINT, w INT) two-column stream -- at 2.0x the k-only stream's
+    wall across the Arrow boundary and kept the JVM hash-aggregate for
+    AA. This kernel removes that cost by packing the wedge CENTER's
+    DEGREE into the same single BIGINT as the pair:
+
+        k = (u << (vbits + dbits)) | (v << dbits) | d
+
+    (caller guarantees ubits + vbits + dbits <= 63 from the same
+    bounded aggregate that sizes the wedge shuffle). The ONLY payload
+    crossing the boundary is still one int64 column -- the r11
+    negative does not apply. Per partition: np.unique over the packed
+    (u, v, d) keys (exact int64 counts), weight lookup from
+    ``weight_by_degree`` -- the (degree -> nano-quantized int weight)
+    map COMPUTED BY SPARK EXPRESSIONS on the driver, so the weights
+    are bit-identical to the fallback's JVM floor(1/ln(d)*1e9+0.5)
+    and no executor-side libm enters the result -- then an exact
+    integer segment-sum onto the distinct (u, v) pairs, linked-pair
+    drop by binary search, and a provable top-``topk`` superset.
+
+    Exactness: aa = sum of int64 weights and n_common = sum of int64
+    counts are order-independent exact integer sums, so emitted values
+    are bit-identical to the fallback's JVM aggregate. Selection is
+    EXACT (no epsilon, unlike the jaccard kernel's rounded-double
+    margin): the final order is (aa DESC, u, v); with t0 = the
+    partition's topk-th largest aa, every excluded pair (aa < t0) is
+    strictly dominated by >= topk same-partition pairs before the
+    (u, v) tiebreak can matter."""
+    import numpy as np
+    import pyarrow as pa
+
+    lk = np.sort(
+        linked.select(_pack_pair())
+        .toPandas()["k"]
+        .to_numpy()
+        .astype(np.int64, copy=False)
+    )
+    max_d = max(weight_by_degree) if weight_by_degree else 1
+    wtab = np.zeros(max_d + 1, dtype=np.int64)
+    for d, w in weight_by_degree.items():
+        wtab[d] = w
+    bc = spark.sparkContext.broadcast(
+        (lk, wtab, int(vbits), int(dbits), int(topk))
+    )
+
+    def reduce_part(batches):
+        lk_, wtab_, vb, db, k_top = bc.value
+        ks = [b.column(0).to_numpy(zero_copy_only=False) for b in batches]
+        if not ks:
+            return
+        k = np.concatenate(ks)
+        if k.size == 0:
+            return
+        uk, cnt = np.unique(k, return_counts=True)
+        cnt = cnt.astype(np.int64, copy=False)
+        ku = uk.view(np.uint64)
+        d = (ku & np.uint64((1 << db) - 1)).astype(np.int64)
+        pair = (ku >> np.uint64(db)).astype(np.int64)  # (u << vbits) | v
+        if (d >= wtab_.size).any() or (wtab_[d] == 0).any():
+            raise AssertionError("wedge center degree missing from weight table")
+        w = wtab_[d] * cnt
+        # segment-sum the (count, weighted) runs onto distinct pairs:
+        # uk is sorted, so equal pairs are adjacent
+        boundary = np.empty(pair.size, dtype=bool)
+        boundary[0] = True
+        np.not_equal(pair[1:], pair[:-1], out=boundary[1:])
+        idx = np.flatnonzero(boundary)
+        pairs_u = pair[idx]
+        n_common = np.add.reduceat(cnt, idx)
+        aa = np.add.reduceat(w, idx)
+        pu = pairs_u.view(np.uint64)
+        u = (pu >> np.uint64(vb)).astype(np.int64)
+        v = (pu & np.uint64((1 << vb) - 1)).astype(np.int64)
+        if lk_.size and u.size:
+            k32 = ((u.view(np.uint64) << np.uint64(32)) | v.view(np.uint64)).view(np.int64)
+            pos = np.minimum(np.searchsorted(lk_, k32), lk_.size - 1)
+            keepm = lk_[pos] != k32
+            u, v, n_common, aa = u[keepm], v[keepm], n_common[keepm], aa[keepm]
+        if u.size == 0:
+            return
+        if aa.size > k_top:
+            t0 = np.partition(aa, aa.size - k_top)[aa.size - k_top]
+            sel = aa >= t0
+            u, v, n_common, aa = u[sel], v[sel], n_common[sel], aa[sel]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(u), pa.array(v), pa.array(n_common), pa.array(aa)],
+            ["u", "v", "n_common", "aa"],
+        )
+
+    return pairs_packed.mapInArrow(
+        reduce_part, "u long, v long, n_common long, aa long"
+    )
+
+
 #: Oriented edges per shuffle task for the triangle 2-hop join. The
 #: 2-path intermediate is the memory hot spot; ~50k edges/task keeps
 #: each task's path fanout comfortably in-memory even on skewed
@@ -1499,6 +1604,11 @@ NODE_JACCARD_BROADCAST_MAX_EDGES = 50_000_000
 #: fine for bit-equality pins, unfair for a wall-clock A/B). The
 #: idle gate-toggled A/B is recorded in OPTIMIZATION_r12.md.
 WEDGE_KERNEL_ENABLED = True
+
+#: r12: the weighted (Adamic-Adar) wedge kernel's switch, same role as
+#: WEDGE_KERNEL_ENABLED (A/B toggle that leaves the fallback's own
+#: broadcasts intact). See _wedge_weighted_reduce_arrow.
+AA_KERNEL_ENABLED = True
 
 
 def q_node_jaccard(
@@ -2765,19 +2875,13 @@ def q_adamic_adar(
         F.coalesce(F.sum(F.when(keep, dsz)), F.lit(0)).alias("m2"),
         F.min("src").alias("min_id"),
         F.max("src").alias("max_id"),
+        F.max(F.when(keep, dsz)).alias("maxd"),
     ).collect()[0]
     min_id, max_id = sizes.min_id, sizes.max_id
     parts = max(
         spark.sparkContext.defaultParallelism,
         min(4096, int(sizes.wedges) // _WEDGE_PAIRS_PER_TASK + 1),
     )
-    # sorted-slice expansion + packed pair key (same shape and gate as
-    # q_node_jaccard) with the center weight riding along each wedge.
-    # Round-robin the centers over the wedge-derived width first: the
-    # adjacency rows are few bytes but expand to C(d,2) pairs each,
-    # so AQE leaves the expansion stage under-parallelized (see
-    # q_node_jaccard).
-    pairs = _expand_wedges(adjw.repartition(parts), ["w"])
     key_type = dict(adj0.dtypes)["src"]
     packable = (
         max_id is not None
@@ -2788,13 +2892,89 @@ def q_adamic_adar(
         adj0.select(F.col("src").alias("u"), F.explode("nbrs").alias("v"))
         .filter(F.col("u") < F.col("v"))
     )
-    # NO in-kernel reduce here, deliberately (r11 opt round, measured):
-    # unlike q_node_jaccard's key-only stream, the AA pair rows must
-    # carry the per-wedge weight, and a (k BIGINT, w INT) two-column
-    # 140M-row stream measured 2.0x the k-only stream's wall across
-    # the Arrow boundary (71.5 s vs 35.0 s) -- the boundary cost would
-    # erase the aggregate win, so the weighted form keeps the JVM
-    # hash-aggregate + broadcast-anti-join shape.
+    # In-kernel weighted reduce (r12). The r11 round measured the naive
+    # weighted kernel -- a (k BIGINT, w INT) TWO-column stream -- at
+    # 2.0x the k-only stream's boundary cost and kept the JVM
+    # aggregate; this path instead packs the wedge center's DEGREE
+    # into the same single BIGINT as the pair (id/degree bit budget
+    # checked from the same bounded aggregate) and resolves the
+    # nano-quantized weight inside the kernel from a Spark-computed
+    # (degree -> weight) table, so the boundary still carries ONE
+    # int64 column. Gated on the fallback's own broadcast bounds plus
+    # the 63-bit pack budget; above them the JVM shape below is kept.
+    vb = int(max_id).bit_length() if packable else 64
+    db = int(sizes.maxd).bit_length() if sizes.maxd is not None else 64
+    if (
+        AA_KERNEL_ENABLED
+        and packable
+        and sizes.nodes <= NODE_JACCARD_BROADCAST_MAX_NODES
+        and sizes.m2 is not None
+        and sizes.m2 // 2 <= NODE_JACCARD_BROADCAST_MAX_EDGES
+        and 2 * vb + db <= 63
+    ):
+        adjd = adj.select(
+            "nbrs", F.size("nbrs").cast("long").alias("d")
+        ).filter(F.col("d") >= 2)
+        pairs_d = _expand_wedges(adjd.repartition(parts), ["d"])
+        kcol = (
+            F.shiftleft(F.col("u").cast("long"), vb + db)
+            + F.shiftleft(F.col("v").cast("long"), db)
+            + F.col("d")
+        ).alias("k")
+        packed = pairs_d.select(kcol).repartition(
+            # partition by the PAIR bits so every (u, v, *) row of a
+            # pair lands in one partition: counts and the aa sum are
+            # then globally exact inside the kernel
+            parts,
+            F.shiftrightunsigned(F.col("k"), db),
+        )
+        wmap = {
+            int(r["d"]): int(r["w"])
+            for r in adj.select(F.size("nbrs").cast("long").alias("d"))
+            .filter(F.col("d") >= 2)
+            .distinct()
+            .select(
+                "d",
+                F.floor(
+                    F.lit(1.0) / F.log(F.col("d").cast("double"))
+                    * F.lit(1000000000.0)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("w"),
+            )
+            .collect()
+        }
+        reduced = _wedge_weighted_reduce_arrow(
+            spark,
+            packed,
+            weight_by_degree=wmap,
+            linked=linked,
+            vbits=vb,
+            dbits=db,
+            topk=NODE_JACCARD_TOPK,
+        )
+        return (
+            reduced.orderBy(F.col("aa").desc(), "u", "v")
+            .limit(NODE_JACCARD_TOPK)
+            .select(
+                F.col("u").cast("long").alias("u"),
+                F.col("v").cast("long").alias("v"),
+                F.col("n_common").cast("long").alias("n_common"),
+                F.concat(
+                    (F.col("aa") / 1000000000).cast("long").cast("string"),
+                    F.lit("."),
+                    F.lpad((F.col("aa") % 1000000000).cast("string"), 9, "0"),
+                ).alias("aa_score"),
+            )
+        )
+    # sorted-slice expansion + packed pair key (same shape and gate as
+    # q_node_jaccard) with the center weight riding along each wedge.
+    # Round-robin the centers over the wedge-derived width first: the
+    # adjacency rows are few bytes but expand to C(d,2) pairs each,
+    # so AQE leaves the expansion stage under-parallelized (see
+    # q_node_jaccard).
+    pairs = _expand_wedges(adjw.repartition(parts), ["w"])
     aggs = [
         F.sum("w").cast("long").alias("aa"),
         F.count(F.lit(1)).alias("n_common"),
