@@ -18,6 +18,13 @@ import pytest
 
 from kafka_clickhouse_pipeline_spark.operators import analytics, graph, similarity
 
+#: r12 (VERDICT r11 #7): this file is the gate-equality matrix the
+#: verdict named as the suite's window-breaker (10 heavy queries run
+#: twice each). Marked fullmatrix: excluded from the driver's
+#: time-boxed run, still run per-round via -m fullmatrix (see
+#: pytest.ini and OPTIMIZATION_r12.md).
+pytestmark = pytest.mark.fullmatrix
+
 SF = "/root/testdata/sf0.001"
 
 

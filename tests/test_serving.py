@@ -11,8 +11,23 @@ from tests.parity import assert_query_matches_oracle
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+#: Always-on oracle coverage = the driver's PRIORITY window (what the
+#: upcoming CORRECTNESS run attests) + the rows-only sketches. The
+#: rest of the registry is `fullmatrix` (see pytest.ini): still
+#: collected, run per-round via -m fullmatrix and by the per-round
+#: Arrow-strict sweep, excluded from the driver's time-boxed run.
+_ALWAYS_ON = set(entrymod.PRIORITY) | set(entrymod.SKETCH_ALLOWLIST)
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n
+        if n in _ALWAYS_ON
+        else pytest.param(n, marks=pytest.mark.fullmatrix)
+        for n in sorted(QUERIES)
+    ],
+)
 def test_query_matches_oracle(spark, oracle, sf_dir, name):
     if name not in ORACLES:
         # non-SQL-expressible op: weaker rows-only check
