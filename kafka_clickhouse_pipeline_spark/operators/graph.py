@@ -3204,6 +3204,22 @@ def q_betweenness_sampled(
     delta = levels[BFS_MAX_HOPS].select(
         "source", "node", F.lit(0).cast("long").alias("delta")
     ).transform(cut_lineage)
+    # r12 (guide section 3.1, the stage profile's smoking gun): the
+    # per-level dependency join matched the EXPLODED (source, node,
+    # sigma_v, edst) frame -- 20.3M rows / 225 MB shuffle write at
+    # sf0.1 -- against a successor frame of at most |level| <= K x V
+    # rows (~152k here, ~5 MB). The planner picked a shuffle join (the
+    # successor side is two checkpoints + a join deep, so its size
+    # estimate is unusable); under the same node gate the iterative
+    # loops use, broadcast the successor side so the exploded frame
+    # never crosses an exchange -- the term aggregate then partial-
+    # aggregates map-side and ships only (source, node) partials.
+    # Above the gate (K x V too big to broadcast) the shuffle join
+    # stays. Profile delta: stages 70+73 (29.3 + 104.6 s run, 225 MB
+    # exchanged) collapse into the map stage; see OPTIMIZATION_r12.md.
+    bcast_succ = (
+        sources * adj.count() <= PAGERANK_BROADCAST_MAX_NODES
+    )
     all_deltas: list[DataFrame] = []
     for hop in range(BFS_MAX_HOPS - 1, -1, -1):
         succ = (
@@ -3225,6 +3241,8 @@ def q_betweenness_sampled(
         wsucc = succ.select(
             F.col("source").alias("wsource"), "wnode", "sigma_w", "delta_w"
         )
+        if bcast_succ:
+            wsucc = F.broadcast(wsucc)
         term = (
             expanded.join(
                 wsucc,

@@ -174,6 +174,25 @@ def _with_norm(vecs: DataFrame) -> DataFrame:
     return vecs.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
 
+def _spread_vectors(vecs: DataFrame) -> DataFrame:
+    """Spread + materialize the vector corpus for MULTI-PASS consumers
+    (r12; guide section 2.5 input skew + section 5 caching). The
+    embeddings fixture is one parquet row group -> a 1-TASK scan, and
+    the k-means/IVF-split operators drive 4-7 ACTIONS over ``vecs``
+    (one per training round / occupancy pass / search leg), so every
+    pass re-read the parquet AND ran its Arrow assignment kernel
+    serially while 31 cores idled (r12 profile: each round a 0.4-4.2 s
+    single-task stage; the cold 4.2 s one is a single Python worker
+    spinning up, which the spread also parallelizes). One round-robin
+    exchange + localCheckpoint makes every later pass a cluster-wide
+    scan of materialized blocks. Single-pass ANN consumers keep the
+    bare scan -- an exchange per query would cost more than it buys
+    there (same reasoning as _spread_scan's width condition)."""
+    return cut_lineage(
+        vecs.repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+    )
+
+
 def kmeans_centroids(vecs: DataFrame, iters: int = 3) -> DataFrame:
     """Lloyd's k-means over the embedding column, all DataFrame ops,
     FULLY DETERMINISTIC (and therefore oracle-reproducible).
@@ -251,7 +270,7 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic k-means (see kmeans_centroids) unrolls as CTE
     pairs in the DuckDB twin (_ann_ivf_kmeans_oracle); recall is
     additionally measured against brute force in tests."""
-    vecs = _vectors(spark, sf_dir)
+    vecs = _spread_vectors(_vectors(spark, sf_dir))
     centroids = kmeans_centroids(vecs)
     return _ivf_search(vecs, centroids)
 
@@ -281,7 +300,7 @@ def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_clusters is read off the (bounded, <= N_CENTROIDS-row) size
     aggregate -- model metadata, like the centroid collect that
     kmeans_centroids itself performs."""
-    vecs = _vectors(spark, sf_dir)
+    vecs = _spread_vectors(_vectors(spark, sf_dir))
     centroids = kmeans_centroids(vecs)
     rows = _centroid_rows(centroids)
     if not rows:  # empty corpus
@@ -2056,7 +2075,7 @@ def q_silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus ONE Arrow-batched assignment pass and one tiny groupBy over
     centroid ids. No pairwise member distances -- the full silhouette
     is O(n^2) and is exactly what this variant exists to avoid."""
-    vecs = _vectors(spark, sf_dir)
+    vecs = _spread_vectors(_vectors(spark, sf_dir))
     centroids = kmeans_centroids(vecs)
     rows = _centroid_rows(centroids)
     if not rows:  # empty corpus: no clusters to validate
@@ -3323,7 +3342,7 @@ def q_ann_ivf_split_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-portable sequential-cumsum cosine (_seq_sims), so the DuckDB
     twin re-derives the identical split set, assignment, probes and
     ranking."""
-    vecs = _vectors(spark, sf_dir)
+    vecs = _spread_vectors(_vectors(spark, sf_dir))
     return _ivf_search(vecs, split_centroids(vecs))
 
 

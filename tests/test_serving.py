@@ -16,7 +16,28 @@ ORACLES = entrymod.oracle_sql()
 #: rest of the registry is `fullmatrix` (see pytest.ini): still
 #: collected, run per-round via -m fullmatrix and by the per-round
 #: Arrow-strict sweep, excluded from the driver's time-boxed run.
-_ALWAYS_ON = set(entrymod.PRIORITY) | set(entrymod.SKETCH_ALLOWLIST)
+#: Queries whose internals round 12 optimized: their oracle equality
+#: stays in the default (driver-window) run regardless of rotation.
+_R12_TOUCHED = (
+    "q_dedup_prefix_filter",
+    "q_fingerprint_winnow",
+    "q_bfs_hops",
+    "q_adamic_adar",
+    "q_adamic_adar_capped",
+    "q_node_jaccard",
+    "q_node_jaccard_capped",
+    "q_betweenness_sampled",
+    "q_ann_ivf_kmeans_topk",
+    "q_ann_ivf_split_topk",
+    "q_cluster_topics",
+    "q_silhouette_kmeans",
+)
+
+_ALWAYS_ON = (
+    set(entrymod.PRIORITY)
+    | set(entrymod.SKETCH_ALLOWLIST)
+    | set(_R12_TOUCHED)
+)
 
 
 @pytest.mark.parametrize(
