@@ -709,10 +709,11 @@ def _wedge_pairs_reduce_arrow(
     Single-column contract (measured, OPTIMIZATION_r11.md): the ONLY
     payload crossing the Arrow boundary is the packed 8-byte key.
     A 140M-row (k BIGINT, w INT) two-column stream measured 2.0x the
-    wall of the k-only stream (71.5 s vs 35.0 s mapInPandas), which
-    is why the weighted Adamic-Adar twin KEEPS the JVM hash-aggregate
-    shape -- its per-row weight would double the boundary cost and
-    erase the win. mapInArrow, not mapInPandas: the same k-only
+    wall of the k-only stream (71.5 s vs 35.0 s mapInPandas). r12:
+    the weighted Adamic-Adar twin now ALSO runs a single-column
+    kernel by packing the center degree into the same int64
+    (_wedge_weighted_reduce_arrow) instead of carrying a second
+    column. mapInArrow, not mapInPandas: the same k-only
     micro-benchmark ran 26.2 s as raw Arrow batches vs 35.0 s with
     the per-batch pandas wrapping.
 
@@ -2707,6 +2708,12 @@ def q_closeness_sampled(
     allnew = new_frames[0]
     for nf in new_frames[1:]:
         allnew = allnew.unionByName(nf)
+    # r12 examined, left as-is: spreading this union to cluster width
+    # before the ``landmarks``-column popcount aggregate (it runs ~9
+    # tasks at the checkpoint partitioning, 4.6 s CPU in the profile)
+    # measured NEUTRAL-to-NEGATIVE in an interleaved A/B (median
+    # old/new 0.97, rows identical) -- the added exchange costs what
+    # the extra width buys back; ~0.5 s/task is already latency-floor.
     per_hop = allnew.groupBy("hop").agg(
         *[
             F.sum(
@@ -2827,7 +2834,14 @@ def q_adamic_adar(
     Prep mirrors q_node_jaccard (r11): one checkpointed adjacency
     frame feeds the degree weights, the census+bounds single collect,
     the expansion and the linked anti-join set -- no repeated passes
-    over a flat edge checkpoint."""
+    over a flat edge checkpoint.
+
+    r12: below the same broadcast gates (plus a 63-bit pack budget),
+    the pair reduce is ONE Arrow kernel per partition
+    (_wedge_weighted_reduce_arrow) -- the center DEGREE rides inside
+    the packed key, so the boundary carries a single int64 column and
+    the r11 two-column negative does not apply. Interleaved A/B at
+    sf0.1: fallback/kernel median 1.95x (min 31.1 -> 15.7 s)."""
     if _adj is not None:
         adj0 = _adj
     elif _edges is not None:

@@ -409,13 +409,19 @@ def test_wedge_pair_shuffle_is_single_packed_key(spark, sf_dir):
     assert "partial_count" not in plan, plan[:2000]
     assert plans.uses_top_k(df)
 
-    # the weighted twin deliberately KEEPS the JVM hash-aggregate: its
-    # per-row weight would double the Arrow boundary cost (measured
-    # 2.0x, see q_adamic_adar) -- packed key, no Python
+    # the weighted twin (r12): the r11 two-column (k, w) kernel was a
+    # measured negative, but packing the center DEGREE into the same
+    # single int64 key removes the extra column -- below the gates the
+    # AA reduce is the same one-kernel-per-partition shape, with the
+    # exchange hashed on the PAIR bits (shiftrightunsigned) so the
+    # (u, v, d) rows of a pair land together and the kernel's integer
+    # sums are globally exact
     df2 = graph.q_adamic_adar(spark, sf_dir)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"hashpartitioning\(k#\d+L?\b", plan2)
-    assert plans.python_free(df2)
+    assert re.search(r"hashpartitioning\(shiftrightunsigned\(k#\d+L?", plan2)
+    assert "MapInArrow" in plan2
+    assert "partial_sum" not in plan2, plan2[:2000]
+    assert plans.uses_top_k(df2)
 
 
 def test_minhash_wedge_twin_plan(spark, sf_dir):
